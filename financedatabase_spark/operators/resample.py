@@ -1,0 +1,224 @@
+"""Time-bucket resampling — the reference's core aggregate (SURVEY.md §2.4 A1/A2).
+
+Reference semantics (dbase/DataAPI/ThetaData/utils.py:303-440 `resample` +
+`_handle_multi_index_resample`, duplicate impl v2.py:1844-1954):
+
+- per-column agg dict: open→first, high→max, low→min, close→last,
+  volume→sum, bid/ask/midpoint/size columns→last, unknown columns→ffill
+  (caller can override any of these, utils.py:317-320);
+- hour buckets anchored at the 09:30 market open (utils.py:396
+  ``origin=MARKET_OPEN_TIME``);
+- pandas emits EVERY bucket in the span (empty ones too); gaps are
+  forward-filled then ``fillna(0)`` (utils.py:392, :399) — zeros, not
+  nulls, in the output;
+- the keyed variant resamples each key group independently
+  (utils.py:402-440).
+
+Spark-first shape: one `groupBy(keys, window(ts, …))` aggregation (a single
+shuffle on (keys, bucket)); first/last are `min_by`/`max_by` over an explicit
+order column — pandas' positional keep-first/-last made deterministic
+(SURVEY.md §4 custom item 3). Empty buckets don't exist in Spark's window
+agg, so a **grid scaffold** is generated per key with `sequence()` + explode
+(distributed, sized by time-span/interval, never collected) and left-joined;
+forward fill is `last(..., ignorenulls)` over an unbounded-preceding window.
+
+Scale note: the scaffold join keys on (key, bucket) — the same partitioning
+the aggregation just produced, so AQE plans it shuffle-light; the ffill
+window partitions by key, which is exactly how a 100 TB multi-contract table
+would already be laid out.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from financedatabase_spark.functions.columns import MARKET_OPEN_MINUTES
+from financedatabase_spark.operators.calendar import enforce_business_hours
+
+#: F10 — interval-string units → seconds (reference: utils.py:457-509,
+#: `identify_length` :231-257). 'b' (business day) aliases 'd' + a
+#: business-day filter applied by the caller.
+_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800, "b": 86400}
+
+#: Default per-column aggregation (reference: utils.py:303-346).
+DEFAULT_AGG = {
+    "open": "first",
+    "high": "max",
+    "low": "min",
+    "close": "last",
+    "volume": "sum",
+    "count": "sum",
+    "bid": "last",
+    "ask": "last",
+    "bid_size": "last",
+    "ask_size": "last",
+    "midpoint": "last",
+    "weighted_midpoint": "last",
+}
+
+
+def parse_interval(interval: str) -> tuple[int, str]:
+    """F10 — ``'5m'`` → ``(5, 'm')`` (reference: utils.py:457-461)."""
+    m = re.fullmatch(r"(\d+)\s*([smhdwb])", interval.strip().lower())
+    if not m:
+        raise ValueError(f"unparseable interval {interval!r}")
+    return int(m.group(1)), m.group(2)
+
+
+def interval_seconds(interval: str) -> int:
+    n, unit = parse_interval(interval)
+    return n * _UNIT_SECONDS[unit]
+
+
+def _duration_string(interval: str) -> str:
+    return f"{interval_seconds(interval)} seconds"
+
+
+def _origin_start_time(interval: str, origin_minutes: int | None) -> str | None:
+    """Bucket-alignment offset: market-open anchoring for sub-day buckets.
+
+    Reference anchors intraday buckets at 09:30 (utils.py:396). Spark's
+    `window` aligns buckets to epoch + startTime, so the equivalent offset
+    is ``origin mod interval``.
+    """
+    if origin_minutes is None:
+        return None
+    secs = interval_seconds(interval)
+    if secs >= 86400:
+        return None  # daily+ buckets stay midnight-aligned, like pandas
+    offset = (origin_minutes * 60) % secs
+    return f"{offset} seconds" if offset else None
+
+
+def _agg_expr(col: str, how: str, order: F.Column) -> F.Column:
+    if how == "first":
+        return F.min_by(col, order).alias(col)
+    if how in ("last", "ffill"):  # ffill = last-in-bucket, then gap-fill later
+        return F.max_by(col, order).alias(col)
+    if how == "max":
+        return F.max(col).alias(col)
+    if how == "min":
+        return F.min(col).alias(col)
+    if how == "sum":
+        return F.sum(col).alias(col)
+    if how in ("mean", "avg"):
+        return F.avg(col).alias(col)
+    if how == "count":
+        return F.count(col).alias(col)
+    raise ValueError(f"unsupported agg {how!r} for column {col!r}")
+
+
+def resample(
+    df: DataFrame,
+    interval: str,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    agg_overrides: dict[str, str] | None = None,
+    order_cols: list[str] | None = None,
+    origin_minutes: int | None = MARKET_OPEN_MINUTES,
+    fill_gaps: bool = True,
+    fill_value: float = 0.0,
+    business_hours: bool = False,
+) -> DataFrame:
+    """A1/A2 — OHLCV time-bucket aggregation with reference gap semantics.
+
+    Returns one row per (key, bucket) with ``ts_col`` = bucket start.
+    ``order_cols`` break first/last ties deterministically (defaults to the
+    timestamp alone — pass an arrival-sequence column to reproduce pandas
+    keep-last exactly, SURVEY.md §4 item 3). ``agg_overrides`` is the
+    caller-supplied agg dict (U6, utils.py:317-320); unknown value columns
+    default to ffill like the reference.
+    """
+    key_cols = key_cols or []
+    if order_cols is None:
+        order_cols = [ts_col]
+    # order-only columns (tie-breakers) are consumed by min_by/max_by but
+    # not emitted, unless the caller aggregates them explicitly
+    value_cols = [
+        c
+        for c in df.columns
+        if c != ts_col
+        and c not in key_cols
+        and (c not in order_cols or (agg_overrides and c in agg_overrides))
+    ]
+    agg_spec = dict(DEFAULT_AGG)
+    for c in value_cols:
+        agg_spec.setdefault(c, "ffill")
+    if agg_overrides:
+        agg_spec.update(agg_overrides)
+    agg_spec = {c: how for c, how in agg_spec.items() if c in value_cols}
+    order = F.struct(*[F.col(c) for c in order_cols])
+
+    dur = _duration_string(interval)
+    start_time = _origin_start_time(interval, origin_minutes)
+    win = F.window(F.col(ts_col), dur, dur, start_time) if start_time else F.window(F.col(ts_col), dur)
+
+    aggs = [_agg_expr(c, how, order) for c, how in agg_spec.items()]
+    bucketed = (
+        df.groupBy(*key_cols, win.alias("_w"))
+        .agg(*aggs)
+        .select(*key_cols, F.col("_w.start").alias(ts_col), *agg_spec.keys())
+    )
+
+    if fill_gaps:
+        bucketed = _fill_bucket_gaps(
+            bucketed, interval, ts_col, key_cols, agg_spec, fill_value
+        )
+    if business_hours:
+        bucketed = enforce_business_hours(bucketed, ts_col)
+    return bucketed
+
+
+def _fill_bucket_gaps(
+    bucketed: DataFrame,
+    interval: str,
+    ts_col: str,
+    key_cols: list[str],
+    agg_spec: dict[str, str],
+    fill_value: float,
+) -> DataFrame:
+    """Grid scaffold + ffill + fillna(0) (reference: utils.py:387-399).
+
+    Per key: `sequence(min_bucket, max_bucket, interval)` exploded into a
+    complete grid (distributed — no collect), left-joined with the real
+    buckets; 'ffill' columns forward-fill over the time order; every
+    aggregated column then takes ``fill_value`` for remaining nulls,
+    matching pandas' trailing ``fillna(0)``.
+    """
+    secs = interval_seconds(interval)
+    grid = (
+        bucketed.groupBy(*key_cols)
+        .agg(F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {secs} SECONDS"))
+            ).alias(ts_col),
+        )
+    )
+    joined = grid.join(bucketed, [*key_cols, ts_col], "left")
+
+    ffill_cols = [c for c, how in agg_spec.items() if how == "ffill"]
+    if ffill_cols:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        joined = joined.select(
+            *key_cols,
+            ts_col,
+            *[
+                F.last(c, ignorenulls=True).over(w).alias(c) if c in ffill_cols else F.col(c)
+                for c in agg_spec
+            ],
+        )
+    numeric = [
+        c
+        for c, t in joined.dtypes
+        if c in agg_spec and t in ("double", "float", "bigint", "int", "smallint", "tinyint", "long")
+    ]
+    return joined.na.fill(fill_value, subset=numeric)

@@ -1,0 +1,122 @@
+"""Flagship resample queries (SURVEY.md §2.4 A1/A2, §3.1 read path).
+
+The driver's `events` table stands in for the reference's tick/quote
+time-series (FIXTURES.md mapping): `value` is the traded price, bars are
+derived per `event_type` (the contract key) exactly like the reference's
+`resample` (utils.py:303-399).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financedatabase_spark.operators.resample import resample
+from financedatabase_spark.plans.registry import register
+from financedatabase_spark.sources.readers import load_table
+
+
+def _event_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("value").alias("open"),
+        F.col("value").alias("high"),
+        F.col("value").alias("low"),
+        F.col("value").alias("close"),
+        F.lit(1).cast("long").alias("volume"),
+    )
+
+
+_BARS_CTE = """
+    SELECT event_type,
+           time_bucket(INTERVAL '5 minutes', ts) AS ts,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           count(*)::BIGINT AS volume
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "bars_5m",
+    oracle=f"SELECT * FROM ({_BARS_CTE})",
+)
+def bars_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 — keyed 5-minute OHLCV bars, no gap fill.
+
+    One shuffle on (event_type, bucket); first/last are min_by/max_by with a
+    deterministic (ts, event_id) tie-break.
+    """
+    return resample(
+        _event_ticks(spark, sf_dir),
+        "5m",
+        ts_col="ts",
+        key_cols=["event_type"],
+        order_cols=["ts", "event_id"],
+        fill_gaps=False,
+    )
+
+
+@register(
+    "bars_5m_gapfill",
+    oracle=f"""
+    WITH bars AS ({_BARS_CTE}),
+    spans AS (SELECT event_type, min(ts) AS lo, max(ts) AS hi FROM bars GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '5 minutes')) AS ts
+      FROM spans
+    )
+    SELECT g.event_type, g.ts,
+           coalesce(b.open, 0)   AS open,
+           coalesce(b.high, 0)   AS high,
+           coalesce(b.low, 0)    AS low,
+           coalesce(b.close, 0)  AS close,
+           coalesce(b.volume, 0) AS volume
+    FROM grid g LEFT JOIN bars b ON g.event_type = b.event_type AND g.ts = b.ts
+    """,
+)
+def bars_5m_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 with reference gap semantics: every bucket in each key's span is
+    emitted and empty buckets are zero-filled (utils.py:387-399)."""
+    return resample(
+        _event_ticks(spark, sf_dir),
+        "5m",
+        ts_col="ts",
+        key_cols=["event_type"],
+        order_cols=["ts", "event_id"],
+        fill_gaps=True,
+    )
+
+
+@register(
+    "bars_1h_anchored",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '2000-01-03 09:30:00') AS ts,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           count(*)::BIGINT AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def bars_1h_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 origin anchoring — hourly buckets aligned to the 09:30 market open
+    (reference: utils.py:396 ``origin=MARKET_OPEN_TIME``), so buckets run
+    09:30-10:30, 10:30-11:30, … instead of top-of-hour."""
+    return resample(
+        _event_ticks(spark, sf_dir),
+        "1h",
+        ts_col="ts",
+        key_cols=["event_type"],
+        order_cols=["ts", "event_id"],
+        fill_gaps=False,
+    )

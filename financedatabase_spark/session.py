@@ -1,0 +1,46 @@
+"""SparkSession factory with engine defaults.
+
+The reference keeps a per-(pid, database) SQLAlchemy engine cache
+(reference: dbase/database/SQLHelpers.py:100-144); in Spark the session
+singleton plays that role. Defaults are chosen for the local[N] test
+harness but the same settings are what we'd ship to a real cluster:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+shuffle partitions sized to cores, Arrow enabled for the pandas-UDF path,
+and a fixed UTC session timezone so the reference's timezone-naive market
+timestamps round-trip unchanged (SURVEY.md §7.4 risk 3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "financedatabase_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or return) the engine SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a real
+    cluster the master/size come from spark-submit; every .config here is
+    still correct at 1000 executors.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS); read as long
+        # and convert in the source layer (readers.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
