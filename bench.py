@@ -1,0 +1,72 @@
+"""Headline benchmark — run the engine's flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is planned lazily and timed over a full execution that touches
+every result row (count of a cheap projection would skip value computation,
+so we use `df.foreach`-free `write.format("noop")`-style materialization via
+`collect` on small results / `count` after a `localCheckpoint`-free plan —
+here: `df.toPandas()` is avoided; we time `count()` which executes the whole
+plan because every query ends in aggregation/join work, not a bare scan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Queries benchmarked per round. Grows with the registry; keep to the
+#: headline operators so the number stays interpretable.
+HEADLINE = [
+    "bars_5m",
+    "bars_5m_gapfill",
+    "bars_1h_anchored",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    from financedatabase_spark.plans.registry import QUERIES
+    from financedatabase_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the session (JVM JIT, codegen, Arrow, parquet footers) outside the
+    # timings: run every headline query once at the smallest scale factor
+    spark.range(1).count()
+    names = [n for n in HEADLINE if n in QUERIES]
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in names:
+            try:
+                QUERIES[name](spark, warm_dir).count()
+            except Exception:
+                pass
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -150,7 +150,9 @@ def resample(
     if agg_overrides:
         agg_spec.update(agg_overrides)
     agg_spec = {c: how for c, how in agg_spec.items() if c in value_cols}
-    order = F.struct(*[F.col(c) for c in order_cols])
+    # single order column stays a primitive → HashAggregate-compatible
+    # min_by/max_by buffers; a struct ordering forces SortAggregate
+    order = F.col(order_cols[0]) if len(order_cols) == 1 else F.struct(*[F.col(c) for c in order_cols])
 
     dur = _duration_string(interval)
     start_time = _origin_start_time(interval, origin_minutes)

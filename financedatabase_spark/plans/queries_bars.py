@@ -33,10 +33,10 @@ def _event_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BARS_CTE = """
     SELECT event_type,
            time_bucket(INTERVAL '5 minutes', ts) AS ts,
-           first(value ORDER BY ts, event_id) AS open,
+           first(value ORDER BY event_id) AS open,
            max(value) AS high,
            min(value) AS low,
-           last(value ORDER BY ts, event_id) AS close,
+           last(value ORDER BY event_id) AS close,
            count(*)::BIGINT AS volume
     FROM events
     GROUP BY 1, 2
@@ -51,14 +51,14 @@ def bars_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2 — keyed 5-minute OHLCV bars, no gap fill.
 
     One shuffle on (event_type, bucket); first/last are min_by/max_by with a
-    deterministic (ts, event_id) tie-break.
+    deterministic arrival-order (event_id) tie-break.
     """
     return resample(
         _event_ticks(spark, sf_dir),
         "5m",
         ts_col="ts",
         key_cols=["event_type"],
-        order_cols=["ts", "event_id"],
+        order_cols=["event_id"],
         fill_gaps=False,
     )
 
@@ -89,7 +89,7 @@ def bars_5m_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "5m",
         ts_col="ts",
         key_cols=["event_type"],
-        order_cols=["ts", "event_id"],
+        order_cols=["event_id"],
         fill_gaps=True,
     )
 
@@ -99,10 +99,10 @@ def bars_5m_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '2000-01-03 09:30:00') AS ts,
-           first(value ORDER BY ts, event_id) AS open,
+           first(value ORDER BY event_id) AS open,
            max(value) AS high,
            min(value) AS low,
-           last(value ORDER BY ts, event_id) AS close,
+           last(value ORDER BY event_id) AS close,
            count(*)::BIGINT AS volume
     FROM events
     GROUP BY 1, 2
@@ -117,6 +117,6 @@ def bars_1h_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1h",
         ts_col="ts",
         key_cols=["event_type"],
-        order_cols=["ts", "event_id"],
+        order_cols=["event_id"],
         fill_gaps=False,
     )
