@@ -25,6 +25,11 @@ HEADLINE = [
     "bars_5m",
     "bars_5m_gapfill",
     "bars_1h_anchored",
+    "asof_enrichment",
+    "pricing_summary",
+    "revenue_forecast",
+    "segment_revenue",
+    "dedup_keep_last",
 ]
 
 

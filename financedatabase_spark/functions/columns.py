@@ -112,11 +112,15 @@ def normalize_date_format(d: Column | str, style: int = 1) -> Column:
     Reference: utils.py:443-454 `normalize_date_format`.
     """
     c = F.col(d) if isinstance(d, str) else d
-    as_date = F.coalesce(
-        F.to_date(c.cast("string"), "yyyy-MM-dd"),
-        F.to_date(c.cast("string"), "yyyyMMdd"),
-        F.to_date(c.cast("string"), "MM/dd/yyyy"),
-        F.to_date(c),
+    s = c.cast("string")
+    # regex-guarded branches: ANSI mode (Spark 4 default) errors on a failed
+    # to_date instead of returning null, so each format only parses when the
+    # string's shape matches
+    as_date = (
+        F.when(s.rlike(r"^\d{4}-\d{2}-\d{2}$"), F.to_date(s, "yyyy-MM-dd"))
+        .when(s.rlike(r"^\d{8}$"), F.to_date(s, "yyyyMMdd"))
+        .when(s.rlike(r"^\d{2}/\d{2}/\d{4}$"), F.to_date(s, "MM/dd/yyyy"))
+        .otherwise(F.to_date(c))
     )
     return F.date_format(as_date, "yyyy-MM-dd" if style == 1 else "yyyyMMdd")
 

@@ -1,0 +1,177 @@
+"""Grouped analytics queries (SURVEY.md §2.4 A3–A8, §2.5 W1–W3).
+
+Decimal casts are used for double sums so Spark and DuckDB produce
+bit-identical results regardless of summation order (doubles are summed in
+partition order, which differs between engines; decimals are exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from financedatabase_spark.plans.registry import register
+from financedatabase_spark.sources.readers import load_table
+
+
+@register(
+    "group_mean_transform",
+    oracle="""
+    SELECT event_id, ts, event_type, value,
+           avg(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS day_mean
+    FROM events
+    """,
+)
+def group_mean_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W3 — per-group mean broadcast back to rows
+    (reference: v2.py:2063 `groupby('date').transform('mean')`).
+    Window aggregate: one shuffle on the partition key, no join-back."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.to_date("ts"))
+    return ev.select(
+        "event_id", "ts", "event_type", "value", F.avg("value").over(w).alias("day_mean")
+    )
+
+
+@register(
+    "argmin_per_group",
+    oracle="""
+    SELECT event_type, date, value AS representative_value, event_id FROM (
+      SELECT event_type, date, value, event_id,
+             row_number() OVER (
+               PARTITION BY event_type, date
+               ORDER BY abs(value - day_mean) ASC, event_id DESC
+             ) AS rn
+      FROM (
+        SELECT event_type, CAST(ts AS DATE) AS date, value, event_id,
+               avg(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS day_mean
+        FROM events
+      )
+    ) WHERE rn = 1
+    """,
+)
+def argmin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — per-group argmin selection: the row whose value is closest to
+    the group mean, dedup keep-last on ties
+    (reference: v2.py:2064-2069 idxmin + keep-last)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("date"), "value", "event_id"
+    )
+    wmean = Window.partitionBy("event_type", "date")
+    wrank = Window.partitionBy("event_type", "date").orderBy(
+        F.abs(F.col("value") - F.avg("value").over(wmean)).asc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "date", F.col("value").alias("representative_value"), "event_id")
+    )
+
+
+@register(
+    "count_guard",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_matched
+    FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+    """,
+)
+def count_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — predicate match-count guard before DML
+    (reference: SQLHelpers.py:304, :731-736)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000)).agg(
+        F.count("*").alias("n_matched")
+    )
+
+
+@register(
+    "table_row_counts",
+    oracle="""
+    SELECT 'orders' AS table_name, count(*)::BIGINT AS n FROM orders
+    UNION ALL SELECT 'lineitem', count(*)::BIGINT FROM lineitem
+    UNION ALL SELECT 'customer', count(*)::BIGINT FROM customer
+    UNION ALL SELECT 'events', count(*)::BIGINT FROM events
+    """,
+)
+def table_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — per-table row counts diagnostic
+    (reference: db_management.py:983-1001)."""
+    frames = []
+    for t in ("orders", "lineitem", "customer", "events"):
+        frames.append(
+            load_table(spark, sf_dir, t).agg(F.count("*").alias("n")).select(
+                F.lit(t).alias("table_name"), "n"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+@register(
+    "na_dup_diagnostics",
+    oracle="""
+    SELECT sum(CASE WHEN value IS NULL OR props IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_na_rows,
+           (count(*) - count(DISTINCT (user_id, event_type)))::BIGINT AS n_key_dups,
+           count(*)::BIGINT AS n_rows
+    FROM events
+    """,
+)
+def na_dup_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — NA/duplicate-count observability before save
+    (reference: SQLHelpers.py:899-907)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.sum(
+            F.when(F.col("value").isNull() | F.col("props").isNull(), 1).otherwise(0)
+        ).alias("n_na_rows"),
+        (F.count("*") - F.count_distinct(F.struct("user_id", "event_type"))).alias("n_key_dups"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "distinct_values",
+    oracle="SELECT DISTINCT o_orderpriority FROM orders",
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — distinct value listing (reference: db_management.py:512-544)."""
+    return load_table(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+@register(
+    "forward_fill",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last(purchase_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+      FROM events
+    )
+    """,
+)
+def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — forward-fill over time per key
+    (reference: utils.py:322, :387-399 `.ffill()`)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("purchase_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last("purchase_value", ignorenulls=True).over(w).alias("filled_value"),
+    )

@@ -1,0 +1,239 @@
+"""Join + dedup queries (SURVEY.md §2.3 J1–J4, §2.2 P7–P9, §2.12 R1).
+
+`events` plays the tick/quote table (FIXTURES.md mapping); the TPC-H star
+tables exercise the enrichment joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financedatabase_spark.operators.dedup import (
+    dedup_full_row,
+    dedup_keep_first,
+    dedup_keep_last,
+)
+from financedatabase_spark.operators.joins import asof_join, bar_fill_join, enrich_left_join, union_splice
+from financedatabase_spark.operators.resample import resample
+from financedatabase_spark.plans.registry import register
+from financedatabase_spark.sources.readers import load_table
+
+
+def _hourly_bars(spark: SparkSession, sf_dir: str, sparse: bool) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    if sparse:
+        ev = ev.filter(F.col("value") > 150)
+    ticks = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("value").alias("open"),
+        F.col("value").alias("high"),
+        F.col("value").alias("low"),
+        F.col("value").alias("close"),
+        F.lit(1).cast("long").alias("volume"),
+    )
+    return resample(
+        ticks, "1h", ts_col="ts", key_cols=["event_type"], order_cols=["event_id"],
+        origin_minutes=None, fill_gaps=not sparse,
+    )
+
+
+_HOURLY_CTE = """
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts) AS ts,
+             first(value ORDER BY event_id) AS open,
+             max(value) AS high,
+             min(value) AS low,
+             last(value ORDER BY event_id) AS close,
+             count(*)::BIGINT AS volume
+      FROM events {where}
+      GROUP BY 1, 2
+"""
+
+
+@register(
+    "bar_fill_join",
+    oracle=f"""
+    WITH dense AS ({_HOURLY_CTE.format(where="")}),
+    spans AS (SELECT event_type, min(ts) AS lo, max(ts) AS hi FROM dense GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS ts FROM spans
+    ),
+    quote AS (
+      SELECT g.event_type, g.ts,
+             coalesce(d.open, 0) AS open, coalesce(d.high, 0) AS high,
+             coalesce(d.low, 0) AS low, coalesce(d.close, 0) AS close,
+             coalesce(d.volume, 0) AS volume
+      FROM grid g LEFT JOIN dense d ON g.event_type = d.event_type AND g.ts = d.ts
+    ),
+    sparse AS ({_HOURLY_CTE.format(where="WHERE value > 150")})
+    SELECT q.event_type, q.ts, q.close AS quote_close, q.volume AS quote_volume,
+           s.open AS trade_open, s.high AS trade_high, s.low AS trade_low,
+           s.close AS trade_close, s.volume AS trade_volume
+    FROM quote q
+    LEFT JOIN sparse s ON q.event_type = s.event_type AND q.ts = s.ts
+    """,
+)
+def bar_fill_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — complete quote grid ⟕ sparse trade bars on (key, ts): non-traded
+    buckets keep the quote row with null trade columns
+    (reference: v2.py:724-738)."""
+    quote = _hourly_bars(spark, sf_dir, sparse=False).select(
+        "event_type", "ts",
+        F.col("close").alias("quote_close"), F.col("volume").alias("quote_volume"),
+    )
+    trades = _hourly_bars(spark, sf_dir, sparse=True).select(
+        "event_type", "ts",
+        F.col("open").alias("trade_open"), F.col("high").alias("trade_high"),
+        F.col("low").alias("trade_low"), F.col("close").alias("trade_close"),
+        F.col("volume").alias("trade_volume"),
+    )
+    return bar_fill_join(quote, trades, ["event_type", "ts"])
+
+
+@register(
+    "enrich_left_join",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate, c_name, c_mktsegment, c_acctbal
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def enrich_left_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — left-join dimension enrichment (Organizers.py:274-279 OI join).
+    Customer is the small side → broadcast hash join, no shuffle of the
+    fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    return enrich_left_join(
+        orders, F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_totalprice", "o_orderdate", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "asof_enrichment",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts, l.event_type,
+           r.last_purchase_value
+    FROM events l
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, value AS last_purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ) r ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+)
+def asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — keyed backward as-of join: every event takes the user's latest
+    purchase value at-or-before its timestamp (the reference's pandas
+    index-alignment enrichment, Organizers.py:83-110, as a true as-of).
+    Union + ffill window: one shuffle on (user_id), linear scan, no range
+    explosion — the shape that survives 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts", "event_type")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return asof_join(left, right, on="ts", by=["user_id"], value_cols=["last_purchase_value"])
+
+
+@register(
+    "ticker_change_splice",
+    oracle="""
+    WITH old_leg AS (
+      SELECT event_id, ts, user_id, value, 'OLD' AS root, 0 AS seg
+      FROM events WHERE user_id < 8
+    ), new_leg AS (
+      SELECT event_id, ts, user_id, value, 'NEW' AS root, 1 AS seg
+      FROM events WHERE user_id >= 4
+    ), unioned AS (
+      SELECT * FROM old_leg UNION ALL SELECT * FROM new_leg
+    )
+    SELECT event_id, ts, user_id, value, root FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, seg DESC) AS rn
+      FROM unioned
+    ) WHERE rn = 1
+    """,
+)
+def ticker_change_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/P8 — union splice with keep-last dedup: two overlapping per-symbol
+    legs (a ticker change) concatenated, later leg wins duplicated keys
+    (reference: v2.py:399, v3/utils.py:685-699)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    old_leg = ev.filter(F.col("user_id") < 8).withColumn("root", F.lit("OLD"))
+    new_leg = ev.filter(F.col("user_id") >= 4).withColumn("root", F.lit("NEW"))
+    return union_splice([old_leg, new_leg], key_cols=["event_id"], order_cols=["ts"])
+
+
+@register(
+    "dedup_keep_last",
+    oracle="""
+    SELECT user_id, event_type, ts, value FROM (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/R1 — latest state per (user, event_type): the realtime snapshot
+    view as a batch keep-last (reference: v2.py:1658-1663, snapshot
+    endpoints v2.py:456-524)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value", "event_id"
+    )
+    return dedup_keep_last(ev, ["user_id", "event_type"], ["ts", "event_id"]).drop("event_id")
+
+
+@register(
+    "dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_type, ts, value FROM (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_first_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — keep-first dedup (reference: Organizers.py:126)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value", "event_id"
+    )
+    return dedup_keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"]).drop("event_id")
+
+
+@register(
+    "dedup_full_row",
+    oracle="SELECT DISTINCT user_id, event_type, lang FROM events, documents WHERE doc_id % 15 = user_id",
+)
+def dedup_full_row_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — whole-row drop_duplicates (reference: SQLHelpers.py:379, :910)."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    joined = ev.join(docs, docs.doc_id % 15 == ev.user_id).select(
+        "user_id", "event_type", "lang"
+    )
+    return dedup_full_row(joined)
+
+
+@register(
+    "latest_snapshot",
+    oracle="""
+    SELECT user_id, ts, event_type, value FROM (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 — whole-chain latest-state snapshot per key (v2.py:456-524)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    return dedup_keep_last(ev, ["user_id"], ["ts", "event_id"]).drop("event_id")

@@ -1,0 +1,106 @@
+"""TPC-H-flavor headline queries — the bench workload.
+
+These exercise the engine's bread and butter at scale: pushdown filters,
+broadcast + shuffle joins, hash aggregation. Double sums are computed in
+DECIMAL so results are bit-identical to the oracle regardless of partition
+summation order, then cast to DOUBLE for output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financedatabase_spark.plans.registry import register
+from financedatabase_spark.sources.readers import load_table
+
+_DEC = "decimal(30,8)"
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8)) * (1 - CAST(l_discount AS DECIMAL(30,8)))) AS DOUBLE) AS sum_disc_price,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — scan-side filter pushdown + hash aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_forecast",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8)) * CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+    """,
+)
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — pure pushdown-filter + single-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 25)
+        ).agg(F.sum(d("l_extendedprice") * d("l_discount")).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "segment_revenue",
+    oracle="""
+    SELECT c_mktsegment, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8)) * (1 - CAST(l_discount AS DECIMAL(30,8)))) AS DOUBLE) AS revenue,
+           count(DISTINCT o_orderkey)::BIGINT AS n_orders
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY c_mktsegment, n_name
+    """,
+)
+def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3/Q5 shape — star join: nation & customer broadcast, the
+    orders⋈lineitem shuffle keys on orderkey; revenue in exact decimal."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1996-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast("double").alias("revenue"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+    )

@@ -49,7 +49,13 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
                 col = col.dt.tz_localize(None)
             pdf[c] = col
         elif pd.api.types.is_object_dtype(pdf[c]):
-            pdf[c] = pdf[c].astype(str)
+            import datetime as _dt
+
+            nonnull = pdf[c].dropna()
+            if len(nonnull) and isinstance(nonnull.iloc[0], _dt.date):
+                pdf[c] = pd.to_datetime(pdf[c])
+            else:
+                pdf[c] = pdf[c].astype(str)
     sort_cols = list(pdf.columns)
     return pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
 
