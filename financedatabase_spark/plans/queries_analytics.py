@@ -1,0 +1,148 @@
+"""Option-analytics pipeline queries (SURVEY.md §2.9 U1–U5, §3.3).
+
+IV and greeks are not SQL-expressible, so these register WITHOUT oracle
+SQL (the driver records rows-only checks); numerical correctness is
+asserted in tests/test_analytics.py by round-trip (price a known sigma,
+recover it) and put-call parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financedatabase_spark.functions.analytics import (
+    bs_greeks_udf,
+    bs_iv_udf,
+    binomial_iv_udf,
+    resolve_missing_vol,
+)
+from financedatabase_spark.plans.registry import register
+from financedatabase_spark.sources.readers import load_table
+
+
+def synthetic_option_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize option rows from `part`: deterministic spot/strike/tenor
+    so tests can recover the known true sigma."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lit(100.0).alias("underlier_price"),
+        (80.0 + (F.col("p_partkey") % 41)).alias("strike"),
+        ((F.col("p_size") % 24 + 1) * 30 / 365.0).alias("tenor_years"),
+        F.lit(0.05).alias("rf_rate"),
+        F.lit(0.01).alias("div_yield"),
+        (F.col("p_partkey") % 2 == 0).alias("is_call"),
+        (0.15 + 0.35 * (F.col("p_partkey") % 10) / 10.0).alias("true_sigma"),
+    )
+
+
+@register("implied_vol_bs")
+def implied_vol_bs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — vectorized Black-Scholes IV (reference: BS_IV row-wise apply,
+    Organizers.py:127-135). Price is generated inside the same plan with a
+    known sigma; the UDF recovers it."""
+    from financedatabase_spark.functions.analytics import bs_price
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def price_udf(s, k, t, r, q, sigma, is_call):
+        return pd.Series(bs_price(s, k, t, r, q, sigma, is_call.astype(bool)))
+
+    rows = synthetic_option_rows(spark, sf_dir)
+    priced = rows.withColumn(
+        "price",
+        price_udf("underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "true_sigma", "is_call"),
+    )
+    return priced.withColumn(
+        "bs_iv",
+        bs_iv_udf("price", "underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "is_call"),
+    ).select("p_partkey", "price", "true_sigma", "bs_iv")
+
+
+@register("greeks")
+def greeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — BS greeks struct expanded to columns + Dollar_Delta
+    (reference: Calculate.greeks multi-column expand, Organizers.py:148-159).
+    Struct-returning pandas UDF + `select(g.*)` = the reference's axis=1
+    concat (J6) without a join."""
+    rows = synthetic_option_rows(spark, sf_dir)
+    g = bs_greeks_udf(
+        "underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "true_sigma", "is_call"
+    )
+    return rows.withColumn("g", g).select(
+        "p_partkey", "is_call", "true_sigma", "g.*"
+    )
+
+
+@register("implied_vol_binomial")
+def implied_vol_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — binomial (CRR, American) IV via vectorized bisection
+    (reference: Binomial_IV, Organizers.py:138-147). Sampled 1-in-4 to
+    keep the lattice work proportionate in the test harness."""
+    from financedatabase_spark.functions.analytics import binomial_price
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def price_udf(s, k, t, r, q, sigma, is_call):
+        return pd.Series(binomial_price(s, k, t, r, q, sigma, is_call.astype(bool)))
+
+    rows = synthetic_option_rows(spark, sf_dir).filter(F.col("p_partkey") % 4 == 0)
+    priced = rows.withColumn(
+        "price",
+        price_udf("underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "true_sigma", "is_call"),
+    )
+    return priced.withColumn(
+        "binomial_iv",
+        binomial_iv_udf("price", "underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "is_call"),
+    ).select("p_partkey", "price", "true_sigma", "binomial_iv")
+
+
+@register("risk_pipeline")
+def risk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 — the Organizers ETL shape end-to-end: synthesize option rows,
+    as-of-style enrichment columns, IV + greeks UDFs, zero-IV fallback
+    re-resolution (U4), open-interest left join (J2), inf/NaN scrub (F14).
+    """
+    from financedatabase_spark.functions.analytics import bs_price
+    from financedatabase_spark.functions.columns import scrub_inf_nan
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def price_udf(s, k, t, r, q, sigma, is_call):
+        return pd.Series(bs_price(s, k, t, r, q, sigma, is_call.astype(bool)))
+
+    rows = synthetic_option_rows(spark, sf_dir)
+    priced = rows.withColumn(
+        "close",
+        price_udf("underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "true_sigma", "is_call"),
+    ).withColumn("midpoint", F.col("close") * 1.0005)
+    with_iv = priced.withColumn(
+        "bs_iv",
+        bs_iv_udf("close", "underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "is_call"),
+    )
+    resolved = resolve_missing_vol(
+        with_iv, "bs_iv", "midpoint",
+        "underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "is_call",
+    )
+    g = bs_greeks_udf(
+        "underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "bs_iv", "is_call"
+    )
+    enriched = resolved.withColumn("g", g).select("p_partkey", "close", "bs_iv", "g.*")
+    oi = load_table(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_partkey") % 997).cast("long").alias("open_interest")
+    )
+    joined = enriched.join(oi, "p_partkey", "left")
+    return joined.select(
+        "p_partkey",
+        scrub_inf_nan("close").alias("close"),
+        scrub_inf_nan("bs_iv").alias("bs_iv"),
+        scrub_inf_nan("delta").alias("delta"),
+        scrub_inf_nan("gamma").alias("gamma"),
+        scrub_inf_nan("vega").alias("vega"),
+        scrub_inf_nan("dollar_delta").alias("dollar_delta"),
+        F.coalesce("open_interest", F.lit(0)).alias("open_interest"),
+    )

@@ -31,9 +31,11 @@ def register(name: str, oracle: str | None = None):
 
 # Importing the query modules populates the registry.
 from financedatabase_spark.plans import (  # noqa: E402,F401
+    queries_analytics,
     queries_bars,
     queries_groups,
     queries_joins,
+    queries_lifecycle,
     queries_scalar,
     queries_setops_sorts,
     queries_tpch,

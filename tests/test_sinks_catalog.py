@@ -1,0 +1,88 @@
+"""Stateful sink + catalog operators (not expressible as SELECT oracles):
+ParquetTable DML round-trips and environment lifecycle over spark.catalog."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from financedatabase_spark.operators.io_sinks import (
+    ParquetTable,
+    clear_table,
+    dedup_rewrite,
+    run_delete,
+    run_update,
+)
+from financedatabase_spark.sources.catalog import (
+    EnvironmentCatalog,
+    resolve_database_name,
+    resolve_environment,
+    validate_identifier,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "F", 20.0), (3, "O", 30.0), (3, "O", 30.0)],
+        "id long, status string, price double",
+    )
+    t.write(df, mode="overwrite")
+    return t
+
+
+def test_update_rewrite_roundtrip(table):
+    report = run_update(table, {"status": "O"}, {"price": 99.0})
+    assert report.success and report.rows_matched == 3
+    rows = {(r.id, r.price) for r in table.read().collect()}
+    assert (1, 99.0) in rows and (2, 20.0) in rows
+
+
+def test_delete_dry_run_then_real(table):
+    dry = run_delete(table, {"status": "F"}, dry_run=True)
+    assert dry.rows_matched == 1 and dry.rows_affected == 0
+    assert table.read().count() == 4
+    real = run_delete(table, {"status": "F"})
+    assert real.rows_affected == 1
+    assert table.read().filter(F.col("status") == "F").count() == 0
+
+
+def test_clear_and_dedup(table):
+    rep = dedup_rewrite(table)
+    assert rep.rows_affected == 1  # one duplicated row removed
+    assert table.read().count() == 3
+    clear_table(table)
+    assert table.read().count() == 0
+
+
+def test_resolution_rules():
+    assert resolve_database_name("portfolio_data", "prod") == "portfolio_data"
+    assert resolve_database_name("master_config", "dev") == "master_config"
+    assert resolve_database_name("portfolio_data", "dev") == "portfolio_data_dev"
+    with pytest.raises(ValueError):
+        validate_identifier("bad;name")
+    assert resolve_environment(cli_env="uat") == "uat"
+    assert resolve_environment(branch="main") == "prod"
+    assert resolve_environment(branch="feature-x") == "feature-x"
+
+
+def test_environment_lifecycle(spark):
+    cat = EnvironmentCatalog(spark)
+    base = "fdtest"
+    cat.create_environment_database(base, "dev")
+    spark.sql("CREATE TABLE IF NOT EXISTS fdtest_dev.t1 (a INT) USING parquet")
+    spark.sql("CREATE TABLE IF NOT EXISTS fdtest_dev.t2 (b STRING) USING parquet")
+    try:
+        diff = cat.diff_environments([base], "dev", "uat")
+        assert diff.missing_databases == ["fdtest_uat"]
+        synced = cat.sync_environments([base], "dev", "uat", dry_run=False)
+        assert synced.missing_databases == ["fdtest_uat"]
+        # after DB creation, a second sync copies tables
+        cat.sync_environments([base], "dev", "uat", dry_run=False)
+        assert cat.list_tables(base, "uat") == ["t1", "t2"]
+        assert cat.diff_environments([base], "dev", "uat").in_sync
+        with pytest.raises(PermissionError):
+            cat.delete_environment([base], "prod")
+        assert cat.delete_environment([base], "uat") == ["fdtest_uat"]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS fdtest_dev CASCADE")
+        spark.sql("DROP DATABASE IF EXISTS fdtest_uat CASCADE")
