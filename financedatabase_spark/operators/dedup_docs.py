@@ -1,0 +1,221 @@
+"""Document deduplication for training-data pipelines.
+
+Four tiers, each the standard large-corpus technique:
+
+- **exact**: hash-groupBy on the normalized content hash — one shuffle on
+  a 32-char key, keep the smallest doc_id.
+- **n-gram Jaccard (exact)**: shingle-set similarity via explode +
+  equi-join + group count. Quadratic in the worst case — the CORRECTNESS
+  baseline the sketch methods are verified against, not the scale path.
+- **MinHash + LSH**: k min-wise hashes per doc (min over md5(seed‖shingle)
+  — md5 so the SQL oracle reproduces the signature exactly), banded into
+  b groups; docs sharing a band key become candidates (equi-join on the
+  band key — linear-ish), then candidates are verified with exact Jaccard.
+  This is the 100 TB path: no all-pairs comparison ever materializes.
+- **SimHash**: 32-bit majority-of-token-hash-bits signature; near-dups =
+  pairs within Hamming distance d, found by banding the 32 bits into 4
+  byte-keys (any exact-match band → candidate), then bit_count(xor)
+  verification. Bit extraction uses div/mod so DuckDB and Spark agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from financedatabase_spark.operators.text import doc_hash, normalized_text, word_shingles
+
+HEX = "0123456789abcdef"
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per normalized content hash."""
+    return (
+        df.select(F.col(id_col), doc_hash(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").cast("long").alias("n_copies"))
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded table — distinct shingles per doc."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, k)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets: |A∩B| / (|A|+|B|-|A∩B|).
+
+    With ``candidates`` (doc1, doc2) the intersection join is restricted to
+    those pairs (the LSH verify stage); without, it's the full
+    shingle-equality self-join (baseline only).
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("doc1", "doc2").distinct(), ["doc1", "doc2"])
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "sz1"), "doc1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sz", "sz2"), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            (F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per doc: h_i = min(md5(i ‖ ':' ‖ shingle)).
+
+    Lexicographic min over a cryptographic hash is a valid min-wise family
+    and — unlike murmur/xxhash — is bit-identical in every engine, so the
+    oracle can recompute signatures. One shuffle on doc_id."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_candidates(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band key become candidate pairs.
+
+    The band table is (docs × bands) rows; the self-join keys on the band
+    hash, so only genuine collisions pair up — never all-pairs."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b2 = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: candidates from banding, exact
+    Jaccard on candidates only."""
+    sh = shingle_table(df, text_col, id_col, k_shingle)
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = minhash_band_candidates(sigs, num_hashes, bands)
+    return jaccard_pairs(sh, threshold, candidates=cands)
+
+
+def _hex_nibble(h: F.Column, pos: int) -> F.Column:
+    """0-15 value of hex char at 1-based ``pos`` (engine-portable)."""
+    return F.position(F.substring(h, pos, 1), F.lit(HEX)) - 1
+
+
+def token_hash32(token: F.Column) -> F.Column:
+    """32-bit integer from the first 8 hex chars of md5(token)."""
+    h = F.md5(token)
+    v = F.lit(0).cast("long")  # long from the start: 16^8-1 overflows int32
+    for i in range(8):
+        v = v * 16 + _hex_nibble(h, i + 1).cast("long")
+    return v
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash: per bit, majority vote of token-hash bits
+    (Charikar 2002). Bit j extracted as (v div 2^j) mod 2 — portable."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("token"),
+    ).withColumn("v", token_hash32(F.col("token")))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("v") / (2**j)).cast("long") % 2 == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(32)
+        ]
+    )
+    sig = F.lit(0)
+    for j in range(32):
+        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return bit_sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance: band the 32 bits into 4
+    bytes; any shared byte-band → candidate; verify with bit_count(xor)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        ((F.col("simhash") / (2 ** (8 * b))).cast("long") % 256).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.simhash").alias("sh1"),
+            F.col("b.simhash").alias("sh2"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "doc1",
+        "doc2",
+        F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,153 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID, quality
+scoring, token counting, and document fingerprinting over a `documents`
+table — all as native column expressions (codegen'd, shuffle-free per-row
+work), so a 100 TB corpus pays one scan.
+
+Design constraint: every derived value must be reproducible in ANSI SQL so
+the DuckDB oracle can verify it — hashes use md5 (identical across
+engines), bit math uses div/mod instead of engine-specific shifts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Marker stopwords per language for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|for|with)\b",
+    "es": r"\b(el|la|los|las|de|que|y|en)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit)\b",
+    "fr": r"\b(le|la|les|et|de|est|pour|dans)\b",
+}
+
+#: CJK codepoint class — presence dominates the latin heuristics.
+CJK_PATTERN = r"[一-鿿]"
+
+#: BPE-ish token regex: letter runs, digit runs, single punctuation marks.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+EN_STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)\b"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def ws_token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    t = F.trim(_c(text))
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token count via the sub-word regex."""
+    return F.regexp_count(_c(text), F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
+def char_class_ratio(text: Column | str, pattern: str) -> Column:
+    """Fraction of characters matching a class (punct ratio, digit ratio…)."""
+    t = _c(text)
+    n = F.length(t)
+    return F.when(n > 0, F.regexp_count(t, F.lit(pattern)) / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, stopwords_pattern: str = EN_STOPWORDS) -> Column:
+    """Stopword hits per whitespace token."""
+    t = _c(text)
+    hits = F.regexp_count(F.lower(t), F.lit(stopwords_pattern))
+    toks = ws_token_count(t)
+    return F.when(toks > 0, hits / toks).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document quality in [0,1]: length saturation, low
+    punctuation, healthy stopword density, low digit share — the standard
+    heuristic mix used by web-corpus quality filters."""
+    t = _c(text)
+    length_term = F.least(ws_token_count(t) / F.lit(64.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(
+        char_class_ratio(t, r"[^\w\s]") * 4.0, F.lit(1.0)
+    )
+    stop_term = F.least(stopword_ratio(t) * 4.0, F.lit(1.0))
+    digit_term = F.lit(1.0) - F.least(char_class_ratio(t, r"[0-9]") * 4.0, F.lit(1.0))
+    return (
+        0.25 * length_term + 0.25 * punct_term + 0.25 * stop_term + 0.25 * digit_term
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Language-ID heuristic: CJK presence wins, else the latin language
+    with the most marker-stopword hits (priority order breaks ties),
+    'und' when nothing matches."""
+    t = F.lower(_c(text))
+    cjk = F.regexp_count(t, F.lit(CJK_PATTERN))
+    hits = {lang: F.regexp_count(t, F.lit(pat)) for lang, pat in LANG_MARKERS.items()}
+    expr = F.when(cjk > 0, F.lit("zh"))
+    langs = list(LANG_MARKERS)
+    for lang in langs:
+        cond = hits[lang] > 0
+        for other in langs:
+            if other != lang and langs.index(other) < langs.index(lang):
+                cond = cond & (hits[lang] > hits[other])
+            elif other != lang:
+                cond = cond & (hits[lang] >= hits[other])
+        expr = expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for hashing: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+
+
+def doc_hash(text: Column | str) -> Column:
+    """Whole-document content hash over the normalized text (md5 so the
+    SQL oracle reproduces it byte-for-byte)."""
+    return F.md5(normalized_text(text))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array — the unit set for Jaccard,
+    MinHash, and winnowing fingerprints."""
+    words = F.split(normalized_text(text), " ")
+    n = F.size(words)
+    # guard: Spark's sequence(1, stop) goes DESCENDING when stop < 1
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j) for j in range(k)]
+    )
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+def fingerprint_columns(text: Column | str, k: int = 3) -> list[Column]:
+    """Winnowing-style fingerprint: total shingles + extremal shingle
+    hashes (min-wise sketch of the shingle set)."""
+    sh = word_shingles(text, k)
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    return [
+        doc_hash(text).alias("content_hash"),
+        F.size(sh).cast("long").alias("n_shingles"),
+        F.array_min(hashes).alias("min_shingle_hash"),
+        F.array_max(hashes).alias("max_shingle_hash"),
+    ]
+
+
+def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document statistics table."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        F.length(t).cast("long").alias("n_chars"),
+        ws_token_count(t).alias("n_tokens_ws"),
+        bpe_token_count(t).alias("n_tokens_bpe"),
+        char_class_ratio(t, r"[^\w\s]").alias("punct_ratio"),
+        char_class_ratio(t, r"[0-9]").alias("digit_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+    )

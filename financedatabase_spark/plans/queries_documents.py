@@ -1,0 +1,405 @@
+"""Training-data pipeline queries over `documents` / `embeddings`
+(north-star beyond-reference surface: dedup, similarity search, text
+analysis, multimodal plumbing).
+
+Every hash-bearing oracle uses md5/sha256 (bit-identical across engines);
+bit math uses div/mod; regex classes are the RE2∩Java common subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financedatabase_spark.operators import dedup_docs as dd
+from financedatabase_spark.operators import similarity as sim
+from financedatabase_spark.operators import text as tx
+from financedatabase_spark.operators.multimodal import attach_media_meta, decode_features, fake_decode
+from financedatabase_spark.plans.registry import register
+from financedatabase_spark.sources.readers import load_table
+
+# shared oracle CTE fragments ------------------------------------------------
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+_SHINGLES_CTE = f"""
+    norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) >= 3
+             THEN list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END)) AS shingle
+      FROM toks
+    )
+"""
+
+
+@register(
+    "doc_stats",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+             len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           n_chars::BIGINT AS n_chars,
+           n_tok::BIGINT AS n_tokens_ws,
+           n_bpe::BIGINT AS n_tokens_bpe,
+           CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS digit_ratio,
+           CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stopword_ratio,
+           0.25 * least(n_tok / 64.0, 1.0)
+             + 0.25 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 4.0, 1.0))
+             + 0.25 * least((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 4.0, 1.0)
+             + 0.25 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END) * 4.0, 1.0))
+             AS quality
+    FROM base
+    """,
+)
+def doc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — per-doc token counts (whitespace + BPE-ish regex),
+    char-class ratios, stopword density, composite quality score. One scan,
+    all codegen'd expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.doc_stats(docs).drop("lang_guess")
+
+
+@register(
+    "lang_id",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[一-鿿]')) AS zh,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for|with)\b')) AS en,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|las|de|que|y|en)\b')) AS es,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) AS de,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|de|est|pour|dans)\b')) AS fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN zh > 0 THEN 'zh'
+                WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+                WHEN es > 0 AND es > en AND es >= de AND es >= fr THEN 'es'
+                WHEN de > 0 AND de > en AND de > es AND de >= fr THEN 'de'
+                WHEN fr > 0 AND fr > en AND fr > es AND fr > de THEN 'fr'
+                ELSE 'und' END AS lang_guess
+    FROM h
+    """,
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: CJK presence, else argmax of per-language
+    marker-stopword hits with priority tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.lang_id("text").alias("lang_guess"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    agg AS (
+      SELECT doc_id, count(*)::BIGINT AS n_shingles,
+             min(md5(shingle)) AS min_shingle_hash,
+             max(md5(shingle)) AS max_shingle_hash
+      FROM sh GROUP BY doc_id
+    )
+    SELECT n.doc_id, md5(n.t) AS content_hash,
+           coalesce(a.n_shingles, 0) AS n_shingles,
+           a.min_shingle_hash, a.max_shingle_hash
+    FROM norm n LEFT JOIN agg a ON n.doc_id = a.doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content hash + min-wise shingle
+    sketch (winnowing-style extremal hashes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *tx.fingerprint_columns("text"))
+
+
+@register(
+    "exact_dedup",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents)
+    SELECT md5(t) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*)::BIGINT AS n_copies
+    FROM norm GROUP BY md5(t)
+    """,
+)
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content, keep lowest id.
+    One shuffle on a 32-char key at any corpus size."""
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_dups",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, i / (s1.sz + s2.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE i / (s1.sz + s2.sz - i) >= 0.2
+    """,
+)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (exact): shingle-equality join +
+    group count. The correctness baseline the sketch methods verify
+    against — quadratic worst case, NOT the 100 TB path."""
+    sh = dd.shingle_table(load_table(spark, sf_dir, "documents"))
+    return dd.jaccard_pairs(sh, threshold=0.2)
+
+
+_SIG_MINS = ",\n             ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16)
+)
+_BAND_SELECTS = "\n      UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({expr}) AS key FROM sigs".format(
+        b=b,
+        expr=" || '|' || ".join(f"h{b * 4 + r}" for r in range(4)),
+    )
+    for b in range(4)
+)
+
+
+@register(
+    "minhash_lsh_dups",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+      SELECT doc_id,
+             {_SIG_MINS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_BAND_SELECTS}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc1, c.doc2, i / (s1.sz + s2.sz - i) AS jaccard
+    FROM cands c
+    JOIN inter ON inter.doc1 = c.doc1 AND inter.doc2 = c.doc2
+    JOIN sizes s1 ON s1.doc_id = c.doc1
+    JOIN sizes s2 ON s2.doc_id = c.doc2
+    WHERE i / (s1.sz + s2.sz - i) >= 0.2
+    """,
+)
+def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection — the scale path: 16 min-wise
+    hashes, 4 bands; only band-colliding pairs are verified with exact
+    Jaccard. No all-pairs join ever materializes."""
+    return dd.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        threshold=0.2,
+    )
+
+
+_BITSUM_COLS = ",\n             ".join(
+    f"sum(CASE WHEN (v // {2**j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(32)
+)
+_SIG_SUM = " + ".join(f"CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END" for j in range(32))
+_NIBBLE_VAL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+_SIMHASH_BANDS = "\n      UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band, (simhash // {2 ** (8 * b)}) % 256 AS key FROM sigs"
+    for b in range(4)
+)
+
+
+@register(
+    "simhash_near_dups",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm),
+    hashed AS (SELECT doc_id, md5(token) AS h FROM toks),
+    vals AS (SELECT doc_id, ({_NIBBLE_VAL})::BIGINT AS v FROM hashed),
+    bitsums AS (
+      SELECT doc_id,
+             {_BITSUM_COLS}
+      FROM vals GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, ({_SIG_SUM})::BIGINT AS simhash FROM bitsums),
+    bands AS (
+      {_SIMHASH_BANDS}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+             a.simhash AS sh1, b.simhash AS sh2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2, bit_count(xor(sh1, sh2))::BIGINT AS hamming
+    FROM cands
+    WHERE bit_count(xor(sh1, sh2)) <= 3
+    """,
+)
+def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit majority signature, byte-banded LSH
+    candidates, Hamming ≤ 3 verification via bit_count(xor)."""
+    return dd.simhash_near_dups(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# embedding similarity
+# --------------------------------------------------------------------------
+
+_COS = (
+    "round(list_dot_product(q.v, c.v) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)"
+)
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.corpus_id, {_COS} AS score
+      FROM q CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, corpus_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, score, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search baseline — brute-force cosine top-5 for a probe
+    set against the whole corpus. Scores rounded to 1e-6 so float ties
+    rank identically across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return sim.cosine_topk(queries, corpus, k=5)
+
+
+@register(
+    "embedding_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS corpus_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.corpus_id, {_COS} AS score
+      FROM q JOIN c ON q.label = c.label
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, corpus_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, score, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN — coarse-quantizer cell (label) restricts each probe
+    to its cell: cross join becomes a partition-prunable equi-join, the
+    FAISS IVF-Flat shape expressed relationally."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "label", "embedding")
+    return sim.ivf_topk(queries, corpus, k=5)
+
+
+@register(
+    "embedding_near_dups",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.4
+    """,
+)
+def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by cluster cell so
+    the pair join never goes all-pairs. (Threshold 0.4 fits the synthetic
+    corpus's similarity range; production near-dup would use ~0.95.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dups(emb, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) ::BIGINT AS n_bytes,
+           lower(sha256(text)) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing — binary payload + typed metadata struct
+    (size, content hash), all JVM-side expressions. The payload here is
+    the utf-8 text bytes standing in for image bytes; the schema and
+    lineage are what a real media table uses."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    with_meta = attach_media_meta(docs)
+    return with_meta.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )
+
+
+@register("multimodal_decode_features")
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract stage over mapInPandas with the
+    deterministic stand-in codec (real codecs are stubbed — none exist in
+    this container). Exercises the Arrow batch contract end-to-end."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode_features(docs, decode_fn=fake_decode)

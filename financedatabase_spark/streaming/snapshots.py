@@ -1,0 +1,102 @@
+"""Structured Streaming analogs of the reference's realtime paths
+(SURVEY.md §2.12 R1–R4).
+
+The reference polls snapshot endpoints for "now" state (v2.py:456-524) and
+splices today's snapshot with history per `is_today` routing
+(v2.py:2119-2129) — a hand-rolled lambda architecture. Structured
+Streaming replaces the polling loop:
+
+- R1 latest-state view  → windowed `last` per key over the stream,
+  emitted in update mode (batch analog: dedup keep-last).
+- R3 late/dup handling  → `withWatermark` + `dropDuplicates(keys)` —
+  exactly the reference's dedup-keep-last-after-splice, but incremental.
+- R4 streaming bars     → tumbling `window()` agg with the same
+  market-open anchoring as the batch resampler; one code path for both
+  (the batch resample IS this plan executed on a bounded source).
+- R2 history ∪ today    → `unionByName` of the batch frame and the
+  stream: Spark runs the batch part once and incrementalizes the rest.
+
+File-source streams are used in tests (`trigger(availableNow=True)`), the
+same code runs on Kafka/rate sources unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from financedatabase_spark.functions.columns import MARKET_OPEN_MINUTES
+from financedatabase_spark.operators.resample import _duration_string, _origin_start_time
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """R3 — drop late duplicates per key within the watermark
+    (reference batch analog: v3/utils.py:694-697 keep-last dedup)."""
+    return stream.withWatermark(ts_col, watermark_delay).dropDuplicates(
+        [*key_cols, ts_col]
+    )
+
+
+def latest_state_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """R1 — per-key latest-state view: max_by over the stream keyed on the
+    snapshot keys; emit with outputMode('update') for a live quote board
+    (reference polling snapshots: v2.py:456-524)."""
+    value_cols = value_cols or [
+        c for c in stream.columns if c not in key_cols and c != ts_col
+    ]
+    aggs = [F.max(ts_col).alias(ts_col)] + [
+        F.max_by(c, F.col(ts_col)).alias(c) for c in value_cols
+    ]
+    return stream.withWatermark(ts_col, watermark_delay).groupBy(*key_cols).agg(*aggs)
+
+
+def streaming_bars(
+    stream: DataFrame,
+    interval: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    price_col: str = "value",
+    watermark_delay: str = "10 minutes",
+    origin_minutes: int | None = MARKET_OPEN_MINUTES,
+) -> DataFrame:
+    """R4 — incremental OHLCV bars: the batch resampler's window agg with a
+    watermark (reference anchoring: utils.py:396 origin=MARKET_OPEN_TIME).
+    min_by/max_by on the event time give open/close; append mode emits each
+    bar once its window passes the watermark."""
+    dur = _duration_string(interval)
+    start_time = _origin_start_time(interval, origin_minutes)
+    win = (
+        F.window(F.col(ts_col), dur, dur, start_time)
+        if start_time
+        else F.window(F.col(ts_col), dur)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(*key_cols, win.alias("_w"))
+        .agg(
+            F.min_by(price_col, F.col(ts_col)).alias("open"),
+            F.max(price_col).alias("high"),
+            F.min(price_col).alias("low"),
+            F.max_by(price_col, F.col(ts_col)).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .select(*key_cols, F.col("_w.start").alias(ts_col), "open", "high", "low", "close", "volume")
+    )
+
+
+def history_union_today(history: DataFrame, today_stream: DataFrame) -> DataFrame:
+    """R2 — the reference's is_today routing (v2.py:2119-2129) as a single
+    plan: bounded history unioned with the live stream; Spark runs the
+    batch leg once and incrementalizes the streaming leg."""
+    return history.unionByName(today_stream)

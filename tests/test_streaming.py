@@ -1,0 +1,98 @@
+"""Structured Streaming operators: file-source streams with
+availableNow triggers; streaming results must equal the batch analog."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from financedatabase_spark.operators.dedup import dedup_keep_last
+from financedatabase_spark.operators.resample import resample
+from financedatabase_spark.streaming.snapshots import (
+    dedup_stream,
+    latest_state_stream,
+    streaming_bars,
+)
+
+
+@pytest.fixture()
+def event_stream(spark, sf_dir, tmp_path):
+    """events table staged as a file-source stream."""
+    from financedatabase_spark.sources.readers import load_table
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "stream_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    return batch, stream
+
+
+def _run_stream(spark, sdf, name, mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_bars_match_batch(spark, event_stream):
+    batch, stream = event_stream
+    sdf = streaming_bars(
+        stream, "1h", key_cols=["event_type"], ts_col="ts", price_col="value",
+        origin_minutes=None,
+    )
+    got = _run_stream(spark, sdf, "bars_stream", "append").toPandas()
+
+    ticks = batch.select(
+        "event_type", "ts", "event_id",
+        F.col("value").alias("open"), F.col("value").alias("high"),
+        F.col("value").alias("low"), F.col("value").alias("close"),
+        F.lit(1).cast("long").alias("volume"),
+    )
+    want = resample(
+        ticks, "1h", ts_col="ts", key_cols=["event_type"], order_cols=["ts"],
+        origin_minutes=None, fill_gaps=False,
+    ).toPandas()
+    # append mode emits only watermark-closed windows; on a bounded source
+    # the final window may be withheld — compare on the emitted subset
+    key = ["event_type", "ts"]
+    got_i = got.set_index(key).sort_index()
+    want_i = want.set_index(key).sort_index()
+    assert len(got_i) >= 0.9 * len(want_i)
+    joined = got_i.join(want_i, lsuffix="_s", rsuffix="_b", how="inner")
+    assert len(joined) == len(got_i)
+    for c in ("high", "low", "volume"):  # open/close tie-break can differ on equal ts
+        assert (joined[f"{c}_s"] == joined[f"{c}_b"]).all(), c
+
+
+def test_latest_state_stream(spark, event_stream):
+    batch, stream = event_stream
+    sdf = latest_state_stream(stream, ["user_id"], "ts", ["event_type", "value"])
+    got = _run_stream(spark, sdf, "latest_stream", "complete").toPandas()
+    want = (
+        dedup_keep_last(batch, ["user_id"], ["ts", "event_id"])
+        .select("user_id", "ts", "event_type", "value")
+        .toPandas()
+    )
+    got = got.sort_values("user_id").reset_index(drop=True)
+    want = want.sort_values("user_id").reset_index(drop=True)
+    assert (got["user_id"] == want["user_id"]).all()
+    assert (got["ts"] == want["ts"]).all()
+    assert (got["value"] == want["value"]).all()
+
+
+def test_dedup_stream_drops_replayed_rows(spark, sf_dir, tmp_path):
+    from financedatabase_spark.sources.readers import load_table
+
+    batch = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    src = str(tmp_path / "dup_src")
+    batch.write.mode("overwrite").parquet(src)
+    batch.write.mode("append").parquet(src)  # replay everything once
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    sdf = dedup_stream(stream, ["event_id"], "ts")
+    got = _run_stream(spark, sdf, "dedup_stream_t", "append")
+    assert got.count() == batch.count()
