@@ -30,6 +30,11 @@ HEADLINE = [
     "revenue_forecast",
     "segment_revenue",
     "dedup_keep_last",
+    "minhash_lsh_dups",
+    "simhash_near_dups",
+    "embedding_cosine_topk",
+    "doc_stats",
+    "risk_pipeline",
 ]
 
 

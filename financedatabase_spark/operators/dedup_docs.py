@@ -28,6 +28,16 @@ from financedatabase_spark.operators.text import doc_hash, normalized_text, word
 HEX = "0123456789abcdef"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ahead of row-expanding work (shingle/token explode
+    multiplies rows ~50×). A small single-file source arrives as ONE
+    partition, serializing the whole pipeline; spreading costs one small
+    shuffle and buys full parallelism. On a real partitioned table this is
+    a no-op in spirit — the scan already yields many splits."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the lowest id per normalized content hash."""
     return (
@@ -39,7 +49,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """(doc_id, shingle) exploded table — distinct shingles per doc."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, k)).alias("shingle")
     )
 
@@ -80,7 +90,8 @@ def jaccard_pairs(
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per doc: h_i = min(md5(i ‖ ':' ‖ shingle)).
+    """MinHash signature per doc from the exploded shingle table:
+    h_i = min(md5(i ‖ ':' ‖ shingle)).
 
     Lexicographic min over a cryptographic hash is a valid min-wise family
     and — unlike murmur/xxhash — is bit-identical in every engine, so the
@@ -90,6 +101,33 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_arrays(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures computed per-ROW from the shingle array
+    (`array_min` over a transformed array) — same values as
+    `minhash_signatures`, but zero shuffles: the whole signature stage is
+    map-side. Docs too short for any shingle get null signatures and are
+    verified away downstream."""
+    # materialize the shingle array ONCE — 16 per-column transforms over a
+    # shared column; inlining word_shingles() into each h_i would re-run
+    # the normalize+split+shingle regex 16× per row (measured 7× slower)
+    base = _spread(df).select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, k_shingle).alias("_sh")
+    )
+    cols = [
+        F.array_min(
+            F.transform(F.col("_sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return base.select("doc_id", *cols)
 
 
 def minhash_band_candidates(
@@ -122,6 +160,33 @@ def minhash_band_candidates(
     )
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair list WITHOUT the
+    shingle-equality join: each side's shingle set rides along as an array
+    and the intersection is `array_intersect` per pair. Cost is
+    O(pairs × set-size) — immune to hot-shingle join explosion (a tiny
+    vocabulary makes the equality join quadratic; arrays don't care)."""
+    sets_ = _spread(df).select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, k_shingle).alias("sh")
+    )
+    a = sets_.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    b = sets_.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    paired = candidates.select("doc1", "doc2").distinct().join(a, "doc1").join(b, "doc2")
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    return paired.select(
+        "doc1",
+        "doc2",
+        (inter / (F.size("sh1") + F.size("sh2") - inter)).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -131,12 +196,13 @@ def minhash_lsh_dedup(
     bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full MinHash→LSH→verify pipeline: candidates from banding, exact
-    Jaccard on candidates only."""
-    sh = shingle_table(df, text_col, id_col, k_shingle)
-    sigs = minhash_signatures(sh, num_hashes)
+    """Full MinHash→LSH→verify pipeline: map-side signatures from the
+    shingle array, candidates from banding, exact Jaccard per candidate
+    pair via array intersection. The only shuffles are the band-key join
+    and the two array lookups for verification."""
+    sigs = minhash_signatures_arrays(df, text_col, id_col, k_shingle, num_hashes)
     cands = minhash_band_candidates(sigs, num_hashes, bands)
-    return jaccard_pairs(sh, threshold, candidates=cands)
+    return jaccard_verify_pairs(df, cands, text_col, id_col, k_shingle, threshold)
 
 
 def _hex_nibble(h: F.Column, pos: int) -> F.Column:
@@ -156,7 +222,7 @@ def token_hash32(token: F.Column) -> F.Column:
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash: per bit, majority vote of token-hash bits
     (Charikar 2002). Bit j extracted as (v div 2^j) mod 2 — portable."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalized_text(text_col), " ")).alias("token"),
     ).withColumn("v", token_hash32(F.col("token")))

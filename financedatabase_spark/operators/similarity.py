@@ -25,6 +25,12 @@ def _vec(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition the corpus side before O(Q·N) scoring — a single-file
+    source arrives as one partition and would serialize the whole scan."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product — deterministic summation order."""
     return F.aggregate(
@@ -54,7 +60,7 @@ def cosine_topk(
     Scores are rounded (default 1e-6) before ranking so float ties break
     identically across engines; rank ties break on corpus_id."""
     q = queries.select(F.col(query_id), _vec(vec_col).alias("_qv"))
-    c = corpus.select(F.col(corpus_id), _vec(vec_col).alias("_cv"))
+    c = _spread(corpus).select(F.col(corpus_id), _vec(vec_col).alias("_cv"))
     scored = q.crossJoin(c).select(
         query_id,
         corpus_id,
@@ -84,7 +90,7 @@ def ivf_topk(
     bucket). Equi-join on the cell id — Catalyst turns the cross join into
     a hash join, and a cell-partitioned corpus table prunes at the scan."""
     q = queries.select(F.col(query_id), F.col(cell_col).alias("_cell"), _vec(vec_col).alias("_qv"))
-    c = corpus.select(F.col(corpus_id), F.col(cell_col).alias("_ccell"), _vec(vec_col).alias("_cv"))
+    c = _spread(corpus).select(F.col(corpus_id), F.col(cell_col).alias("_ccell"), _vec(vec_col).alias("_cv"))
     scored = q.join(c, F.col("_cell") == F.col("_ccell")).select(
         query_id,
         corpus_id,
@@ -111,7 +117,7 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs, blocked by cell id so the
     pair join is within-cell only (the LSH/IVF blocking trick applied to
     dedup)."""
-    v = df.select(F.col(id_col), F.col(cell_col).alias("_cell"), _vec(vec_col).alias("_v"))
+    v = _spread(df).select(F.col(id_col), F.col(cell_col).alias("_cell"), _vec(vec_col).alias("_v"))
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(
         b,

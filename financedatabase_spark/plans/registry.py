@@ -33,6 +33,7 @@ def register(name: str, oracle: str | None = None):
 from financedatabase_spark.plans import (  # noqa: E402,F401
     queries_analytics,
     queries_bars,
+    queries_calendar_fallback,
     queries_documents,
     queries_groups,
     queries_joins,
