@@ -300,3 +300,30 @@ def date_range_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_returnflag").isin("A", "R"))
         .na.drop(subset=["l_quantity"])
     )
+
+
+@register(
+    "bootstrap_ohlc",
+    oracle="""
+    SELECT event_id,
+           coalesce(CASE WHEN value > 150 THEN NULL ELSE value END, (value + (value + 0.5)) / 2) AS open,
+           coalesce(CASE WHEN value < 50  THEN NULL ELSE value END, (value + (value + 0.5)) / 2) AS close,
+           (value + (value + 0.5)) / 2 AS midpoint
+    FROM events
+    """,
+)
+def bootstrap_ohlc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 — bootstrap missing OHLC columns from the quote midpoint
+    (reference: utils.py:278-300 `bootstrap_ohlc`: any null open/close
+    takes the row's midpoint)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") > 150, None).otherwise(F.col("value")).alias("open_raw"),
+        F.when(F.col("value") < 50, None).otherwise(F.col("value")).alias("close_raw"),
+        C.midpoint(F.col("value"), F.col("value") + 0.5).alias("midpoint"),
+    )
+    return ev.select(
+        "event_id",
+        *C.bootstrap_ohlc_cols({"open": "open_raw", "close": "close_raw"}, "midpoint"),
+        "midpoint",
+    )
