@@ -1,0 +1,120 @@
+"""Advanced relational coverage: semi/anti joins, rollup/cube grouping,
+skew-safe aggregation (SURVEY §2.4 note: "grouping sets/cube/rollup …
+Spark provides these free if we extend" — extended here, oracle-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financedatabase_spark.operators.skew import salted_agg
+from financedatabase_spark.plans.registry import register
+from financedatabase_spark.sources.readers import load_table
+
+_DEC = "decimal(30,8)"
+
+
+@register(
+    "semi_join_exists",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    """,
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): orders having at least one returned line.
+    Semi joins never multiply rows — one shuffle on the key, early-out on
+    first match."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+@register(
+    "anti_join_not_exists",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    )
+    """,
+)
+def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): orders fully shipped before 1997."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1997-01-01")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_base,
+           count(*)::BIGINT AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping — subtotal hierarchy in one pass (Spark expands to
+    grouping sets inside a single shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_base"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping — all dimension combinations in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty")
+    )
+
+
+@register(
+    "salted_hot_key_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+           count(*)::BIGINT AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: partial per (key, salt) then final
+    per key — the explicit rewrite for pathological key skew that AQE's
+    skew-join handling doesn't cover (it only splits joins). Result is
+    identical to the direct groupBy; decimal sums keep it bit-exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast(_DEC).alias("qty"), F.lit(1).alias("one")
+    )
+    out = salted_agg(li, ["l_returnflag"], {"qty": "sum", "one": "count"}, buckets=16)
+    return out.select(
+        "l_returnflag",
+        F.col("qty").cast("double").alias("sum_qty"),
+        F.col("one").cast("long").alias("n"),
+    )

@@ -31,6 +31,7 @@ def register(name: str, oracle: str | None = None):
 
 # Importing the query modules populates the registry.
 from financedatabase_spark.plans import (  # noqa: E402,F401
+    queries_advanced,
     queries_analytics,
     queries_bars,
     queries_calendar_fallback,

@@ -1,0 +1,65 @@
+"""Plan-quality regression gates: the physical plans the engine relies on
+at scale must not silently regress. Each assertion mirrors a design rule
+from README (pushdown, broadcast dims, two-phase hash agg, top-k without a
+global sort)."""
+
+import contextlib
+import io
+
+import pytest
+
+from financedatabase_spark.plans.registry import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_reach_parquet_scan(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "date_range_isin_filter")
+    assert "PushedFilters" in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "In(l_returnflag" in pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "pricing_summary")
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    # only the referenced columns are read, not all 11 lineitem columns
+    assert "l_partkey" not in read and "l_suppkey" not in read
+    assert "l_quantity" in read
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "segment_revenue")
+    assert p.count("BroadcastHashJoin") >= 2  # customer + nation
+    p = plan_of(spark, sf_dir, "session_filter")
+    assert "BroadcastHashJoin LeftAnti" in p  # holiday dim anti-join
+
+
+def test_resample_uses_hash_aggregate(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "bars_5m")
+    assert "HashAggregate" in p
+    assert "SortAggregate" not in p  # struct orderings would force this
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_minhash_no_cross_join(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "minhash_lsh_dups")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+@pytest.mark.parametrize("name", ["asof_enrichment", "dedup_keep_last"])
+def test_single_digit_exchanges(spark, sf_dir, name):
+    # one logical step ≈ one shuffle: these plans must stay exchange-light
+    p = plan_of(spark, sf_dir, name)
+    assert sum("Exchange" in l and "(" in l for l in p.splitlines()) <= 3
