@@ -65,17 +65,47 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # operative baseline (BASELINE.md): DuckDB running each query's oracle
+    # SQL on the same parquet at the same SF — reported alongside for a
+    # direct engine-vs-baseline ratio
+    if os.environ.get("SPARK_GRAFT_SKIP_BASELINE") != "1":
+        try:
+            out["baseline"] = _duckdb_baseline(sf_dir, names)
+        except Exception:
+            pass
+
+    print(json.dumps(out))
+
+
+def _duckdb_baseline(sf_dir: str, names: list[str]) -> dict:
+    import duckdb
+
+    from financedatabase_spark.plans.registry import ORACLE_SQL
+    from financedatabase_spark.sources.readers import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        if name not in ORACLE_SQL:
+            continue
+        con.execute(ORACLE_SQL[name]).fetchall()  # warm
+        t0 = time.perf_counter()
+        con.execute(ORACLE_SQL[name]).fetchall()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+    return {"engine": "duckdb", "total_sec": round(total, 4), "queries": timings}
 
 
 if __name__ == "__main__":

@@ -39,6 +39,11 @@ def get_spark(app_name: str = "financedatabase_spark", cpus: int | None = None) 
         # and convert in the source layer (readers.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # managed tables (bucketed joins, env catalogs) land outside the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/financedatabase_spark_warehouse"),
+        )
     )
     # NOTE: do NOT set spark.driver.memory here — in this container a large
     # explicit heap makes identical jobs degrade 10-15× over a session

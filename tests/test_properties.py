@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the subtle operators: resample
+invariants and as-of join semantics hold for arbitrary generated series."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from financedatabase_spark.operators.joins import asof_join
+from financedatabase_spark.operators.resample import resample
+
+BASE = dt.datetime(2024, 3, 4, 9, 30)
+
+ticks_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3600 * 8),  # seconds offset
+        st.floats(min_value=1.0, max_value=500.0, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ticks=ticks_strategy)
+def test_resample_invariants(spark_h, ticks):
+    rows = [
+        (i, BASE + dt.timedelta(seconds=s), float(v), float(v), float(v), float(v), 1)
+        for i, (s, v) in enumerate(ticks)
+    ]
+    df = spark_h.createDataFrame(
+        rows, "event_id long, ts timestamp, open double, high double, low double, close double, volume long"
+    )
+    bars = resample(
+        df, "5m", ts_col="ts", key_cols=[], order_cols=["event_id"], fill_gaps=True
+    ).toPandas()
+    # volume conservation: gap buckets add zeros, never rows
+    assert bars.volume.sum() == len(ticks)
+    # high/low bracket every bucket's open/close on non-empty buckets
+    ne = bars[bars.volume > 0]
+    assert (ne.high >= ne.low).all()
+    assert ((ne.open <= ne.high) & (ne.open >= ne.low)).all()
+    assert ((ne.close <= ne.high) & (ne.close >= ne.low)).all()
+    # grid completeness: buckets are contiguous at 5-minute steps
+    ts_sorted = bars.ts.sort_values().reset_index(drop=True)
+    if len(ts_sorted) > 1:
+        deltas = ts_sorted.diff().dropna().unique()
+        assert all(d == pd.Timedelta(minutes=5) for d in deltas)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left_offsets=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    right_offsets=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+)
+def test_asof_join_matches_pandas_merge_asof(spark_h, left_offsets, right_offsets):
+    left_rows = [(i, BASE + dt.timedelta(seconds=s)) for i, s in enumerate(sorted(left_offsets))]
+    right_rows = [
+        (BASE + dt.timedelta(seconds=s), float(s)) for s in sorted(right_offsets)
+    ]
+    left = spark_h.createDataFrame(left_rows, "id long, ts timestamp")
+    right = spark_h.createDataFrame(right_rows, "ts timestamp, rv double")
+    got = (
+        asof_join(left, right, on="ts", by=[], value_cols=["rv"])
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        pd.DataFrame(left_rows, columns=["id", "ts"]).sort_values("ts"),
+        pd.DataFrame(right_rows, columns=["ts", "rv"]),
+        on="ts",
+        direction="backward",
+    ).sort_values("id").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["rv"], want["rv"], check_names=False)
+
+
+def test_asof_tolerance(spark_h):
+    left = spark_h.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10)), (2, dt.datetime(2024, 1, 20))], "id long, ts timestamp"
+    )
+    right = spark_h.createDataFrame(
+        [(dt.datetime(2024, 1, 9), 9.0)], "ts timestamp, rv double"
+    )
+    got = (
+        asof_join(left, right, on="ts", by=[], value_cols=["rv"], tolerance="2 days")
+        .toPandas()
+        .set_index("id")
+    )
+    assert got.loc[1, "rv"] == 9.0  # within 2 days
+    assert pd.isna(got.loc[2, "rv"])  # 11 days stale → nulled
+
+
+@pytest.fixture(scope="module")
+def spark_h(spark):
+    return spark
