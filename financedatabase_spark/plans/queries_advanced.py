@@ -118,3 +118,62 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qty").cast("double").alias("sum_qty"),
         F.col("one").cast("long").alias("n"),
     )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(30,8)) END) AS DOUBLE) AS open_total,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(30,8)) END) AS DOUBLE) AS filled_total,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(30,8)) END) AS DOUBLE) AS partial_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — wide conditional aggregation (one shuffle; Spark's pivot
+    compiles to the same CASE-per-value aggregate as the oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("O").cast("double").alias("open_total"),
+        F.col("F").cast("double").alias("filled_total"),
+        F.col("P").cast("double").alias("partial_total"),
+    )
+
+
+@register(
+    "window_rank_lag",
+    oracle="""
+    SELECT user_id, ts, value,
+           rank() OVER w AS rnk,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - coalesce(lag(value) OVER w, value) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows beyond the reference's surface (SURVEY §2.5 notes
+    the reference never uses rank/lag/lead — free in Spark): per-user
+    event ranking and tick-to-tick deltas in one window pass."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.rank().over(w).alias("rnk"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value"))).alias("delta"),
+    )
