@@ -25,11 +25,11 @@ SF0001 = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Tick-stream → per-symbol 5-minute OHLCV bars with gap fill + keep-last
-    dedup — the reference's core read path (SURVEY.md §3.1) on the driver's
-    `events` table.
+    The reference's §3.1 read path end-to-end on the driver's `events`
+    table: ticker-change canonicalize → session filter → market-open
+    anchored hourly OHLCV bars → derived midpoint → corrections anti-join.
     """
-    return QUERIES["bars_5m_gapfill"](spark, SF0001)
+    return QUERIES["flagship_eod_pipeline"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: Queries benchmarked per round. Grows with the registry; keep to the
 #: headline operators so the number stays interpretable.
 HEADLINE = [
+    "flagship_eod_pipeline",
     "bars_5m",
     "bars_5m_gapfill",
     "bars_1h_anchored",

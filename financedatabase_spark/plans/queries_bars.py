@@ -120,3 +120,73 @@ def bars_1h_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["event_id"],
         fill_gaps=False,
     )
+
+
+@register(
+    "flagship_eod_pipeline",
+    oracle="""
+    WITH aliases(current_symbol, old_symbol, change_date) AS (
+      VALUES ('click', 'view', DATE '2024-01-15')
+    ),
+    canon AS (
+      SELECT e.event_id, e.ts,
+             coalesce(a.current_symbol, e.event_type) AS symbol,
+             e.value
+      FROM events e
+      LEFT JOIN aliases a
+        ON e.event_type = a.old_symbol AND CAST(e.ts AS DATE) < a.change_date
+    ),
+    sess AS (
+      SELECT * FROM canon
+      WHERE (hour(ts) * 60 + minute(ts)) BETWEEN 570 AND 960
+        AND isodow(ts) <= 5
+    ),
+    bars AS (
+      SELECT symbol,
+             time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '2000-01-03 09:30:00') AS ts,
+             first(value ORDER BY event_id) AS open,
+             max(value) AS high,
+             min(value) AS low,
+             last(value ORDER BY event_id) AS close,
+             count(*)::BIGINT AS volume,
+             (first(value ORDER BY event_id) + last(value ORDER BY event_id)) / 2 AS midpoint
+      FROM sess
+      GROUP BY 1, 2
+    ),
+    quarantine(symbol, bad_date) AS (VALUES ('click', DATE '2024-01-22'))
+    SELECT b.* FROM bars b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM quarantine q
+      WHERE b.symbol = q.symbol AND CAST(b.ts AS DATE) = q.bad_date
+    )
+    """,
+)
+def flagship_eod_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.1 end-to-end: scan → ticker-change canonicalize (X1) →
+    session filter (P5/P6 weekday part) → market-open-anchored hourly bars
+    (A1) → derived midpoint (F1) → corrections anti-join (X5). One lazy
+    plan; Catalyst fuses the scalar stages into the scan and the whole
+    thing costs one shuffle on (symbol, bucket) plus two broadcast dims."""
+    from financedatabase_spark.operators.alias import alias_dim, canonicalize_symbols
+    from financedatabase_spark.operators.calendar import in_business_hours, is_weekday
+    from financedatabase_spark.operators.corrections import apply_corrections, quarantine_dim
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", F.col("event_type").alias("symbol"), "value"
+    )
+    canon = canonicalize_symbols(
+        ev, alias_dim(spark, [("click", "view", "2024-01-15")]), "symbol", "ts"
+    )
+    sess = canon.filter(in_business_hours("ts") & is_weekday("ts"))
+    ticks = sess.select(
+        "symbol", "ts", "event_id",
+        F.col("value").alias("open"), F.col("value").alias("high"),
+        F.col("value").alias("low"), F.col("value").alias("close"),
+        F.lit(1).cast("long").alias("volume"),
+    )
+    bars = resample(
+        ticks, "1h", ts_col="ts", key_cols=["symbol"], order_cols=["event_id"],
+        fill_gaps=False,
+    ).withColumn("midpoint", (F.col("open") + F.col("close")) / 2)
+    q = quarantine_dim(spark, [("flagship", "click", "2024-01-22")])
+    return apply_corrections(bars, q, "flagship", symbol_col="symbol", date_col="ts")

@@ -327,3 +327,40 @@ def bootstrap_ohlc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         *C.bootstrap_ohlc_cols({"open": "open_raw", "close": "close_raw"}, "midpoint"),
         "midpoint",
     )
+
+
+@register(
+    "normalize_market_frame",
+    oracle="""
+    SELECT event_id,
+           ts,
+           'EVT' AS root,
+           CASE WHEN (event_id % 200000) + 150000 > 10000
+                THEN round(((event_id % 200000) + 150000) / 1000.0, 3)
+                ELSE round(((event_id % 200000) + 150000) * 1.0, 3) END AS strike,
+           CASE WHEN event_id % 2 = 0 THEN 'C' ELSE 'P' END AS right,
+           value AS bid,
+           value + 0.5 AS ask,
+           (value + (value + 0.5)) / 2 AS midpoint
+    FROM events
+    """,
+)
+def normalize_market_frame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 step 5 — the reference's `_new_dataframe_formatting`
+    (v3/utils.py:284-397) as one declarative pass: required-column check,
+    lowercase, noise-column drop, symbol→root, right normalization, strike
+    wire→display, midpoint derivation."""
+    from financedatabase_spark.operators.normalize import normalize_market_frame
+
+    raw = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").alias("TIMESTAMP"),
+        F.lit("EVT").alias("Symbol"),
+        ((F.col("event_id") % 200000) + 150000).alias("STRIKE"),
+        F.when(F.col("event_id") % 2 == 0, "call").otherwise("put").alias("Right"),
+        F.col("value").alias("BID"),
+        (F.col("value") + 0.5).alias("ASK"),
+        F.lit("X").alias("Bid_Exchange"),  # noise → dropped
+        F.lit(7).alias("Condition"),       # noise → dropped
+    )
+    return normalize_market_frame(raw, ts_col="TIMESTAMP", is_bulk=True)
