@@ -210,32 +210,41 @@ def _hex_nibble(h: F.Column, pos: int) -> F.Column:
     return F.position(F.substring(h, pos, 1), F.lit(HEX)) - 1
 
 
-def token_hash32(token: F.Column) -> F.Column:
-    """32-bit integer from the first 8 hex chars of md5(token)."""
+def token_hash32(token: F.Column, hex_chars: int = 8) -> F.Column:
+    """Integer from the first ``hex_chars`` hex chars of md5(token)
+    (8 chars → 32 bits; 12 → 48 bits, still long-safe)."""
     h = F.md5(token)
     v = F.lit(0).cast("long")  # long from the start: 16^8-1 overflows int32
-    for i in range(8):
+    for i in range(hex_chars):
         v = v * 16 + _hex_nibble(h, i + 1).cast("long")
     return v
 
 
-def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash: per bit, majority vote of token-hash bits
-    (Charikar 2002). Bit j extracted as (v div 2^j) mod 2 — portable."""
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash: per bit, majority vote of token-hash bits (Charikar 2002).
+    Bit j extracted as (v div 2^j) mod 2 — portable across engines.
+
+    ``bits`` defaults to 32 (4 byte-bands → 256-way candidate buckets):
+    right for corpora up to ~10^5 docs. At larger scale widen to 48
+    (4×12-bit bands → 4096-way buckets) so candidate sets stay linear —
+    band-key cardinality is the knob that keeps LSH sub-quadratic."""
+    assert bits % 4 == 0 and bits <= 48, "bits must be a multiple of 4, ≤48 (long-safe)"
     toks = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalized_text(text_col), " ")).alias("token"),
-    ).withColumn("v", token_hash32(F.col("token")))
+    ).withColumn("v", token_hash32(F.col("token"), hex_chars=bits // 4))
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when((F.col("v") / (2**j)).cast("long") % 2 == 1, 1).otherwise(-1)
             ).alias(f"b{j}")
-            for j in range(32)
+            for j in range(bits)
         ]
     )
     sig = F.lit(0)
-    for j in range(32):
+    for j in range(bits):
         sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
     return bit_sums.select("doc_id", sig.cast("long").alias("simhash"))
 
@@ -245,10 +254,14 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bits: int = 32,
 ) -> DataFrame:
-    """Near-dup pairs within Hamming distance: band the 32 bits into 4
-    bytes; any shared byte-band → candidate; verify with bit_count(xor)."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    """Near-dup pairs within Hamming distance: band the signature into 4
+    equal bit-bands; any shared band → candidate; verify with
+    bit_count(xor). Band width = bits/4 sets bucket cardinality — the
+    sub-quadratic knob (see simhash_signatures)."""
+    band_bits = bits // 4
+    sigs = simhash_signatures(df, text_col, id_col, bits)
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -257,7 +270,7 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        ((F.col("simhash") / (2 ** (8 * b))).cast("long") % 256).alias("key"),
+                        ((F.col("simhash") / (2 ** (band_bits * b))).cast("long") % (2**band_bits)).alias("key"),
                     )
                     for b in range(4)
                 ]
