@@ -236,3 +236,37 @@ def paginated_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol string, strike double, right string",
     )
     return df.select("symbol", "strike", F.col("right").alias("right_"))
+
+
+@register(
+    "bars_monthly",
+    oracle="""
+    SELECT event_type,
+           date_trunc('month', ts) AS ts,
+           first(value ORDER BY event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY event_id) AS close,
+           count(*)::BIGINT AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def bars_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 calendar-month frequency (reference freq aliases BME/BQE/BYS,
+    utils.py:349-357). Months are variable-length, so the bucket is
+    `date_trunc('month')` in the groupBy rather than a fixed-duration
+    `window()` — same single-shuffle HashAggregate plan."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("month", F.col("ts")).alias("ts")
+        )
+        .agg(
+            F.min_by("value", F.col("event_id")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("event_id")).alias("close"),
+            F.count("*").alias("volume"),
+        )
+    )
