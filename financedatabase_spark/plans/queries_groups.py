@@ -18,19 +18,25 @@ from financedatabase_spark.sources.readers import load_table
     "group_mean_transform",
     oracle="""
     SELECT event_id, ts, event_type, value,
-           avg(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS day_mean
+           CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE)
+             / count(value) OVER w AS day_mean
     FROM events
+    WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE))
     """,
 )
 def group_mean_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/W3 — per-group mean broadcast back to rows
     (reference: v2.py:2063 `groupby('date').transform('mean')`).
-    Window aggregate: one shuffle on the partition key, no join-back."""
+    Window aggregate: one shuffle on the partition key, no join-back.
+    The mean is exact-decimal-sum / count so the result is bit-identical
+    regardless of each engine's partition summation order."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type", F.to_date("ts"))
-    return ev.select(
-        "event_id", "ts", "event_type", "value", F.avg("value").over(w).alias("day_mean")
+    mean = (
+        F.sum(F.col("value").cast("decimal(30,10)")).over(w).cast("double")
+        / F.count("value").over(w)
     )
+    return ev.select("event_id", "ts", "event_type", "value", mean.alias("day_mean"))
 
 
 @register(
@@ -44,8 +50,10 @@ def group_mean_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS rn
       FROM (
         SELECT event_type, CAST(ts AS DATE) AS date, value, event_id,
-               avg(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS day_mean
+               CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE)
+                 / count(value) OVER w AS day_mean
         FROM events
+        WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE))
       )
     ) WHERE rn = 1
     """,
@@ -58,8 +66,12 @@ def argmin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("date"), "value", "event_id"
     )
     wmean = Window.partitionBy("event_type", "date")
+    day_mean = (
+        F.sum(F.col("value").cast("decimal(30,10)")).over(wmean).cast("double")
+        / F.count("value").over(wmean)
+    )
     wrank = Window.partitionBy("event_type", "date").orderBy(
-        F.abs(F.col("value") - F.avg("value").over(wmean)).asc(), F.col("event_id").desc()
+        F.abs(F.col("value") - day_mean).asc(), F.col("event_id").desc()
     )
     return (
         ev.withColumn("rn", F.row_number().over(wrank))

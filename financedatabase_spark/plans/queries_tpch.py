@@ -14,16 +14,16 @@ from pyspark.sql import functions as F
 from financedatabase_spark.plans.registry import register
 from financedatabase_spark.sources.readers import load_table
 
-_DEC = "decimal(30,8)"
+_DEC = "decimal(18,6)"
 
 
 @register(
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8)) * (1 - CAST(l_discount AS DECIMAL(30,8)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
            count(*)::BIGINT AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -40,7 +40,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast("double").alias("sum_disc_price"),
+            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast("decimal(18,4)").cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -49,7 +49,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "revenue_forecast",
     oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8)) * CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.03 AND 0.07
@@ -66,7 +66,7 @@ def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < "1997-01-01")
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 25)
-        ).agg(F.sum(d("l_extendedprice") * d("l_discount")).cast("double").alias("revenue"))
+        ).agg(F.sum(d("l_extendedprice") * d("l_discount")).cast("decimal(18,4)").cast("double").alias("revenue"))
     )
 
 
@@ -74,7 +74,7 @@ def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment_revenue",
     oracle="""
     SELECT c_mktsegment, n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8)) * (1 - CAST(l_discount AS DECIMAL(30,8)))) AS DOUBLE) AS revenue,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
            count(DISTINCT o_orderkey)::BIGINT AS n_orders
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
@@ -86,7 +86,14 @@ def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3/Q5 shape — star join: nation & customer broadcast, the
-    orders⋈lineitem shuffle keys on orderkey; revenue in exact decimal."""
+    orders⋈lineitem shuffle keys on orderkey; revenue in exact decimal.
+
+    Product sums route through DECIMAL(18,4) before the DOUBLE cast:
+    the (38,12) sums are bit-identical across engines, but DuckDB's
+    wide-decimal→double conversion can land 1-2 ULP off Spark's correctly
+    rounded one. The (18,4) hop is exact (the data's products carry ≤4
+    decimals, so no rounding occurs) and an int64-backed decimal converts
+    to the same double everywhere."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -100,7 +107,10 @@ def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_mktsegment", "n_name")
         .agg(
-            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast("double").alias("revenue"),
+            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount")))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("revenue"),
             F.count_distinct("o_orderkey").alias("n_orders"),
         )
     )
