@@ -60,7 +60,10 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
 
 
-def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol=1e-9, atol=1e-12):
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol=0.0, atol=0.0):
+    """Default is EXACT float equality — the engine guarantees bit-identical
+    results vs the oracle (decimal sums, fixed fold orders, int64-decimal
+    casts); pass a tolerance only for queries documented as approximate."""
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"schema mismatch: {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
     )

@@ -9,7 +9,8 @@ from tests.conftest import run_parity
 
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_oracle_parity(spark, duck, sf_dir, name):
-    run_parity(spark, duck, sf_dir, name)
+    # exact (bit-level) comparison — see assert_frames_match
+    run_parity(spark, duck, sf_dir, name, rtol=0.0)
 
 
 def test_all_queries_return_rows(spark, sf_dir):
