@@ -57,14 +57,18 @@ def main() -> None:
                 QUERIES[name](spark, warm_dir).count()
             except Exception:
                 pass
+    # best-of-2 per query: this host shows 2-4x run-to-run variance under
+    # contention; min-of-2 reports the query's cost, not the host's mood
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        total += best
 
     out = {
         "metric": "headline_queries_total",
@@ -101,11 +105,13 @@ def _duckdb_baseline(sf_dir: str, names: list[str]) -> dict:
         if name not in ORACLE_SQL:
             continue
         con.execute(ORACLE_SQL[name]).fetchall()  # warm
-        t0 = time.perf_counter()
-        con.execute(ORACLE_SQL[name]).fetchall()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(ORACLE_SQL[name]).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        total += best
     return {"engine": "duckdb", "total_sec": round(total, 4), "queries": timings}
 
 

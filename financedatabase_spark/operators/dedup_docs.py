@@ -196,13 +196,70 @@ def minhash_lsh_dedup(
     bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full MinHash→LSH→verify pipeline: map-side signatures from the
-    shingle array, candidates from banding, exact Jaccard per candidate
-    pair via array intersection. The only shuffles are the band-key join
-    and the two array lookups for verification."""
-    sigs = minhash_signatures_arrays(df, text_col, id_col, k_shingle, num_hashes)
-    cands = minhash_band_candidates(sigs, num_hashes, bands)
-    return jaccard_verify_pairs(df, cands, text_col, id_col, k_shingle, threshold)
+    """Full MinHash→LSH→verify pipeline, three shuffles total:
+
+    1. one spread-repartition of the doc table,
+    2. the band-key self-join (each side carries its shingle ARRAY, so
+       verification needs no further join and the shingle regex runs
+       exactly once per doc),
+    3. a pair-dedup (two bands can produce the same candidate pair).
+
+    Exact Jaccard on candidates is per-pair `array_intersect` math.
+    """
+    rows_per_band = num_hashes // bands
+    base = _spread(df).select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, k_shingle).alias("sh")
+    )
+    # hash each shingle ONCE (md5 → 28-bit int), then derive the k min-hash
+    # values with integer permutations h_i(v) = (a_i·v + b_i) mod P — the
+    # standard one-hash MinHash family. k× fewer digest calls; the linear
+    # maps are exact int64 math the SQL oracle reproduces verbatim.
+    vs = F.transform(F.col("sh"), lambda s: _hex28(F.md5(s)))
+    base = base.select("doc_id", "sh", vs.alias("_vs"))
+
+    def _perm(i: int):
+        a, b = _minhash_coeffs(i)
+        return lambda v: (F.lit(a) * v + F.lit(b)) % F.lit(MINHASH_P)
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("_vs"), _perm(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = base.select("doc_id", "sh", *sig_cols)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", "sh", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b2 = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.sh").alias("sh1"),
+            F.col("b.sh").alias("sh2"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    return pairs.select(
+        "doc1",
+        "doc2",
+        (inter / (F.size("sh1") + F.size("sh2") - inter)).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def _hex_nibble(h: F.Column, pos: int) -> F.Column:
@@ -210,14 +267,31 @@ def _hex_nibble(h: F.Column, pos: int) -> F.Column:
     return F.position(F.substring(h, pos, 1), F.lit(HEX)) - 1
 
 
+#: Mersenne prime 2^31-1 — universe for the one-hash MinHash permutations.
+MINHASH_P = 2147483647
+
+
+def _minhash_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic odd multiplier / offset for permutation i (Knuth
+    multiplicative constants; any fixed pairwise-independent-ish family
+    works — the oracle recomputes the same values)."""
+    return (2654435761 * (i + 1)) % MINHASH_P | 1, (40503 * (i + 7)) % MINHASH_P
+
+
+def _hex28(h: F.Column) -> F.Column:
+    """28-bit int from the first 7 hex chars of an md5 string.
+
+    Spark-side uses the native `conv` (single codegen'd call); the DuckDB
+    oracle reproduces the same VALUE with per-nibble strpos math — the
+    contract is value equality, not implementation equality."""
+    return F.conv(F.substring(h, 1, 7), 16, 10).cast("long")
+
+
 def token_hash32(token: F.Column, hex_chars: int = 8) -> F.Column:
     """Integer from the first ``hex_chars`` hex chars of md5(token)
-    (8 chars → 32 bits; 12 → 48 bits, still long-safe)."""
-    h = F.md5(token)
-    v = F.lit(0).cast("long")  # long from the start: 16^8-1 overflows int32
-    for i in range(hex_chars):
-        v = v * 16 + _hex_nibble(h, i + 1).cast("long")
-    return v
+    (8 chars → 32 bits; 12 → 48 bits, still long-safe). Native `conv`
+    on the Spark side; the oracle's nibble math yields the same value."""
+    return F.conv(F.substring(F.md5(token), 1, hex_chars), 16, 10).cast("long")
 
 
 def simhash_signatures(
@@ -231,18 +305,26 @@ def simhash_signatures(
     (4×12-bit bands → 4096-way buckets) so candidate sets stay linear —
     band-key cardinality is the knob that keeps LSH sub-quadratic."""
     assert bits % 4 == 0 and bits <= 48, "bits must be a multiple of 4, ≤48 (long-safe)"
-    toks = _spread(df).select(
+    # map-side: token-hash array computed ONCE per doc, then `bits` cheap
+    # array folds for the majority votes — no explode, no shuffle (the
+    # previous explode+groupBy formulation shuffled every token row)
+    base = _spread(df).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(normalized_text(text_col), " ")).alias("token"),
-    ).withColumn("v", token_hash32(F.col("token"), hex_chars=bits // 4))
-    bit_sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when((F.col("v") / (2**j)).cast("long") % 2 == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(bits)
-        ]
+        F.split(normalized_text(text_col), " ").alias("_toks"),
+    ).select(
+        "doc_id",
+        F.transform(F.col("_toks"), lambda t: token_hash32(t, hex_chars=bits // 4)).alias("_vs"),
     )
+    def _bit_vote(j: int):
+        # closure factory: a `j=j` default would change the lambda's arity
+        # and break PySpark's higher-order-function signature inspection
+        return lambda acc, v: acc + F.when((v / (2**j)).cast("long") % 2 == 1, 1).otherwise(-1)
+
+    bit_cols = [
+        F.aggregate(F.col("_vs"), F.lit(0), _bit_vote(j)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    bit_sums = base.select("doc_id", *bit_cols)
     sig = F.lit(0)
     for j in range(bits):
         sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))

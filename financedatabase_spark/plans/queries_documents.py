@@ -167,13 +167,22 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(sh, threshold=0.2)
 
 
+from financedatabase_spark.operators.dedup_docs import MINHASH_P, _minhash_coeffs  # noqa: E402
+
+_V28 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(shingle), {i + 1}, 1)) - 1) * {16 ** (6 - i)}"
+    for i in range(7)
+)
 _SIG_MINS = ",\n             ".join(
-    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16)
+    "min(({a} * v + {b}) % {p}) AS h{i}".format(
+        a=_minhash_coeffs(i)[0], b=_minhash_coeffs(i)[1], p=MINHASH_P, i=i
+    )
+    for i in range(16)
 )
 _BAND_SELECTS = "\n      UNION ALL ".join(
     "SELECT doc_id, {b} AS band, md5({expr}) AS key FROM sigs".format(
         b=b,
-        expr=" || '|' || ".join(f"h{b * 4 + r}" for r in range(4)),
+        expr=" || '|' || ".join(f"h{b * 4 + r}::VARCHAR" for r in range(4)),
     )
     for b in range(4)
 )
@@ -183,10 +192,13 @@ _BAND_SELECTS = "\n      UNION ALL ".join(
     "minhash_lsh_dups",
     oracle=f"""
     WITH {_SHINGLES_CTE},
+    vals AS (
+      SELECT doc_id, ({_V28})::BIGINT AS v FROM sh
+    ),
     sigs AS (
       SELECT doc_id,
              {_SIG_MINS}
-      FROM sh GROUP BY doc_id
+      FROM vals GROUP BY doc_id
     ),
     bands AS (
       {_BAND_SELECTS}
