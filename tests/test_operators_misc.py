@@ -1,0 +1,117 @@
+"""Unit coverage for operator functions not exercised by registry queries:
+alias at-time resolution, skew-salted join, fan-out fetch, market-frame
+normalization edge cases, CLI wiring."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from financedatabase_spark.errors import MissingColumnError
+from financedatabase_spark.operators.alias import alias_dim, spliced_history, symbol_on_date
+from financedatabase_spark.operators.normalize import normalize_market_frame
+from financedatabase_spark.operators.skew import salted_agg, salted_join
+from financedatabase_spark.sources.paginated import fan_out_fetch
+
+
+def test_symbol_on_date(spark):
+    aliases = alias_dim(spark, [("META", "FB", "2022-06-09")])
+    assert symbol_on_date(aliases, "META", "2022-01-01").collect()[0][0] == "FB"
+    assert symbol_on_date(aliases, "META", "2022-06-09").collect()[0][0] == "META"
+
+
+def test_spliced_history_dedups_overlap(spark):
+    import datetime as dt
+
+    aliases = alias_dim(spark, [("META", "FB", "2022-06-09")])
+    rows = [
+        ("FB", dt.datetime(2022, 6, 1), 1, 100.0),
+        ("FB", dt.datetime(2022, 6, 8), 2, 101.0),
+        ("META", dt.datetime(2022, 6, 9), 3, 102.0),
+        ("META", dt.datetime(2022, 6, 10), 4, 103.0),
+        # vendor glitch: duplicate timestamp row arriving later must win
+        ("META", dt.datetime(2022, 6, 10), 5, 104.0),
+    ]
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, seq long, px double")
+    out = spliced_history(
+        df, aliases, "META", key_cols=["symbol", "ts"], order_cols=["seq"]
+    ).toPandas().sort_values("ts")
+    assert list(out.px) == [100.0, 101.0, 102.0, 104.0]
+    assert (out.symbol == "META").all()
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from financedatabase_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").cast("decimal(18,2)").alias("q")
+    ).collect()[0]
+    salted = salted_join(li, orders, "l_orderkey", buckets=8).agg(
+        F.count("*").alias("n"), F.sum("l_quantity").cast("decimal(18,2)").alias("q")
+    ).collect()[0]
+    assert plain.n == salted.n and plain.q == salted.q
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    df = spark.range(10).withColumn("k", F.lit("a"))
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_agg(df, ["k"], {"id": "median"})
+
+
+def test_fan_out_fetch(spark):
+    keys = spark.createDataFrame([(i,) for i in range(20)], "day long").repartition(4)
+
+    def fetch(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": pdf.day, "rows_fetched": pdf.day * 10}
+        )
+
+    out = fan_out_fetch(keys, fetch, "day long, rows_fetched long").toPandas()
+    assert len(out) == 20
+    assert out.set_index("day").rows_fetched.sort_index().tolist() == [i * 10 for i in range(20)]
+
+
+def test_normalize_missing_column_raises(spark):
+    df = spark.createDataFrame([(1.0,)], "bid double")
+    with pytest.raises(MissingColumnError):
+        normalize_market_frame(df, ts_col="timestamp")
+
+
+def test_normalize_single_contract_drops_identity(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2, 10), "AAPL", 180500, "call", 1.0, 1.2)],
+        "timestamp timestamp, symbol string, strike long, right string, bid double, ask double",
+    )
+    bulk = normalize_market_frame(df, is_bulk=True)
+    assert {"root", "strike", "right"} <= set(bulk.columns)
+    assert bulk.collect()[0].strike == 180.5  # wire ÷1000
+    assert bulk.collect()[0].right == "C"
+    single = normalize_market_frame(df, is_bulk=False)
+    assert {"root", "strike", "right"}.isdisjoint(single.columns)
+    assert "midpoint" in single.columns
+
+
+def test_normalize_legacy_names_and_eod(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2), 1.0, 1.2)],
+        "timestamp timestamp, bid double, ask double",
+    )
+    out = normalize_market_frame(df, legacy_names=True, eod=True)
+    assert "CloseBid" in out.columns and "CloseAsk" in out.columns
+    assert out.collect()[0].Ts.hour == 16  # midnight shifted to market close
+
+
+def test_cli_diff_roundtrip(spark, capsys):
+    from financedatabase_spark import cli
+
+    rc = cli.main(["diff", "--bases", "fdcli_misc", "--src", "prod", "--dst", "dev"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "fdcli_misc_dev" in out
