@@ -415,3 +415,71 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return decode_features(docs, decode_fn=fake_decode)
+
+
+@register(
+    "ivf_build_assign",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, label, u.pos AS pos, u.x AS x
+      FROM v, LATERAL (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS pos) u
+    ),
+    cmeans AS (
+      SELECT label, pos,
+             CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+      FROM flat GROUP BY label, pos
+    ),
+    centroids AS (
+      SELECT label AS c_label, list(m ORDER BY pos) AS cvec FROM cmeans GROUP BY label
+    ),
+    probes AS (SELECT vec_id, label, emb FROM v WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT p.vec_id, p.label AS true_label, c.c_label,
+             round(list_cosine_similarity(p.emb, c.cvec), 6) AS sim
+      FROM probes p CROSS JOIN centroids c
+    )
+    SELECT vec_id, true_label, c_label AS assigned_label, sim FROM (
+      SELECT vec_id, true_label, c_label, sim,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def ivf_build_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BUILD path: construct the coarse quantizer in-engine
+    (per-cell element-wise centroid via posexplode + exact decimal means)
+    and assign probe vectors to their nearest centroid by cosine. With the
+    assignment written back as a partition column, probes become
+    partition-pruned scans (the ivf_topk query's precondition)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = sim._spread(emb).select(
+        "vec_id", "label", F.posexplode(sim._vec("embedding")).alias("pos", "x")
+    )
+    cmeans = flat.groupBy("label", "pos").agg(
+        (F.sum(F.col("x").cast("decimal(28,10)")).cast("double") / F.count("*")).alias("m")
+    )
+    centroids = cmeans.groupBy(F.col("label").alias("c_label")).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm")
+    ).select(
+        "c_label", F.transform(F.col("_pm"), lambda s: s.getField("m")).alias("cvec")
+    )
+    probes = emb.filter(F.col("vec_id") % 25 == 0).select(
+        "vec_id", F.col("label").alias("true_label"), sim._vec("embedding").alias("emb")
+    )
+    scored = probes.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "true_label",
+        "c_label",
+        F.round(sim.cosine(F.col("emb"), F.col("cvec")), 6).alias("sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("c_label").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", F.col("c_label").alias("assigned_label"), "sim")
+    )
