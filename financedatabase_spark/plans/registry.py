@@ -41,5 +41,6 @@ from financedatabase_spark.plans import (  # noqa: E402,F401
     queries_lifecycle,
     queries_scalar,
     queries_setops_sorts,
+    queries_streaming,
     queries_tpch,
 )

@@ -28,3 +28,21 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.queries()) >= set(e.oracle_sql())
+
+
+def test_minhash_lsh_finds_all_exact_dups(spark, sf_dir):
+    """Deterministic LSH recall gate: documents with IDENTICAL normalized
+    content have identical MinHash signatures, so every exact-dup pair
+    MUST surface as an LSH candidate pair with jaccard 1.0."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.dedup_docs import exact_dedup, minhash_lsh_dedup
+    from financedatabase_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = exact_dedup(docs).filter(F.col("n_copies") > 1)
+    n_dup_groups = groups.count()
+    found = minhash_lsh_dedup(docs, threshold=0.999)
+    # every multi-copy content hash contributes at least one jaccard=1 pair
+    if n_dup_groups:
+        assert found.count() >= n_dup_groups

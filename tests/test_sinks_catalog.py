@@ -68,6 +68,9 @@ def test_resolution_rules():
 def test_environment_lifecycle(spark):
     cat = EnvironmentCatalog(spark)
     base = "fdtest"
+    # the warehouse/metastore persist across sessions — start clean
+    spark.sql("DROP DATABASE IF EXISTS fdtest_dev CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS fdtest_uat CASCADE")
     cat.create_environment_database(base, "dev")
     spark.sql("CREATE TABLE IF NOT EXISTS fdtest_dev.t1 (a INT) USING parquet")
     spark.sql("CREATE TABLE IF NOT EXISTS fdtest_dev.t2 (b STRING) USING parquet")
