@@ -105,9 +105,13 @@ class EnvironmentCatalog:
         )
 
     def list_tables(self, base: str, env: str) -> list[str]:
-        """C8 (reference: SQLHelpers.py:195-222 SHOW TABLES)."""
+        """C8 (reference: SQLHelpers.py:195-222 SHOW TABLES — base tables
+        only, like the reference's information_schema BASE TABLE filter;
+        session temp views are visible in every database and excluded)."""
         db = self._db(base, env)
-        return sorted(t.name for t in self.spark.catalog.listTables(db))
+        return sorted(
+            t.name for t in self.spark.catalog.listTables(db) if not t.isTemporary
+        )
 
     def table_schema(self, base: str, env: str, table: str) -> list[tuple[str, str]]:
         """C8/C9 introspection (reference: INFORMATION_SCHEMA.COLUMNS,
