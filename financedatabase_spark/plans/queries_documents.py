@@ -410,11 +410,19 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract stage over mapInPandas with the
     deterministic stand-in codec (real codecs are stubbed — none exist in
-    this container). Exercises the Arrow batch contract end-to-end."""
+    this container). Exercises the Arrow batch contract end-to-end.
+
+    The feature vector is exploded to scalar (doc_id, pos, x) rows so the
+    result schema carries no array columns (hash-canonicalizable)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return decode_features(docs, decode_fn=fake_decode)
+    feats = decode_features(docs, decode_fn=fake_decode)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode("feature").alias("pos", "x"),
+    ).withColumn("x", F.round("x", 9))
 
 
 @register(

@@ -45,7 +45,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos-since-epoch and is converted to a microsecond timestamp here
     (truncation — the same thing DuckDB's micro-precision TIMESTAMP does,
     so oracle comparisons agree).
+
+    The conf is set at runtime here (it is a runtime-settable SQL conf) so the
+    read works under ANY caller-provided SparkSession, not just the one built
+    by `session.get_session()`.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
