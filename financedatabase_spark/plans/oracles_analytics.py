@@ -1,0 +1,368 @@
+"""Generated DuckDB oracle SQL for the option-analytics queries (U1-U4).
+
+The engine computes implied vol with a vectorized Newton(20)+bisection(60)
+solver and Black-Scholes closed forms over the Abramowitz-Stegun 7.1.26 erf
+approximation (functions/analytics.py). These oracles re-express the SAME
+fixed-iteration algorithms in pure DuckDB SQL so the driver can verify the
+pandas-UDF path against an independent engine:
+
+- every solver iteration is one chained CTE (generated here, not
+  hand-written), mirroring the numpy code op-for-op: same clamps, same
+  branch thresholds, same iteration counts;
+- branch decisions (Newton-converged? solvable? vol<=0 fallback?) were
+  measured to sit >= 4 orders of magnitude away from their thresholds on
+  the synthetic inputs, so both engines take identical branches;
+- outputs are quantized with ``floor(x*1e6 + 0.5)/1e6`` on BOTH sides --
+  float-only ops that produce bit-identical doubles in Spark and DuckDB --
+  because numpy's SIMD exp/log differ from libm at the ULP level, which
+  would otherwise break the driver's full-precision value-hash.
+
+The binomial oracle walks the CRR lattice (American) inside one recursive
+CTE: a lock-step state machine over (evaluation mode, lattice step) whose
+node values ride in a LIST(DOUBLE) column; bisection needs 43 lattice
+evaluations (target, lo bracket, hi bracket, 40 mids).
+
+Reference semantics: /root/reference/dbase/DataAPI/Organizers.py:127-185
+(BS_IV / Binomial_IV / greeks / resolve_missing_vol row-wise applies).
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+#: synthetic option rows (must mirror queries_analytics.synthetic_option_rows)
+BASE = """base AS (
+  SELECT p_partkey,
+         100.0::DOUBLE AS s,
+         80.0::DOUBLE + (p_partkey % 41) AS k,
+         (p_size % 24 + 1) * 30 / 365.0::DOUBLE AS t,
+         0.05::DOUBLE AS r,
+         0.01::DOUBLE AS q,
+         (p_partkey % 2 = 0) AS is_call,
+         0.15::DOUBLE + 0.35::DOUBLE * (p_partkey % 10) / 10.0::DOUBLE AS true_sigma
+  FROM part
+),
+pre AS (
+  SELECT *,
+         GREATEST(t, 1e-12) AS tt,
+         sqrt(GREATEST(t, 1e-12)) AS sq,
+         ln(s / k) AS lnsk,
+         exp(-q * GREATEST(t, 1e-12)) AS eq,
+         exp(-r * GREATEST(t, 1e-12)) AS er
+  FROM base
+)"""
+
+
+def q6(expr: str) -> str:
+    """Engine-portable 6-decimal quantizer (identical float ops both sides)."""
+    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+
+def _erf(u: str, tag: str) -> list[str]:
+    """A&S 7.1.26 erf of column `u` as lateral aliases ending in e_{tag}."""
+    return [
+        f"abs({u}) AS a_{tag}",
+        f"1.0 / (1.0 + 0.3275911 * a_{tag}) AS w_{tag}",
+        f"w_{tag} * (0.254829592 + w_{tag} * (-0.284496736 + w_{tag} * "
+        f"(1.421413741 + w_{tag} * (-1.453152027 + w_{tag} * 1.061405429)))) AS pl_{tag}",
+        f"sign({u}) * (1.0 - pl_{tag} * exp(-{u} * {u})) AS e_{tag}",
+    ]
+
+
+def _price_cols(sig_expr: str, tag: str, vega: bool = False) -> str:
+    """Black-Scholes price (and optionally vega) at `sig_expr` as lateral
+    aliases; price lands in pr_{tag}, vega in vg_{tag}.
+
+    Mirrors analytics.bs_price / bs_vega op-for-op. norm_cdf(-x) folds to
+    0.5*(1-e): bit-equal to the numpy path because the A&S erf is odd by
+    construction (sign(x) factor over |x|).
+    """
+    cols = [
+        f"GREATEST({sig_expr}, 1e-12) AS sg_{tag}",
+        f"sg_{tag} * sq AS vs_{tag}",
+        f"(lnsk + (r - q + 0.5 * sg_{tag} * sg_{tag}) * tt) / vs_{tag} AS d1_{tag}",
+        f"d1_{tag} - vs_{tag} AS d2_{tag}",
+        f"d1_{tag} / sqrt(2.0) AS u1_{tag}",
+        f"d2_{tag} / sqrt(2.0) AS u2_{tag}",
+    ]
+    cols += _erf(f"u1_{tag}", f"1{tag}")
+    cols += _erf(f"u2_{tag}", f"2{tag}")
+    cols.append(
+        f"CASE WHEN is_call THEN s * eq * (0.5 * (1.0 + e_1{tag})) - k * er * (0.5 * (1.0 + e_2{tag})) "
+        f"ELSE k * er * (0.5 * (1.0 - e_2{tag})) - s * eq * (0.5 * (1.0 - e_1{tag})) END AS pr_{tag}"
+    )
+    if vega:
+        cols.append(
+            f"s * eq * (exp(-0.5 * d1_{tag} * d1_{tag}) / sqrt(2.0 * pi())) * sq AS vg_{tag}"
+        )
+    return ",\n         ".join(cols)
+
+
+def bs_iv_chain(prefix: str, carry: list[str], tgt: str, out: str) -> tuple[str, str]:
+    """CTE chain solving BS implied vol for target-price column `tgt`.
+
+    Expects a CTE named {prefix}_in providing `carry` (which includes the
+    target column). Returns (sql_fragment, final_cte_name); the final CTE
+    carries `carry` plus the solved vol in `out`. Mirrors analytics.bs_iv:
+    solvable bracket, Brenner-Subrahmanyam seed clipped to [0.05, 3],
+    20 clipped Newton steps, converged = |price(sig)-tgt| < 1e-6,
+    60 bisection steps on [1e-9, 5] for the rest.
+    """
+    carry_s = ", ".join(carry)
+    parts = []
+    parts.append(
+        f"{prefix}_br AS (\n  SELECT {carry_s}, pr_L AS plo_x, pr_H AS phi_x\n"
+        f"  FROM (SELECT {carry_s},\n         {_price_cols('1e-9', 'L')},\n"
+        f"         {_price_cols('5.0', 'H')}\n  FROM {prefix}_in)\n)"
+    )
+    carry2 = carry + ["plo_x", "phi_x"]
+    carry2_s = ", ".join(carry2)
+    parts.append(
+        f"{prefix}_n0 AS (\n  SELECT {carry2_s},\n"
+        f"         LEAST(GREATEST(sqrt(2.0 * pi() / tt) * {tgt} / s, 0.05), 3.0) AS sig\n"
+        f"  FROM {prefix}_br\n)"
+    )
+    for i in range(1, 21):
+        parts.append(
+            f"{prefix}_n{i} AS (\n  SELECT {carry2_s},\n"
+            f"         LEAST(GREATEST(sig - CASE WHEN vg_n > 1e-12 "
+            f"THEN (pr_n - {tgt}) / GREATEST(vg_n, 1e-12) ELSE 0.0 END, 1e-9), 5.0) AS sig\n"
+            f"  FROM (SELECT {carry2_s}, sig,\n         {_price_cols('sig', 'n', vega=True)}\n"
+            f"  FROM {prefix}_n{i - 1})\n)"
+        )
+    parts.append(
+        f"{prefix}_cv AS (\n  SELECT {carry2_s}, sig,\n"
+        f"         abs(pr_c - {tgt}) < 1e-6 AS cvg,\n"
+        f"         ({tgt} > plo_x + 1e-12 AND {tgt} < phi_x - 1e-12 AND t > 0) AS slv\n"
+        f"  FROM (SELECT {carry2_s}, sig,\n         {_price_cols('sig', 'c')}\n"
+        f"  FROM {prefix}_n20)\n)"
+    )
+    carry3 = carry2 + ["sig", "cvg", "slv"]
+    carry3_s = ", ".join(carry3)
+    parts.append(
+        f"{prefix}_b0 AS (\n  SELECT {carry3_s}, 1e-9 AS lo, 5.0 AS hi FROM {prefix}_cv\n)"
+    )
+    for i in range(1, 61):
+        parts.append(
+            f"{prefix}_b{i} AS (\n  SELECT {carry3_s},\n"
+            f"         CASE WHEN pr_m > {tgt} THEN lo ELSE 0.5 * (lo + hi) END AS lo,\n"
+            f"         CASE WHEN pr_m > {tgt} THEN 0.5 * (lo + hi) ELSE hi END AS hi\n"
+            f"  FROM (SELECT {carry3_s}, lo, hi,\n         {_price_cols('0.5 * (lo + hi)', 'm')}\n"
+            f"  FROM {prefix}_b{i - 1})\n)"
+        )
+    parts.append(
+        f"{prefix}_out AS (\n  SELECT {carry_s},\n"
+        f"         CASE WHEN NOT slv THEN 0.0 WHEN cvg THEN sig ELSE 0.5 * (lo + hi) END AS {out}\n"
+        f"  FROM {prefix}_b60\n)"
+    )
+    return ",\n".join(parts), f"{prefix}_out"
+
+
+def _greek_cols(sig_expr: str) -> str:
+    """Closed-form greeks at `sig_expr` (mirrors analytics.bs_greeks)."""
+    cols = [
+        f"GREATEST({sig_expr}, 1e-12) AS sg_g",
+        "(lnsk + (r - q + 0.5 * sg_g * sg_g) * tt) / (sg_g * sq) AS d1_g",
+        "d1_g - sg_g * sq AS d2_g",
+        "d1_g / sqrt(2.0) AS u1_g",
+        "d2_g / sqrt(2.0) AS u2_g",
+    ]
+    cols += _erf("u1_g", "1g")
+    cols += _erf("u2_g", "2g")
+    cols += [
+        "exp(-0.5 * d1_g * d1_g) / sqrt(2.0 * pi()) AS pdf_g",
+        "0.5 * (1.0 + e_1g) AS nc1",
+        "0.5 * (1.0 - e_1g) AS nc1m",
+        "0.5 * (1.0 + e_2g) AS nc2",
+        "0.5 * (1.0 - e_2g) AS nc2m",
+        "CASE WHEN is_call THEN eq * nc1 ELSE -(eq * nc1m) END AS delta",
+        "eq * pdf_g / (s * sg_g * sq) AS gamma",
+        "s * eq * pdf_g * sq AS vega",
+        "CASE WHEN is_call THEN -s * eq * pdf_g * sg_g / (2 * sq) - r * k * er * nc2 + q * s * eq * nc1 "
+        "ELSE -s * eq * pdf_g * sg_g / (2 * sq) + r * k * er * nc2m - q * s * eq * nc1m END AS theta",
+        "CASE WHEN is_call THEN k * tt * er * nc2 ELSE -(k * tt * er * nc2m) END AS rho",
+        "delta * s AS dollar_delta",
+    ]
+    return ",\n         ".join(cols)
+
+
+# ---------------------------------------------------------------------------
+# per-query oracles
+# ---------------------------------------------------------------------------
+
+_CARRY = ["p_partkey", "s", "k", "t", "r", "q", "is_call", "true_sigma",
+          "tt", "sq", "lnsk", "eq", "er"]
+
+
+def implied_vol_bs_oracle() -> str:
+    chain, final = bs_iv_chain("iv", _CARRY + ["tgt"], "tgt", "bs_iv_raw")
+    return f"""
+    WITH {BASE},
+    iv_in AS (
+      SELECT {', '.join(_CARRY)}, pr_t AS tgt
+      FROM (SELECT {', '.join(_CARRY)},
+         {_price_cols('true_sigma', 't')}
+      FROM pre)
+    ),
+    {chain}
+    SELECT p_partkey, {q6('tgt')} AS price, true_sigma, {q6('bs_iv_raw')} AS bs_iv
+    FROM {final}
+    """
+
+
+def greeks_oracle() -> str:
+    return f"""
+    WITH {BASE}
+    SELECT p_partkey, is_call, true_sigma,
+           {q6('delta')} AS delta, {q6('gamma')} AS gamma, {q6('vega')} AS vega,
+           {q6('theta')} AS theta, {q6('rho')} AS rho, {q6('dollar_delta')} AS dollar_delta
+    FROM (SELECT *,
+         {_greek_cols('true_sigma')}
+    FROM pre)
+    """
+
+
+def risk_pipeline_oracle() -> str:
+    """Organizers-shaped pipeline: price -> IV -> zero-IV fallback from the
+    midpoint price -> greeks at resolved IV -> open-interest join -> scrub."""
+    chain_a, final_a = bs_iv_chain("iva", _CARRY + ["tgt"], "tgt", "iv_a")
+    chain_b, final_b = bs_iv_chain("ivb", _CARRY + ["tgt", "iv_a", "mid"], "mid", "iv_b")
+
+    def scrub(c: str) -> str:
+        return f"CASE WHEN isnan({c}) OR isinf({c}) OR {c} IS NULL THEN 0.0 ELSE {c} END"
+
+    return f"""
+    WITH {BASE},
+    iva_in AS (
+      SELECT {', '.join(_CARRY)}, pr_t AS tgt
+      FROM (SELECT {', '.join(_CARRY)},
+         {_price_cols('true_sigma', 't')}
+      FROM pre)
+    ),
+    {chain_a},
+    ivb_in AS (
+      SELECT {', '.join(_CARRY)}, tgt, iv_a, tgt * 1.0005 AS mid FROM {final_a}
+    ),
+    {chain_b},
+    resolved AS (
+      SELECT {', '.join(_CARRY)}, tgt,
+             CASE WHEN iv_a <= 0.0 THEN iv_b ELSE iv_a END AS bs_iv_raw
+      FROM {final_b}
+    ),
+    enriched AS (
+      SELECT p_partkey, tgt, bs_iv_raw, delta, gamma, vega, dollar_delta
+      FROM (SELECT *,
+         {_greek_cols('bs_iv_raw')}
+      FROM resolved)
+    )
+    SELECT p_partkey,
+           {q6(scrub('tgt'))} AS close,
+           {q6(scrub('bs_iv_raw'))} AS bs_iv,
+           {q6(scrub('delta'))} AS delta,
+           {q6(scrub('gamma'))} AS gamma,
+           {q6(scrub('vega'))} AS vega,
+           {q6(scrub('dollar_delta'))} AS dollar_delta,
+           CAST(p_partkey % 997 AS BIGINT) AS open_interest
+    FROM enriched
+    """
+
+
+def implied_vol_binomial_oracle(steps: int = 32, iters: int = 40) -> str:
+    """CRR American binomial IV via bisection as ONE recursive CTE.
+
+    Lock-step state machine: mode 0 prices the target at true_sigma, mode 1
+    the lo bracket (1e-6), mode 2 the hi bracket (5.0), modes 3..2+iters the
+    bisection mids, 99 = done. Within an evaluation each recursion level
+    rolls the lattice back one step:
+
+      vals'[j] = max(disc*(p*vals[j+1] + (1-p)*vals[j]),
+                     sign*(s*u^(2j-step') - k))          (American exercise)
+
+    mirroring analytics.binomial_price. All rows share the same control
+    flow, so every level is a full-width vectorized batch.
+    """
+    n = steps
+    last = 2 + iters
+    cols = ("p_partkey, s, k, t, tt, sgn, true_sigma, dsc, eg, "
+            "mode, u, pp, step, vals, tgt, plo, phi, lo2, hi2")
+
+    def init_u(sig: str) -> str:
+        return f"exp(GREATEST({sig}, 1e-9) * sqrt(tt / {n}.0))"
+
+    def term_vals(u: str) -> str:
+        return (f"list_transform(range(0, {n + 1}), "
+                f"j -> GREATEST(sgn * (s * power({u}, 2 * j - {n}) - k), 0.0))")
+
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT p_partkey,
+             100.0::DOUBLE AS s,
+             80.0::DOUBLE + (p_partkey % 41) AS k,
+             (p_size % 24 + 1) * 30 / 365.0::DOUBLE AS t,
+             0.05::DOUBLE AS r,
+             0.01::DOUBLE AS q,
+             CASE WHEN p_partkey % 2 = 0 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS sgn,
+             0.15::DOUBLE + 0.35::DOUBLE * (p_partkey % 10) / 10.0::DOUBLE AS true_sigma
+      FROM part
+      WHERE p_partkey % 4 = 0
+    ),
+    pre AS (
+      SELECT p_partkey, s, k, t, GREATEST(t, 1e-12) AS tt, sgn, true_sigma,
+             exp(-r * (GREATEST(t, 1e-12) / {n}.0)) AS dsc,
+             exp((r - q) * (GREATEST(t, 1e-12) / {n}.0)) AS eg
+      FROM base
+    ),
+    walk({cols}) AS (
+      SELECT p_partkey, s, k, t, tt, sgn, true_sigma, dsc, eg,
+             0 AS mode,
+             {init_u('true_sigma')} AS u,
+             LEAST(GREATEST((eg - 1.0 / u) / (u - 1.0 / u), 0.0), 1.0) AS pp,
+             {n} AS step,
+             {term_vals('u')} AS vals,
+             0.0::DOUBLE AS tgt, 0.0::DOUBLE AS plo, 0.0::DOUBLE AS phi, 1e-6 AS lo2, 5.0::DOUBLE AS hi2
+      FROM pre
+      UNION ALL
+      SELECT p_partkey, s, k, t, tt, sgn, true_sigma, dsc, eg,
+             CASE WHEN step > 0 THEN mode WHEN mode < {last} THEN mode + 1 ELSE 99 END,
+             nu,
+             CASE WHEN step > 0 THEN pp
+                  ELSE LEAST(GREATEST((eg - 1.0 / nu) / (nu - 1.0 / nu), 0.0), 1.0) END,
+             CASE WHEN step > 0 THEN step - 1 WHEN mode = {last} THEN 0 ELSE {n} END,
+             CASE WHEN step > 0 THEN
+                    list_transform(range(0, step),
+                      j -> GREATEST(dsc * (pp * vals[j + 2] + (1.0 - pp) * vals[j + 1]),
+                                    sgn * (s * power(u, 2 * j - step + 1) - k)))
+                  WHEN mode = {last} THEN CAST([] AS DOUBLE[])
+                  ELSE {term_vals('nu')} END,
+             ntgt, nplo, nphi, nlo, nhi
+      FROM (
+        SELECT *,
+               CASE WHEN step > 0 THEN u ELSE {init_u('signext')} END AS nu
+        FROM (
+          SELECT *,
+                 CASE WHEN step > 0 THEN 0.0
+                      WHEN mode = 0 THEN 1e-6
+                      WHEN mode = 1 THEN 5.0
+                      ELSE 0.5 * (nlo + nhi) END AS signext
+          FROM (
+            SELECT *,
+                   CASE WHEN step = 0 AND mode >= 3 AND px > tgt
+                        THEN 0.5 * (lo2 + hi2) ELSE hi2 END AS nhi,
+                   CASE WHEN step = 0 AND mode >= 3 AND NOT (px > tgt)
+                        THEN 0.5 * (lo2 + hi2) ELSE lo2 END AS nlo,
+                   CASE WHEN step = 0 AND mode = 0 THEN px ELSE tgt END AS ntgt,
+                   CASE WHEN step = 0 AND mode = 1 THEN px ELSE plo END AS nplo,
+                   CASE WHEN step = 0 AND mode = 2 THEN px ELSE phi END AS nphi
+            FROM (SELECT *, vals[1] AS px FROM walk WHERE mode <> 99)
+          )
+        )
+      )
+    )
+    SELECT p_partkey,
+           {q6('tgt')} AS price,
+           true_sigma,
+           {q6('CASE WHEN tgt > plo AND tgt < phi AND t > 0 THEN 0.5 * (lo2 + hi2) ELSE 0.0 END')} AS binomial_iv
+    FROM walk WHERE mode = 99
+    """

@@ -1,9 +1,11 @@
 """Option-analytics pipeline queries (SURVEY.md §2.9 U1–U5, §3.3).
 
-IV and greeks are not SQL-expressible, so these register WITHOUT oracle
-SQL (the driver records rows-only checks); numerical correctness is
-asserted in tests/test_analytics.py by round-trip (price a known sigma,
-recover it) and put-call parity.
+The solvers are fixed-iteration (Newton 20 + bisection 60; CRR lattice +
+bisection 40), so they ARE reproducible in DuckDB SQL: oracles_analytics
+generates CTE chains mirroring the numpy code op-for-op, and both sides
+quantize outputs to 6 decimals (engine exp/log differ at the ULP level).
+Numerical correctness is additionally asserted in tests/test_analytics.py
+by round-trip (price a known sigma, recover it) and put-call parity.
 """
 
 from __future__ import annotations
@@ -17,8 +19,23 @@ from financedatabase_spark.functions.analytics import (
     binomial_iv_udf,
     resolve_missing_vol,
 )
+from financedatabase_spark.plans.oracles_analytics import (
+    greeks_oracle,
+    implied_vol_binomial_oracle,
+    implied_vol_bs_oracle,
+    risk_pipeline_oracle,
+)
 from financedatabase_spark.plans.registry import register
 from financedatabase_spark.sources.readers import load_table
+
+
+def _q6(c):
+    """6-decimal quantizer used on BOTH engines: floor(x*1e6 + 0.5)/1e6 is
+    float-op-identical in Spark and DuckDB, unlike each engine's round().
+    Needed because numpy's SIMD exp/log differ from libm at the ULP level,
+    which would break the driver's full-precision value-hash."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
 def synthetic_option_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,7 +54,7 @@ def synthetic_option_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("implied_vol_bs")
+@register("implied_vol_bs", oracle=implied_vol_bs_oracle())
 def implied_vol_bs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 — vectorized Black-Scholes IV (reference: BS_IV row-wise apply,
     Organizers.py:127-135). Price is generated inside the same plan with a
@@ -58,10 +75,12 @@ def implied_vol_bs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priced.withColumn(
         "bs_iv",
         bs_iv_udf("price", "underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "is_call"),
-    ).select("p_partkey", "price", "true_sigma", "bs_iv")
+    ).select(
+        "p_partkey", _q6("price").alias("price"), "true_sigma", _q6("bs_iv").alias("bs_iv")
+    )
 
 
-@register("greeks")
+@register("greeks", oracle=greeks_oracle())
 def greeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 — BS greeks struct expanded to columns + Dollar_Delta
     (reference: Calculate.greeks multi-column expand, Organizers.py:148-159).
@@ -72,22 +91,29 @@ def greeks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "true_sigma", "is_call"
     )
     return rows.withColumn("g", g).select(
-        "p_partkey", "is_call", "true_sigma", "g.*"
+        "p_partkey", "is_call", "true_sigma",
+        *[_q6(f"g.{n}").alias(n) for n in ("delta", "gamma", "vega", "theta", "rho", "dollar_delta")],
     )
 
 
-@register("implied_vol_binomial")
+@register("implied_vol_binomial", oracle=implied_vol_binomial_oracle())
 def implied_vol_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 — binomial (CRR, American) IV via vectorized bisection
     (reference: Binomial_IV, Organizers.py:138-147). Sampled 1-in-4 to
     keep the lattice work proportionate in the test harness."""
-    from financedatabase_spark.functions.analytics import binomial_price
+    from financedatabase_spark.functions.analytics import binomial_iv, binomial_price
     import pandas as pd
     from pyspark.sql import types as T
 
+    # steps=32 keeps the DuckDB oracle's recursive-CTE lattice tractable;
+    # the engine default (steps=64) stays covered by tests/test_analytics.py.
     @F.pandas_udf(T.DoubleType())
     def price_udf(s, k, t, r, q, sigma, is_call):
-        return pd.Series(binomial_price(s, k, t, r, q, sigma, is_call.astype(bool)))
+        return pd.Series(binomial_price(s, k, t, r, q, sigma, is_call.astype(bool), steps=32))
+
+    @F.pandas_udf(T.DoubleType())
+    def iv32_udf(price, s, k, t, r, q, is_call):
+        return pd.Series(binomial_iv(price, s, k, t, r, q, is_call.astype(bool), steps=32, iters=40))
 
     rows = synthetic_option_rows(spark, sf_dir).filter(F.col("p_partkey") % 4 == 0)
     priced = rows.withColumn(
@@ -96,11 +122,14 @@ def implied_vol_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return priced.withColumn(
         "binomial_iv",
-        binomial_iv_udf("price", "underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "is_call"),
-    ).select("p_partkey", "price", "true_sigma", "binomial_iv")
+        iv32_udf("price", "underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "is_call"),
+    ).select(
+        "p_partkey", _q6("price").alias("price"), "true_sigma",
+        _q6("binomial_iv").alias("binomial_iv"),
+    )
 
 
-@register("risk_pipeline")
+@register("risk_pipeline", oracle=risk_pipeline_oracle())
 def risk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 — the Organizers ETL shape end-to-end: synthesize option rows,
     as-of-style enrichment columns, IV + greeks UDFs, zero-IV fallback
@@ -138,11 +167,7 @@ def risk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = enriched.join(oi, "p_partkey", "left")
     return joined.select(
         "p_partkey",
-        scrub_inf_nan("close").alias("close"),
-        scrub_inf_nan("bs_iv").alias("bs_iv"),
-        scrub_inf_nan("delta").alias("delta"),
-        scrub_inf_nan("gamma").alias("gamma"),
-        scrub_inf_nan("vega").alias("vega"),
-        scrub_inf_nan("dollar_delta").alias("dollar_delta"),
+        *[_q6(scrub_inf_nan(c)).alias(c)
+          for c in ("close", "bs_iv", "delta", "gamma", "vega", "dollar_delta")],
         F.coalesce("open_interest", F.lit(0)).alias("open_interest"),
     )
