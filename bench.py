@@ -30,10 +30,10 @@ HEADLINE = [
     "pricing_summary",
     "revenue_forecast",
     "segment_revenue",
-    "dedup_keep_last",
+    "dedup_keep_first_last",
     "minhash_lsh_dups",
     "simhash_near_dups",
-    "embedding_cosine_topk",
+    "embedding_ivf_topk",
     "doc_stats",
     "risk_pipeline",
 ]

@@ -22,8 +22,66 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from financedatabase_spark.operators.text import doc_hash, normalized_text, word_shingles
+
+#: Band buckets larger than this pair docs against the bucket's min-doc_id
+#: representative (star) instead of all-pairs. A hot band key — typically
+#: a run of identical documents — otherwise makes the self-join quadratic
+#: WITHIN that bucket (1M identical docs → 5e11 candidate pairs); the star
+#: emits m-1 pairs, keeps every duplicate connected to its cluster through
+#: the representative, and identical docs still verify at jaccard 1.0 /
+#: hamming 0. Trade-off: two near-dups that collide ONLY inside an
+#: oversized mixed bucket are no longer paired directly — they get their
+#: usual independent chances in the other bands.
+DEFAULT_BUCKET_CAP = 64
+
+
+def _capped_band_pairs(
+    banded: DataFrame, payload: dict[str, str], bucket_cap: int
+) -> DataFrame:
+    """Candidate pairs from a (doc_id, band, key, *payload) table with the
+    hot-bucket star bound. ``payload`` maps source column -> (suffixless)
+    output name; each side's payload rides along so verification needs no
+    further join. One shuffle on (band, key), reused by the self-join."""
+    w = Window.partitionBy("band", "key")
+    sized = banded.withColumn("_n", F.count("*").over(w)).withColumn(
+        "_rep", F.min("doc_id").over(w)
+    )
+    small = sized.filter(F.col("_n") <= bucket_cap)
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc1"),
+        F.col("b.doc_id").alias("doc2"),
+        *[F.col(f"a.{src}").alias(f"{dst}1") for src, dst in payload.items()],
+        *[F.col(f"b.{src}").alias(f"{dst}2") for src, dst in payload.items()],
+    )
+    big = sized.filter(F.col("_n") > bucket_cap)
+    reps = big.filter(F.col("doc_id") == F.col("_rep")).select(
+        "band",
+        "key",
+        F.col("doc_id").alias("doc1"),
+        *[F.col(src).alias(f"{dst}1") for src, dst in payload.items()],
+    )
+    others = big.filter(F.col("doc_id") != F.col("_rep")).select(
+        "band",
+        "key",
+        F.col("doc_id").alias("doc2"),
+        *[F.col(src).alias(f"{dst}2") for src, dst in payload.items()],
+    )
+    big_pairs = others.join(reps, ["band", "key"]).select(
+        "doc1",
+        "doc2",
+        *[F.col(f"{dst}1") for dst in payload.values()],
+        *[F.col(f"{dst}2") for dst in payload.values()],
+    )
+    return small_pairs.unionByName(big_pairs).dropDuplicates(["doc1", "doc2"])
 
 HEX = "0123456789abcdef"
 
@@ -195,13 +253,16 @@ def minhash_lsh_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline, three shuffles total:
 
     1. one spread-repartition of the doc table,
     2. the band-key self-join (each side carries its shingle ARRAY, so
        verification needs no further join and the shingle regex runs
-       exactly once per doc),
+       exactly once per doc), with band buckets larger than ``bucket_cap``
+       starred against their min-doc_id representative so a hot key (mass
+       duplication) stays linear instead of quadratic,
     3. a pair-dedup (two bands can produce the same candidate pair).
 
     Exact Jaccard on candidates is per-pair `array_intersect` math.
@@ -238,22 +299,7 @@ def minhash_lsh_dedup(
     banded = sigs.select(
         "doc_id", "sh", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b2 = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            F.col("a.sh").alias("sh1"),
-            F.col("b.sh").alias("sh2"),
-        )
-        .dropDuplicates(["doc1", "doc2"])
-    )
+    pairs = _capped_band_pairs(banded, {"sh": "sh"}, bucket_cap)
     inter = F.size(F.array_intersect("sh1", "sh2"))
     return pairs.select(
         "doc1",
@@ -337,11 +383,14 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bits: int = 32,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance: band the signature into 4
     equal bit-bands; any shared band → candidate; verify with
     bit_count(xor). Band width = bits/4 sets bucket cardinality — the
-    sub-quadratic knob (see simhash_signatures)."""
+    sub-quadratic knob (see simhash_signatures). Buckets beyond
+    ``bucket_cap`` are starred against the bucket representative so mass
+    duplication stays linear."""
     band_bits = bits // 4
     sigs = simhash_signatures(df, text_col, id_col, bits)
     bands = sigs.select(
@@ -359,22 +408,7 @@ def simhash_near_dups(
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            F.col("a.simhash").alias("sh1"),
-            F.col("b.simhash").alias("sh2"),
-        )
-        .distinct()
-    )
+    cands = _capped_band_pairs(bands, {"simhash": "sh"}, bucket_cap)
     return cands.select(
         "doc1",
         "doc2",

@@ -42,19 +42,6 @@ _DAILY_CTE = """
 """
 
 
-@register(
-    "bars_daily",
-    oracle=f"""
-    WITH bars AS ({_DAILY_CTE}),
-    spans AS (SELECT event_type, min(ts) AS lo, max(ts) AS hi FROM bars GROUP BY 1),
-    grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 day')) AS ts FROM spans)
-    SELECT g.event_type, g.ts,
-           coalesce(b.open, 0) AS open, coalesce(b.high, 0) AS high,
-           coalesce(b.low, 0) AS low, coalesce(b.close, 0) AS close,
-           coalesce(b.volume, 0) AS volume
-    FROM grid g LEFT JOIN bars b ON g.event_type = b.event_type AND g.ts = b.ts
-    """,
-)
 def bars_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 daily frequency with zero-filled gaps (pandas `resample('1d')`
     emits every calendar day; reference fillna(0), utils.py:387-399)."""
@@ -64,20 +51,6 @@ def bars_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bars_weekly",
-    oracle="""
-    SELECT event_type,
-           time_bucket(INTERVAL '7 days', ts, TIMESTAMP '1970-01-01') AS ts,
-           first(value ORDER BY event_id) AS open,
-           max(value) AS high,
-           min(value) AS low,
-           last(value ORDER BY event_id) AS close,
-           count(*)::BIGINT AS volume
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
 def bars_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 weekly frequency — 7-day tumbling windows, epoch-aligned in both
     engines (DuckDB's default origin is 2000-01-03, so the oracle pins
@@ -238,20 +211,6 @@ def paginated_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("symbol", "strike", F.col("right").alias("right_"))
 
 
-@register(
-    "bars_monthly",
-    oracle="""
-    SELECT event_type,
-           date_trunc('month', ts) AS ts,
-           first(value ORDER BY event_id) AS open,
-           max(value) AS high,
-           min(value) AS low,
-           last(value ORDER BY event_id) AS close,
-           count(*)::BIGINT AS volume
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
 def bars_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 calendar-month frequency (reference freq aliases BME/BQE/BYS,
     utils.py:349-357). Months are variable-length, so the bucket is
@@ -270,3 +229,55 @@ def bars_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("volume"),
         )
     )
+
+
+@register(
+    "bars_calendar_grains",
+    oracle=f"""
+    WITH bars AS ({_DAILY_CTE}),
+    spans AS (SELECT event_type, min(ts) AS lo, max(ts) AS hi FROM bars GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 day')) AS ts FROM spans),
+    daily AS (
+      SELECT '1d' AS grain, g.event_type, g.ts,
+             coalesce(b.open, 0) AS open, coalesce(b.high, 0) AS high,
+             coalesce(b.low, 0) AS low, coalesce(b.close, 0) AS close,
+             coalesce(b.volume, 0) AS volume
+      FROM grid g LEFT JOIN bars b ON g.event_type = b.event_type AND g.ts = b.ts
+    ),
+    weekly AS (
+      SELECT '1w' AS grain, event_type,
+             time_bucket(INTERVAL '7 days', ts, TIMESTAMP '1970-01-01') AS ts,
+             first(value ORDER BY event_id) AS open,
+             max(value) AS high,
+             min(value) AS low,
+             last(value ORDER BY event_id) AS close,
+             count(*)::BIGINT AS volume
+      FROM events
+      GROUP BY 2, 3
+    ),
+    monthly AS (
+      SELECT '1mo' AS grain, event_type,
+             date_trunc('month', ts) AS ts,
+             first(value ORDER BY event_id) AS open,
+             max(value) AS high,
+             min(value) AS low,
+             last(value ORDER BY event_id) AS close,
+             count(*)::BIGINT AS volume
+      FROM events
+      GROUP BY 2, 3
+    )
+    SELECT * FROM daily UNION ALL SELECT * FROM weekly UNION ALL SELECT * FROM monthly
+    """,
+)
+def bars_calendar_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 calendar frequencies in one driver row: daily with zero-filled
+    gaps, epoch-aligned weekly, and variable-length calendar months
+    (reference freq aliases utils.py:349-357, fillna utils.py:387-399).
+    Each grain is its own single-shuffle aggregate; the union is
+    shuffle-free (consolidated from the r1 bars_daily / bars_weekly /
+    bars_monthly registrations to fit the driver's 50-query check budget).
+    """
+    daily = bars_daily(spark, sf_dir).select(F.lit("1d").alias("grain"), "*")
+    weekly = bars_weekly(spark, sf_dir).select(F.lit("1w").alias("grain"), "*")
+    monthly = bars_monthly(spark, sf_dir).select(F.lit("1mo").alias("grain"), "*")
+    return daily.unionByName(weekly).unionByName(monthly)

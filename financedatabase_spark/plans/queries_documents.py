@@ -203,10 +203,17 @@ _BAND_SELECTS = "\n      UNION ALL ".join(
     bands AS (
       {_BAND_SELECTS}
     ),
+    bstats AS (SELECT band, key, count(*) AS n, min(doc_id) AS rep FROM bands GROUP BY 1, 2),
     cands AS (
-      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      JOIN bstats s ON s.band = a.band AND s.key = a.key
+      WHERE s.n <= 64
+      UNION
+      SELECT s.rep AS doc1, a.doc_id AS doc2
+      FROM bands a JOIN bstats s ON s.band = a.band AND s.key = a.key
+      WHERE s.n > 64 AND a.doc_id > s.rep
     ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
@@ -264,11 +271,20 @@ _SIMHASH_BANDS = "\n      UNION ALL ".join(
     bands AS (
       {_SIMHASH_BANDS}
     ),
+    bstats AS (SELECT band, key, count(*) AS n, min(doc_id) AS rep FROM bands GROUP BY 1, 2),
     cands AS (
-      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
              a.simhash AS sh1, b.simhash AS sh2
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      JOIN bstats s ON s.band = a.band AND s.key = a.key
+      WHERE s.n <= 64
+      UNION
+      SELECT s.rep AS doc1, a.doc_id AS doc2, r.simhash AS sh1, a.simhash AS sh2
+      FROM bands a
+      JOIN bstats s ON s.band = a.band AND s.key = a.key
+      JOIN bands r ON r.band = s.band AND r.key = s.key AND r.doc_id = s.rep
+      WHERE s.n > 64 AND a.doc_id > s.rep
     )
     SELECT doc1, doc2, bit_count(xor(sh1, sh2))::BIGINT AS hamming
     FROM cands

@@ -96,15 +96,6 @@ def count_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "table_row_counts",
-    oracle="""
-    SELECT 'orders' AS table_name, count(*)::BIGINT AS n FROM orders
-    UNION ALL SELECT 'lineitem', count(*)::BIGINT FROM lineitem
-    UNION ALL SELECT 'customer', count(*)::BIGINT FROM customer
-    UNION ALL SELECT 'events', count(*)::BIGINT FROM events
-    """,
-)
 def table_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — per-table row counts diagnostic
     (reference: db_management.py:983-1001)."""
@@ -121,15 +112,6 @@ def table_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
-    "na_dup_diagnostics",
-    oracle="""
-    SELECT sum(CASE WHEN value IS NULL OR props IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_na_rows,
-           (count(*) - count(DISTINCT (user_id, event_type)))::BIGINT AS n_key_dups,
-           count(*)::BIGINT AS n_rows
-    FROM events
-    """,
-)
 def na_dup_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 — NA/duplicate-count observability before save
     (reference: SQLHelpers.py:899-907)."""
@@ -187,3 +169,37 @@ def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.last("purchase_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "table_diagnostics",
+    oracle="""
+    SELECT 'rows_orders' AS metric, count(*)::BIGINT AS value FROM orders
+    UNION ALL SELECT 'rows_lineitem', count(*)::BIGINT FROM lineitem
+    UNION ALL SELECT 'rows_customer', count(*)::BIGINT FROM customer
+    UNION ALL SELECT 'rows_events', count(*)::BIGINT FROM events
+    UNION ALL SELECT 'na_rows_events',
+      sum(CASE WHEN value IS NULL OR props IS NULL THEN 1 ELSE 0 END)::BIGINT FROM events
+    UNION ALL SELECT 'key_dups_events',
+      (count(*) - count(DISTINCT (user_id, event_type)))::BIGINT FROM events
+    """,
+)
+def table_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A7 in one driver row — observability diagnostics as a tall
+    (metric, value) frame: per-table row counts (reference:
+    db_management.py:983-1001) plus NA-row and duplicate-key counts before
+    save (reference: SQLHelpers.py:899-907). Counts are map-side partial
+    aggregates; the union is shuffle-free. (Consolidated from the r1
+    table_row_counts / na_dup_diagnostics registrations to fit the
+    driver's 50-query check budget.)"""
+    counts = table_row_counts(spark, sf_dir).select(
+        F.concat(F.lit("rows_"), F.col("table_name")).alias("metric"),
+        F.col("n").alias("value"),
+    )
+    nadup = na_dup_diagnostics(spark, sf_dir)
+    tall = nadup.select(
+        F.lit("na_rows_events").alias("metric"), F.col("n_na_rows").cast("long").alias("value")
+    ).unionByName(
+        nadup.select(F.lit("key_dups_events").alias("metric"), F.col("n_key_dups").cast("long").alias("value"))
+    )
+    return counts.unionByName(tall)

@@ -168,30 +168,16 @@ def ticker_change_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_keep_last",
+    "dedup_keep_first_last",
     oracle="""
-    SELECT user_id, event_type, ts, value FROM (
+    SELECT 'last' AS keep, user_id, event_type, ts, value FROM (
       SELECT user_id, event_type, ts, value,
              row_number() OVER (PARTITION BY user_id, event_type
                                 ORDER BY ts DESC, event_id DESC) AS rn
       FROM events
     ) WHERE rn = 1
-    """,
-)
-def dedup_keep_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8/R1 — latest state per (user, event_type): the realtime snapshot
-    view as a batch keep-last (reference: v2.py:1658-1663, snapshot
-    endpoints v2.py:456-524)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "value", "event_id"
-    )
-    return dedup_keep_last(ev, ["user_id", "event_type"], ["ts", "event_id"]).drop("event_id")
-
-
-@register(
-    "dedup_keep_first",
-    oracle="""
-    SELECT user_id, event_type, ts, value FROM (
+    UNION ALL
+    SELECT 'first' AS keep, user_id, event_type, ts, value FROM (
       SELECT user_id, event_type, ts, value,
              row_number() OVER (PARTITION BY user_id, event_type
                                 ORDER BY ts ASC, event_id ASC) AS rn
@@ -199,12 +185,24 @@ def dedup_keep_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
 )
-def dedup_keep_first_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P9 — keep-first dedup (reference: Organizers.py:126)."""
+def dedup_keep_first_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8+P9/R1 in one driver row — latest AND earliest state per
+    (user, event_type): the realtime snapshot view as a batch keep-last
+    (reference: v2.py:1658-1663, snapshot endpoints v2.py:456-524) unioned
+    with the keep-first variant (Organizers.py:126). Each side is one
+    partitioned window; the union is shuffle-free. (Consolidated from the
+    r1 dedup_keep_last / dedup_keep_first registrations to fit the
+    driver's 50-query check budget.)"""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "value", "event_id"
     )
-    return dedup_keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"]).drop("event_id")
+    last = dedup_keep_last(ev, ["user_id", "event_type"], ["ts", "event_id"]).drop(
+        "event_id"
+    ).select(F.lit("last").alias("keep"), "*")
+    first = dedup_keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"]).drop(
+        "event_id"
+    ).select(F.lit("first").alias("keep"), "*")
+    return last.unionByName(first)
 
 
 @register(

@@ -80,32 +80,6 @@ def strike_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("wire", C.strike_to_wire("strike"))
 
 
-@register(
-    "option_tick_roundtrip",
-    oracle="""
-    WITH base AS (
-      SELECT p_partkey,
-             regexp_replace(upper(p_brand), '[^A-Z]', '', 'g') AS symbol,
-             DATE '2024-01-01' + p_size AS expiration,
-             CASE WHEN p_size % 2 = 0 THEN 'call' ELSE 'put' END AS right_in,
-             p_retailprice AS strike
-      FROM part
-    ), built AS (
-      SELECT p_partkey, symbol, expiration, strike,
-             upper(substr(right_in, 1, 1)) AS rgt,
-             symbol || strftime(expiration, '%Y%m%d')
-                    || upper(substr(right_in, 1, 1))
-                    || regexp_replace(printf('%.3f', strike), '\\.?0+$', '') AS tick
-      FROM base
-    )
-    SELECT p_partkey, tick,
-           symbol AS parsed_symbol,
-           expiration AS parsed_expiration,
-           rgt AS parsed_right,
-           CAST(regexp_replace(printf('%.3f', strike), '\\.?0+$', '') AS DOUBLE) AS parsed_strike
-    FROM built
-    """,
-)
 def option_tick_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4/F11 — compact option-tick codec round-trip
     (reference: utils.py:512-545; right normalization v3/utils.py:334-336).
@@ -133,27 +107,6 @@ def option_tick_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "occ_symbol_roundtrip",
-    oracle="""
-    WITH base AS (
-      SELECT p_partkey,
-             regexp_replace(upper(p_brand), '[^A-Z]', '', 'g') AS symbol,
-             DATE '2024-01-01' + p_size AS expiration,
-             CASE WHEN p_size % 2 = 0 THEN 'C' ELSE 'P' END AS rgt,
-             round(p_retailprice, 2) AS strike
-      FROM part
-    )
-    SELECT p_partkey,
-           rpad(symbol, 6, ' ') || strftime(expiration, '%y%m%d') || rgt
-             || lpad(CAST(CAST(round(strike * 1000, 0) AS BIGINT) AS VARCHAR), 8, '0') AS occ,
-           symbol AS parsed_symbol,
-           expiration AS parsed_expiration,
-           rgt AS parsed_right,
-           CAST(round(strike * 1000, 0) AS BIGINT) / 1000.0 AS parsed_strike
-    FROM base
-    """,
-)
 def occ_symbol_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11 OCC 21-char variant round-trip (reference: Alpaca.py:246-310)."""
     base = load_table(spark, sf_dir, "part").select(
@@ -364,3 +317,62 @@ def normalize_market_frame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(7).alias("Condition"),       # noise → dropped
     )
     return normalize_market_frame(raw, ts_col="TIMESTAMP", is_bulk=True)
+
+
+@register(
+    "option_symbol_codecs",
+    oracle="""
+    WITH base AS (
+      SELECT p_partkey,
+             regexp_replace(upper(p_brand), '[^A-Z]', '', 'g') AS symbol,
+             DATE '2024-01-01' + p_size AS expiration,
+             p_size % 2 = 0 AS is_call,
+             p_retailprice AS strike
+      FROM part
+    ),
+    tick AS (
+      SELECT 'tick' AS codec, p_partkey,
+             symbol || strftime(expiration, '%Y%m%d')
+                    || CASE WHEN is_call THEN 'C' ELSE 'P' END
+                    || regexp_replace(printf('%.3f', strike), '\\.?0+$', '') AS encoded,
+             symbol AS parsed_symbol,
+             expiration AS parsed_expiration,
+             CASE WHEN is_call THEN 'C' ELSE 'P' END AS parsed_right,
+             CAST(regexp_replace(printf('%.3f', strike), '\\.?0+$', '') AS DOUBLE) AS parsed_strike
+      FROM base
+    ),
+    occ AS (
+      SELECT 'occ' AS codec, p_partkey,
+             rpad(symbol, 6, ' ') || strftime(expiration, '%y%m%d')
+               || CASE WHEN is_call THEN 'C' ELSE 'P' END
+               || lpad(CAST(CAST(round(round(strike, 2) * 1000, 0) AS BIGINT) AS VARCHAR), 8, '0') AS encoded,
+             symbol AS parsed_symbol,
+             expiration AS parsed_expiration,
+             CASE WHEN is_call THEN 'C' ELSE 'P' END AS parsed_right,
+             CAST(round(round(strike, 2) * 1000, 0) AS BIGINT) / 1000.0 AS parsed_strike
+      FROM base
+    )
+    SELECT * FROM tick UNION ALL SELECT * FROM occ
+    """,
+)
+def option_symbol_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F11 in one driver row — both option-symbol codecs round-tripped:
+    the compact `AAPL20241220C180` tick form (reference: utils.py:512-545,
+    right normalization v3/utils.py:334-336) and the padded 21-char OCC
+    form (reference: Alpaca.py:246-310). Encode and parse are pure column
+    expressions fused into the scan; the union is shuffle-free.
+    (Consolidated from the r1 option_tick_roundtrip / occ_symbol_roundtrip
+    registrations to fit the driver's 50-query check budget.)"""
+    tick = option_tick_roundtrip(spark, sf_dir).select(
+        F.lit("tick").alias("codec"),
+        "p_partkey",
+        F.col("tick").alias("encoded"),
+        "parsed_symbol", "parsed_expiration", "parsed_right", "parsed_strike",
+    )
+    occ = occ_symbol_roundtrip(spark, sf_dir).select(
+        F.lit("occ").alias("codec"),
+        "p_partkey",
+        F.col("occ").alias("encoded"),
+        "parsed_symbol", "parsed_expiration", "parsed_right", "parsed_strike",
+    )
+    return tick.unionByName(occ)

@@ -58,8 +58,12 @@ def test_minhash_no_cross_join(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
-@pytest.mark.parametrize("name", ["asof_enrichment", "dedup_keep_last"])
-def test_single_digit_exchanges(spark, sf_dir, name):
+@pytest.mark.parametrize(
+    "name,budget", [("asof_enrichment", 3), ("dedup_keep_first_last", 4)]
+)
+def test_single_digit_exchanges(spark, sf_dir, name, budget):
     # one logical step ≈ one shuffle: these plans must stay exchange-light
+    # (the merged first+last dedup legitimately carries one window shuffle
+    # per union branch, each mentioned twice in formatted explain)
     p = plan_of(spark, sf_dir, name)
-    assert sum("Exchange" in l and "(" in l for l in p.splitlines()) <= 3
+    assert sum("Exchange" in l and "(" in l for l in p.splitlines()) <= budget

@@ -46,3 +46,33 @@ def test_minhash_lsh_finds_all_exact_dups(spark, sf_dir):
     # every multi-copy content hash contributes at least one jaccard=1 pair
     if n_dup_groups:
         assert found.count() >= n_dup_groups
+
+
+def test_hot_bucket_star_bounds_pair_count(spark):
+    """Adversarial mass-duplication corpus: 1000 identical docs collide on
+    every band key. All-pairs would emit 1000*999/2 = 499500 candidates;
+    the bucket cap must star them against the representative instead —
+    exactly n-1 pairs, every one verified at jaccard 1.0 / hamming 0, and
+    every duplicate doc still reachable from the kept representative."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.dedup_docs import (
+        minhash_lsh_dedup,
+        simhash_near_dups,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog again").alias("text"),
+    )
+
+    mh = minhash_lsh_dedup(docs, threshold=0.999).collect()
+    assert len(mh) == 999  # star, not clique
+    assert all(r.jaccard == 1.0 for r in mh)
+    assert all(r.doc1 == 0 for r in mh)  # clustered on the representative
+    assert {r.doc2 for r in mh} == set(range(1, 1000))
+
+    sh = simhash_near_dups(docs, max_hamming=3).collect()
+    assert len(sh) == 999
+    assert all(r.hamming == 0 for r in sh)
+    assert {r.doc2 for r in sh} == set(range(1, 1000))
