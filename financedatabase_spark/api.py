@@ -254,16 +254,52 @@ from financedatabase_spark.operators.calendar import (  # noqa: E402
     enforce_business_hours as enforce_bus_hours,
 )
 from financedatabase_spark.operators.resample import (  # noqa: E402
-    parse_interval as identify_length,
+    parse_interval,
     resample,
 )
+
+
+def extract_numeric_value(timeframe_str: str) -> tuple[str, int]:
+    """Split ``'5m'`` into ``('m', 5)`` — unit first, count second, matching
+    the reference's return order (ThetaData/utils.py:457-461). The engine's
+    `parse_interval` (F10) does the parsing; this is the exact-surface
+    wrapper."""
+    n, unit = parse_interval(timeframe_str)
+    return unit, n
+
+
+def identify_length(string: str, integer: int, rt: bool = False) -> int:
+    """Timeframe length in minutes (``rt=True``) or trading periods
+    (``rt=False``) — reference: ThetaData/utils.py:231-263."""
+    values = (
+        {"m": 1, "h": 60, "d": 60 * 24, "w": 60 * 24 * 7}
+        if rt
+        else {"d": 1, "w": 5, "m": 30, "y": 252, "q": 91}
+    )
+    if string not in values:
+        raise ValueError(f"Available timeframes are {list(values)}, received {string!r}")
+    return values[string] * integer
+
+
+def is_retrieval_successful(response) -> bool:
+    """True when a retrieval returned data rather than an error message
+    (reference: is_theta_data_retrieval_successful,
+    ThetaData/utils.py:227-228 — error paths return strings)."""
+    return not isinstance(response, str)
+
+
+#: Reference-spelled alias (ThetaData/__init__.py:61).
+is_theta_data_retrieval_successful = is_retrieval_successful
 
 __all__ = [
     "OptionsMarket",
     "resample",
     "bootstrap_ohlc",
     "convert_time_to_miliseconds",
+    "extract_numeric_value",
     "identify_length",
+    "is_retrieval_successful",
+    "is_theta_data_retrieval_successful",
     "enforce_bus_hours",
     "add_eod_timestamp",
 ]

@@ -88,11 +88,20 @@ HEX = "0123456789abcdef"
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition ahead of row-expanding work (shingle/token explode
-    multiplies rows ~50×). A small single-file source arrives as ONE
-    partition, serializing the whole pipeline; spreading costs one small
-    shuffle and buys full parallelism. On a real partitioned table this is
-    a no-op in spirit — the scan already yields many splits."""
+    multiplies rows ~50×) — but ONLY when the source can't parallelize on
+    its own. A small single-file source arrives as one or two splits,
+    serializing the whole pipeline; spreading costs one small shuffle and
+    buys full parallelism. A real partitioned table already yields many
+    splits, and an unconditional repartition there would be a full shuffle
+    of the corpus at 100 TB — so scan-backed frames with enough input
+    files skip the shuffle entirely (file count is metadata-only; a 100 TB
+    table has thousands of files, comfortably past any core count)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass  # non-scan-backed frames: fall through to the explicit spread
     return df.repartition(target)
 
 

@@ -422,14 +422,35 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features")
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, n,
+             ((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16
+              + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1)) AS byte
+      FROM b, UNNEST(generate_series(1, n)) AS t(i)
+    ),
+    hist AS (SELECT doc_id, byte * 8 // 256 AS pos, count(*) AS c FROM bytes GROUP BY 1, 2),
+    grid AS (SELECT doc_id, n, unnest(generate_series(0, 7)) AS pos FROM b)
+    SELECT g.doc_id, g.n::BIGINT AS n_bytes, g.pos::INT AS pos,
+           coalesce(h.c, 0) / greatest(g.n, 1) AS x
+    FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.pos = g.pos
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract stage over mapInPandas with the
     deterministic stand-in codec (real codecs are stubbed — none exist in
     this container). Exercises the Arrow batch contract end-to-end.
 
     The feature vector is exploded to scalar (doc_id, pos, x) rows so the
-    result schema carries no array columns (hash-canonicalizable)."""
+    result schema carries no array columns (hash-canonicalizable). The
+    stand-in codec is a normalized byte histogram, so the oracle can
+    recompute it byte-for-byte from the hex encoding — int/int division
+    on identical operands is bit-equal across engines."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
@@ -438,7 +459,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bytes",
         F.posexplode("feature").alias("pos", "x"),
-    ).withColumn("x", F.round("x", 9))
+    )
 
 
 @register(

@@ -100,3 +100,58 @@ def history_union_today(history: DataFrame, today_stream: DataFrame) -> DataFram
     plan: bounded history unioned with the live stream; Spark runs the
     batch leg once and incrementalizes the streaming leg."""
     return history.unionByName(today_stream)
+
+
+def forward_fill_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    filled_col: str = "filled_value",
+) -> DataFrame:
+    """W1's streaming twin — per-key forward fill across micro-batches via
+    ``applyInPandasWithState``: the state is the last non-null value each
+    key has ever emitted, so a null arriving in batch N is filled from a
+    value seen in batch N-k. No windowed aggregate can express this
+    (state must survive arbitrarily many batches); it is the canonical
+    custom-stateful-operator shape (reference batch analog: `.ffill()`,
+    utils.py:322, :387-399).
+
+    Rows are filled in (ts asc) order WITHIN each batch and batches are
+    assumed in arrival order — the same contract as the reference's
+    polling loop, which appends in time order. State is one scalar per
+    key: constant memory per key regardless of stream length, and the
+    operator shuffles once on the grouping key per micro-batch.
+    (`value_col` is assumed double-typed, matching the events table.)
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f.dataType for f in stream.schema.fields}
+    out_schema = T.StructType(
+        [T.StructField(c, in_fields[c]) for c in (*key_cols, ts_col)]
+        + [T.StructField(filled_col, in_fields[value_col])]
+    )
+    state_schema = T.StructType([T.StructField("last", in_fields[value_col])])
+
+    def fill(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col]).reset_index(drop=True)
+            filled = []
+            for v in pdf[value_col]:
+                if v is not None and not pd.isna(v):
+                    last = v
+                filled.append(last)
+            res = pdf[[*key_cols, ts_col]].copy()
+            res[filled_col] = pd.Series(filled, dtype="float64")
+            out.append(res)
+        state.update((last,))
+        yield from out
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fill, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

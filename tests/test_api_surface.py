@@ -104,3 +104,23 @@ def test_quote_to_eod_patch_fills_missing_days(spark, market):
     assert patched.count() == 4
     # but its schema carries the nullable volume the fallback rows use
     assert dict(patched.dtypes)["volume"] == "bigint"
+
+
+def test_timeframe_utilities():
+    from financedatabase_spark.api import (
+        extract_numeric_value,
+        identify_length,
+        is_retrieval_successful,
+        is_theta_data_retrieval_successful,
+    )
+
+    assert extract_numeric_value("5m") == ("m", 5)
+    assert extract_numeric_value("12h") == ("h", 12)
+    assert identify_length("w", 2) == 10          # 2 weeks = 10 trading days
+    assert identify_length("h", 3, rt=True) == 180
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        identify_length("x", 1)
+    assert is_retrieval_successful(object()) is True
+    assert is_retrieval_successful("404: no data") is False
+    assert is_theta_data_retrieval_successful is is_retrieval_successful

@@ -76,3 +76,31 @@ def test_hot_bucket_star_bounds_pair_count(spark):
     assert len(sh) == 999
     assert all(r.hamming == 0 for r in sh)
     assert {r.doc2 for r in sh} == set(range(1, 1000))
+
+
+def test_minhash_recall_vs_exact_baseline(spark, sf_dir):
+    """Banding math sanity: against the exact shingle-join Jaccard baseline
+    at threshold 0.8, the 16-hash/4-band LSH must recover most true pairs
+    (theory: catch prob 1-(1-s^4)^4 ≈ 0.88 at s=0.8; data and hash family
+    are fixed, so the observed recall is deterministic) and must never
+    emit a pair the exact baseline scores below threshold (verification
+    is exact Jaccard, so precision is 1.0 by construction)."""
+    from financedatabase_spark.operators.dedup_docs import (
+        jaccard_pairs,
+        minhash_lsh_dedup,
+        shingle_table,
+    )
+    from financedatabase_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc1, r.doc2)
+        for r in jaccard_pairs(shingle_table(docs), threshold=0.8).collect()
+    }
+    found = {
+        (r.doc1, r.doc2)
+        for r in minhash_lsh_dedup(docs, threshold=0.8).collect()
+    }
+    assert found <= exact  # exact-verify stage => no false positives
+    if exact:
+        assert len(found & exact) / len(exact) >= 0.7

@@ -96,3 +96,58 @@ def test_dedup_stream_drops_replayed_rows(spark, sf_dir, tmp_path):
     sdf = dedup_stream(stream, ["event_id"], "ts")
     got = _run_stream(spark, sdf, "dedup_stream_t", "append")
     assert got.count() == batch.count()
+
+
+def test_forward_fill_stream_state_survives_batches(spark, tmp_path):
+    """applyInPandasWithState forward fill: a null arriving in micro-batch 2
+    must be filled from the value its key last emitted in micro-batch 1 —
+    state outlives the batch, which no windowed aggregate can express."""
+    import os
+    import time
+
+    from financedatabase_spark.streaming.snapshots import forward_fill_stream
+
+    schema = "user_id long, ts string, value double"
+    b1 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 1.0),
+            (1, "2024-01-01 09:01:00", None),
+            (2, "2024-01-01 09:00:30", None),
+            (2, "2024-01-01 09:02:00", 2.0),
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", None),
+            (1, "2024-01-01 10:05:00", 4.0),
+            (2, "2024-01-01 10:01:00", None),
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src = str(tmp_path / "ffill_src")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)  # distinct mtimes so the file source orders batch1 first
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sdf = forward_fill_stream(stream, key_cols=["user_id"], ts_col="ts")
+    got = (
+        _run_stream(spark, sdf, "ffill_stream", "append")
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    filled = {(r.user_id, str(r.ts)): r.filled_value for r in got.itertuples()}
+    assert filled[(1, "2024-01-01 09:01:00")] == 1.0  # intra-batch fill
+    assert filled[(1, "2024-01-01 10:00:00")] == 1.0  # CROSS-batch fill
+    assert filled[(1, "2024-01-01 10:05:00")] == 4.0
+    import math
+    assert math.isnan(filled[(2, "2024-01-01 09:00:30")])  # nothing to fill from
+    assert filled[(2, "2024-01-01 10:01:00")] == 2.0  # cross-batch fill
+    assert len(got) == 7
