@@ -423,3 +423,57 @@ def simhash_near_dups(
         "doc2",
         F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("long").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "doc1",
+    right_col: str = "doc2",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs into duplicate groups: (doc_id, cluster_rep)
+    where cluster_rep is the minimum doc_id of the connected component —
+    the doc a dedup keep-list retains.
+
+    Iterative min-label propagation (the standard distributed CC loop,
+    cf. GraphX/Pregel): each round every node adopts the smallest label
+    among itself and its neighbors; converged when the label sum stops
+    changing (labels only decrease, so the sum is a monotone witness —
+    one scalar agg per round, no data ever collected to the driver).
+    `localCheckpoint` truncates the growing lineage each round. Rounds
+    needed = graph diameter; the star-capped LSH pairs keep duplicate
+    clusters star-shaped, so this converges in 2-3 rounds.
+    """
+    e = pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("src", "node")
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("label")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))

@@ -224,3 +224,54 @@ def _fill_bucket_gaps(
         if c in agg_spec and t in ("double", "float", "bigint", "int", "smallint", "tinyint", "long")
     ]
     return joined.na.fill(fill_value, subset=numeric)
+
+
+def volume_bars(
+    df: DataFrame,
+    per_bar_volume: float,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    price_col: str = "price",
+    vol_col: str = "volume",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Volume bars — buckets close when cumulative volume crosses a
+    threshold, the classic activity-clock alternative to time bars
+    (López de Prado 2018 §2.3.1.2; extends the reference's fixed-interval
+    resample family, utils.py:349-399, to data-driven bar boundaries).
+
+    A tick joins bar k when its PRE-tick cumulative volume lies in
+    [k·V, (k+1)·V). That is one running-sum window per key plus one
+    aggregation — fully native, single shuffle on the key (the window and
+    the groupBy share the hash partitioning), no UDF: bar assignment
+    looks sequential but `sum() over (rows unbounded preceding)` is
+    exactly the distributed prefix-sum Spark already has.
+
+    ``order_col`` breaks timestamp ties deterministically (defaults to
+    ``ts_col`` alone). OHLC open/close use min_by/max_by on the order
+    column — single-column primitive orderings keep HashAggregate (struct
+    orderings would force SortAggregate).
+    """
+    order = order_col or ts_col
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(vol_col).over(w)
+    with_bar = df.withColumn(
+        "bar_idx", F.floor((cum - F.col(vol_col)) / F.lit(per_bar_volume)).cast("long")
+    )
+    return (
+        with_bar.groupBy(*key_cols, "bar_idx")
+        .agg(
+            F.min(ts_col).alias("bar_start"),
+            F.max(ts_col).alias("bar_end"),
+            F.min_by(price_col, F.col(order)).alias("open"),
+            F.max(price_col).alias("high"),
+            F.min(price_col).alias("low"),
+            F.max_by(price_col, F.col(order)).alias("close"),
+            F.sum(vol_col).cast("long").alias("volume"),
+            F.count("*").cast("long").alias("n_ticks"),
+        )
+    )

@@ -190,3 +190,48 @@ def flagship_eod_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("midpoint", (F.col("open") + F.col("close")) / 2)
     q = quarantine_dim(spark, [("flagship", "click", "2024-01-22")])
     return apply_corrections(bars, q, "flagship", symbol_col="symbol", date_col="ts")
+
+
+@register(
+    "volume_bars_activity",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, ts, event_id, value AS price,
+             (event_id % 7 + 1)::BIGINT AS volume
+      FROM events
+    ),
+    c AS (
+      SELECT *,
+             sum(volume) OVER (PARTITION BY event_type ORDER BY event_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT event_type,
+           CAST(floor((cum - volume) / 200.0) AS BIGINT) AS bar_idx,
+           min(ts) AS bar_start, max(ts) AS bar_end,
+           first(price ORDER BY event_id) AS open,
+           max(price) AS high, min(price) AS low,
+           last(price ORDER BY event_id) AS close,
+           sum(volume)::BIGINT AS volume,
+           count(*)::BIGINT AS n_ticks
+    FROM c GROUP BY 1, 2
+    """,
+)
+def volume_bars_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume bars over the events stream: activity-clock bars closing
+    every 200 units of (synthetic) volume — the data-driven boundary
+    variant of the A1/A2 resample family (operators/resample.volume_bars).
+    One window prefix-sum plus one aggregate, sharing a single hash
+    partitioning on the key."""
+    from financedatabase_spark.operators.resample import volume_bars
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("value").alias("price"),
+        (F.col("event_id") % 7 + 1).cast("long").alias("volume"),
+    )
+    return volume_bars(
+        ev, 200.0, ["event_type"], price_col="price", order_col="event_id"
+    )

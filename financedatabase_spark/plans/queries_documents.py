@@ -188,10 +188,10 @@ _BAND_SELECTS = "\n      UNION ALL ".join(
 )
 
 
-@register(
-    "minhash_lsh_dups",
-    oracle=f"""
-    WITH {_SHINGLES_CTE},
+#: Shared MinHash->LSH->verify pairs pipeline as a WITH-body: signatures,
+#: capped band candidates (star for buckets > 64), exact-Jaccard verify.
+#: Final CTE `mh_pairs` = (doc1, doc2, jaccard >= 0.2).
+_MINHASH_PAIRS_WITH = f"""{_SHINGLES_CTE},
     vals AS (
       SELECT doc_id, ({_V28})::BIGINT AS v FROM sh
     ),
@@ -220,13 +220,22 @@ _BAND_SELECTS = "\n      UNION ALL ".join(
       SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT c.doc1, c.doc2, i / (s1.sz + s2.sz - i) AS jaccard
-    FROM cands c
-    JOIN inter ON inter.doc1 = c.doc1 AND inter.doc2 = c.doc2
-    JOIN sizes s1 ON s1.doc_id = c.doc1
-    JOIN sizes s2 ON s2.doc_id = c.doc2
-    WHERE i / (s1.sz + s2.sz - i) >= 0.2
+    ),
+    mh_pairs AS (
+      SELECT c.doc1, c.doc2, i / (s1.sz + s2.sz - i) AS jaccard
+      FROM cands c
+      JOIN inter ON inter.doc1 = c.doc1 AND inter.doc2 = c.doc2
+      JOIN sizes s1 ON s1.doc_id = c.doc1
+      JOIN sizes s2 ON s2.doc_id = c.doc2
+      WHERE i / (s1.sz + s2.sz - i) >= 0.2
+    )"""
+
+
+@register(
+    "minhash_lsh_dups",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_WITH}
+    SELECT doc1, doc2, jaccard FROM mh_pairs
     """,
 )
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,3 +537,36 @@ def ivf_build_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "true_label", F.col("c_label").alias("assigned_label"), "sim")
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_WITH},
+    edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+      UNION
+      SELECT doc2, doc1 FROM mh_pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup story: MinHash-LSH verified pairs clustered
+    into duplicate groups via iterative min-label propagation
+    (operators/dedup_docs.connected_components) — (doc_id, cluster_rep)
+    where the rep (component-min id) is what a keep-list retains. The
+    oracle computes the same components with a recursive-CTE transitive
+    closure, tractable at verification scale; the Spark loop is the
+    distributed formulation (rounds = graph diameter, star-capped pairs
+    keep it 2-3)."""
+    pairs = dd.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.2
+    )
+    return dd.connected_components(pairs)

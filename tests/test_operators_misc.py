@@ -115,3 +115,48 @@ def test_cli_diff_roundtrip(spark, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "fdcli_misc_dev" in out
+
+
+def test_volume_bars_boundaries(spark):
+    """Ticks join bar k while pre-tick cumulative volume < (k+1)*V: a tick
+    STRADDLING the threshold belongs to the bar it opened in."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.resample import volume_bars
+
+    rows = [  # (ts, price, volume) single key; V=10
+        ("2024-01-01 09:00:00", 100.0, 4),   # cum_pre 0  -> bar 0
+        ("2024-01-01 09:01:00", 101.0, 4),   # cum_pre 4  -> bar 0
+        ("2024-01-01 09:02:00", 102.0, 4),   # cum_pre 8  -> bar 0 (straddles)
+        ("2024-01-01 09:03:00", 103.0, 4),   # cum_pre 12 -> bar 1
+        ("2024-01-01 09:04:00", 99.0, 9),    # cum_pre 16 -> bar 1
+        ("2024-01-01 09:05:00", 98.0, 1),    # cum_pre 25 -> bar 2
+    ]
+    df = spark.createDataFrame(
+        [("A", ts, p, v) for ts, p, v in rows],
+        "sym string, ts string, price double, volume long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.bar_idx: r
+        for r in volume_bars(df, 10.0, ["sym"], price_col="price").collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[0].open == 100.0 and out[0].close == 102.0 and out[0].volume == 12
+    assert out[1].open == 103.0 and out[1].close == 99.0 and out[1].volume == 13
+    assert out[2].open == 98.0 and out[2].n_ticks == 1
+    # single hash partitioning shared by window + aggregate: exactly one
+    # exchange in the plan
+    plan = volume_bars(df, 10.0, ["sym"], price_col="price")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_connected_components_chain(spark):
+    """A path graph needs multiple propagation rounds: every node must end
+    labeled with the component minimum, isolated pairs stay separate."""
+    from financedatabase_spark.operators.dedup_docs import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 9), (6, 5)], "doc1 long, doc2 long"
+    )
+    got = {r.doc_id: r.cluster_rep for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 1, 5: 5, 6: 5}
