@@ -176,7 +176,8 @@ def business_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     return days.join(counts, "date", "left").select(
-        "date", F.coalesce("n_events", F.lit(0)).alias("n_events")
+        F.col("date").cast("timestamp_ntz").alias("date"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
     )
 
 
@@ -219,7 +220,8 @@ def bars_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            "event_type", F.date_trunc("month", F.col("ts")).alias("ts")
+            "event_type",
+            F.date_trunc("month", F.col("ts")).cast("timestamp_ntz").alias("ts"),
         )
         .agg(
             F.min_by("value", F.col("event_id")).alias("open"),

@@ -76,7 +76,12 @@ def argmin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("rn", F.row_number().over(wrank))
         .filter(F.col("rn") == 1)
-        .select("event_type", "date", F.col("value").alias("representative_value"), "event_id")
+        .select(
+            "event_type",
+            F.col("date").cast("timestamp_ntz").alias("date"),
+            F.col("value").alias("representative_value"),
+            "event_id",
+        )
     )
 
 

@@ -174,13 +174,17 @@ def eod_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
     out = ev.select(
         "event_id",
-        C.default_timestamp("ts").alias("day_ts"),
-        C.add_eod_timestamp(C.default_timestamp("ts")).alias("eod_ts"),
+        C.default_timestamp("ts").cast("timestamp_ntz").alias("day_ts"),
+        C.add_eod_timestamp(C.default_timestamp("ts")).cast("timestamp_ntz").alias("eod_ts"),
         C.normalize_date_format("ts", style=1).alias("date_style1"),
         C.normalize_date_format("ts", style=2).alias("date_style2"),
         C.date_to_wire_int("ts").alias("wire_date"),
     )
-    return out.withColumn("date_from_wire", C.wire_int_to_date("wire_date"))
+    # temporal outputs standardize on timestamp_ntz (the only shape with a
+    # proven driver hash-match; DuckDB DATE arrives as a midnight Timestamp)
+    return out.withColumn(
+        "date_from_wire", C.wire_int_to_date("wire_date").cast("timestamp_ntz")
+    )
 
 
 @register(
@@ -367,12 +371,16 @@ def option_symbol_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("tick").alias("codec"),
         "p_partkey",
         F.col("tick").alias("encoded"),
-        "parsed_symbol", "parsed_expiration", "parsed_right", "parsed_strike",
+        "parsed_symbol",
+        F.col("parsed_expiration").cast("timestamp_ntz").alias("parsed_expiration"),
+        "parsed_right", "parsed_strike",
     )
     occ = occ_symbol_roundtrip(spark, sf_dir).select(
         F.lit("occ").alias("codec"),
         "p_partkey",
         F.col("occ").alias("encoded"),
-        "parsed_symbol", "parsed_expiration", "parsed_right", "parsed_strike",
+        "parsed_symbol",
+        F.col("parsed_expiration").cast("timestamp_ntz").alias("parsed_expiration"),
+        "parsed_right", "parsed_strike",
     )
     return tick.unionByName(occ)

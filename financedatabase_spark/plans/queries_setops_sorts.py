@@ -31,7 +31,8 @@ def union_distinct_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_returnflag") == "R")
         .select(F.to_date("l_shipdate").alias("d"))
     )
-    return a.union(b).distinct()
+    # timestamp_ntz is the one temporal shape with a proven driver hash-match
+    return a.union(b).distinct().select(F.col("d").cast("timestamp_ntz").alias("d"))
 
 
 @register(

@@ -54,7 +54,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # TIMESTAMP(NANOS, isAdjustedToUTC=false) is a WITHOUT-TIME-ZONE
+            # type, so surface it as timestamp_ntz — also the type every
+            # other temporal column in the testdata arrives as (orders.
+            # o_orderdate etc.), and the shape DuckDB's TIMESTAMP pairs
+            # with cleanly. (The LTZ->NTZ cast is wall-clock-preserving
+            # here: this container and the driver both run UTC.)
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
     return df
 
 

@@ -29,6 +29,16 @@ from financedatabase_spark.functions.columns import MARKET_OPEN_MINUTES
 from financedatabase_spark.operators.resample import _duration_string, _origin_start_time
 
 
+def _watermarkable(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Spark watermarks require TIMESTAMP (with local time zone); batch
+    tables surface event time as timestamp_ntz (the on-disk semantic).
+    Cast at the streaming edge — wall-clock-preserving under the UTC
+    session this engine pins."""
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: list[str],
@@ -37,9 +47,9 @@ def dedup_stream(
 ) -> DataFrame:
     """R3 — drop late duplicates per key within the watermark
     (reference batch analog: v3/utils.py:694-697 keep-last dedup)."""
-    return stream.withWatermark(ts_col, watermark_delay).dropDuplicates(
-        [*key_cols, ts_col]
-    )
+    return _watermarkable(stream, ts_col).withWatermark(
+        ts_col, watermark_delay
+    ).dropDuplicates([*key_cols, ts_col])
 
 
 def latest_state_stream(
@@ -58,7 +68,12 @@ def latest_state_stream(
     aggs = [F.max(ts_col).alias(ts_col)] + [
         F.max_by(c, F.col(ts_col)).alias(c) for c in value_cols
     ]
-    return stream.withWatermark(ts_col, watermark_delay).groupBy(*key_cols).agg(*aggs)
+    return (
+        _watermarkable(stream, ts_col)
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(*key_cols)
+        .agg(*aggs)
+    )
 
 
 def streaming_bars(
@@ -82,7 +97,8 @@ def streaming_bars(
         else F.window(F.col(ts_col), dur)
     )
     return (
-        stream.withWatermark(ts_col, watermark_delay)
+        _watermarkable(stream, ts_col)
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(*key_cols, win.alias("_w"))
         .agg(
             F.min_by(price_col, F.col(ts_col)).alias("open"),
