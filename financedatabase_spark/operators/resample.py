@@ -271,7 +271,36 @@ def volume_bars(
             F.max(price_col).alias("high"),
             F.min(price_col).alias("low"),
             F.max_by(price_col, F.col(order)).alias("close"),
-            F.sum(vol_col).cast("long").alias("volume"),
+            F.sum(vol_col).alias("volume"),
             F.count("*").cast("long").alias("n_ticks"),
         )
     )
+
+
+def dollar_bars(
+    df: DataFrame,
+    per_bar_dollars: float,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    price_col: str = "price",
+    size_col: str = "volume",
+    order_col: str | None = None,
+    dollars_col: str | None = None,
+) -> DataFrame:
+    """Dollar bars — the volume-bar clock driven by traded VALUE
+    (price x size) instead of share count (Lopez de Prado 2018
+    §2.3.1.3): more uniform information content when prices trend. Same
+    single-shuffle prefix-sum plan as `volume_bars`.
+
+    ``dollars_col`` overrides the default ``price x size`` product with a
+    caller-supplied per-tick value column — e.g. a DECIMAL-quantized
+    product when the running sum must be exact (float window sums are
+    engine-dependent: Spark accumulates sequentially, DuckDB uses a
+    segment tree)."""
+    if dollars_col is None:
+        df = df.withColumn("_dollars", F.col(price_col) * F.col(size_col))
+        dollars_col = "_dollars"
+    out = volume_bars(
+        df, per_bar_dollars, key_cols, ts_col, price_col, dollars_col, order_col
+    )
+    return out.withColumnRenamed("volume", "dollar_value")

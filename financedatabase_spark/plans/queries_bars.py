@@ -235,3 +235,69 @@ def volume_bars_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return volume_bars(
         ev, 200.0, ["event_type"], price_col="price", order_col="event_id"
     )
+
+
+@register(
+    "dollar_bars_activity",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, ts, event_id, value AS price,
+             CAST(CAST(value AS DECIMAL(18,4))
+                  * ((event_id % 7 + 1)::BIGINT) AS DECIMAL(18,4)) AS dollars
+      FROM events
+    ),
+    c AS (
+      SELECT *,
+             sum(dollars) OVER (PARTITION BY event_type ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    b AS (
+      SELECT *,
+             CAST(floor(CAST(cum - dollars AS DOUBLE) / 20000.0) AS BIGINT)
+               AS bar_idx
+      FROM c
+    )
+    SELECT event_type, bar_idx,
+           min(ts) AS bar_start, max(ts) AS bar_end,
+           first(price ORDER BY event_id) AS open,
+           max(price) AS high, min(price) AS low,
+           last(price ORDER BY event_id) AS close,
+           CAST(CAST(sum(dollars) AS DECIMAL(18,4)) AS DOUBLE) AS dollar_value,
+           count(*)::BIGINT AS n_ticks
+    FROM b GROUP BY 1, 2
+    """,
+)
+def dollar_bars_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dollar bars over the events stream: bars close every 20k units of
+    traded value (price x synthetic size) — López de Prado's value-clock
+    variant of `volume_bars_activity` (operators/resample.dollar_bars).
+
+    Cross-engine determinism: per-tick dollars are quantized into
+    DECIMAL(18,4) (events.value carries 2 decimals, so the product with
+    an integer size is exact), making the running prefix-sum and the
+    per-bar total exact on both engines; only the final already-exact
+    decimal is cast to DOUBLE via the int64-backed DECIMAL(18,4) hop.
+    """
+    from financedatabase_spark.operators.resample import dollar_bars
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("value").alias("price"),
+        (F.col("event_id") % 7 + 1).cast("long").alias("size"),
+    ).withColumn(
+        "dollars_q",
+        (F.col("price").cast("decimal(18,4)") * F.col("size")).cast("decimal(18,4)"),
+    )
+    bars = dollar_bars(
+        ev, 20000.0, ["event_type"],
+        price_col="price", order_col="event_id", dollars_col="dollars_q",
+    )
+    return bars.select(
+        "event_type", "bar_idx", "bar_start", "bar_end",
+        "open", "high", "low", "close",
+        F.col("dollar_value").cast("decimal(18,4)").cast("double").alias("dollar_value"),
+        "n_ticks",
+    )

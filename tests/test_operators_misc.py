@@ -160,3 +160,53 @@ def test_connected_components_chain(spark):
     )
     got = {r.doc_id: r.cluster_rep for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_dollar_bars_clock(spark):
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.resample import dollar_bars
+
+    rows = [  # (ts, price, size): dollars = 40, 60, 110, 10 -> V=100
+        ("2024-01-01 09:00:00", 10.0, 4),   # cum_pre 0   -> bar 0
+        ("2024-01-01 09:01:00", 20.0, 3),   # cum_pre 40  -> bar 0
+        ("2024-01-01 09:02:00", 11.0, 10),  # cum_pre 100 -> bar 1
+        ("2024-01-01 09:03:00", 10.0, 1),   # cum_pre 210 -> bar 2
+    ]
+    df = spark.createDataFrame(
+        [("A", ts, p, v) for ts, p, v in rows],
+        "sym string, ts string, price double, volume long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.bar_idx: r for r in dollar_bars(df, 100.0, ["sym"]).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].dollar_value == 100.0 and out[0].n_ticks == 2
+    assert out[1].open == 11.0 and out[1].dollar_value == 110.0
+    assert out[2].n_ticks == 1
+
+
+def test_hot_bucket_mixed_corpus_clusters(spark):
+    """Mass duplication PLUS a near-duplicate variant: the starred hot
+    bucket must still leave the whole duplicate group one connected
+    component with the min doc_id as representative."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.dedup_docs import (
+        connected_components,
+        minhash_lsh_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit(base).alias("text")
+    ).unionByName(
+        spark.createDataFrame(
+            [(200, base + " lambda"), (300, "totally different words entirely here now")],
+            "doc_id long, text string",
+        )
+    )
+    pairs = minhash_lsh_dedup(docs, threshold=0.5)
+    comp = {r.doc_id: r.cluster_rep for r in connected_components(pairs).collect()}
+    # all 200 identical docs form one component rooted at doc 0
+    assert all(comp[d] == 0 for d in range(200))
+    # the unrelated doc never joins
+    assert 300 not in comp or comp[300] == 300
