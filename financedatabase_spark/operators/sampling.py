@@ -1,0 +1,103 @@
+"""Deterministic sampling for corpus curation.
+
+Training-data pipelines need samples that are (a) reproducible across
+runs and engines — re-running the pipeline must select the SAME rows, or
+downstream shards/dedup/eval splits churn — and (b) stratified, because
+corpus mixing is specified per language/source ("keep 30% of English,
+all of Chinese"). Seeded RNG sampling (``df.sample``) gives neither
+across engines: it depends on partition layout and the engine's RNG.
+
+The portable primitive is hash-bucket selection: a row is kept iff a hex
+prefix of ``md5(key)`` falls below a threshold encoding the fraction.
+md5 of the same UTF-8 string is identical everywhere, and comparing
+equal-length lowercase hex strings lexicographically is monotone in the
+encoded value, so no engine-specific hex→int conversion is needed. At
+100 TB this is a map-side filter — no shuffle, no state, pushes down to
+the scan as a deterministic predicate.
+
+Spark's own ``sampleBy`` offers per-stratum fractions but is seeded-RNG
+(partition-layout dependent); this module is its reproducible twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hex digits of the md5 prefix used as the selection bucket: 8 digits
+#: = 32 bits, granularity 2^-32 — fraction resolution far below any
+#: practical sampling spec.
+_WIDTH = 8
+
+
+def hash_bucket_hex(key: Column | str, width: int = _WIDTH) -> Column:
+    """Deterministic uniform selection bucket: the first ``width`` hex
+    chars of md5(key) — lowercase, fixed length, portable."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(c.cast("string")), 1, width)
+
+
+def fraction_threshold_hex(fraction: float, width: int = _WIDTH) -> str:
+    """Hex threshold T such that P[bucket < T] == fraction (up to
+    16^-width). fraction 1.0 maps to 'g...' which is above every hex
+    digit, keeping all rows."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction == 1.0:
+        return "g" * width  # lexicographically above every hex bucket
+    return format(int(fraction * 16**width), f"0{width}x")
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, selected by hash bucket
+    of ``key_col``. Pure map-side filter — pushes to the scan."""
+    return df.filter(
+        hash_bucket_hex(key_col) < F.lit(fraction_threshold_hex(fraction))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the reproducible twin of
+    ``DataFrame.sampleBy``. Strata absent from ``fractions`` are dropped
+    (sampleBy semantics). The fraction spec joins in as a broadcast dim
+    so the plan stays a map-side filter regardless of corpus size."""
+    spark = df.sparkSession
+    spec = spark.createDataFrame(
+        [(s, fraction_threshold_hex(p)) for s, p in fractions.items()],
+        f"{stratum_col} string, _thr string",
+    )
+    return (
+        df.join(F.broadcast(spec), stratum_col)
+        .filter(hash_bucket_hex(key_col) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def fixed_size_sample(
+    df: DataFrame,
+    n: int,
+    stratum_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``min(n, stratum size)`` rows per stratum, chosen by hash
+    order — a deterministic reservoir: the selection is stable under
+    row-order and partitioning changes, and appending new rows evicts
+    only rows whose hash rank falls out of the top n. One shuffle on the
+    stratum key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_bucket_hex(key_col).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -106,6 +106,82 @@ def ivf_topk(
     )
 
 
+def cell_centroids(
+    df: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise per-cell centroid — the coarse quantizer's codebook,
+    built in-engine: posexplode to (cell, pos, x), exact decimal means
+    (cross-engine deterministic), re-assemble position-sorted vectors.
+    Output: (cell, cvec). One shuffle on (cell, pos), one on cell."""
+    flat = _spread(df).select(
+        F.col(cell_col).alias("cell"), F.posexplode(_vec(vec_col)).alias("pos", "x")
+    )
+    cmeans = flat.groupBy("cell", "pos").agg(
+        (F.sum(F.col("x").cast("decimal(28,10)")).cast("double") / F.count("*")).alias("m")
+    )
+    return (
+        cmeans.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+        .select("cell", F.transform(F.col("_pm"), lambda s: s.getField("m")).alias("cvec"))
+    )
+
+
+def ivf_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    centroid_cell_col: str = "cell",
+    centroid_vec_col: str = "cvec",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Multi-probe IVF ANN: each query visits its ``n_probe`` nearest
+    coarse-quantizer cells instead of one — the FAISS nprobe recall knob.
+    The codebook is broadcast (it is tiny: n_cells x dim), probe selection
+    is a map-side top-n over the broadcast, and the corpus join stays a
+    cell equi-join, so scanned volume grows linearly in n_probe while the
+    plan shape — partition-prunable on a cell-partitioned corpus — is
+    unchanged from single-probe `ivf_topk`."""
+    q = queries.select(F.col(query_id), _vec(vec_col).alias("_qv"))
+    cen = centroids.select(
+        F.col(centroid_cell_col).alias("_cell"), F.col(centroid_vec_col).alias("_cvec")
+    )
+    csim = cosine(F.col("_qv"), F.col("_cvec"))
+    if round_digits:
+        csim = F.round(csim, round_digits)
+    probe_scored = q.crossJoin(F.broadcast(cen)).select(
+        query_id, "_qv", "_cell", csim.alias("_csim")
+    )
+    wp = Window.partitionBy(query_id).orderBy(
+        F.col("_csim").desc(), F.col("_cell").asc()
+    )
+    probes = (
+        probe_scored.withColumn("_pn", F.row_number().over(wp))
+        .filter(F.col("_pn") <= n_probe)
+        .select(query_id, "_qv", "_cell")
+    )
+    c = _spread(corpus).select(
+        F.col(corpus_id), F.col(cell_col).alias("_ccell"), _vec(vec_col).alias("_cv")
+    )
+    # cells partition the corpus, so no (query, doc) pair repeats across probes
+    scored = probes.join(c, F.col("_cell") == F.col("_ccell")).select(
+        query_id, corpus_id, cosine(F.col("_qv"), F.col("_cv")).alias("_raw")
+    )
+    score = F.round(F.col("_raw"), round_digits) if round_digits else F.col("_raw")
+    scored = scored.select(query_id, corpus_id, score.alias("score"))
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

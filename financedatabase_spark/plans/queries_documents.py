@@ -540,6 +540,69 @@ def ivf_build_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_multiprobe_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, label, u.pos AS pos, u.x AS x
+      FROM v, LATERAL (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS pos) u
+    ),
+    cmeans AS (
+      SELECT label, pos,
+             CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+      FROM flat GROUP BY label, pos
+    ),
+    centroids AS (
+      SELECT label AS cell, list(m ORDER BY pos) AS cvec FROM cmeans GROUP BY label
+    ),
+    qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id % 100 = 0),
+    probe_scored AS (
+      SELECT qv.query_id, qv.v, cen.cell,
+             round(list_dot_product(qv.v, cen.cvec) /
+                   (sqrt(list_dot_product(qv.v, qv.v))
+                    * sqrt(list_dot_product(cen.cvec, cen.cvec))), 6) AS csim
+      FROM qv CROSS JOIN centroids cen
+    ),
+    probes AS (
+      SELECT query_id, v, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY csim DESC, cell ASC) AS pn
+        FROM probe_scored
+      ) WHERE pn <= 2
+    ),
+    c AS (SELECT vec_id AS corpus_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.corpus_id, {_COS} AS score
+      FROM probes q JOIN c ON q.cell = c.label
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, corpus_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, score, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ivf_multiprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN — each query visits its 2 nearest codebook
+    cells (operators/similarity.ivf_multiprobe_topk over in-engine
+    centroids from cell_centroids): the FAISS nprobe recall knob with the
+    same partition-prunable cell equi-join shape as single-probe IVF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = sim.cell_centroids(emb)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "label", "embedding")
+    return sim.ivf_multiprobe_topk(queries, corpus, centroids, k=5, n_probe=2)
+
+
+@register(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_MINHASH_PAIRS_WITH},
@@ -570,3 +633,63 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.2
     )
     return dd.connected_components(pairs)
+
+
+# --------------------------------------------------------------------------
+# deterministic sampling (corpus curation)
+# --------------------------------------------------------------------------
+
+from financedatabase_spark.operators import sampling as smp  # noqa: E402
+
+#: corpus-rebalancing spec: downsample the high-resource language, keep
+#: the low-resource tail.
+_MIX = {"en": 0.3, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 1.0}
+_MIX_VALUES = ", ".join(
+    f"('{lang}', '{smp.fraction_threshold_hex(p)}')" for lang, p in _MIX.items()
+)
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (VALUES {_MIX_VALUES}) AS s(lang, thr) ON d.lang = s.lang
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < s.thr
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus rebalancing
+    (operators/sampling.stratified_sample): keep 30% of English, 80% of
+    de/fr/es, all of zh — selected by md5 hash bucket of doc_id, so the
+    sample is identical across runs, engines, and partition layouts
+    (unlike seeded-RNG `sampleBy`). Map-side filter; no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return smp.stratified_sample(docs, _MIX, stratum_col="lang")
+
+
+@register(
+    "fixed_size_sample_docs",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) ASC,
+                        doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def fixed_size_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-stratum sample
+    (operators/sampling.fixed_size_sample): exactly 10 docs per language
+    chosen by hash order — a reproducible reservoir whose membership is
+    stable under row order, partitioning, and appends (only hash-rank
+    evictions change it). One shuffle on the stratum key."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return smp.fixed_size_sample(docs, 10, stratum_col="lang")

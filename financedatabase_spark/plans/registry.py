@@ -66,7 +66,11 @@ _R1_GREEN = [
 # volume_bars_activity (added r2 after the 50-slot budget was full) waits at
 # the front of the deferred zone: first in line for the r3 check budget,
 # already pytest-parity-gated meanwhile.
-_DEFER = ["volume_bars_activity", "dedup_clusters", "dollar_bars_activity", "streaming_bars_incremental", "streaming_latest_state", *_R1_GREEN]
+_DEFER = [
+    "volume_bars_activity", "dedup_clusters", "dollar_bars_activity",
+    "ivf_multiprobe_topk", "stratified_sample_docs", "fixed_size_sample_docs",
+    "streaming_bars_incremental", "streaming_latest_state", *_R1_GREEN,
+]
 
 _ordered = [n for n in QUERIES if n not in _DEFER] + [n for n in _DEFER if n in QUERIES]
 QUERIES = {n: QUERIES[n] for n in _ordered}

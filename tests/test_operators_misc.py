@@ -210,3 +210,38 @@ def test_hot_bucket_mixed_corpus_clusters(spark):
     assert all(comp[d] == 0 for d in range(200))
     # the unrelated doc never joins
     assert 300 not in comp or comp[300] == 300
+
+
+def test_deterministic_sampling(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.sampling import (
+        deterministic_sample,
+        fixed_size_sample,
+        fraction_threshold_hex,
+        stratified_sample,
+    )
+
+    assert fraction_threshold_hex(0.0) == "00000000"
+    assert fraction_threshold_hex(1.0) == "gggggggg"
+    assert fraction_threshold_hex(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        fraction_threshold_hex(1.5)
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    a = {r.doc_id for r in deterministic_sample(df, 0.25).collect()}
+    b = {r.doc_id for r in deterministic_sample(df.repartition(7), 0.25).collect()}
+    assert a == b  # partition-layout independent
+    assert 0.18 < len(a) / 2000 < 0.32
+
+    strat = stratified_sample(df, {"0": 1.0, "1": 0.0}, stratum_col="grp")
+    got = strat.groupBy("grp").count().collect()
+    assert {r.grp: r["count"] for r in got} == {"0": 667}  # '1' empty, '2' dropped
+
+    fx = fixed_size_sample(df, 5, stratum_col="grp")
+    assert fx.groupBy("grp").count().collect()[0]["count"] == 5
+    fx2 = {r.doc_id for r in fixed_size_sample(df.repartition(11), 5, "grp").collect()}
+    assert fx2 == {r.doc_id for r in fx.collect()}

@@ -104,3 +104,45 @@ def test_minhash_recall_vs_exact_baseline(spark, sf_dir):
     assert found <= exact  # exact-verify stage => no false positives
     if exact:
         assert len(found & exact) / len(exact) >= 0.7
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """nprobe monotonicity: visiting 2 cells can only add candidates, so
+    multi-probe recall vs the brute-force top-5 must be >= single-probe
+    recall for every query, and strictly positive overall. n_probe equal
+    to the number of cells degenerates to the exact brute-force ranking."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators import similarity as sim
+    from financedatabase_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = emb.select("label").distinct().count()
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "label", "embedding")
+    centroids = sim.cell_centroids(emb)
+
+    truth = {
+        (r.query_id, r.corpus_id)
+        for r in sim.cosine_topk(queries, corpus, k=5).collect()
+    }
+    one = {
+        (r.query_id, r.corpus_id)
+        for r in sim.ivf_topk(queries, corpus, k=5).collect()
+    }
+    multi = {
+        (r.query_id, r.corpus_id)
+        for r in sim.ivf_multiprobe_topk(
+            queries, corpus, centroids, k=5, n_probe=2
+        ).collect()
+    }
+    full = {
+        (r.query_id, r.corpus_id)
+        for r in sim.ivf_multiprobe_topk(
+            queries, corpus, centroids, k=5, n_probe=n_cells
+        ).collect()
+    }
+    assert len(multi & truth) >= len(one & truth) > 0
+    assert full == truth
