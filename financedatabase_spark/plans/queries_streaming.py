@@ -62,3 +62,20 @@ def streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         _staged_stream(spark, sf_dir), ["user_id"], "ts", ["event_type", "value"]
     )
     return _run(spark, sdf, "complete")
+
+
+@register("streaming_sessions")
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator — gap sessionization over the live
+    streaming engine (applyInPandasWithState, event-time timeouts):
+    sessions close either when a later event proves the gap or when the
+    watermark passes end+gap. stream==batch equivalence vs the built-in
+    session_window is pinned in tests/test_streaming.py."""
+    from financedatabase_spark.streaming.sessions import sessionize_stream
+
+    batch = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    stage = tempfile.mkdtemp(prefix="fdb_stream_")
+    batch.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    sdf = sessionize_stream(stream, 120.0, ["event_type"], "ts", "value")
+    return _run(spark, sdf, "append")

@@ -69,7 +69,7 @@ _R1_GREEN = [
 _DEFER = [
     "volume_bars_activity", "dedup_clusters", "dollar_bars_activity",
     "ivf_multiprobe_topk", "stratified_sample_docs", "fixed_size_sample_docs",
-    "streaming_bars_incremental", "streaming_latest_state", *_R1_GREEN,
+    "streaming_bars_incremental", "streaming_latest_state", "streaming_sessions", *_R1_GREEN,
 ]
 
 _ordered = [n for n in QUERIES if n not in _DEFER] + [n for n in _DEFER if n in QUERIES]

@@ -151,3 +151,65 @@ def test_forward_fill_stream_state_survives_batches(spark, tmp_path):
     assert math.isnan(filled[(2, "2024-01-01 09:00:30")])  # nothing to fill from
     assert filled[(2, "2024-01-01 10:01:00")] == 2.0  # cross-batch fill
     assert len(got) == 7
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas gap sessionization: replaying the events
+    table as a 2-file stream must close, across in-batch gap proofs and
+    event-time timers, exactly the sessions the batch session_window twin
+    computes — except each key's final session, which stays open (the
+    watermark never passes its end on a bounded source)."""
+    import time
+
+    from financedatabase_spark.sources.readers import load_table
+    from financedatabase_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    batch = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    # split on ts median so batch 2 is strictly later (arrival order = ts order)
+    mid = str(batch.select("ts").toPandas()["ts"].quantile(0.5, interpolation="lower"))
+    src = str(tmp_path / "sess_src")
+    cut = F.lit(mid).cast("timestamp_ntz")
+    batch.filter(F.col("ts") <= cut).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    batch.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    GAP = 120.0
+
+    def _norm(pdf):
+        for c in ("session_start", "session_end"):
+            if getattr(pdf[c].dt, "tz", None) is not None:
+                pdf[c] = pdf[c].dt.tz_convert("UTC").dt.tz_localize(None)
+        return pdf.sort_values(["event_type", "session_start"]).reset_index(drop=True)
+
+    got = _norm(
+        _run_stream(
+            spark,
+            sessionize_stream(stream, GAP, ["event_type"], "ts", "value"),
+            "sessions_stream",
+            "append",
+        ).toPandas()
+    )
+    want_all = _norm(
+        sessionize_batch(batch, GAP, ["event_type"], "ts", "value").toPandas()
+    )
+    # the final watermark is the global max event time: sessions whose
+    # end+gap it never passed (each key's tail session near the stream
+    # end) stay open and unemitted
+    import pandas as pd
+
+    max_ts = batch.select("ts").toPandas()["ts"].max()
+    want = want_all[
+        want_all["session_end"] + pd.Timedelta(seconds=GAP) <= max_ts
+    ].reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for c in ("event_type", "session_start", "session_end", "n_events"):
+        assert got[c].tolist() == want[c].tolist(), c
+    import numpy as np
+
+    assert np.allclose(got["sum_value"], want["sum_value"], rtol=1e-9)
