@@ -693,3 +693,69 @@ def fixed_size_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars"
     )
     return smp.fixed_size_sample(docs, 10, stratum_col="lang")
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)\b')) AS n_stop,
+             len(regexp_extract_all(lower(text), '[一-鿿]')) AS zh,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for|with)\b')) AS en,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|las|de|que|y|en)\b')) AS es,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) AS de,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|de|est|pour|dans)\b')) AS fr
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_tok,
+             0.25 * least(n_tok / 64.0, 1.0)
+           + 0.25 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 4.0, 1.0))
+           + 0.25 * least((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 4.0, 1.0)
+           + 0.25 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END) * 4.0, 1.0))
+             AS quality,
+             CASE WHEN zh > 0 THEN 'zh'
+                  WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+                  WHEN es > 0 AND es > en AND es >= de AND es >= fr THEN 'es'
+                  WHEN de > 0 AND de > en AND de > es AND de >= fr THEN 'de'
+                  WHEN fr > 0 AND fr > en AND fr > es AND fr > de THEN 'fr'
+                  ELSE 'und' END AS lang_guess
+      FROM base
+    ),
+    keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+            FROM documents)
+      GROUP BY h
+    ),
+    filtered AS (
+      SELECT s.doc_id, s.lang_guess, s.quality, s.n_tok::BIGINT AS n_tokens_ws
+      FROM scored s JOIN keep k ON s.doc_id = k.doc_id
+      WHERE s.quality >= 0.7
+    )
+    SELECT f.doc_id, f.lang_guess, f.quality, f.n_tokens_ws
+    FROM filtered f
+    JOIN (VALUES {_MIX_VALUES}) AS m(lang, thr) ON f.lang_guess = m.lang
+    WHERE substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 8) < m.thr
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation in one DAG — the composite the
+    individual document operators exist for: exact-dedup keep-list
+    (canonical copy per content hash) ⨝ per-doc stats → quality gate
+    (>= 0.7) + in-engine language ID → deterministic per-language
+    rebalancing sample. Two shuffles total (content-hash group, keep-list
+    join); the quality/lang/sample stages are all map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = tx.doc_stats(docs).select("doc_id", "lang_guess", "quality", "n_tokens_ws")
+    keep = dd.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    filtered = stats.join(keep, "doc_id").filter(F.col("quality") >= 0.7)
+    return smp.stratified_sample(filtered, _MIX, stratum_col="lang_guess")
