@@ -67,3 +67,32 @@ def test_single_digit_exchanges(spark, sf_dir, name, budget):
     # per union branch, each mentioned twice in formatted explain)
     p = plan_of(spark, sf_dir, name)
     assert sum("Exchange" in l and "(" in l for l in p.splitlines()) <= budget
+
+
+def test_activity_bars_single_shuffle(spark, sf_dir):
+    # the prefix-sum window and the final agg share ONE hash partitioning
+    # on the key: exactly one Exchange node in the whole plan
+    import re
+
+    for name in ("volume_bars_activity", "dollar_bars_activity"):
+        p = plan_of(spark, sf_dir, name)
+        node_ids = set(re.findall(r"Exchange \((\d+)\)", p))
+        assert len(node_ids) == 1, (name, node_ids)
+        assert "SortAggregate" not in p, name
+
+
+def test_stratified_sample_stays_map_side(spark, sf_dir):
+    # the fraction spec joins in as a broadcast; the corpus side must not
+    # shuffle — the whole sample is a scan-side filter
+    p = plan_of(spark, sf_dir, "stratified_sample_docs")
+    assert "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_multiprobe_corpus_join_is_hash_join(spark, sf_dir):
+    # probe selection may nested-loop over the tiny broadcast codebook,
+    # but the corpus-side join must stay a cell equi-join (hash join),
+    # never a cartesian against the corpus
+    p = plan_of(spark, sf_dir, "ivf_multiprobe_topk")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") + p.count("SortMergeJoin") >= 1
