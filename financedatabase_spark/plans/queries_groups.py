@@ -208,3 +208,26 @@ def table_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         nadup.select(F.lit("key_dups_events").alias("metric"), F.col("n_key_dups").cast("long").alias("value"))
     )
     return counts.unionByName(tall)
+
+
+@register(
+    "ewma_smoothing",
+    oracle="""
+    SELECT event_type,
+           list_reduce(list(value ORDER BY event_id),
+                       (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma_value,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key EWMA level (operators/smoothing.ewma_last, alpha=0.2):
+    the sequential recursion y_t = a*x_t + (1-a)*y_(t-1) no window
+    function can express, run as a Catalyst higher-order `aggregate`
+    fold over the event_id-ordered series — JVM-side, one shuffle. The
+    oracle is DuckDB's list_reduce: the identical left fold, so the
+    result is bit-equal (same operand order, same constants)."""
+    from financedatabase_spark.operators.smoothing import ewma_last
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return ewma_last(ev, 0.2, ["event_type"], "event_id", "value")

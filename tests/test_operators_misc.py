@@ -245,3 +245,28 @@ def test_deterministic_sampling(spark):
     assert fx.groupBy("grp").count().collect()[0]["count"] == 5
     fx2 = {r.doc_id for r in fixed_size_sample(df.repartition(11), 5, "grp").collect()}
     assert fx2 == {r.doc_id for r in fx.collect()}
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """The fold recursion must equal pandas ewm(adjust=False) — level
+    after the last observation and the full per-row scan series."""
+    import numpy as np
+    import pandas as pd
+
+    from financedatabase_spark.operators.smoothing import ewma_last, ewma_series
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {"k": np.repeat(["a", "b"], 50), "i": list(range(50)) * 2,
+         "x": rng.normal(100.0, 5.0, 100)}
+    )
+    df = spark.createDataFrame(pdf)
+    got_last = {r.k: r.ewma_value for r in ewma_last(df, 0.2, ["k"], "i", "x").collect()}
+    got_ser = (
+        ewma_series(df, 0.2, ["k"], "i", "x")
+        .toPandas().sort_values(["k", "i"]).reset_index(drop=True)
+    )
+    for k in ("a", "b"):
+        want = pdf[pdf.k == k].sort_values("i")["x"].ewm(alpha=0.2, adjust=False).mean().to_numpy()
+        assert np.allclose(got_last[k], want[-1], rtol=1e-12)
+        assert np.allclose(got_ser[got_ser.k == k]["ewma_value"].to_numpy(), want, rtol=1e-12)
