@@ -92,3 +92,69 @@ def ewma_series(
         F.col("_z._ords").alias(order_col),
         F.col("_z._ewma").alias("ewma_value"),
     )
+
+
+def tick_imbalance_bars(
+    df: DataFrame,
+    threshold: int,
+    key_cols: list[str],
+    order_col: str,
+    price_col: str = "price",
+    size_col: str = "volume",
+) -> DataFrame:
+    """Tick-imbalance bars (López de Prado 2018 §2.3.2.1, fixed
+    threshold): classify each tick by the tick rule (sign of the price
+    change, zero-change carries the previous sign), accumulate signed
+    size, and close a bar whenever |imbalance since the last close|
+    reaches ``threshold``.
+
+    The bar boundary depends on the previous boundary — a true
+    sequential recursion (unlike volume/dollar bars, no monotone prefix
+    trick exists). Plan: the tick-rule sign, its carry-forward, and the
+    signed-size prefix sum are all windows sharing one key partitioning;
+    the boundary scan is a Catalyst higher-order ``aggregate`` fold over
+    the per-key series (same distribution contract as `ewma_last`).
+    ``size_col`` must be integral so the prefix sum is exact — the
+    threshold comparison then has no float ambiguity on any engine.
+
+    Production imbalance bars make the threshold adaptive (EWMA of
+    expected imbalance); `ewma_last` is the extension point — fold the
+    two recursions together.
+
+    Output: (key..., bar_idx, end_<order_col>, n_ticks, imbalance).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sgn_raw = F.signum(F.col(price_col) - F.lag(price_col).over(w))
+    carried = F.last(
+        F.when(sgn_raw != 0, sgn_raw), ignorenulls=True
+    ).over(wcum)
+    pref = (
+        df.withColumn("_sv", F.coalesce(carried, F.lit(0.0)).cast("long") * F.col(size_col))
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn("_cum", F.sum("_sv").over(wcum))
+        .select(*key_cols, F.struct("_i", F.col(order_col).alias("_ord"), "_cum").alias("_row"))
+    )
+    t = int(threshold)
+    fold = (
+        "aggregate(_arr, "
+        "named_struct('bcum', bigint(0), 'ends', array_repeat(_arr[0], 0)), "
+        f"(acc, x) -> if(abs(x._cum - acc.bcum) >= {t}, "
+        "named_struct('bcum', x._cum, 'ends', array_append(acc.ends, x)), acc), "
+        "acc -> acc.ends)"
+    )
+    ends = (
+        pref.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list("_row")).alias("_arr"))
+        .select(*key_cols, F.posexplode(F.expr(fold)).alias("_b", "_e"))
+    )
+    wb = Window.partitionBy(*key_cols).orderBy("_b")
+    return ends.select(
+        *key_cols,
+        F.col("_b").cast("long").alias("bar_idx"),
+        F.col("_e._ord").alias(f"end_{order_col}"),
+        (F.col("_e._i") - F.coalesce(F.lag("_e._i").over(wb), F.lit(0))).cast("long").alias("n_ticks"),
+        (F.col("_e._cum") - F.coalesce(F.lag("_e._cum").over(wb), F.lit(0))).cast("long").alias("imbalance"),
+    )

@@ -231,3 +231,65 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
     return ewma_last(ev, 0.2, ["event_type"], "event_id", "value")
+
+
+@register(
+    "tick_imbalance_bars",
+    oracle="""
+    WITH RECURSIVE pref AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS i,
+             event_id,
+             CAST(sum(sv) OVER (PARTITION BY event_type ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM (
+        SELECT event_type, event_id,
+               CAST(coalesce(last_value(CASE WHEN sgn <> 0 THEN sgn END IGNORE NULLS)
+                    OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING), 0) AS BIGINT)
+                 * (event_id % 7 + 1) AS sv
+        FROM (
+          SELECT event_type, event_id,
+                 sign(value - lag(value) OVER (PARTITION BY event_type
+                                               ORDER BY event_id)) AS sgn
+          FROM events
+        )
+      )
+    ),
+    bounds(event_type, bar_idx, i, end_event_id, cum) AS (
+      SELECT DISTINCT event_type, -1, 0, CAST(NULL AS BIGINT), CAST(0 AS BIGINT)
+      FROM pref
+      UNION ALL
+      SELECT b.event_type, b.bar_idx + 1, p.i, p.event_id, p.cum
+      FROM bounds b JOIN pref p
+        ON p.event_type = b.event_type
+       AND p.i = (SELECT min(i) FROM pref q
+                  WHERE q.event_type = b.event_type AND q.i > b.i
+                    AND abs(q.cum - b.cum) >= 50)
+    ),
+    pairs AS (
+      SELECT event_type, bar_idx, i, end_event_id, cum,
+             lag(i, 1) OVER (PARTITION BY event_type ORDER BY bar_idx) AS prev_i,
+             lag(cum, 1) OVER (PARTITION BY event_type ORDER BY bar_idx) AS prev_cum
+      FROM bounds
+    )
+    SELECT event_type, bar_idx::BIGINT AS bar_idx, end_event_id,
+           (i - prev_i)::BIGINT AS n_ticks, (cum - prev_cum)::BIGINT AS imbalance
+    FROM pairs WHERE bar_idx >= 0
+    """,
+)
+def tick_imbalance_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-imbalance bars (operators/smoothing.tick_imbalance_bars,
+    threshold 50): tick-rule signs + exact integer signed-size prefix
+    sum per key, then the sequential boundary recursion as a Catalyst
+    higher-order fold. The oracle expresses the same recursion as a
+    boundary-to-boundary recursive CTE (one step per bar) over the same
+    exact prefix sums — integer state on both engines, so there is no
+    float ambiguity at the threshold."""
+    from financedatabase_spark.operators.smoothing import tick_imbalance_bars
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").alias("price"),
+        (F.col("event_id") % 7 + 1).cast("long").alias("volume"),
+    )
+    return tick_imbalance_bars(ev, 50, ["event_type"], "event_id")

@@ -270,3 +270,21 @@ def test_ewma_matches_pandas_ewm(spark):
         want = pdf[pdf.k == k].sort_values("i")["x"].ewm(alpha=0.2, adjust=False).mean().to_numpy()
         assert np.allclose(got_last[k], want[-1], rtol=1e-12)
         assert np.allclose(got_ser[got_ser.k == k]["ewma_value"].to_numpy(), want, rtol=1e-12)
+
+
+def test_tick_imbalance_bars_hand_example(spark):
+    """Tick rule + fixed-threshold boundary recursion on a worked
+    example: signs (0,+1,carry +1,-1,+1), sizes (5,3,4,2,6) -> signed
+    cum (0,3,7,5,11); threshold 7 closes exactly one bar at i=3."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.smoothing import tick_imbalance_bars
+
+    rows = [(1, 10.0, 5), (2, 11.0, 3), (3, 11.0, 4), (4, 10.0, 2), (5, 12.0, 6)]
+    df = spark.createDataFrame(
+        [("k", *r) for r in rows], "g string, i long, price double, volume long"
+    )
+    out = tick_imbalance_bars(df, 7, ["g"], "i").collect()
+    assert len(out) == 1
+    b = out[0]
+    assert (b.bar_idx, b.end_i, b.n_ticks, b.imbalance) == (0, 3, 3, 7)
