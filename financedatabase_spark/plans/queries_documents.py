@@ -759,3 +759,28 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = dd.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     filtered = stats.join(keep, "doc_id").filter(F.col("quality") >= 0.7)
     return smp.stratified_sample(filtered, _MIX, stratum_col="lang_guess")
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    flat AS (
+      SELECT vec_id, u.pos - 1 AS pos, u.x AS x
+      FROM v, LATERAL (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS pos) u
+    ),
+    rng AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM flat GROUP BY pos)
+    SELECT f.vec_id, f.pos::INT AS pos,
+           (CASE WHEN r.hi = r.lo THEN 0
+                 ELSE floor((f.x - r.lo) / (r.hi - r.lo) * 255) END)::INT AS code
+    FROM flat f JOIN rng r ON f.pos = r.pos
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding int8 scalar quantization
+    (operators/similarity.scalar_quantize_int8): per-dim [min,max]
+    codebook -> uint8 codes, 4x storage cut for the column that
+    dominates bytes at scale. All-integer output; the oracle evaluates
+    the identical element-wise code formula."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.scalar_quantize_int8(emb)

@@ -288,3 +288,28 @@ def test_tick_imbalance_bars_hand_example(spark):
     assert len(out) == 1
     b = out[0]
     assert (b.bar_idx, b.end_i, b.n_ticks, b.imbalance) == (0, 3, 3, 7)
+
+
+def test_int8_quantize_roundtrip_error_bound(spark, sf_dir):
+    """Dequantized values must sit within one bucket width
+    (hi-lo)/255 of the original, per dimension, for every vector."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.similarity import (
+        _spread,
+        _vec,
+        dequantize_int8,
+        scalar_quantize_int8,
+    )
+    from financedatabase_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = _spread(emb).select("vec_id", F.posexplode(_vec("embedding")).alias("pos", "x"))
+    rng = flat.groupBy("pos").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    codes = scalar_quantize_int8(emb)
+    assert codes.agg(F.min("code"), F.max("code")).first() == (0, 255)
+    recon = dequantize_int8(codes, rng).join(flat, ["vec_id", "pos"])
+    viol = recon.filter(
+        F.abs(F.col("x") - F.col("x_hat")) > (F.col("hi") - F.col("lo")) / 255.0 + 1e-12
+    ).count()
+    assert viol == 0
