@@ -36,6 +36,7 @@ HEADLINE = [
     "embedding_ivf_topk",
     "doc_stats",
     "risk_pipeline",
+    "tick_imbalance_bars",
 ]
 
 
