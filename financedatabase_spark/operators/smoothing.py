@@ -158,3 +158,66 @@ def tick_imbalance_bars(
         (F.col("_e._i") - F.coalesce(F.lag("_e._i").over(wb), F.lit(0))).cast("long").alias("n_ticks"),
         (F.col("_e._cum") - F.coalesce(F.lag("_e._cum").over(wb), F.lit(0))).cast("long").alias("imbalance"),
     )
+
+
+def tick_run_bars(
+    df: DataFrame,
+    threshold: int,
+    key_cols: list[str],
+    order_col: str,
+    price_col: str = "price",
+    size_col: str = "volume",
+) -> DataFrame:
+    """Tick-run bars (López de Prado 2018 §2.3.2.2, fixed threshold):
+    close a bar when EITHER side's accumulated size since the last close
+    — buy-classified or sell-classified by the tick rule — reaches
+    ``threshold``. Completes the information-driven family next to
+    `tick_imbalance_bars` (net flow) and volume/dollar bars (gross
+    activity clocks).
+
+    Same plan: tick-rule sign + two one-sided integer prefix sums share
+    one key partitioning; the boundary recursion (per-side totals reset
+    at each close) is the per-key higher-order fold. Output:
+    (key..., bar_idx, end_<order_col>, n_ticks, buy_size, sell_size).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sgn_raw = F.signum(F.col(price_col) - F.lag(price_col).over(w))
+    carried = F.last(F.when(sgn_raw != 0, sgn_raw), ignorenulls=True).over(wcum)
+    sgn = F.coalesce(carried, F.lit(0.0)).cast("long")
+    pref = (
+        df.withColumn("_b", F.when(sgn > 0, F.col(size_col)).otherwise(F.lit(0)).cast("long"))
+        .withColumn("_s", F.when(sgn < 0, F.col(size_col)).otherwise(F.lit(0)).cast("long"))
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn("_cb", F.sum("_b").over(wcum))
+        .withColumn("_cs", F.sum("_s").over(wcum))
+        .select(
+            *key_cols,
+            F.struct("_i", F.col(order_col).alias("_ord"), "_cb", "_cs").alias("_row"),
+        )
+    )
+    t = int(threshold)
+    fold = (
+        "aggregate(_arr, "
+        "named_struct('bb', bigint(0), 'bs', bigint(0), 'ends', array_repeat(_arr[0], 0)), "
+        f"(acc, x) -> if(greatest(x._cb - acc.bb, x._cs - acc.bs) >= {t}, "
+        "named_struct('bb', x._cb, 'bs', x._cs, 'ends', array_append(acc.ends, x)), acc), "
+        "acc -> acc.ends)"
+    )
+    ends = (
+        pref.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list("_row")).alias("_arr"))
+        .select(*key_cols, F.posexplode(F.expr(fold)).alias("_b", "_e"))
+    )
+    wb = Window.partitionBy(*key_cols).orderBy("_b")
+    prev = lambda c: F.coalesce(F.lag(c).over(wb), F.lit(0))  # noqa: E731
+    return ends.select(
+        *key_cols,
+        F.col("_b").cast("long").alias("bar_idx"),
+        F.col("_e._ord").alias(f"end_{order_col}"),
+        (F.col("_e._i") - prev("_e._i")).cast("long").alias("n_ticks"),
+        (F.col("_e._cb") - prev("_e._cb")).cast("long").alias("buy_size"),
+        (F.col("_e._cs") - prev("_e._cs")).cast("long").alias("sell_size"),
+    )

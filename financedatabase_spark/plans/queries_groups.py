@@ -293,3 +293,70 @@ def tick_imbalance_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 7 + 1).cast("long").alias("volume"),
     )
     return tick_imbalance_bars(ev, 50, ["event_type"], "event_id")
+
+
+@register(
+    "tick_run_bars",
+    oracle="""
+    WITH RECURSIVE pref AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS i,
+             event_id,
+             CAST(sum(CASE WHEN sgn > 0 THEN sz ELSE 0 END)
+                  OVER (PARTITION BY event_type ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb,
+             CAST(sum(CASE WHEN sgn < 0 THEN sz ELSE 0 END)
+                  OVER (PARTITION BY event_type ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+      FROM (
+        SELECT event_type, event_id, (event_id % 7 + 1)::BIGINT AS sz,
+               CAST(coalesce(last_value(CASE WHEN sgn0 <> 0 THEN sgn0 END IGNORE NULLS)
+                    OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS sgn
+        FROM (
+          SELECT event_type, event_id,
+                 sign(value - lag(value) OVER (PARTITION BY event_type
+                                               ORDER BY event_id)) AS sgn0
+          FROM events
+        )
+      )
+    ),
+    bounds(event_type, bar_idx, i, end_event_id, cb, cs) AS (
+      SELECT DISTINCT event_type, -1, 0, CAST(NULL AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM pref
+      UNION ALL
+      SELECT b.event_type, b.bar_idx + 1, p.i, p.event_id, p.cb, p.cs
+      FROM bounds b JOIN pref p
+        ON p.event_type = b.event_type
+       AND p.i = (SELECT min(i) FROM pref q
+                  WHERE q.event_type = b.event_type AND q.i > b.i
+                    AND greatest(q.cb - b.cb, q.cs - b.cs) >= 150)
+    ),
+    pairs AS (
+      SELECT event_type, bar_idx, i, end_event_id, cb, cs,
+             lag(i, 1) OVER (PARTITION BY event_type ORDER BY bar_idx) AS prev_i,
+             lag(cb, 1) OVER (PARTITION BY event_type ORDER BY bar_idx) AS prev_cb,
+             lag(cs, 1) OVER (PARTITION BY event_type ORDER BY bar_idx) AS prev_cs
+      FROM bounds
+    )
+    SELECT event_type, bar_idx::BIGINT AS bar_idx, end_event_id,
+           (i - prev_i)::BIGINT AS n_ticks,
+           (cb - prev_cb)::BIGINT AS buy_size,
+           (cs - prev_cs)::BIGINT AS sell_size
+    FROM pairs WHERE bar_idx >= 0
+    """,
+)
+def tick_run_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-run bars (operators/smoothing.tick_run_bars, threshold 150):
+    bars close when either side's tick-rule-classified size run reaches
+    the threshold — the one-sided counterpart of `tick_imbalance_bars`,
+    same exact-integer boundary recursion, same boundary-stepping
+    recursive-CTE oracle."""
+    from financedatabase_spark.operators.smoothing import tick_run_bars
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").alias("price"),
+        (F.col("event_id") % 7 + 1).cast("long").alias("volume"),
+    )
+    return tick_run_bars(ev, 150, ["event_type"], "event_id")

@@ -69,7 +69,7 @@ _R1_GREEN = [
 _DEFER = [
     "volume_bars_activity", "dedup_clusters", "dollar_bars_activity",
     "ivf_multiprobe_topk", "stratified_sample_docs", "fixed_size_sample_docs",
-    "corpus_curation_pipeline", "ewma_smoothing", "tick_imbalance_bars", "embedding_quantize_int8",
+    "corpus_curation_pipeline", "ewma_smoothing", "tick_imbalance_bars", "tick_run_bars", "embedding_quantize_int8",
     "streaming_bars_incremental", "streaming_latest_state", "streaming_sessions", *_R1_GREEN,
 ]
 

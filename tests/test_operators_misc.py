@@ -313,3 +313,18 @@ def test_int8_quantize_roundtrip_error_bound(spark, sf_dir):
         F.abs(F.col("x") - F.col("x_hat")) > (F.col("hi") - F.col("lo")) / 255.0 + 1e-12
     ).count()
     assert viol == 0
+
+
+def test_tick_run_bars_hand_example(spark):
+    """One-sided run threshold on a worked example: signs
+    (0,+1,-1,-1,+1), sizes (5,3,4,3,2) -> sell side hits 7 at i=4."""
+    from financedatabase_spark.operators.smoothing import tick_run_bars
+
+    rows = [(1, 10.0, 5), (2, 11.0, 3), (3, 10.0, 4), (4, 9.0, 3), (5, 10.0, 2)]
+    df = spark.createDataFrame(
+        [("k", *r) for r in rows], "g string, i long, price double, volume long"
+    )
+    out = tick_run_bars(df, 7, ["g"], "i").collect()
+    assert len(out) == 1
+    b = out[0]
+    assert (b.bar_idx, b.end_i, b.n_ticks, b.buy_size, b.sell_size) == (0, 4, 4, 3, 7)
