@@ -2,9 +2,28 @@
 
 These run a REAL streaming query (file source → availableNow trigger →
 memory sink) and return the sink as a DataFrame, so the driver's
-correctness harness exercises the streaming engine itself. Rows-only
-(no SQL oracle — streaming semantics aren't DuckDB-expressible); the
-stream==batch equivalence is asserted in tests/test_streaming.py.
+correctness harness exercises the streaming engine itself — watermark
+advancement, append-mode emission, and stateful timeouts included.
+
+Each carries a full SQL oracle over the *final* state of the stream:
+- ``streaming_latest_state`` runs in complete mode, so its sink equals
+  the batch keep-last dedup (``arg_max`` per key).
+- ``streaming_bars_incremental`` runs in append mode: a bar is emitted
+  exactly when the final watermark (``max(ts) - delay``) passes its
+  window end, so the oracle is the batch bar agg filtered to
+  ``window_end <= max(ts) - delay``.
+- ``streaming_sessions`` emits a session when a later same-key event
+  proves the gap (every session but the key's last) or when the
+  watermark passes ``end + gap`` (timeout). The oracle sessionizes via
+  lag/cumsum and applies exactly that emission predicate; ``sum_value``
+  is reproduced bit-exact with a sequential left fold in event-time
+  order (``list_reduce``), the same order the stateful operator
+  accumulates in.
+
+The staged replay is written as ONE time-sorted file: the stateful
+operators' documented contract is that micro-batches arrive in event
+-time order (see ``streaming/sessions.py``), and a single sorted file
+makes the availableNow replay honor it deterministically.
 """
 
 from __future__ import annotations
@@ -13,18 +32,21 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from financedatabase_spark.sources.readers import load_table
 from financedatabase_spark.streaming.snapshots import latest_state_stream, streaming_bars
 from financedatabase_spark.plans.registry import register
 
 
-def _staged_stream(spark: SparkSession, sf_dir: str):
+def _staged_stream(spark: SparkSession, sf_dir: str, cols: list[str] | None = None):
     batch = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
+        *(cols or ["event_id", "ts", "user_id", "event_type", "value"])
     )
     stage = tempfile.mkdtemp(prefix="fdb_stream_")
-    batch.write.mode("overwrite").parquet(stage)
+    # One time-sorted file: the replay honors the stateful operators'
+    # in-event-time-order micro-batch contract.
+    batch.repartition(1).sortWithinPartitions("ts").write.mode("overwrite").parquet(stage)
     return spark.readStream.schema(batch.schema).parquet(stage)
 
 
@@ -41,41 +63,101 @@ def _run(spark: SparkSession, sdf, mode: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("streaming_bars_incremental")
+_BARS_ORACLE = """
+WITH m AS (SELECT max(ts) - INTERVAL '10 minutes' AS wm FROM events)
+SELECT event_type,
+       date_trunc('hour', ts) AS ts,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       count(*) AS volume
+FROM events
+WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= (SELECT wm FROM m)
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_bars_incremental", _BARS_ORACLE)
 def streaming_bars_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R4 — incremental OHLCV bars over a genuine streaming query
     (watermark + tumbling window, availableNow drain). Append mode emits
-    each bar exactly once when its window closes."""
+    each bar exactly once when the watermark passes its window end, so
+    the final sink is the batch bar agg minus the still-open tail."""
     sdf = streaming_bars(
         _staged_stream(spark, sf_dir), "1h", key_cols=["event_type"],
         ts_col="ts", price_col="value", origin_minutes=None,
     )
-    return _run(spark, sdf, "append")
+    out = _run(spark, sdf, "append")
+    return out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
-@register("streaming_latest_state")
+_LATEST_ORACLE = """
+SELECT user_id, max(ts) AS ts,
+       arg_max(event_type, ts) AS event_type,
+       arg_max(value, ts) AS value
+FROM events GROUP BY user_id
+"""
+
+
+@register("streaming_latest_state", _LATEST_ORACLE)
 def streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 — live snapshot view: per-user latest state maintained by the
     streaming engine (complete mode), the reference's polling snapshot
-    endpoints replaced by one continuous query (v2.py:456-524)."""
+    endpoints replaced by one continuous query (v2.py:456-524). Complete
+    mode emits every group, so the sink equals the batch keep-last."""
     sdf = latest_state_stream(
         _staged_stream(spark, sf_dir), ["user_id"], "ts", ["event_type", "value"]
     )
-    return _run(spark, sdf, "complete")
+    out = _run(spark, sdf, "complete")
+    return out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
-@register("streaming_sessions")
+_SESSIONS_ORACLE = """
+WITH ev AS (
+  SELECT event_type, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 120000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+),
+sess AS (
+  SELECT event_type, ts, value,
+         sum(new_s) OVER (PARTITION BY event_type ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ev
+),
+agg AS (
+  SELECT event_type, sid,
+         min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events,
+         list_reduce(list(value ORDER BY ts), (x, y) -> x + y) AS sum_value,
+         max(sid) OVER (PARTITION BY event_type) AS max_sid
+  FROM sess GROUP BY 1, 2
+),
+m AS (SELECT max(ts) AS max_ts FROM events)
+SELECT event_type, session_start, session_end, n_events, sum_value
+FROM agg, m
+WHERE sid < max_sid
+   OR session_end + INTERVAL '120 seconds' < max_ts
+"""
+
+
+@register("streaming_sessions", _SESSIONS_ORACLE)
 def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator — gap sessionization over the live
     streaming engine (applyInPandasWithState, event-time timeouts):
     sessions close either when a later event proves the gap or when the
-    watermark passes end+gap. stream==batch equivalence vs the built-in
-    session_window is pinned in tests/test_streaming.py."""
+    watermark passes end+gap. The oracle applies exactly that emission
+    predicate to a lag/cumsum batch sessionization; stream==batch
+    equivalence vs the built-in session_window is additionally pinned in
+    tests/test_streaming.py."""
     from financedatabase_spark.streaming.sessions import sessionize_stream
 
-    batch = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-    stage = tempfile.mkdtemp(prefix="fdb_stream_")
-    batch.write.mode("overwrite").parquet(stage)
-    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    stream = _staged_stream(spark, sf_dir, cols=["event_type", "ts", "value"])
     sdf = sessionize_stream(stream, 120.0, ["event_type"], "ts", "value")
-    return _run(spark, sdf, "append")
+    out = _run(spark, sdf, "append")
+    return out.withColumn(
+        "session_start", F.col("session_start").cast("timestamp_ntz")
+    ).withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))

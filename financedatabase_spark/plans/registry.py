@@ -47,12 +47,13 @@ from financedatabase_spark.plans import (  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration order: the driver checks the FIRST 50 registered queries per
-# round. Queries that already hold a passing driver row (r1 or r2 CORRECTNESS
-# file) are deferred to the back so each round's check budget lands entirely
-# on queries with no driver verdict yet — new r3 queries and the 14 that were
-# registered after r2's budget filled. The three streaming twins are rows-only
-# checks (no SQL oracle) whose semantics are pinned by stream==batch pytest,
-# so they spend budget last among the unverified.
+# round. Queries with no hash-green driver row yet come first (round 4: the
+# three streaming queries, which gained full SQL oracles this round); the
+# rest follow ordered by the ROUND of their newest green row, oldest first,
+# so every round's budget re-verifies the stalest evidence. The green sets
+# are derived from the CORRECTNESS_r*.json files at import time when
+# present; the literals below are the fallback (and are asserted in sync by
+# tests/test_registry_parity.py).
 # ---------------------------------------------------------------------------
 
 # Green in CORRECTNESS_r01.json (22) — still valid evidence on file.
@@ -82,16 +83,36 @@ _R2_GREEN = [
     "intersect_keys", "topk_orders", "sorted_value_list", "pricing_summary",
     "revenue_forecast", "segment_revenue",
 ]
-_VERIFIED = set(_R1_GREEN) | set(_R2_GREEN)
-# Rows-only streaming twins: check last among the unverified.
-_STREAMING_LAST = [
-    "streaming_bars_incremental", "streaming_latest_state", "streaming_sessions",
-]
+def _green_by_round() -> dict[str, int]:
+    """name -> newest round with a hash-green driver row, from the
+    CORRECTNESS_r*.json files when present, else the literal fallback."""
+    import glob
+    import json
+    import os
+    import re
 
-_ordered = (
-    [n for n in QUERIES if n not in _VERIFIED and n not in _STREAMING_LAST]
-    + [n for n in _STREAMING_LAST if n in QUERIES]
-    + [n for n in QUERIES if n in _VERIFIED]
-)
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    newest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                newest[name] = max(newest.get(name, 0), rnd)
+    if not newest:  # fallback: the literal snapshots
+        newest = {n: 1 for n in _R1_GREEN}
+        newest.update({n: 2 for n in _R2_GREEN})
+    return newest
+
+
+_GREEN_ROUND = _green_by_round()
+_ordered = sorted(QUERIES, key=lambda n: _GREEN_ROUND.get(n, 0))
 QUERIES = {n: QUERIES[n] for n in _ordered}
 ORACLE_SQL = {n: ORACLE_SQL[n] for n in _ordered if n in ORACLE_SQL}

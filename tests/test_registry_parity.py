@@ -146,3 +146,33 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     }
     assert len(multi & truth) >= len(one & truth) > 0
     assert full == truth
+
+
+def test_green_literals_in_sync_with_correctness_files():
+    """The registry's _R1_GREEN/_R2_GREEN fallback literals must equal the
+    hash-green rows actually recorded in CORRECTNESS_r01/r02.json — a
+    regenerated or renamed driver file would otherwise silently
+    desynchronize the deferral order (ADVICE r3)."""
+    import json
+    import os
+
+    from financedatabase_spark.plans import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for rnd, literal in ((1, registry._R1_GREEN), (2, registry._R2_GREEN)):
+        path = os.path.join(root, f"CORRECTNESS_r0{rnd}.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            rows = json.load(f)
+        green = {n for n, r in rows.items() if r.get("hash_match") is True}
+        assert set(literal) == green, f"round {rnd} literals out of sync"
+
+
+def test_registry_orders_never_green_first():
+    """Driver budget = first 50: queries without a hash-green driver row
+    must be registered ahead of every verified one."""
+    from financedatabase_spark.plans.registry import QUERIES, _GREEN_ROUND
+
+    rounds = [_GREEN_ROUND.get(n, 0) for n in QUERIES]
+    assert rounds == sorted(rounds)
