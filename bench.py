@@ -58,18 +58,21 @@ def main() -> None:
                 QUERIES[name](spark, warm_dir).count()
             except Exception:
                 pass
-    # best-of-2 per query: this host shows 2-4x run-to-run variance under
-    # contention; min-of-2 reports the query's cost, not the host's mood
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in names:
-        best = float("inf")
-        for _ in range(2):
+    # Variance guard: this host shows 2-4x run-to-run variance under
+    # contention (BENCH_r03 ran uniformly ~2.3x slower than r02 with zero
+    # execution-relevant code change, DuckDB baseline included). Best-of-3
+    # with INTERLEAVED passes — a contention burst hits one full pass, not
+    # both timings of the same query — reports the query's cost, not the
+    # host's mood.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    timings = {name: float("inf") for name in names}
+    for _ in range(passes):
+        for name in names:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        total += best
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {n: round(t, 4) for n, t in timings.items()}
+    total = sum(timings.values())
 
     out = {
         "metric": "headline_queries_total",
@@ -100,20 +103,23 @@ def _duckdb_baseline(sf_dir: str, names: list[str]) -> dict:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in names:
-        if name not in ORACLE_SQL:
-            continue
+    oracle_names = [n for n in names if n in ORACLE_SQL]
+    for name in oracle_names:
         con.execute(ORACLE_SQL[name]).fetchall()  # warm
-        best = float("inf")
-        for _ in range(2):
+    # same interleaved best-of-N as the engine timings
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    timings = {name: float("inf") for name in oracle_names}
+    for _ in range(passes):
+        for name in oracle_names:
             t0 = time.perf_counter()
             con.execute(ORACLE_SQL[name]).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        total += best
-    return {"engine": "duckdb", "total_sec": round(total, 4), "queries": timings}
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {n: round(t, 4) for n, t in timings.items()}
+    return {
+        "engine": "duckdb",
+        "total_sec": round(sum(timings.values()), 4),
+        "queries": timings,
+    }
 
 
 if __name__ == "__main__":

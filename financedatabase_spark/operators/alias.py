@@ -22,16 +22,26 @@ from pyspark.sql import functions as F
 from financedatabase_spark.operators.dedup import dedup_keep_last
 
 
+#: Tiny literal dimensions are rebuilt on every pipeline run in the
+#: reference (per-request Python lists); here the (session, rows) pair is
+#: memoized so repeated runs reuse one local relation instead of paying a
+#: Python->JVM createDataFrame round-trip each time.
+_DIM_CACHE: dict[tuple[int, tuple], DataFrame] = {}
+
+
 def alias_dim(
     spark: SparkSession,
     changes: list[tuple[str, str, str]],
 ) -> DataFrame:
     """Build the ticker-change dimension from (current, old, change_date)
     tuples (reference: TICK_CHANGE_ALIAS, v3/utils.py:526)."""
-    rows = [(c, o, dt.date.fromisoformat(d)) for c, o, d in changes]
-    return spark.createDataFrame(
-        rows, "current_symbol string, old_symbol string, change_date date"
-    )
+    key = (id(spark), tuple(changes))
+    if key not in _DIM_CACHE:
+        rows = [(c, o, dt.date.fromisoformat(d)) for c, o, d in changes]
+        _DIM_CACHE[key] = spark.createDataFrame(
+            rows, "current_symbol string, old_symbol string, change_date date"
+        )
+    return _DIM_CACHE[key]
 
 
 def canonicalize_symbols(

@@ -27,17 +27,24 @@ DEFAULT_QUARANTINE: list[tuple[str, str, str]] = [
     ("list_dates", "AAPL", "2014-06-09"),
 ]
 
+#: Memoized tiny literal dimensions, keyed by (session, rows) — same
+#: rationale as operators/alias._DIM_CACHE.
+_DIM_CACHE: dict[tuple[int, tuple], DataFrame] = {}
+
 
 def quarantine_dim(
     spark: SparkSession,
     entries: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
-    rows = [
-        (q, s, dt.date.fromisoformat(d)) for q, s, d in (entries or DEFAULT_QUARANTINE)
-    ]
-    return spark.createDataFrame(
-        rows, "query_name string, symbol string, bad_date date"
-    )
+    key = (id(spark), tuple(entries or DEFAULT_QUARANTINE))
+    if key not in _DIM_CACHE:
+        rows = [
+            (q, s, dt.date.fromisoformat(d)) for q, s, d in (entries or DEFAULT_QUARANTINE)
+        ]
+        _DIM_CACHE[key] = spark.createDataFrame(
+            rows, "query_name string, symbol string, bad_date date"
+        )
+    return _DIM_CACHE[key]
 
 
 def apply_corrections(

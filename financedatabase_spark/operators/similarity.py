@@ -26,9 +26,21 @@ def _vec(col: Column | str) -> Column:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition the corpus side before O(Q·N) scoring — a single-file
-    source arrives as one partition and would serialize the whole scan."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    """Repartition the corpus side before O(Q·N) scoring — but ONLY when
+    the source can't parallelize on its own. A small single-file source
+    arrives as one split and would serialize the whole scan; spreading it
+    costs one tiny shuffle. A real partitioned table already yields many
+    splits, and an unconditional repartition there would be a full
+    shuffle of the corpus at 100 TB — so scan-backed frames with enough
+    input files skip the shuffle entirely (file count is metadata-only;
+    same guard as ``dedup_docs._spread``)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass  # non-scan-backed frames: fall through to the explicit spread
+    return df.repartition(target)
 
 
 def dot(a: Column, b: Column) -> Column:

