@@ -44,41 +44,93 @@ class ParquetTable:
 
     `mode='append'|'overwrite'` maps the reference's `if_exists` flag
     (SQLHelpers.py:361-367).
+
+    **Atomic rewrites.** DML rewrites (UPDATE/DELETE/dedup) read the table
+    lazily, so they cannot overwrite their own input in place. Each
+    `rewrite` writes a fresh versioned directory (``_vNNNNNNNN`` —
+    underscore-prefixed, so Hadoop/Spark flat scans of the table root
+    ignore it) and then commits by atomically replacing the ``_CURRENT``
+    pointer file (``os.replace``, atomic on POSIX). A crash at ANY point
+    leaves the pointer referencing a complete version: before the swap
+    readers see the old data, after it the new — the same
+    pointer-to-immutable-snapshot commit Delta's ``_delta_log`` performs,
+    scaled down to one file. (The reference's replace-then-append MySQL
+    rewrite, SQLHelpers.py:380-403, relies on InnoDB transactions for the
+    equivalent guarantee.) Stale versions are pruned best-effort AFTER the
+    commit; leftovers are invisible to readers.
+
+    Tables created by plain `write` keep the flat layout and remain
+    readable; the first `rewrite` migrates them to the versioned layout.
     """
+
+    POINTER = "_CURRENT"
 
     def __init__(self, spark: SparkSession, path: str, partition_by: list[str] | None = None):
         self.spark = spark
         self.path = path
         self.partition_by = partition_by or []
 
+    # -- versioned-layout plumbing ------------------------------------
+    def _pointer(self) -> str:
+        return os.path.join(self.path, self.POINTER)
+
+    def _current_dir(self) -> str:
+        if os.path.isfile(self._pointer()):
+            with open(self._pointer()) as f:
+                return os.path.join(self.path, f.read().strip())
+        return self.path  # flat layout (no rewrite has happened yet)
+
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(self.path)
+        if not os.path.isdir(self.path):
+            return False
+        cur = self._current_dir()
+        return os.path.isdir(cur) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(cur)
         )
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(self._current_dir())
 
     def write(self, df: DataFrame, mode: str = "append") -> None:
         w = df.write.mode(mode)
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
-        w.parquet(self.path)
+        w.parquet(self._current_dir())
 
     def rewrite(self, df: DataFrame) -> None:
-        """Overwrite with a plan that READS this table: Spark reads lazily,
-        so a direct overwrite would delete its own input files mid-job.
-        Write to a sibling temp dir, then swap. Non-transactional (a crash
-        between rmtree and rename loses the table) — with a Delta/Iceberg
-        catalog this would be a single atomic commit; on plain parquet the
-        reference has the same exposure in its replace-then-append rewrite
-        (SQLHelpers.py:380-403)."""
+        """Commit ``df`` as the table's new contents atomically (see class
+        docstring for the crash-safety argument)."""
         import shutil
 
-        tmp = self.path.rstrip("/") + "__rewrite_tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.path)
-        os.rename(tmp, self.path)
+        cur = self._current_dir()
+        base = os.path.basename(cur)
+        n = int(base[2:]) if base.startswith("_v") and base[2:].isdigit() else 0
+        new_name = f"_v{n + 1:08d}"
+        new_dir = os.path.join(self.path, new_name)
+        df.write.mode("overwrite").parquet(new_dir)
+
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(new_name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer())  # <- the commit point
+
+        # post-commit prune of stale data: best-effort, never part of the
+        # transaction (a failure here leaves invisible garbage, not a
+        # broken table)
+        try:
+            for entry in os.listdir(self.path):
+                full = os.path.join(self.path, entry)
+                if entry.startswith("_v") and entry != new_name and os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                elif cur == self.path and (
+                    entry.endswith(".parquet") or entry in ("_SUCCESS",)
+                    or entry.endswith(".crc")
+                ):
+                    os.remove(full)  # flat-layout files superseded by _v1
+        except OSError:
+            pass
 
 
 def eq_predicate(filters: dict[str, object]) -> Column:

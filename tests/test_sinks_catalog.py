@@ -89,3 +89,56 @@ def test_environment_lifecycle(spark):
     finally:
         spark.sql("DROP DATABASE IF EXISTS fdtest_dev CASCADE")
         spark.sql("DROP DATABASE IF EXISTS fdtest_uat CASCADE")
+
+
+def test_rewrite_crash_before_commit_preserves_table(table, monkeypatch):
+    """A crash anywhere before the pointer swap must leave the old
+    contents fully readable — the rewrite commit is the os.replace of
+    _CURRENT, nothing earlier mutates visible state."""
+    import os as _os
+
+    before = sorted(r.id for r in table.read().collect())
+
+    def boom(src, dst):
+        raise OSError("simulated crash at the commit point")
+
+    monkeypatch.setattr(_os, "replace", boom)
+    with pytest.raises(OSError):
+        run_update(table, {"status": "O"}, {"price": 0.0})
+    monkeypatch.undo()
+
+    assert sorted(r.id for r in table.read().collect()) == before
+    assert {r.price for r in table.read().filter(F.col("status") == "O").collect()} != {0.0}
+    # and the table still accepts a normal rewrite afterwards
+    report = run_update(table, {"status": "O"}, {"price": 7.0})
+    assert report.success
+    assert {r.price for r in table.read().filter(F.col("status") == "O").collect()} == {7.0}
+
+
+def test_rewrite_crash_during_prune_is_harmless(table, monkeypatch):
+    """After the pointer swap the transaction is committed; a crash in the
+    best-effort prune leaves stale-but-invisible version dirs only."""
+    import shutil as _shutil
+
+    monkeypatch.setattr(_shutil, "rmtree", lambda *a, **k: (_ for _ in ()).throw(OSError()))
+    try:
+        report = run_delete(table, {"id": 1})
+    finally:
+        monkeypatch.undo()
+    assert report.success and report.rows_affected == 1
+    assert sorted(r.id for r in table.read().collect()) == [2, 3, 3]
+
+
+def test_rewrites_chain_across_versions(table):
+    """Successive rewrites bump the version pointer; reads always resolve
+    through it and appends land in the current version."""
+    run_update(table, {"id": 1}, {"price": 1.0})
+    run_delete(table, {"id": 2})
+    dedup_rewrite(table)
+    df = table.read()
+    assert sorted(r.id for r in df.collect()) == [1, 3]
+    extra = df.sparkSession.createDataFrame([(9, "X", 9.0)], df.schema)
+    table.write(extra, mode="append")
+    assert sorted(r.id for r in table.read().collect()) == [1, 3, 9]
+    clear_table(table)
+    assert table.read().count() == 0 and table.exists()
