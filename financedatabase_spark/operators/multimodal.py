@@ -94,6 +94,35 @@ def decode_features(
     return df.select(*cols).mapInPandas(run, FEATURE_SCHEMA)
 
 
+def pil_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Real image codec for the `decode_features` seam, used when Pillow
+    is importable: decode, downscale to 16x16 grayscale, luminance
+    histogram over ``dim`` bins, normalized — same output contract
+    (list[float] of length dim) as `fake_decode`."""
+    from io import BytesIO
+
+    from PIL import Image  # noqa: F401 — optional dependency
+
+    img = Image.open(BytesIO(payload)).convert("L").resize((16, 16))
+    counts = [0] * dim
+    for px in img.getdata():
+        counts[px * dim // 256] += 1
+    total = 16 * 16
+    return [c / total for c in counts]
+
+
+def default_decode() -> Callable[[bytes], list[float]] | None:
+    """The best codec this environment offers: PIL-backed when Pillow is
+    importable, else None (callers fall back to `fake_decode` for tests
+    or get NotImplementedError on real payloads)."""
+    try:
+        import PIL  # noqa: F401
+
+        return pil_decode
+    except ImportError:
+        return None
+
+
 def fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in codec: byte-value histogram over ``dim``
     equal bins, normalized — stable across runs/engines, no library

@@ -62,3 +62,41 @@ def test_frame_sampling(spark):
     kept = frame_sample_plan(frames, every_n=5)
     assert kept.count() == 20
     assert kept.filter(~F.col("frame_idx").isin(0, 5)).count() == 0
+
+
+def test_codec_seam_both_ways(spark, media_df):
+    """The optional-codec seam: with Pillow importable, default_decode()
+    returns the PIL codec and decode_features produces dim-length
+    normalized histograms from real image bytes; without it the seam
+    reports None and the stub contract (NotImplementedError on None,
+    fake_decode as stand-in) carries the same schema. Either branch must
+    satisfy the identical output contract."""
+    from financedatabase_spark.operators.multimodal import (
+        decode_features,
+        default_decode,
+        fake_decode,
+    )
+
+    codec = default_decode()
+    try:
+        import PIL  # noqa: F401
+
+        assert codec is not None
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (4, 4), color=128).save(buf, format="PNG")
+        feats = codec(buf.getvalue())
+    except ImportError:
+        assert codec is None
+        codec = fake_decode
+        feats = codec(b"\x00\x80\xff" * 5)
+
+    assert len(feats) == 8
+    assert abs(sum(feats) - 1.0) < 1e-9
+
+    out = decode_features(media_df, decode_fn=codec).collect()
+    assert all(len(r.feature) == 8 for r in out)
+    assert all(abs(sum(r.feature) - 1.0) < 1e-9 for r in out)

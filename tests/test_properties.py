@@ -97,3 +97,35 @@ def test_asof_tolerance(spark_h):
 @pytest.fixture(scope="module")
 def spark_h(spark):
     return spark
+
+
+def test_lsh_mass_duplication_stays_linear(spark_h):
+    """Adversarial skew: 100k copies of one document collide on every band
+    key. All-pairs would emit ~5e9 candidates; the hot-bucket star cap
+    must emit exactly n-1 pairs against the representative, all verified
+    at jaccard 1.0, in time linear in n (a quadratic blowup would not
+    finish this test at all)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.dedup_docs import minhash_lsh_dedup
+
+    n = 100_000
+    docs = spark_h.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog again").alias("text"),
+    )
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_dedup(docs, threshold=0.999)
+    n_pairs = pairs.count()
+    elapsed = time.perf_counter() - t0
+    assert n_pairs == n - 1  # star, not clique
+    agg = pairs.agg(
+        F.min("jaccard").alias("jmin"), F.countDistinct("doc1").alias("reps")
+    ).collect()[0]
+    assert agg.jmin == 1.0
+    assert agg.reps == 1  # single representative anchors the star
+    # generous wall-clock bound: quadratic candidate generation would need
+    # ~5e9 pair evaluations and blow far past this
+    assert elapsed < 300, f"LSH skew path took {elapsed:.0f}s — not linear"
