@@ -477,3 +477,50 @@ def connected_components(
             break
         prev = cur
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    min_ratio: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: for every (train doc, benchmark doc)
+    pair sharing k-word shingles, the fraction of the benchmark's
+    shingles present in the train doc — the standard n-gram-overlap
+    contamination test run before training on a scraped corpus.
+
+    Shape at 100 TB: the benchmark side is tiny (eval suites are
+    thousands of docs), so its shingle table broadcasts and the train
+    corpus pays ONE scan + a map-side hash join, no shuffle of the
+    corpus; the (train,bench) aggregation shuffles only matched pairs.
+    Shingles are distinct per doc (word_shingles), so count(*) per pair
+    IS the intersection size.
+    """
+    tsh = shingle_table(train, text_col, id_col, k).withColumnRenamed("doc_id", "train_doc")
+    bsh = shingle_table(bench, text_col, id_col, k).withColumnRenamed("doc_id", "bench_doc")
+    bsize = bsh.groupBy("bench_doc").agg(F.count("*").alias("bench_shingles"))
+    if broadcast_bench:
+        bsh, bsize = F.broadcast(bsh), F.broadcast(bsize)
+    shared = (
+        tsh.join(bsh, "shingle")
+        .filter(F.col("train_doc") != F.col("bench_doc"))
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count("*").cast("long").alias("shared_shingles"))
+    )
+    return (
+        shared.join(bsize, "bench_doc")
+        .withColumn(
+            "contamination",
+            F.col("shared_shingles").cast("double") / F.col("bench_shingles").cast("double"),
+        )
+        .filter(F.col("contamination") >= min_ratio)
+        .select(
+            "train_doc", "bench_doc", "shared_shingles",
+            F.col("bench_shingles").cast("long").alias("bench_shingles"),
+            "contamination",
+        )
+    )

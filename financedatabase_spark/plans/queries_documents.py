@@ -800,3 +800,120 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical element-wise code formula."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.scalar_quantize_int8(emb)
+
+
+# --------------------------------------------------------------------------
+# privacy scrub + decontamination
+# --------------------------------------------------------------------------
+
+#: Deterministic PII injection (the synthetic corpus ships clean): every
+#: third doc gains one hit per category, so the scrub has real spans to
+#: find and the driver verifies counts, redacted length, and redacted
+#: hash bit-for-bit. Identical expression in both engines.
+_SEEDED = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact user' || doc_id || '@example.com tel 555-867-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' ip 10.0.' || (doc_id % 256) || '.7 ssn 123-45-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END AS t
+  FROM documents
+"""
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+_PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH seeded AS ({_SEEDED}),
+    r1 AS (SELECT doc_id, len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+                  regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t FROM seeded),
+    r2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t, '{_PII_SSN}')) AS n_ssn,
+                  regexp_replace(t, '{_PII_SSN}', '[SSN]', 'g') AS t FROM r1),
+    r3 AS (SELECT doc_id, n_email, n_ssn,
+                  len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+                  regexp_replace(t, '{_PII_PHONE}', '[PHONE]', 'g') AS t FROM r2),
+    r4 AS (SELECT doc_id, n_email, n_ssn, n_phone,
+                  len(regexp_extract_all(t, '{_PII_IPV4}')) AS n_ipv4,
+                  regexp_replace(t, '{_PII_IPV4}', '[IPV4]', 'g') AS t FROM r3)
+    SELECT doc_id, n_email::BIGINT AS n_email, n_ssn::BIGINT AS n_ssn,
+           n_phone::BIGINT AS n_phone, n_ipv4::BIGINT AS n_ipv4,
+           length(t)::BIGINT AS n_redacted_chars, md5(t) AS redacted_hash
+    FROM r4
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-scrub stage (operators/text.pii_redact): seed deterministic
+    PII into every third doc, then redact emails/SSNs/phones/IPs with the
+    RE2-and-Java-common-subset patterns and report per-category counts
+    plus the redacted text's length and md5. Pure regexp_* column
+    expressions — codegen'd, shuffle-free, one corpus scan at any SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com tel 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 ssn 123-45-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")).alias("t"),
+    )
+    return seeded.select(
+        "doc_id",
+        *tx.pii_counts("t"),
+        F.length(tx.pii_redact("t")).cast("long").alias("n_redacted_chars"),
+        F.md5(tx.pii_redact("t")).alias("redacted_hash"),
+    )
+
+
+@register(
+    "benchmark_contamination",
+    oracle="""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                  FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) >= 8
+             THEN list_transform(generate_series(1, len(w) - 7),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                                      || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]
+                                      || ' ' || w[i+6] || ' ' || w[i+7])
+             ELSE [] END)) AS shingle
+      FROM toks
+    ),
+    bench AS (SELECT doc_id AS bench_doc, shingle FROM sh WHERE doc_id % 97 = 0),
+    bsize AS (SELECT bench_doc, count(*) AS bench_shingles FROM bench GROUP BY 1),
+    shared AS (
+      SELECT t.doc_id AS train_doc, b.bench_doc, count(*) AS shared_shingles
+      FROM sh t JOIN bench b ON t.shingle = b.shingle AND t.doc_id <> b.bench_doc
+      GROUP BY 1, 2
+    )
+    SELECT s.train_doc, s.bench_doc, s.shared_shingles::BIGINT AS shared_shingles,
+           z.bench_shingles::BIGINT AS bench_shingles,
+           CAST(s.shared_shingles AS DOUBLE) / CAST(z.bench_shingles AS DOUBLE)
+             AS contamination
+    FROM shared s JOIN bsize z USING (bench_doc)
+    WHERE CAST(s.shared_shingles AS DOUBLE) / CAST(z.bench_shingles AS DOUBLE) >= 0.2
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup_docs.contamination_pairs):
+    8-gram overlap ratio between every train doc and a held-out benchmark
+    slice (doc_id % 97). The benchmark shingle table broadcasts, so the
+    corpus pays one scan and a map-side join — the pre-training
+    contamination audit at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return dd.contamination_pairs(docs, bench, k=8, min_ratio=0.2)

@@ -135,3 +135,12 @@ def test_spread_skips_shuffle_for_multifile_scans(spark, sf_dir, tmp_path):
     with contextlib.redirect_stdout(buf):
         topk.explain("formatted")
     assert "roundrobin" not in buf.getvalue().lower()
+
+
+def test_contamination_bench_side_broadcasts(spark, sf_dir):
+    # the benchmark shingle table must broadcast: the corpus side joins
+    # map-side (no corpus shuffle, no sort-merge, never cartesian)
+    p = plan_of(spark, sf_dir, "benchmark_contamination")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
