@@ -71,12 +71,20 @@ def cosine_topk(
 
     Scores are rounded (default 1e-6) before ranking so float ties break
     identically across engines; rank ties break on corpus_id."""
-    q = queries.select(F.col(query_id), _vec(vec_col).alias("_qv"))
-    c = _spread(corpus).select(F.col(corpus_id), _vec(vec_col).alias("_cv"))
+    # norms are per-ROW quantities: compute them once on each side before
+    # the join instead of per PAIR (identical IEEE result — the division
+    # still sees l2(q)*l2(c) in the same operand order — at a third of the
+    # per-pair array work)
+    q = queries.select(F.col(query_id), _vec(vec_col).alias("_qv")).withColumn(
+        "_qn", l2_norm(F.col("_qv"))
+    )
+    c = _spread(corpus).select(F.col(corpus_id), _vec(vec_col).alias("_cv")).withColumn(
+        "_cn", l2_norm(F.col("_cv"))
+    )
     scored = q.crossJoin(c).select(
         query_id,
         corpus_id,
-        cosine(F.col("_qv"), F.col("_cv")).alias("_raw"),
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("_raw"),
     )
     score = F.round(F.col("_raw"), round_digits) if round_digits else F.col("_raw")
     scored = scored.select(query_id, corpus_id, score.alias("score"))
@@ -101,12 +109,17 @@ def ivf_topk(
     """IVF-style ANN: probe only the query's cell (coarse-quantizer
     bucket). Equi-join on the cell id — Catalyst turns the cross join into
     a hash join, and a cell-partitioned corpus table prunes at the scan."""
-    q = queries.select(F.col(query_id), F.col(cell_col).alias("_cell"), _vec(vec_col).alias("_qv"))
-    c = _spread(corpus).select(F.col(corpus_id), F.col(cell_col).alias("_ccell"), _vec(vec_col).alias("_cv"))
+    q = queries.select(
+        F.col(query_id), F.col(cell_col).alias("_cell"), _vec(vec_col).alias("_qv")
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+    c = _spread(corpus).select(
+        F.col(corpus_id), F.col(cell_col).alias("_ccell"), _vec(vec_col).alias("_cv")
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    # per-row norms hoisted ahead of the join (see cosine_topk)
     scored = q.join(c, F.col("_cell") == F.col("_ccell")).select(
         query_id,
         corpus_id,
-        cosine(F.col("_qv"), F.col("_cv")).alias("_raw"),
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("_raw"),
     )
     score = F.round(F.col("_raw"), round_digits) if round_digits else F.col("_raw")
     scored = scored.select(query_id, corpus_id, score.alias("score"))
@@ -179,10 +192,14 @@ def ivf_multiprobe_topk(
     )
     c = _spread(corpus).select(
         F.col(corpus_id), F.col(cell_col).alias("_ccell"), _vec(vec_col).alias("_cv")
-    )
-    # cells partition the corpus, so no (query, doc) pair repeats across probes
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    probes = probes.withColumn("_qn", l2_norm(F.col("_qv")))
+    # cells partition the corpus, so no (query, doc) pair repeats across probes;
+    # per-row norms hoisted ahead of the join (see cosine_topk)
     scored = probes.join(c, F.col("_cell") == F.col("_ccell")).select(
-        query_id, corpus_id, cosine(F.col("_qv"), F.col("_cv")).alias("_raw")
+        query_id,
+        corpus_id,
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("_raw"),
     )
     score = F.round(F.col("_raw"), round_digits) if round_digits else F.col("_raw")
     scored = scored.select(query_id, corpus_id, score.alias("score"))
@@ -205,7 +222,9 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs, blocked by cell id so the
     pair join is within-cell only (the LSH/IVF blocking trick applied to
     dedup)."""
-    v = _spread(df).select(F.col(id_col), F.col(cell_col).alias("_cell"), _vec(vec_col).alias("_v"))
+    v = _spread(df).select(
+        F.col(id_col), F.col(cell_col).alias("_cell"), _vec(vec_col).alias("_v")
+    ).withColumn("_n", l2_norm(F.col("_v")))
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(
         b,
@@ -213,7 +232,7 @@ def embedding_near_dups(
     ).select(
         F.col(f"a.{id_col}").alias("id1"),
         F.col(f"b.{id_col}").alias("id2"),
-        cosine(F.col("a._v"), F.col("b._v")).alias("_raw"),
+        (dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))).alias("_raw"),
     )
     score = F.round(F.col("_raw"), round_digits) if round_digits else F.col("_raw")
     return pairs.select("id1", "id2", score.alias("cosine")).filter(
@@ -253,4 +272,78 @@ def dequantize_int8(codes: DataFrame, rng: DataFrame) -> DataFrame:
     return codes.join(F.broadcast(rng), "pos").withColumn(
         "x_hat",
         F.col("lo") + F.col("code") / F.lit(255.0) * (F.col("hi") - F.col("lo")),
+    )
+
+
+def _assign_to_codebook(
+    v: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment under cosine: broadcast the codebook,
+    score map-side, keep each vector's argmax (ties break on cell asc).
+    ``v`` carries (id, _v, _n)."""
+    cen = centroids.select(
+        F.col("cell"), F.col("cvec"), l2_norm(F.col("cvec")).alias("_cn")
+    )
+    sim = F.round(
+        dot(F.col("_v"), F.col("cvec")) / (F.col("_n") * F.col("_cn")), round_digits
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell").asc())
+    return (
+        v.crossJoin(F.broadcast(cen))
+        .select(id_col, "_v", "_n", "cell", sim.alias("sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _centroids_of_assignment(assign: DataFrame) -> DataFrame:
+    """Recompute the codebook from an assignment — exact decimal
+    element-wise means, identical math to `cell_centroids`."""
+    flat = assign.select("cell", F.posexplode(F.col("_v")).alias("pos", "x"))
+    cmeans = flat.groupBy("cell", "pos").agg(
+        (F.sum(F.col("x").cast("decimal(28,10)")).cast("double") / F.count("*")).alias("m")
+    )
+    return (
+        cmeans.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+        .select("cell", F.transform(F.col("_pm"), lambda s: s.getField("m")).alias("cvec"))
+    )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Lloyd refinement of the IVF coarse quantizer — the iterative
+    k-means loop FAISS runs at index-train time, expressed as ``iters``
+    chained DataFrame stages (spherical variant: cosine assignment,
+    mean-vector update).
+
+    Every iteration is one broadcast of the tiny codebook plus one
+    map-side argmax over the corpus and one (cell, pos) shuffle of
+    exploded dims — the corpus is never shuffled whole, so the loop
+    scales to 100 TB with per-iteration cost linear in corpus bytes.
+    Fully deterministic across engines: decimal-exact centroid means,
+    1e-6-rounded similarities, cell-asc tie-break. Empty cells drop out
+    of the codebook (standard Lloyd behavior). Returns the final
+    assignment (id, assigned_label, sim)."""
+    v = (
+        _spread(df)
+        .select(F.col(id_col), _vec(vec_col).alias("_v"))
+        .withColumn("_n", l2_norm(F.col("_v")))
+    )
+    cen = cell_centroids(df, cell_col, vec_col)
+    assign = _assign_to_codebook(v, cen, id_col)
+    for _ in range(iters - 1):
+        cen = _centroids_of_assignment(assign)
+        assign = _assign_to_codebook(v, cen, id_col)
+    return assign.select(
+        id_col, F.col("cell").alias("assigned_label"), F.col("sim")
     )
