@@ -917,3 +917,62 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return dd.contamination_pairs(docs, bench, k=8, min_ratio=0.2)
+
+
+@register(
+    "kmeans_lloyd_refine",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    flat0 AS (
+      SELECT label AS cell, u.pos AS pos, u.x AS x
+      FROM v, LATERAL (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS pos) u
+    ),
+    cm0 AS (SELECT cell, pos,
+                   CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+            FROM flat0 GROUP BY cell, pos),
+    cen0 AS (SELECT cell, list(m ORDER BY pos) AS cvec FROM cm0 GROUP BY cell),
+    s1 AS (
+      SELECT v.vec_id, v.emb, c.cell,
+             round(list_dot_product(v.emb, c.cvec) /
+                   (sqrt(list_dot_product(v.emb, v.emb))
+                    * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS sim
+      FROM v CROSS JOIN cen0 c
+    ),
+    a1 AS (
+      SELECT vec_id, emb, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cell ASC) AS rn
+        FROM s1
+      ) WHERE rn = 1
+    ),
+    flat1 AS (
+      SELECT a.cell, u.pos AS pos, u.x AS x
+      FROM a1 a, LATERAL (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS pos) u
+    ),
+    cm1 AS (SELECT cell, pos,
+                   CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+            FROM flat1 GROUP BY cell, pos),
+    cen1 AS (SELECT cell, list(m ORDER BY pos) AS cvec FROM cm1 GROUP BY cell),
+    s2 AS (
+      SELECT v.vec_id, c.cell,
+             round(list_dot_product(v.emb, c.cvec) /
+                   (sqrt(list_dot_product(v.emb, v.emb))
+                    * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS sim
+      FROM v CROSS JOIN cen1 c
+    )
+    SELECT vec_id, cell AS assigned_label, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cell ASC) AS rn
+      FROM s2
+    ) WHERE rn = 1
+    """,
+)
+def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer TRAINING: two Lloyd iterations refining the label-
+    seeded codebook (operators/similarity.kmeans_refine) — the iterative
+    k-means loop FAISS runs before IVF search, as chained DataFrame
+    stages: broadcast codebook -> map-side cosine argmax -> decimal-exact
+    centroid update. The corpus is never shuffled whole; per-iteration
+    cost is linear in corpus bytes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.kmeans_refine(emb, iters=2)

@@ -176,3 +176,27 @@ def test_registry_orders_never_green_first():
 
     rounds = [_GREEN_ROUND.get(n, 0) for n in QUERIES]
     assert rounds == sorted(rounds)
+
+
+def test_kmeans_lloyd_improves_monotonically(spark, sf_dir):
+    """Lloyd invariant: each assign->update->assign round weakly improves
+    the mean assignment similarity (k-means objective monotonicity), and
+    refinement never invents cells — the codebook only shrinks (empty
+    cells drop) or keeps its cardinality."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators import similarity as sim
+    from financedatabase_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells0 = emb.select("label").distinct().count()
+    prev = None
+    for iters in (1, 2, 3):
+        a = sim.kmeans_refine(emb, iters=iters)
+        row = a.agg(
+            F.avg("sim").alias("m"), F.countDistinct("assigned_label").alias("c")
+        ).collect()[0]
+        assert row.c <= n_cells0
+        if prev is not None:
+            assert row.m >= prev - 1e-9, f"objective regressed at iters={iters}"
+        prev = row.m
