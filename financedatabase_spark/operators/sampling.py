@@ -21,7 +21,7 @@ Spark's own ``sampleBy`` offers per-stratum fractions but is seeded-RNG
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: hex digits of the md5 prefix used as the selection bucket: 8 digits
@@ -100,4 +100,47 @@ def fixed_size_sample(
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)
         .drop("_rn")
+    )
+
+
+def token_shard_packing(
+    df: DataFrame,
+    tokens_col: Column | str,
+    budget: int,
+    order_col: str = "doc_id",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sequence-packing shard assignment — the data-loader layout step of
+    a training pipeline: stream docs in a deterministic order, cut a new
+    shard whenever the running token total would pass ``budget``
+    (shard boundaries at ``floor(cum_before / budget)``, the same
+    prefix-sum-bucket trick as activity bars). Output one row per shard:
+    (key..., shard_idx, n_docs, n_tokens, first/last doc).
+
+    One window + one aggregate, both on the same key partitioning — a
+    single shuffle. With ``key_cols`` (e.g. language or source) packing
+    runs independently per stratum, which is how multilingual corpora
+    shard without cross-language interleaving."""
+    key_cols = key_cols or []
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    w = (
+        Window.partitionBy(*key_cols).orderBy(order_col)
+        if key_cols
+        else Window.partitionBy().orderBy(order_col)
+    )
+    cum = F.sum(t).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    staged = df.select(
+        *key_cols,
+        F.col(order_col),
+        t.alias("_tok"),
+        F.floor((cum - t) / F.lit(float(budget))).cast("long").alias("shard_idx"),
+    )
+    return (
+        staged.groupBy(*key_cols, "shard_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_tok").cast("long").alias("n_tokens"),
+            F.min(order_col).alias("first_doc"),
+            F.max(order_col).alias("last_doc"),
+        )
     )

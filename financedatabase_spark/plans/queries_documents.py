@@ -976,3 +976,37 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is linear in corpus bytes."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.kmeans_refine(emb, iters=2)
+
+
+@register(
+    "token_shard_packing",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, tok,
+             sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT lang, CAST(floor((cum - tok) / 4096.0) AS BIGINT) AS shard_idx,
+           count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+)
+def token_shard_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-loader layout stage (operators/sampling.token_shard_packing):
+    pack docs into 4096-token shards per language by prefix-sum bucketing
+    — one window + one agg sharing a single shuffle on the stratum key,
+    the same plan shape as the activity bars."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "lang", "doc_id", tx.bpe_token_count("text").alias("tok")
+    )
+    return smp.token_shard_packing(
+        with_tok, "tok", budget=4096, order_col="doc_id", key_cols=["lang"]
+    )

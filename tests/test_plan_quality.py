@@ -144,3 +144,13 @@ def test_contamination_bench_side_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_token_packing_single_shuffle(spark, sf_dir):
+    # prefix-sum window and shard agg share one hash partitioning on the
+    # stratum key — exactly one Exchange, like the activity bars
+    import re
+
+    p = plan_of(spark, sf_dir, "token_shard_packing")
+    node_ids = set(re.findall(r"Exchange \((\d+)\)", p))
+    assert len(node_ids) == 1, node_ids
