@@ -12,7 +12,14 @@ from financedatabase_spark.operators.skew import salted_agg
 from financedatabase_spark.plans.registry import register
 from financedatabase_spark.sources.readers import load_table
 
-_DEC = "decimal(30,8)"
+# Money columns in the testdata carry exactly 2 decimals, so scale 2 is
+# LOSSLESS — and it keeps the unscaled sum far below 2^53. At scale 8 the
+# grand-total rollup row reaches ~1e18 unscaled, where DuckDB's
+# decimal->double (int128 -> double, then divide) double-rounds and lands
+# one ulp away from Java BigDecimal's correctly-rounded conversion — a
+# bit-mismatch that only appears at sf0.1+ (caught by the sf0.1 parity
+# sweep in r4).
+_DEC = "decimal(30,2)"
 
 
 @register(
@@ -61,7 +68,7 @@ def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_base,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base,
            count(*)::BIGINT AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -81,7 +88,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_revenue",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -98,7 +105,7 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_hot_key_agg",
     oracle="""
     SELECT l_returnflag,
-           CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
            count(*)::BIGINT AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -124,9 +131,9 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,
-           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(30,8)) END) AS DOUBLE) AS open_total,
-           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(30,8)) END) AS DOUBLE) AS filled_total,
-           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(30,8)) END) AS DOUBLE) AS partial_total
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE) AS open_total,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE) AS filled_total,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE) AS partial_total
     FROM orders
     GROUP BY o_orderpriority
     """,
