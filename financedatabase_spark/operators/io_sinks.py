@@ -88,8 +88,33 @@ class ParquetTable:
             f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(cur)
         )
 
-    def read(self) -> DataFrame:
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the current table, or — time travel — any retained
+        earlier version (``version=N`` reads ``_vN``; versions are
+        retained when pruning was disabled or has not run). The committed
+        pointer always names a complete snapshot, so concurrent readers
+        never observe a partial rewrite."""
+        if version is not None:
+            vdir = os.path.join(self.path, f"_v{version:08d}")
+            if not os.path.isdir(vdir):
+                raise FileNotFoundError(f"version {version} not retained at {self.path}")
+            return self.spark.read.parquet(vdir)
         return self.spark.read.parquet(self._current_dir())
+
+    def versions(self) -> list[int]:
+        """Retained version numbers, ascending (0 = flat pre-rewrite
+        layout, listed only while flat files remain)."""
+        if not os.path.isdir(self.path):
+            return []
+        out = [
+            int(e[2:])
+            for e in os.listdir(self.path)
+            if e.startswith("_v") and e[2:].isdigit()
+            and os.path.isdir(os.path.join(self.path, e))
+        ]
+        if any(e.endswith(".parquet") or e == "_SUCCESS" for e in os.listdir(self.path)):
+            out.append(0)
+        return sorted(out)
 
     def write(self, df: DataFrame, mode: str = "append") -> None:
         w = df.write.mode(mode)
@@ -97,9 +122,12 @@ class ParquetTable:
             w = w.partitionBy(*self.partition_by)
         w.parquet(self._current_dir())
 
-    def rewrite(self, df: DataFrame) -> None:
+    def rewrite(self, df: DataFrame, retain: int = 1) -> None:
         """Commit ``df`` as the table's new contents atomically (see class
-        docstring for the crash-safety argument)."""
+        docstring for the crash-safety argument). ``retain`` keeps that
+        many newest version dirs after the commit (>=1; higher values
+        enable `read(version=...)` time travel at the cost of storage —
+        the same retention/VACUUM trade Delta exposes)."""
         import shutil
 
         cur = self._current_dir()
@@ -119,10 +147,11 @@ class ParquetTable:
         # post-commit prune of stale data: best-effort, never part of the
         # transaction (a failure here leaves invisible garbage, not a
         # broken table)
+        keep = {f"_v{v:08d}" for v in range(n + 2 - max(retain, 1), n + 2)}
         try:
             for entry in os.listdir(self.path):
                 full = os.path.join(self.path, entry)
-                if entry.startswith("_v") and entry != new_name and os.path.isdir(full):
+                if entry.startswith("_v") and entry not in keep and os.path.isdir(full):
                     shutil.rmtree(full, ignore_errors=True)
                 elif cur == self.path and (
                     entry.endswith(".parquet") or entry in ("_SUCCESS",)

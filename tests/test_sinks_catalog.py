@@ -142,3 +142,25 @@ def test_rewrites_chain_across_versions(table):
     assert sorted(r.id for r in table.read().collect()) == [1, 3, 9]
     clear_table(table)
     assert table.read().count() == 0 and table.exists()
+
+
+def test_time_travel_reads_retained_versions(table):
+    """With retain >= 2 the previous snapshot stays readable by version
+    number while the pointer serves the newest — Delta-style time travel
+    from the versioned-commit layout."""
+    from financedatabase_spark.operators.io_sinks import update_rewrite
+
+    df = table.read()
+    out, _ = update_rewrite(df, {"status": "O"}, {"price": 42.0})
+    table.rewrite(out, retain=2)
+    out2, _ = update_rewrite(table.read(), {"status": "F"}, {"price": 7.0})
+    table.rewrite(out2, retain=2)
+
+    assert table.versions()[-2:] == [1, 2]
+    cur = table.read()
+    assert {r.price for r in cur.filter(F.col("status") == "F").collect()} == {7.0}
+    v1 = table.read(version=1)
+    assert {r.price for r in v1.filter(F.col("status") == "F").collect()} == {20.0}
+    assert {r.price for r in v1.filter(F.col("status") == "O").collect()} == {42.0}
+    with pytest.raises(FileNotFoundError):
+        table.read(version=9)
