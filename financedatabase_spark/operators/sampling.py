@@ -144,3 +144,30 @@ def token_shard_packing(
             F.max(order_col).alias("last_doc"),
         )
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    key_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's md5 bucket
+    falls into one of the cumulative-fraction intervals, so the SAME row
+    lands in the SAME split on every run, engine, and partitioning — the
+    property that keeps eval sets uncontaminated when the corpus is
+    re-processed. Fractions must sum to 1. Pure map-side expression (a
+    CASE over the hash bucket), zero shuffle at any scale."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = hash_bucket_hex(key_col)
+    expr = None
+    cum = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = bucket < F.lit(fraction_threshold_hex(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)

@@ -1010,3 +1010,38 @@ def token_shard_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.token_shard_packing(
         with_tok, "tok", budget=4096, order_col="doc_id", key_cols=["lang"]
     )
+
+
+_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_T_TRAIN = smp.fraction_threshold_hex(0.9)
+_T_VAL = smp.fraction_threshold_hex(0.95)
+
+
+@register(
+    "dataset_split_counts",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_T_TRAIN}' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_T_VAL}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS n_chars_total
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split
+    (operators/sampling.dataset_split): md5-bucket interval assignment —
+    same row, same split on every run/engine/partitioning, so eval sets
+    stay stable as the corpus is re-processed. Zero shuffle to assign;
+    the per-(lang, split) audit aggregate here is the pipeline's split
+    report."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = smp.dataset_split(docs, _SPLITS)
+    return assigned.groupBy("lang", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
