@@ -124,3 +124,25 @@ def test_timeframe_utilities():
     assert is_retrieval_successful(object()) is True
     assert is_retrieval_successful("404: no data") is False
     assert is_theta_data_retrieval_successful is is_retrieval_successful
+
+
+def test_pipeline_facade_exports_resolve(spark, sf_dir):
+    """Every name in pipeline.__all__ must import, and a representative
+    end-to-end composition through the facade must run: stats -> dedup
+    keep-list -> split -> shard packing, one lazy plan chain."""
+    from financedatabase_spark import pipeline as P
+    from financedatabase_spark.sources.readers import load_table
+
+    missing = [n for n in P.__all__ if not hasattr(P, n)]
+    assert not missing
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = P.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    stats = P.doc_stats(docs).join(keep, "doc_id")
+    split = P.dataset_split(stats, {"train": 0.9, "val": 0.05, "test": 0.05})
+    shards = P.token_shard_packing(
+        split.filter(F.col("split") == "train"),
+        "n_tokens_ws", budget=2048, order_col="doc_id",
+    )
+    out = shards.collect()
+    assert out and all(r.n_docs > 0 for r in out)
