@@ -154,3 +154,11 @@ def test_token_packing_single_shuffle(spark, sf_dir):
     p = plan_of(spark, sf_dir, "token_shard_packing")
     node_ids = set(re.findall(r"Exchange \((\d+)\)", p))
     assert len(node_ids) == 1, node_ids
+
+
+def test_pii_redaction_is_pure_map(spark, sf_dir):
+    # the scrub is a regexp_replace chain: one scan, zero Exchange —
+    # a 100 TB corpus pays exactly one pass
+    p = plan_of(spark, sf_dir, "pii_redaction")
+    assert "Exchange" not in p
+    assert "codegen id" in p  # whole-stage codegen spans the projection
