@@ -1045,3 +1045,61 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("n_chars_total"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_WITH},
+    edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+      UNION
+      SELECT doc2, doc1 FROM mh_pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+      FROM reach GROUP BY a
+    ),
+    ranked AS (
+      SELECT c.cluster_rep, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_rep
+                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_rep) AS n_members
+      FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_rep, doc_id AS keep_doc, n_chars::BIGINT AS keep_n_chars,
+           n_members::BIGINT AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup story's last stage: inside each near-dup cluster keep the
+    BEST member (longest text, id-asc tie-break) rather than an arbitrary
+    one — what a curation pipeline actually retains. Clusters from the
+    distributed min-label components over star-capped LSH pairs; the
+    keeper is one window rank over cluster members. Only clustered docs
+    appear (singletons keep themselves by definition)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_dedup(docs, num_hashes=16, bands=4, threshold=0.2)
+    comp = dd.connected_components(pairs)
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("cluster_rep")))
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        "cluster_rep",
+        F.col("doc_id").alias("keep_doc"),
+        F.col("n_chars").cast("long").alias("keep_n_chars"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
