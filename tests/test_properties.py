@@ -129,3 +129,30 @@ def test_lsh_mass_duplication_stays_linear(spark_h):
     # generous wall-clock bound: quadratic candidate generation would need
     # ~5e9 pair evaluations and blow far past this
     assert elapsed < 300, f"LSH skew path took {elapsed:.0f}s — not linear"
+
+
+def test_dataset_split_partitions_exactly(spark_h):
+    """Splits must PARTITION the input: every row lands in exactly one
+    split, observed proportions track the spec, and re-running (or
+    repartitioning) never moves a row — the md5-interval assignment is a
+    pure function of the key."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.sampling import dataset_split
+
+    df = spark_h.range(20_000).select(F.col("id").alias("doc_id"))
+    spec = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = dataset_split(df, spec)
+    counts = {r.split: r.n for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 20_000  # partition, no loss/dup
+    for name, frac in spec.items():
+        assert abs(counts[name] / 20_000 - frac) < 0.02, (name, counts)
+
+    b = dataset_split(df.repartition(13), spec)
+    moved = (
+        a.select("doc_id", F.col("split").alias("s1"))
+        .join(b.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .filter(F.col("s1") != F.col("s2"))
+        .count()
+    )
+    assert moved == 0
