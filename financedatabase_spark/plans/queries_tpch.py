@@ -114,3 +114,53 @@ def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("o_orderkey").alias("n_orders"),
         )
     )
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                         * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,4))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-06-01'
+      AND l_shipdate > TIMESTAMP '1996-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the unshipped-orders revenue top-10: segment-
+    filtered customers broadcast into orders, orders⋈lineitem shuffles on
+    the orderkey, per-order revenue in exact decimal, then a top-k that
+    must compile to TakeOrderedAndProject (never a global sort).
+    l_orderkey is unique per group, so the (revenue, date, key) ordering
+    is a total order and LIMIT 10 is deterministic across engines."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1996-06-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-06-01"
+    )
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount")))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )

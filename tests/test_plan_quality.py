@@ -162,3 +162,11 @@ def test_pii_redaction_is_pure_map(spark, sf_dir):
     p = plan_of(spark, sf_dir, "pii_redaction")
     assert "Exchange" not in p
     assert "codegen id" in p  # whole-stage codegen spans the projection
+
+
+def test_shipping_priority_topk_and_broadcast(spark, sf_dir):
+    # Q3 shape: segment-filtered customers broadcast; the top-10 compiles
+    # to TakeOrderedAndProject, never a global Sort
+    p = plan_of(spark, sf_dir, "shipping_priority")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
