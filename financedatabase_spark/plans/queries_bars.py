@@ -301,3 +301,27 @@ def dollar_bars_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dollar_value").cast("decimal(18,4)").cast("double").alias("dollar_value"),
         "n_ticks",
     )
+
+
+@register(
+    "unpivot_ohlc_long",
+    oracle=f"""
+    WITH bars AS ({_BARS_CTE})
+    SELECT event_type, ts, 'open' AS metric, open AS value FROM bars
+    UNION ALL SELECT event_type, ts, 'high', high FROM bars
+    UNION ALL SELECT event_type, ts, 'low', low FROM bars
+    UNION ALL SELECT event_type, ts, 'close', close FROM bars
+    """,
+)
+def unpivot_ohlc_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape (pandas melt, the reference's formatting-layer
+    idiom): OHLC bars unpivoted to (key, ts, metric, value) tidy rows via
+    the native UNPIVOT operator — a zero-shuffle expand of the bar agg
+    (4 output rows per bar, no join, no window)."""
+    bars = resample(
+        _event_ticks(spark, sf_dir), "5m", ts_col="ts",
+        key_cols=["event_type"], order_cols=["event_id"], fill_gaps=False,
+    )
+    return bars.unpivot(
+        ["event_type", "ts"], ["open", "high", "low", "close"], "metric", "value"
+    )
