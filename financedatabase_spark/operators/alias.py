@@ -20,13 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from financedatabase_spark.operators.dedup import dedup_keep_last
-
-
-#: Tiny literal dimensions are rebuilt on every pipeline run in the
-#: reference (per-request Python lists); here the (session, rows) pair is
-#: memoized so repeated runs reuse one local relation instead of paying a
-#: Python->JVM createDataFrame round-trip each time.
-_DIM_CACHE: dict[tuple[int, tuple], DataFrame] = {}
+from financedatabase_spark.session import session_memo
 
 
 def alias_dim(
@@ -34,14 +28,21 @@ def alias_dim(
     changes: list[tuple[str, str, str]],
 ) -> DataFrame:
     """Build the ticker-change dimension from (current, old, change_date)
-    tuples (reference: TICK_CHANGE_ALIAS, v3/utils.py:526)."""
-    key = (id(spark), tuple(changes))
-    if key not in _DIM_CACHE:
+    tuples (reference: TICK_CHANGE_ALIAS, v3/utils.py:526).
+
+    Tiny literal dimensions are rebuilt on every pipeline run in the
+    reference (per-request Python lists); here the (session, rows) pair
+    is memoized (weakref per-session, see session.session_memo) so
+    repeated runs reuse one local relation instead of paying a
+    Python->JVM createDataFrame round-trip each time."""
+
+    def build() -> DataFrame:
         rows = [(c, o, dt.date.fromisoformat(d)) for c, o, d in changes]
-        _DIM_CACHE[key] = spark.createDataFrame(
+        return spark.createDataFrame(
             rows, "current_symbol string, old_symbol string, change_date date"
         )
-    return _DIM_CACHE[key]
+
+    return session_memo(spark, ("alias_dim", tuple(changes)), build)
 
 
 def canonicalize_symbols(

@@ -19,6 +19,8 @@ import datetime as dt
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from financedatabase_spark.session import session_memo
+
 #: Default quarantine entries, mirroring the reference's p1 patch shape:
 #: (query_name, symbol, bad_date). The reference's only shipped patch
 #: removes 2014-06-09 (AAPL 7:1 split artifact) from AAPL list_dates
@@ -27,24 +29,21 @@ DEFAULT_QUARANTINE: list[tuple[str, str, str]] = [
     ("list_dates", "AAPL", "2014-06-09"),
 ]
 
-#: Memoized tiny literal dimensions, keyed by (session, rows) — same
-#: rationale as operators/alias._DIM_CACHE.
-_DIM_CACHE: dict[tuple[int, tuple], DataFrame] = {}
-
-
 def quarantine_dim(
     spark: SparkSession,
     entries: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
-    key = (id(spark), tuple(entries or DEFAULT_QUARANTINE))
-    if key not in _DIM_CACHE:
-        rows = [
-            (q, s, dt.date.fromisoformat(d)) for q, s, d in (entries or DEFAULT_QUARANTINE)
-        ]
-        _DIM_CACHE[key] = spark.createDataFrame(
+    """Memoized per live session — same rationale as alias.alias_dim
+    (weakref session memo, evicted with the session)."""
+    use = tuple(entries or DEFAULT_QUARANTINE)
+
+    def build() -> DataFrame:
+        rows = [(q, s, dt.date.fromisoformat(d)) for q, s, d in use]
+        return spark.createDataFrame(
             rows, "query_name string, symbol string, bad_date date"
         )
-    return _DIM_CACHE[key]
+
+    return session_memo(spark, ("quarantine_dim", use), build)
 
 
 def apply_corrections(

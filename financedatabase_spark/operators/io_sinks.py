@@ -22,6 +22,7 @@ UPDATE touching one date rewrites one partition, not the table.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 from functools import reduce
 
@@ -37,6 +38,10 @@ class DmlReport:
     rows_matched: int
     rows_affected: int
     error: str | None = None
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds the table's rewrite lease."""
 
 
 class ParquetTable:
@@ -61,9 +66,18 @@ class ParquetTable:
 
     Tables created by plain `write` keep the flat layout and remain
     readable; the first `rewrite` migrates them to the versioned layout.
+
+    **Concurrency contract.** Rewrites are single-writer, enforced by an
+    O_EXCL lock-file lease (`_LOCK`): a second concurrent rewrite raises
+    `ConcurrentWriteError` before writing anything. Readers need no lock —
+    they only ever follow the committed pointer. Plain `write(mode=
+    'append')` is append-only file creation and safe alongside readers,
+    but racing it against a `rewrite` can strand the appended files in a
+    superseded snapshot; route mixed workloads through `rewrite`.
     """
 
     POINTER = "_CURRENT"
+    LOCK = "_LOCK"
 
     def __init__(self, spark: SparkSession, path: str, partition_by: list[str] | None = None):
         self.spark = spark
@@ -80,6 +94,55 @@ class ParquetTable:
                 return os.path.join(self.path, f.read().strip())
         return self.path  # flat layout (no rewrite has happened yet)
 
+    def _committed_version(self) -> int:
+        """Version number the pointer commits to (0 = flat layout)."""
+        base = os.path.basename(self._current_dir())
+        if base.startswith("_v") and base[2:].isdigit():
+            return int(base[2:])
+        return 0
+
+    def _has_flat_files(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            e.endswith(".parquet") or e == "_SUCCESS"
+            or (not e.startswith("_") and os.path.isdir(os.path.join(self.path, e)))
+            for e in os.listdir(self.path)
+        )
+
+    # -- single-writer lease ------------------------------------------
+    def _acquire_lock(self, stale_after: float = 3600.0) -> str:
+        """Take the table's rewrite lease via O_EXCL lock-file creation
+        (atomic on POSIX and most object-store FUSE layers). Rewrites are
+        single-writer: a second concurrent rewrite fails fast with
+        `ConcurrentWriteError` instead of racing the pointer swap — the
+        loser's data is never partially visible because it never reaches
+        the commit point. A lease older than ``stale_after`` seconds is
+        presumed orphaned by a crashed writer and broken (best-effort;
+        the narrow break/recreate race is accepted and documented — two
+        writers would need to break the SAME stale lock in the same
+        instant, and even then the pointer swap itself stays atomic)."""
+        lock = os.path.join(self.path, self.LOCK)
+        os.makedirs(self.path, exist_ok=True)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:  # lock vanished between check and stat: retry
+                return self._acquire_lock(stale_after)
+            if age > stale_after:
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+                return self._acquire_lock(stale_after)
+            raise ConcurrentWriteError(
+                f"rewrite lease on {self.path} held by another writer "
+                f"(lock {lock}, age {age:.0f}s)"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            f.write(f"{os.getpid()} {time.time():.0f}")
+        return lock
+
     def exists(self) -> bool:
         if not os.path.isdir(self.path):
             return False
@@ -95,6 +158,17 @@ class ParquetTable:
         pointer always names a complete snapshot, so concurrent readers
         never observe a partial rewrite."""
         if version is not None:
+            if version == 0:
+                # version 0 IS the flat pre-rewrite layout — there is no
+                # _v00000000 directory to look for
+                if self._has_flat_files():
+                    return self.spark.read.parquet(self.path)
+                raise FileNotFoundError(f"version 0 not retained at {self.path}")
+            if version > self._committed_version():
+                # newer dirs are crash orphans from an uncommitted rewrite
+                raise FileNotFoundError(
+                    f"version {version} not committed at {self.path}"
+                )
             vdir = os.path.join(self.path, f"_v{version:08d}")
             if not os.path.isdir(vdir):
                 raise FileNotFoundError(f"version {version} not retained at {self.path}")
@@ -102,17 +176,21 @@ class ParquetTable:
         return self.spark.read.parquet(self._current_dir())
 
     def versions(self) -> list[int]:
-        """Retained version numbers, ascending (0 = flat pre-rewrite
-        layout, listed only while flat files remain)."""
+        """Retained COMMITTED version numbers, ascending (0 = flat
+        pre-rewrite layout, listed only while flat files remain). Orphan
+        ``_vN`` dirs left by a crash-before-commit rewrite are newer than
+        the pointer and are excluded — they may be incomplete snapshots."""
         if not os.path.isdir(self.path):
             return []
+        committed = self._committed_version()
         out = [
             int(e[2:])
             for e in os.listdir(self.path)
             if e.startswith("_v") and e[2:].isdigit()
+            and int(e[2:]) <= committed
             and os.path.isdir(os.path.join(self.path, e))
         ]
-        if any(e.endswith(".parquet") or e == "_SUCCESS" for e in os.listdir(self.path)):
+        if self._has_flat_files():
             out.append(0)
         return sorted(out)
 
@@ -130,36 +208,51 @@ class ParquetTable:
         the same retention/VACUUM trade Delta exposes)."""
         import shutil
 
-        cur = self._current_dir()
-        base = os.path.basename(cur)
-        n = int(base[2:]) if base.startswith("_v") and base[2:].isdigit() else 0
-        new_name = f"_v{n + 1:08d}"
-        new_dir = os.path.join(self.path, new_name)
-        df.write.mode("overwrite").parquet(new_dir)
-
-        tmp = self._pointer() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(new_name)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._pointer())  # <- the commit point
-
-        # post-commit prune of stale data: best-effort, never part of the
-        # transaction (a failure here leaves invisible garbage, not a
-        # broken table)
-        keep = {f"_v{v:08d}" for v in range(n + 2 - max(retain, 1), n + 2)}
+        lock = self._acquire_lock()
         try:
-            for entry in os.listdir(self.path):
-                full = os.path.join(self.path, entry)
-                if entry.startswith("_v") and entry not in keep and os.path.isdir(full):
-                    shutil.rmtree(full, ignore_errors=True)
-                elif cur == self.path and (
-                    entry.endswith(".parquet") or entry in ("_SUCCESS",)
-                    or entry.endswith(".crc")
-                ):
-                    os.remove(full)  # flat-layout files superseded by _v1
-        except OSError:
-            pass
+            cur = self._current_dir()
+            base = os.path.basename(cur)
+            n = int(base[2:]) if base.startswith("_v") and base[2:].isdigit() else 0
+            new_name = f"_v{n + 1:08d}"
+            new_dir = os.path.join(self.path, new_name)
+            w = df.write.mode("overwrite")
+            if self.partition_by:
+                # version snapshots keep the table's partition layout so
+                # scan pruning survives the first rewrite
+                w = w.partitionBy(*self.partition_by)
+            w.parquet(new_dir)
+
+            tmp = self._pointer() + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(new_name)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._pointer())  # <- the commit point
+
+            # post-commit prune of stale data: best-effort, never part of
+            # the transaction (a failure here leaves invisible garbage,
+            # not a broken table)
+            keep = {f"_v{v:08d}" for v in range(n + 2 - max(retain, 1), n + 2)}
+            try:
+                for entry in os.listdir(self.path):
+                    full = os.path.join(self.path, entry)
+                    if entry.startswith("_v") and entry not in keep and os.path.isdir(full):
+                        shutil.rmtree(full, ignore_errors=True)
+                    elif cur == self.path and os.path.isdir(full) and not entry.startswith("_"):
+                        # flat-layout key=value/ partition subdirs
+                        shutil.rmtree(full, ignore_errors=True)
+                    elif cur == self.path and (
+                        entry.endswith(".parquet") or entry in ("_SUCCESS",)
+                        or entry.endswith(".crc")
+                    ):
+                        os.remove(full)  # flat-layout files superseded by _v1
+            except OSError:
+                pass
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
 
 
 def eq_predicate(filters: dict[str, object]) -> Column:

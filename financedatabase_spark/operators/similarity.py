@@ -283,20 +283,38 @@ def _assign_to_codebook(
 ) -> DataFrame:
     """Nearest-centroid assignment under cosine: broadcast the codebook,
     score map-side, keep each vector's argmax (ties break on cell asc).
-    ``v`` carries (id, _v, _n)."""
+    ``v`` carries (id, _v, _n).
+
+    The argmax is a ``max_by`` aggregation, not a window: the partial
+    aggregate collapses each vector's k candidate rows to one inside the
+    map task (the broadcast join never reshuffles the corpus), so the
+    only exchange is one row per vector — a window over
+    ``partitionBy(id)`` would instead shuffle all k scored copies of
+    every vector per iteration. Tie-break (max sim, then min cell) is
+    encoded in the ordering struct as (sim, -cell)."""
     cen = centroids.select(
         F.col("cell"), F.col("cvec"), l2_norm(F.col("cvec")).alias("_cn")
     )
     sim = F.round(
         dot(F.col("_v"), F.col("cvec")) / (F.col("_n") * F.col("_cn")), round_digits
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell").asc())
-    return (
+    best = (
         v.crossJoin(F.broadcast(cen))
         .select(id_col, "_v", "_n", "cell", sim.alias("sim"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct("_v", "_n", "cell", "sim"),
+                F.struct(F.col("sim"), (-F.col("cell")).alias("_negcell")),
+            ).alias("_best")
+        )
+    )
+    return best.select(
+        id_col,
+        F.col("_best._v").alias("_v"),
+        F.col("_best._n").alias("_n"),
+        F.col("_best.cell").alias("cell"),
+        F.col("_best.sim").alias("sim"),
     )
 
 
@@ -326,10 +344,12 @@ def kmeans_refine(
     chained DataFrame stages (spherical variant: cosine assignment,
     mean-vector update).
 
-    Every iteration is one broadcast of the tiny codebook plus one
-    map-side argmax over the corpus and one (cell, pos) shuffle of
-    exploded dims — the corpus is never shuffled whole, so the loop
-    scales to 100 TB with per-iteration cost linear in corpus bytes.
+    Every iteration is one broadcast of the tiny codebook, a map-side
+    partial argmax over the corpus (``max_by`` — the k candidate rows
+    per vector collapse inside the map task), one exchange of a single
+    row per vector, and one (cell, pos) shuffle of exploded dims — the
+    corpus is never shuffled k-fold, so the loop scales to 100 TB with
+    per-iteration cost linear in corpus bytes.
     Fully deterministic across engines: decimal-exact centroid means,
     1e-6-rounded similarities, cell-asc tie-break. Empty cells drop out
     of the codebook (standard Lloyd behavior). Returns the final

@@ -543,16 +543,15 @@ def ivf_build_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: every search (FAISS trains centroids offline; a production deployment
 #: would persist them as a parquet table). Memoize + cache per
 #: (session, corpus) so repeated searches don't rebuild it.
-_CODEBOOK_CACHE: dict[tuple[int, str], DataFrame] = {}
-
-
 def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    if key not in _CODEBOOK_CACHE:
+    from financedatabase_spark.session import session_memo
+
+    def build() -> DataFrame:
         cen = sim.cell_centroids(load_table(spark, sf_dir, "embeddings")).cache()
         cen.count()  # materialize now: searches pay a broadcast, not a rebuild
-        _CODEBOOK_CACHE[key] = cen
-    return _CODEBOOK_CACHE[key]
+        return cen
+
+    return session_memo(spark, ("codebook", sf_dir), build)
 
 
 @register(

@@ -13,8 +13,39 @@ timestamps round-trip unchanged (SURVEY.md §7.4 risk 3).
 from __future__ import annotations
 
 import os
+import weakref
+from typing import Callable, Hashable
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+#: Per-session memo for tiny literal dimensions (alias/quarantine dims,
+#: codebooks). WeakKeyDictionary on the session object: entries die with
+#: the session instead of pinning DataFrames for stopped sessions forever,
+#: and an id()-reuse collision on a new session object is impossible.
+_SESSION_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
+def _is_active(spark: SparkSession) -> bool:
+    try:
+        return spark.sparkContext._jsc is not None
+    except Exception:
+        return False
+
+
+def session_memo(
+    spark: SparkSession, key: Hashable, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Memoize ``build()`` per (live session, key). A stopped session's
+    cached frames are unusable — on a stopped session the memo is bypassed
+    and its entry evicted (the caller's build against a stopped session
+    fails loudly, which is the right error surface)."""
+    if not _is_active(spark):
+        _SESSION_MEMO.pop(spark, None)
+        return build()
+    cache = _SESSION_MEMO.setdefault(spark, {})
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
 
 
 def get_spark(app_name: str = "financedatabase_spark", cpus: int | None = None) -> SparkSession:

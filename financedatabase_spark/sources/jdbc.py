@@ -50,6 +50,13 @@ def read_jdbc_table(
         "dbtable", table
     ).option("driver", driver)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the JVM as the literal "None" and die
+            # in a bound parse deep inside the JDBC relation — fail here
+            raise ValueError(
+                "partition_column requires explicit lower_bound and upper_bound "
+                "(Spark's JDBC range partitioner has no bound discovery)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

@@ -40,3 +40,10 @@ def test_jdbc_roundtrip_and_partitioned_scan(spark, derby_url):
     # append mode lands new rows without touching existing ones
     write_jdbc_table(df.filter(F.col("id") < 5), derby_url, "events_smoke", mode="append")
     assert read_jdbc_table(spark, derby_url, "events_smoke").count() == 105
+
+
+def test_partition_bounds_validated(spark):
+    from financedatabase_spark.sources.jdbc import read_jdbc_table
+
+    with pytest.raises(ValueError, match="lower_bound and upper_bound"):
+        read_jdbc_table(spark, "jdbc:derby:memory:x", "t", partition_column="id")

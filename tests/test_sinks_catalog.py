@@ -164,3 +164,87 @@ def test_time_travel_reads_retained_versions(table):
     assert {r.price for r in v1.filter(F.col("status") == "O").collect()} == {42.0}
     with pytest.raises(FileNotFoundError):
         table.read(version=9)
+
+
+def test_read_version_zero_is_flat_layout(table):
+    """Version 0 is the flat pre-rewrite layout itself — readable by
+    number before the first rewrite, gone (FileNotFoundError) after the
+    prune that supersedes it."""
+    assert table.versions() == [0]
+    assert table.read(version=0).count() == 4
+    run_delete(table, {"id": 1})
+    assert table.versions() == [1]
+    with pytest.raises(FileNotFoundError):
+        table.read(version=0)
+
+
+def test_orphan_uncommitted_version_invisible(table, monkeypatch):
+    """A _vN dir left by a crash-before-commit rewrite is newer than the
+    committed pointer: versions() must not list it and read(version=N)
+    must refuse it — it may be an incomplete snapshot."""
+    import os as _os
+
+    monkeypatch.setattr(_os, "replace", lambda s, d: (_ for _ in ()).throw(OSError("crash")))
+    with pytest.raises(OSError):
+        run_delete(table, {"id": 1})
+    monkeypatch.undo()
+
+    import os
+
+    assert os.path.isdir(os.path.join(table.path, "_v00000001"))  # orphan exists on disk
+    assert table.versions() == [0]  # but is not a committed version
+    with pytest.raises(FileNotFoundError):
+        table.read(version=1)
+    assert table.read().count() == 4  # pointer (flat layout) still serves old data
+
+
+def test_rewrite_preserves_partition_layout(spark, tmp_path):
+    """rewrite() must write version snapshots WITH the table's partitionBy
+    so scan pruning survives, and the flat-layout prune must remove the
+    superseded key=value/ partition subdirs from the table root."""
+    import os
+
+    t = ParquetTable(spark, str(tmp_path / "pt"), partition_by=["status"])
+    df = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "F", 20.0), (3, "O", 30.0)],
+        "id long, status string, price double",
+    )
+    t.write(df, mode="overwrite")
+    assert os.path.isdir(os.path.join(t.path, "status=O"))  # flat partitioned layout
+
+    run_update(t, {"id": 1}, {"price": 99.0})
+    vdir = os.path.join(t.path, "_v00000001")
+    assert sorted(e for e in os.listdir(vdir) if e.startswith("status=")) == [
+        "status=F",
+        "status=O",
+    ]
+    # superseded flat partition dirs are pruned, not orphaned forever
+    assert not os.path.isdir(os.path.join(t.path, "status=O"))
+    got = {(r.id, r.price) for r in t.read().collect()}
+    assert got == {(1, 99.0), (2, 20.0), (3, 30.0)}
+
+
+def test_concurrent_rewrite_second_writer_loses(table):
+    """Single-writer lease: while one writer holds _LOCK a second rewrite
+    fails fast with ConcurrentWriteError and the table is untouched; a
+    stale (crashed-writer) lease is broken after its timeout."""
+    import os
+
+    from financedatabase_spark.operators.io_sinks import ConcurrentWriteError
+
+    lock = table._acquire_lock()  # writer A takes the lease
+    with pytest.raises(ConcurrentWriteError):
+        run_update(table, {"status": "O"}, {"price": 0.0})  # writer B loses
+    assert table.read().count() == 4
+    assert {r.price for r in table.read().filter(F.col("status") == "O").collect()} != {0.0}
+    os.unlink(lock)  # writer A releases
+
+    report = run_update(table, {"status": "O"}, {"price": 5.0})
+    assert report.success
+
+    # a lease whose holder crashed long ago does not wedge the table
+    stale = table._acquire_lock()
+    old = 1_000_000.0
+    os.utime(stale, (old, old))
+    report = run_update(table, {"status": "F"}, {"price": 6.0})
+    assert report.success
