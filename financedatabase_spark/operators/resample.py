@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from financedatabase_spark.functions.columns import MARKET_OPEN_MINUTES
@@ -111,6 +111,39 @@ def _agg_expr(col: str, how: str, order: F.Column) -> F.Column:
     raise ValueError(f"unsupported agg {how!r} for column {col!r}")
 
 
+def _agg_plan(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    agg_overrides: dict[str, str] | None,
+    order_cols: list[str],
+) -> tuple[dict[str, str], Column]:
+    """Shared agg-dict resolution for the fixed-window and calendar
+    resamplers: reference defaults + ffill for unknown columns + caller
+    overrides (U6), and the first/last ordering column."""
+    value_cols = [
+        c
+        for c in df.columns
+        if c != ts_col
+        and c not in key_cols
+        and (c not in order_cols or (agg_overrides and c in agg_overrides))
+    ]
+    agg_spec = dict(DEFAULT_AGG)
+    for c in value_cols:
+        agg_spec.setdefault(c, "ffill")
+    if agg_overrides:
+        agg_spec.update(agg_overrides)
+    agg_spec = {c: how for c, how in agg_spec.items() if c in value_cols}
+    # single order column stays a primitive → HashAggregate-compatible
+    # min_by/max_by buffers; a struct ordering forces SortAggregate
+    order = (
+        F.col(order_cols[0])
+        if len(order_cols) == 1
+        else F.struct(*[F.col(c) for c in order_cols])
+    )
+    return agg_spec, order
+
+
 def resample(
     df: DataFrame,
     interval: str,
@@ -137,22 +170,7 @@ def resample(
         order_cols = [ts_col]
     # order-only columns (tie-breakers) are consumed by min_by/max_by but
     # not emitted, unless the caller aggregates them explicitly
-    value_cols = [
-        c
-        for c in df.columns
-        if c != ts_col
-        and c not in key_cols
-        and (c not in order_cols or (agg_overrides and c in agg_overrides))
-    ]
-    agg_spec = dict(DEFAULT_AGG)
-    for c in value_cols:
-        agg_spec.setdefault(c, "ffill")
-    if agg_overrides:
-        agg_spec.update(agg_overrides)
-    agg_spec = {c: how for c, how in agg_spec.items() if c in value_cols}
-    # single order column stays a primitive → HashAggregate-compatible
-    # min_by/max_by buffers; a struct ordering forces SortAggregate
-    order = F.col(order_cols[0]) if len(order_cols) == 1 else F.struct(*[F.col(c) for c in order_cols])
+    agg_spec, order = _agg_plan(df, ts_col, key_cols, agg_overrides, order_cols)
 
     dur = _duration_string(interval)
     start_time = _origin_start_time(interval, origin_minutes)
@@ -224,6 +242,96 @@ def _fill_bucket_gaps(
         if c in agg_spec and t in ("double", "float", "bigint", "int", "smallint", "tinyint", "long")
     ]
     return joined.na.fill(fill_value, subset=numeric)
+
+
+#: Anchored calendar grains — the reference's pandas freq aliases
+#: `W-FRI` / `BME` / `BQE` / `BYS` (TIMEFRAME_MAP, utils.py:349-357).
+ANCHORED_GRAINS = ("w-fri", "bme", "bqe", "bys")
+
+
+def _last_weekday(d: Column) -> Column:
+    """Last Mon-Fri day on-or-before ``d`` (pandas BusinessMonthEnd
+    weekday roll; Spark dayofweek: 1=Sun .. 7=Sat)."""
+    dow = F.dayofweek(d)
+    return (
+        F.when(dow == 7, F.date_sub(d, 1))
+        .when(dow == 1, F.date_sub(d, 2))
+        .otherwise(d)
+    )
+
+
+def _first_weekday(d: Column) -> Column:
+    """First Mon-Fri day on-or-after ``d``."""
+    dow = F.dayofweek(d)
+    return (
+        F.when(dow == 7, F.date_add(d, 2))
+        .when(dow == 1, F.date_add(d, 1))
+        .otherwise(d)
+    )
+
+
+def anchored_label(ts: Column, grain: str) -> Column:
+    """Bucket label for a pandas anchored-calendar frequency — the
+    reference's weekly/monthly/quarterly/yearly aliases (utils.py:349-357):
+
+    - ``w-fri``  — week ending Friday; label = the Friday on-or-after the
+      date (pandas W-FRI, closed/label right);
+    - ``bme``  — business month end; label = last weekday of the month,
+      dates after it roll into next month's bin (closed right);
+    - ``bqe``  — business quarter end, same roll rule;
+    - ``bys``  — business year START; label = first weekday of the year,
+      dates before it belong to the PREVIOUS year's bin (pandas 'S'
+      frequencies are closed/label left).
+
+    Pure date arithmetic on built-ins — codegen'd, no UDF, no shuffle;
+    label semantics verified cell-by-cell against pandas ``Grouper``.
+    Labels are midnight timestamps like pandas' resample labels."""
+    d = F.to_date(ts)
+    g = grain.lower()
+    if g == "w-fri":
+        lab = F.next_day(F.date_sub(d, 1), "Fri")  # Friday on-or-after d
+    elif g == "bme":
+        cur = _last_weekday(F.last_day(d))
+        nxt = _last_weekday(F.last_day(F.add_months(d, 1)))
+        lab = F.when(d > cur, nxt).otherwise(cur)
+    elif g == "bqe":
+        qstart = F.trunc(d, "quarter")
+        cur = _last_weekday(F.last_day(F.add_months(qstart, 2)))
+        nxt = _last_weekday(F.last_day(F.add_months(qstart, 5)))
+        lab = F.when(d > cur, nxt).otherwise(cur)
+    elif g == "bys":
+        ystart = F.trunc(d, "year")
+        cur = _first_weekday(ystart)
+        prev = _first_weekday(F.add_months(ystart, -12))
+        lab = F.when(d < cur, prev).otherwise(cur)
+    else:
+        raise ValueError(f"unknown anchored grain {grain!r}; one of {ANCHORED_GRAINS}")
+    return lab.cast("timestamp_ntz")
+
+
+def resample_calendar(
+    df: DataFrame,
+    label: Column,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    agg_overrides: dict[str, str] | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """A1 for variable-length calendar buckets (anchored weeks, business
+    month/quarter/year ends): the bucket is a date EXPRESSION in the
+    groupBy, not a fixed-duration ``window()`` — same per-column agg dict
+    and the same single-shuffle two-phase HashAggregate plan as
+    `resample`. ``label`` is typically `anchored_label(col, grain)`."""
+    key_cols = key_cols or []
+    if order_cols is None:
+        order_cols = [ts_col]
+    agg_spec, order = _agg_plan(df, ts_col, key_cols, agg_overrides, order_cols)
+    aggs = [_agg_expr(c, how, order) for c, how in agg_spec.items()]
+    return (
+        df.groupBy(*key_cols, label.alias(ts_col))
+        .agg(*aggs)
+        .select(*key_cols, ts_col, *agg_spec.keys())
+    )
 
 
 def volume_bars(

@@ -8,7 +8,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from financedatabase_spark.operators import calendar as cal
-from financedatabase_spark.operators.resample import resample
+from financedatabase_spark.operators.resample import (
+    anchored_label,
+    resample,
+    resample_calendar,
+)
 from financedatabase_spark.plans.registry import register
 from financedatabase_spark.sources.paginated import read_paginated
 from financedatabase_spark.sources.readers import load_table
@@ -283,3 +287,88 @@ def bars_calendar_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly = bars_weekly(spark, sf_dir).select(F.lit("1w").alias("grain"), "*")
     monthly = bars_monthly(spark, sf_dir).select(F.lit("1mo").alias("grain"), "*")
     return daily.unionByName(weekly).unionByName(monthly)
+
+
+def _sql_lwd(e: str) -> str:
+    """DuckDB CASE for the last Mon-Fri day on-or-before date expr ``e``."""
+    return (
+        f"CASE WHEN isodow({e}) = 6 THEN {e} - 1 "
+        f"WHEN isodow({e}) = 7 THEN {e} - 2 ELSE {e} END"
+    )
+
+
+def _sql_fwd(e: str) -> str:
+    """DuckDB CASE for the first Mon-Fri day on-or-after date expr ``e``."""
+    return (
+        f"CASE WHEN isodow({e}) = 6 THEN {e} + 2 "
+        f"WHEN isodow({e}) = 7 THEN {e} + 1 ELSE {e} END"
+    )
+
+
+_ANCHORED_BAR_SELECT = """
+  SELECT '{grain}' AS grain, event_type, CAST({lab} AS TIMESTAMP) AS ts,
+         first(value ORDER BY event_id) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         last(value ORDER BY event_id) AS close,
+         count(*)::BIGINT AS volume
+  FROM lab GROUP BY 2, 3
+"""
+
+
+@register(
+    "bars_anchored_grains",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, event_id, value, CAST(ts AS DATE) AS d FROM events
+    ),
+    pre AS (
+      SELECT event_type, event_id, value, d,
+             last_day(d) AS me1,
+             last_day(CAST(d + INTERVAL 1 MONTH AS DATE)) AS me2,
+             last_day(CAST(date_trunc('quarter', d) + INTERVAL 2 MONTH AS DATE)) AS qe1,
+             last_day(CAST(date_trunc('quarter', d) + INTERVAL 5 MONTH AS DATE)) AS qe2,
+             CAST(date_trunc('year', d) AS DATE) AS ys1,
+             CAST(date_trunc('year', d) - INTERVAL 12 MONTH AS DATE) AS ys0
+      FROM base
+    ),
+    lab AS (
+      SELECT event_type, event_id, value,
+             d + CAST((5 - isodow(d) + 7) % 7 AS INTEGER) AS wfri,
+             CASE WHEN d > {_sql_lwd('me1')} THEN {_sql_lwd('me2')}
+                  ELSE {_sql_lwd('me1')} END AS bme,
+             CASE WHEN d > {_sql_lwd('qe1')} THEN {_sql_lwd('qe2')}
+                  ELSE {_sql_lwd('qe1')} END AS bqe,
+             CASE WHEN d < {_sql_fwd('ys1')} THEN {_sql_fwd('ys0')}
+                  ELSE {_sql_fwd('ys1')} END AS bys
+      FROM pre
+    )
+    {_ANCHORED_BAR_SELECT.format(grain='w-fri', lab='wfri')}
+    UNION ALL {_ANCHORED_BAR_SELECT.format(grain='bme', lab='bme')}
+    UNION ALL {_ANCHORED_BAR_SELECT.format(grain='bqe', lab='bqe')}
+    UNION ALL {_ANCHORED_BAR_SELECT.format(grain='bys', lab='bys')}
+    """,
+)
+def bars_anchored_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 anchored calendar frequencies — the reference's remaining pandas
+    freq aliases W-FRI / BME / BQE / BYS (TIMEFRAME_MAP, utils.py:349-357):
+    Friday-anchored weeks, business month/quarter ends (closed-right with
+    the pandas roll into the next bin past the anchor), business year
+    start (closed-left). Labels are pure built-in date arithmetic
+    (operators/resample.anchored_label, pandas-verified); each grain is
+    one single-shuffle HashAggregate and the union adds no shuffle."""
+    ticks = _ticks(spark, sf_dir)
+    parts = [
+        resample_calendar(
+            ticks,
+            anchored_label(F.col("ts"), g),
+            ts_col="ts",
+            key_cols=["event_type"],
+            order_cols=["event_id"],
+        ).select(F.lit(g).alias("grain"), "*")
+        for g in ("w-fri", "bme", "bqe", "bys")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

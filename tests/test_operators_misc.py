@@ -328,3 +328,34 @@ def test_tick_run_bars_hand_example(spark):
     assert len(out) == 1
     b = out[0]
     assert (b.bar_idx, b.end_i, b.n_ticks, b.buy_size, b.sell_size) == (0, 4, 4, 3, 7)
+
+
+def test_anchored_labels_match_pandas_grouper(spark):
+    """The anchored calendar labels (W-FRI / BME / BQE / BYS) must agree
+    date-by-date with pandas' own Grouper binning — the semantics the
+    reference delegates to pandas resample (utils.py:349-357). The span
+    crosses year, quarter, month and weekend boundaries (incl. a year
+    starting on a weekend: 2022-01-01 is a Saturday)."""
+    from financedatabase_spark.operators.resample import anchored_label
+
+    idx = pd.date_range("2021-12-15", "2024-07-15", freq="D")
+    pdf = pd.DataFrame({"ts": idx, "v": 1.0})
+    sdf = spark.createDataFrame(pdf)
+
+    labeled = sdf.select(
+        "ts",
+        *[
+            anchored_label(F.col("ts"), g).alias(g.replace("-", "_"))
+            for g in ("w-fri", "bme", "bqe", "bys")
+        ],
+    ).toPandas()
+
+    s = pdf.set_index("ts")["v"]
+    for grain, col in [("W-FRI", "w_fri"), ("BME", "bme"), ("BQE", "bqe"), ("BYS", "bys")]:
+        expect = {}
+        for label, group in s.groupby(pd.Grouper(freq=grain)):
+            for d in group.index:
+                expect[d] = label
+        got = dict(zip(labeled["ts"], labeled[col]))
+        mismatches = [d for d in expect if pd.Timestamp(got[d]) != expect[d]]
+        assert not mismatches, (grain, mismatches[:5])
