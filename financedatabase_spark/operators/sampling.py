@@ -85,21 +85,52 @@ def fixed_size_sample(
     n: int,
     stratum_col: str,
     key_col: str = "doc_id",
+    local_prefilter: bool = True,
 ) -> DataFrame:
     """Exactly ``min(n, stratum size)`` rows per stratum, chosen by hash
     order — a deterministic reservoir: the selection is stable under
     row-order and partitioning changes, and appending new rows evicts
-    only rows whose hash rank falls out of the top n. One shuffle on the
-    stratum key."""
-    from pyspark.sql import Window
+    only rows whose hash rank falls out of the top n.
 
+    **Two-phase top-n.** A bare ``row_number() over (partition by
+    stratum)`` sorts an entire stratum in ONE task — at 100 TB the
+    dominant language is one stratum and one executor sorts it. Phase 1
+    therefore pre-filters map-side (Arrow-batched ``mapInPandas``, no
+    shuffle): each input partition keeps only its n hash-smallest rows
+    per stratum, a superset of the global top-n by construction. Phase 2
+    runs the exact global window over the survivors — at most
+    n x input-partitions rows per stratum, so no task ever sorts more
+    than that regardless of stratum skew. The result is bit-identical to
+    the single-window form for ANY partition layout (the pre-filter only
+    discards rows that provably cannot rank in the global top n).
+    ``local_prefilter=False`` keeps the old single-window plan (used by
+    the equivalence property test)."""
     w = Window.partitionBy(stratum_col).orderBy(
-        hash_bucket_hex(key_col).asc(), F.col(key_col).asc()
+        F.col("_bucket").asc(), F.col(key_col).asc()
     )
+    staged = df.withColumn("_bucket", hash_bucket_hex(key_col))
+
+    if local_prefilter:
+        schema = staged.schema
+        s_name, k_name = stratum_col, key_col
+
+        def _local_topn(batches):
+            import pandas as pd
+
+            best: dict = {}
+            for pdf in batches:
+                for s, g in pdf.groupby(s_name, sort=False, dropna=False):
+                    cur = pd.concat([best[s], g]) if s in best else g
+                    best[s] = cur.sort_values(["_bucket", k_name], kind="mergesort").head(n)
+            if best:
+                yield pd.concat(list(best.values()), ignore_index=True)
+
+        staged = staged.mapInPandas(_local_topn, schema)
+
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        staged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)
-        .drop("_rn")
+        .drop("_rn", "_bucket")
     )
 
 
@@ -109,6 +140,7 @@ def token_shard_packing(
     budget: int,
     order_col: str = "doc_id",
     key_cols: list[str] | None = None,
+    hierarchical: bool = True,
 ) -> DataFrame:
     """Sequence-packing shard assignment — the data-loader layout step of
     a training pipeline: stream docs in a deterministic order, cut a new
@@ -117,32 +149,111 @@ def token_shard_packing(
     prefix-sum-bucket trick as activity bars). Output one row per shard:
     (key..., shard_idx, n_docs, n_tokens, first/last doc).
 
-    One window + one aggregate, both on the same key partitioning — a
-    single shuffle. With ``key_cols`` (e.g. language or source) packing
-    runs independently per stratum, which is how multilingual corpora
-    shard without cross-language interleaving."""
+    **Hierarchical prefix sum.** Exact packing needs each row's GLOBAL
+    (per-stratum) running total — but a window over ``partition by
+    stratum`` computes it in one task per stratum (and with no keys, ONE
+    task for the whole corpus). The scalable form is the classic
+    two-level scan: range-partition on (keys..., order) so each task
+    holds a contiguous slice; compute slice-local running totals
+    map-side (Arrow ``mapInPandas``, vectorized cumsum, no shuffle);
+    prefix-sum the per-(slice, key) totals — a frame with one row per
+    (task, stratum), tiny at any corpus size — and broadcast it back as
+    each slice's starting offset. global_before = slice_offset +
+    local_before, bit-identical to the monolithic window for any
+    partition layout, with every task bounded by slice size rather than
+    stratum size. The totals branch reuses the range exchange
+    (ReusedExchange), so the corpus shuffles once.
+
+    ``hierarchical=False`` keeps the monolithic single-window form (the
+    equivalence baseline used by tests)."""
     key_cols = key_cols or []
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    w = (
-        Window.partitionBy(*key_cols).orderBy(order_col)
-        if key_cols
-        else Window.partitionBy().orderBy(order_col)
-    )
-    cum = F.sum(t).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    staged = df.select(
-        *key_cols,
-        F.col(order_col),
-        t.alias("_tok"),
-        F.floor((cum - t) / F.lit(float(budget))).cast("long").alias("shard_idx"),
-    )
-    return (
-        staged.groupBy(*key_cols, "shard_idx")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("_tok").cast("long").alias("n_tokens"),
-            F.min(order_col).alias("first_doc"),
-            F.max(order_col).alias("last_doc"),
+
+    if not hierarchical:
+        w = (
+            Window.partitionBy(*key_cols).orderBy(order_col)
+            if key_cols
+            else Window.partitionBy().orderBy(order_col)
         )
+        cum = F.sum(t).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        staged = df.select(
+            *key_cols,
+            F.col(order_col),
+            t.alias("_tok"),
+            F.floor((cum - t) / F.lit(float(budget))).cast("long").alias("shard_idx"),
+        )
+        return _shard_agg(staged, key_cols, order_col)
+
+    keys = list(key_cols)
+    staged = (
+        df.select(*keys, F.col(order_col), t.cast("long").alias("_tok"))
+        .repartitionByRange(*keys, order_col)
+        .sortWithinPartitions(*keys, order_col)
+        .withColumn("_p", F.spark_partition_id())
+    )
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in staged.schema.fields
+    )
+
+    def _local_prefix(batches):
+        import pandas as pd
+
+        carry = None  # keys + _carry, or scalar when unkeyed
+        run0 = 0
+        for pdf in batches:
+            if keys:
+                before = pdf.groupby(keys, sort=False)["_tok"].cumsum() - pdf["_tok"]
+                pdf = pdf.assign(_before=before)
+                if carry is not None:
+                    pdf = pdf.merge(carry, on=keys, how="left")
+                    pdf["_before"] = pdf["_before"] + pdf.pop("_carry").fillna(0).astype("int64")
+                sums = (
+                    pdf.groupby(keys, sort=False, as_index=False)["_tok"]
+                    .sum()
+                    .rename(columns={"_tok": "_new"})
+                )
+                if carry is None:
+                    carry = sums.rename(columns={"_new": "_carry"})
+                else:
+                    carry = carry.merge(sums, on=keys, how="outer")
+                    carry["_carry"] = (
+                        carry["_carry"].fillna(0) + carry["_new"].fillna(0)
+                    ).astype("int64")
+                    carry = carry.drop(columns="_new")
+            else:
+                before = pdf["_tok"].cumsum() - pdf["_tok"] + run0
+                pdf = pdf.assign(_before=before)
+                run0 += int(pdf["_tok"].sum())
+            yield pdf
+
+    local = staged.mapInPandas(_local_prefix, f"{out_fields}, _before long")
+
+    totals = staged.groupBy("_p", *keys).agg(F.sum("_tok").alias("_ptot"))
+    w_off = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy()
+    ).orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_p", *keys, F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)).alias("_offset")
+    )
+
+    assigned = local.join(F.broadcast(offsets), ["_p", *keys]).select(
+        *keys,
+        F.col(order_col),
+        "_tok",
+        F.floor((F.col("_offset") + F.col("_before")) / F.lit(float(budget)))
+        .cast("long")
+        .alias("shard_idx"),
+    )
+    return _shard_agg(assigned, keys, order_col)
+
+
+def _shard_agg(staged: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    return staged.groupBy(*key_cols, "shard_idx").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_tok").cast("long").alias("n_tokens"),
+        F.min(order_col).alias("first_doc"),
+        F.max(order_col).alias("last_doc"),
     )
 
 

@@ -384,3 +384,48 @@ def option_symbol_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parsed_right", "parsed_strike",
     )
     return tick.unionByName(occ)
+
+
+@register(
+    "json_payload_codec",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_path,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           json_extract_string(props, '$.k') AS k_map,
+           json_extract_string(
+             to_json(struct_pack(event_id := event_id, event_type := event_type)),
+             '$.event_type') AS roundtrip_type,
+           CAST(json_extract(
+             json_extract_string(
+               to_json(struct_pack(data := props, status := 'ok')), '$.data'),
+             '$.k') AS BIGINT) AS envelope_k
+    FROM events
+    """,
+)
+def json_payload_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload surface (SURVEY.md §1.3; functions/json.py): typed
+    `from_json`, schemaless map<string,string> (the reference's
+    json→dict, SQLHelpers.py:73), path extraction, `to_json` write
+    round-trip, and the proxy envelope wrap/unwrap (v2.py:444-452) where
+    the payload rides as an escaped JSON string. All native codegen'd
+    expressions — one scan, zero shuffle."""
+    from financedatabase_spark.functions import json as J
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    env = J.wrap_envelope("props", status=F.lit("ok"))
+    return ev.select(
+        "event_id",
+        J.extract_path("props", "$.k").cast("long").alias("k_path"),
+        J.parse_payload("props", "k long")["k"].alias("k_typed"),
+        J.payload_map("props")["k"].alias("k_map"),
+        J.extract_path(
+            J.render_payload(event_id=F.col("event_id"), event_type=F.col("event_type")),
+            "$.event_type",
+        ).alias("roundtrip_type"),
+        J.extract_path(J.unwrap_envelope(env)["data"], "$.k")
+        .cast("long")
+        .alias("envelope_k"),
+    )

@@ -161,3 +161,47 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "session_start", F.col("session_start").cast("timestamp_ntz")
     ).withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
+
+
+_HISTORY_UNION_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
+@register("history_union_today", _HISTORY_UNION_ORACLE)
+def history_union_today_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 — the reference's is_today routing (v2.py:2119-2129) as the
+    lambda serving view: the historical leg is a bounded scan up to the
+    cutoff (max ts - 1 day), today's leg REPLAYS through a genuine
+    streaming query (watermark dedup, availableNow drain into a sink),
+    and the served result is history ∪ sink with the splice keep-last
+    dedup over the 2-hour overlap window — every event exactly once, so
+    the oracle is the full table."""
+    from financedatabase_spark.streaming.snapshots import (
+        dedup_stream,
+        history_union_today,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    bounds = ev.agg(F.max("ts").alias("_mx"))
+    ev2 = ev.crossJoin(F.broadcast(bounds))
+    cut = F.col("_mx") - F.expr("INTERVAL 1 DAY")
+    history = ev2.filter(F.col("ts") <= cut).drop("_mx")
+    # today's slice overlaps history by 2 hours: the serve-side dedup is
+    # what keeps the splice exact, like the reference's post-union
+    # keep-last (v3/utils.py:694-697)
+    today_batch = ev2.filter(F.col("ts") > cut - F.expr("INTERVAL 2 HOURS")).drop("_mx")
+
+    stage = tempfile.mkdtemp(prefix="fdb_stream_")
+    today_batch.repartition(1).sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = spark.readStream.schema(today_batch.schema).parquet(stage)
+    drained = _run(spark, dedup_stream(stream, ["event_id"], "ts"), "append")
+
+    merged = history_union_today(
+        history, drained.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
+    return merged.dropDuplicates(["event_id"])

@@ -111,11 +111,29 @@ def streaming_bars(
     )
 
 
-def history_union_today(history: DataFrame, today_stream: DataFrame) -> DataFrame:
-    """R2 — the reference's is_today routing (v2.py:2119-2129) as a single
-    plan: bounded history unioned with the live stream; Spark runs the
-    batch leg once and incrementalizes the streaming leg."""
-    return history.unionByName(today_stream)
+def history_union_today(history: DataFrame, today: DataFrame) -> DataFrame:
+    """R2 — the reference's is_today routing (v2.py:2119-2129) as a
+    union of the historical leg and today's snapshot leg.
+
+    Structured Streaming cannot union a bounded frame with a live stream
+    directly, so the lambda shape is one of:
+
+    - **both legs streaming** — history replayed from its files
+      (`readStream` + availableNow) unioned with the live source; or
+    - **serving view (both legs batch)** — today's micro-batches drain
+      into a sink table and the query layer serves
+      ``history ∪ sink`` (re-evaluated per batch), usually followed by
+      the splice keep-last dedup (P8) over the overlap window.
+
+    The mixed case fails here with a clear error instead of Spark's
+    deep analysis exception."""
+    if history.isStreaming != today.isStreaming:
+        raise ValueError(
+            "history and today legs must both be batch (serving view over a "
+            "drained sink) or both streaming; Spark does not union bounded "
+            "with unbounded frames"
+        )
+    return history.unionByName(today)
 
 
 def forward_fill_stream(

@@ -359,3 +359,46 @@ def test_anchored_labels_match_pandas_grouper(spark):
         got = dict(zip(labeled["ts"], labeled[col]))
         mismatches = [d for d in expect if pd.Timestamp(got[d]) != expect[d]]
         assert not mismatches, (grain, mismatches[:5])
+
+
+def test_fixed_size_sample_prefilter_equivalence_under_skew(spark):
+    """The two-phase (map-side pre-filter + exact window) fixed-size
+    sample must select bit-identical rows to the single-window form on a
+    pathologically skewed corpus (one stratum holds ~97% of rows) and
+    under different partition layouts."""
+    from financedatabase_spark.operators import sampling as smp
+
+    rows = [(i, "en" if i % 30 != 0 else ["de", "fr", "zh"][(i // 30) % 3]) for i in range(9000)]
+    base = spark.createDataFrame(rows, "doc_id long, lang string")
+    for parts in (1, 7, 32):
+        df = base.repartition(parts)
+        two_phase = smp.fixed_size_sample(df, 10, stratum_col="lang")
+        single = smp.fixed_size_sample(df, 10, stratum_col="lang", local_prefilter=False)
+        a = sorted(map(tuple, two_phase.collect()))
+        b = sorted(map(tuple, single.collect()))
+        assert a == b, parts
+        per = {
+            r.lang: r.n
+            for r in two_phase.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+        }
+        assert per == {"en": 10, "de": 10, "fr": 10, "zh": 10}
+
+
+def test_token_packing_hierarchical_equivalence(spark):
+    """The two-level-scan packing must produce bit-identical shards to
+    the monolithic single-window form — keyed and unkeyed, across
+    partition layouts (the offsets make the result independent of where
+    the range boundaries land)."""
+    from financedatabase_spark.operators import sampling as smp
+
+    rows = [(i, ["en", "de", "fr"][(i * 7) % 3], 50 + (i * 13) % 90) for i in range(4000)]
+    base = spark.createDataFrame(rows, "doc_id long, lang string, tok long")
+    for key_cols in (["lang"], None):
+        for parts in (1, 5, 32):
+            df = base.repartition(parts)
+            h = smp.token_shard_packing(df, "tok", 4096, key_cols=key_cols)
+            m = smp.token_shard_packing(df, "tok", 4096, key_cols=key_cols, hierarchical=False)
+            assert sorted(map(tuple, h.collect())) == sorted(map(tuple, m.collect())), (
+                key_cols,
+                parts,
+            )

@@ -146,14 +146,23 @@ def test_contamination_bench_side_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
-def test_token_packing_single_shuffle(spark, sf_dir):
-    # prefix-sum window and shard agg share one hash partitioning on the
-    # stratum key — exactly one Exchange, like the activity bars
-    import re
-
+def test_token_packing_hierarchical_shape(spark, sf_dir):
+    # two-level scan: ONE corpus shuffle (the range partition on
+    # (key, order), reused by the totals branch), local prefix sums
+    # map-side (MapInPandas below it), offsets joined back as a
+    # broadcast — and never a single-partition exchange of the corpus
     p = plan_of(spark, sf_dir, "token_shard_packing")
-    node_ids = set(re.findall(r"Exchange \((\d+)\)", p))
-    assert len(node_ids) == 1, node_ids
+    assert "rangepartitioning" in p
+    assert "MapInPandas" in p
+    assert "BroadcastHashJoin" in p  # offsets come back as a broadcast
+    # the keyed corpus path must never collapse to one task
+    assert "Exchange SinglePartition" not in p
+    # exchange reuse is an AQE runtime decision: execute, then assert the
+    # totals branch reused the corpus range shuffle instead of re-scanning
+    df = QUERIES["token_shard_packing"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
 
 
 def test_pii_redaction_is_pure_map(spark, sf_dir):
@@ -170,3 +179,15 @@ def test_shipping_priority_topk_and_broadcast(spark, sf_dir):
     p = plan_of(spark, sf_dir, "shipping_priority")
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_fixed_size_sample_two_phase(spark, sf_dir):
+    # phase 1 (map-side per-partition top-n) must run BEFORE any shuffle:
+    # the corpus itself never exchanges — the only hash partitioning in
+    # the plan is the exact window over the <= n x partitions survivors
+    import re
+
+    p = plan_of(spark, sf_dir, "fixed_size_sample_docs")
+    assert "MapInPandas" in p
+    node_ids = set(re.findall(r"Exchange \((\d+)\)", p))
+    assert len(node_ids) == 1, node_ids

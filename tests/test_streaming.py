@@ -213,3 +213,23 @@ def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
     import numpy as np
 
     assert np.allclose(got["sum_value"], want["sum_value"], rtol=1e-9)
+
+
+def test_history_union_today_guards_mixed_legs(spark, sf_dir, tmp_path):
+    """R2: batch∪batch and stream∪stream union; the unsupported
+    batch∪stream mix fails with the engine's clear error, not Spark's
+    analysis exception."""
+    import pytest
+
+    from financedatabase_spark.sources.readers import load_table
+    from financedatabase_spark.streaming.snapshots import history_union_today
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    assert history_union_today(ev, ev).count() == 2 * ev.count()
+
+    stage = str(tmp_path / "s")
+    ev.limit(100).write.parquet(stage)
+    stream = spark.readStream.schema(ev.schema).parquet(stage)
+    with pytest.raises(ValueError, match="both be batch"):
+        history_union_today(ev, stream)
+    assert history_union_today(stream, stream).isStreaming
