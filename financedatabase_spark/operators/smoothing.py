@@ -11,8 +11,11 @@ entirely JVM-side, no UDF, one shuffle on the key.
 Scale contract: one key's series folds inside one task (same constraint
 as any sequential recursion); keys themselves distribute freely. At
 100 TB with bounded per-key history (the finance norm: one symbol's
-ticks) this holds; unbounded per-key series would need chunked
-carry-forward (fold each chunk, thread the boundary accumulator).
+ticks) this holds; for unbounded per-key series use the chunked
+carry-forward variants (`ewma_last_chunked` / `ewma_series_chunked`):
+fold fixed-span chunks in bounded tasks, thread the boundary
+accumulator across chunks in order — bit-identical to the whole-series
+fold because the arithmetic operand sequence is unchanged.
 
 The fold's float operand order is deterministic (same sequence, same
 constants), which makes it bit-reproducible across engines — DuckDB's
@@ -82,6 +85,203 @@ def ewma_series(
         )
         .withColumn("_ords", F.transform(F.col("_pairs"), lambda s: s.getField(order_col)))
         .withColumn("_ewma", F.expr(scan))
+        .select(
+            *key_cols,
+            F.posexplode(F.arrays_zip(F.col("_ords"), F.col("_ewma"))).alias("_i", "_z"),
+        )
+    )
+    return exploded.select(
+        *key_cols,
+        F.col("_z._ords").alias(order_col),
+        F.col("_z._ewma").alias("ewma_value"),
+    )
+
+
+def _fold_expr(a: float, vals: str, init: str) -> str:
+    """The EWMA left fold over ``vals`` starting from level ``init`` —
+    the exact operand sequence of the whole-series recursion."""
+    return f"aggregate({vals}, double({init}), (acc, x) -> {a} * x + {1.0 - a} * acc)"
+
+
+def _chunk_frames(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    chunk_expr,
+    keep_order: bool = False,
+):
+    """Per-(key, chunk) sorted value arrays, materialized once (the
+    epoch loop filters it repeatedly), plus the ordered list of chunk
+    epochs (one scalar per chunk span — tiny driver list)."""
+    agg = [
+        _sorted_vals(order_col, value_col).alias("_vals"),
+        F.count("*").cast("long").alias("_n"),
+    ]
+    if keep_order:
+        arr = F.array_sort(F.collect_list(F.struct(F.col(order_col), F.col(value_col))))
+        agg.append(F.transform(arr, lambda s: s.getField(order_col)).alias("_ords"))
+    chunks = (
+        df.withColumn("_chunk", chunk_expr if not isinstance(chunk_expr, str) else F.col(chunk_expr))
+        .groupBy(*key_cols, "_chunk")
+        .agg(*agg)
+        .localCheckpoint()
+    )
+    epochs = [r[0] for r in chunks.select("_chunk").distinct().orderBy("_chunk").collect()]
+    return chunks, epochs
+
+
+def ewma_last_chunked(
+    df: DataFrame,
+    alpha: float,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str = "value",
+    chunk_expr=None,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """`ewma_last` for unbounded per-key histories: fold fixed-span
+    chunks in bounded tasks and thread the boundary accumulator across
+    chunks in epoch order.
+
+    ``chunk_expr`` is a Column (or column name) that buckets rows into
+    coarse spans monotone in ``order_col`` (e.g.
+    ``F.date_trunc('month', ts)`` or ``F.floor(F.col('seq') / 100_000)``).
+    Phase 1 aggregates each (key, chunk) into its sorted value array —
+    task memory is bounded by the chunk span, never the key's full
+    history, and the whole frame materializes exactly once
+    (localCheckpoint). Phase 2 walks the epochs in order, folding each
+    chunk's array on top of the carried level via a full-outer join on
+    the key (keys absent from an epoch carry their level through;
+    lineage is truncated every ``checkpoint_every`` epochs).
+
+    Bit-equality contract: a chunk folds with the carried level as the
+    initial accumulator, so the multiply/add sequence is IDENTICAL to
+    the whole-series fold — results match `ewma_last` exactly, not just
+    approximately (pytest-gated). The parallel-scan alternative
+    (per-chunk affine maps ``(1-a)^n·L + P`` composed associatively)
+    would be O(1) passes but reassociates float ops; we take one lazy
+    join per epoch instead — epochs are coarse (months/shards), so the
+    chain stays short while tasks stay bounded.
+    """
+    a = float(alpha)
+    chunks, epochs = _chunk_frames(df, key_cols, order_col, value_col, chunk_expr)
+    first = (
+        f"aggregate(slice(_vals, 2, size(_vals) - 1), _vals[0], "
+        f"(acc, x) -> {a} * x + {1.0 - a} * acc)"
+    )
+    cont = _fold_expr(a, "_vals", "ewma_value")
+    levels: DataFrame | None = None
+    for i, ep in enumerate(epochs):
+        cur = chunks.filter(F.col("_chunk") == F.lit(ep)).drop("_chunk")
+        if levels is None:
+            levels = cur.select(
+                *key_cols, F.expr(first).alias("ewma_value"), F.col("_n").alias("n")
+            )
+        else:
+            levels = (
+                cur.join(levels, list(key_cols), "full_outer")
+                .select(
+                    *key_cols,
+                    F.when(F.col("_vals").isNull(), F.col("ewma_value"))
+                    .when(F.col("ewma_value").isNull(), F.expr(first))
+                    .otherwise(F.expr(cont))
+                    .alias("ewma_value"),
+                    (
+                        F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("_n"), F.lit(0))
+                    ).cast("long").alias("n"),
+                )
+            )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < len(epochs):
+            levels = levels.localCheckpoint()
+    return levels
+
+
+def ewma_series_chunked(
+    df: DataFrame,
+    alpha: float,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str = "value",
+    chunk_expr=None,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """`ewma_series` for unbounded per-key histories — two phases:
+
+    1. Thread boundary levels chunk-to-chunk (same epoch walk as
+       `ewma_last_chunked`), keeping each chunk's INCOMING level.
+    2. One fully parallel pass: every (key, chunk) re-folds its own
+       array seeded with its incoming level (the scanl form) and emits
+       its rows — bounded tasks, all chunks at once.
+
+    The emitted series is bit-identical to `ewma_series` (same operand
+    sequence per row)."""
+    a = float(alpha)
+    chunks, epochs = _chunk_frames(
+        df, key_cols, order_col, value_col, chunk_expr, keep_order=True
+    )
+    first = (
+        f"aggregate(slice(_vals, 2, size(_vals) - 1), _vals[0], "
+        f"(acc, x) -> {a} * x + {1.0 - a} * acc)"
+    )
+    cont = _fold_expr(a, "_vals", "ewma_value")
+    levels: DataFrame | None = None
+    incoming: list[DataFrame] = []
+    for i, ep in enumerate(epochs):
+        cur = chunks.filter(F.col("_chunk") == F.lit(ep)).select(*key_cols, "_vals", "_n")
+        if levels is None:
+            incoming.append(
+                cur.select(
+                    *key_cols,
+                    F.lit(ep).alias("_chunk"),
+                    F.lit(None).cast("double").alias("_level_in"),
+                )
+            )
+            levels = cur.select(*key_cols, F.expr(first).alias("ewma_value"))
+        else:
+            j = cur.join(levels, list(key_cols), "full_outer")
+            incoming.append(
+                j.filter(F.col("_vals").isNotNull()).select(
+                    *key_cols,
+                    F.lit(ep).alias("_chunk"),
+                    F.col("ewma_value").alias("_level_in"),
+                )
+            )
+            levels = j.select(
+                *key_cols,
+                F.when(F.col("_vals").isNull(), F.col("ewma_value"))
+                .when(F.col("ewma_value").isNull(), F.expr(first))
+                .otherwise(F.expr(cont))
+                .alias("ewma_value"),
+            )
+        if (i + 1) % checkpoint_every == 0:
+            levels = levels.localCheckpoint()
+            incoming[-1] = incoming[-1].localCheckpoint()
+    level_in = incoming[0]
+    for frame in incoming[1:]:
+        level_in = level_in.unionByName(frame)
+    seeded_scan = (
+        f"aggregate(_vals, "
+        f"struct(double(_level_in) as level, cast(array() as array<double>) as outs), "
+        f"(acc, x) -> struct({a} * x + {1.0 - a} * acc.level as level, "
+        f"array_append(acc.outs, {a} * x + {1.0 - a} * acc.level) as outs), "
+        f"acc -> acc.outs)"
+    )
+    head_scan = (
+        f"aggregate(slice(_vals, 2, size(_vals) - 1), "
+        f"struct(_vals[0] as level, array(_vals[0]) as outs), "
+        f"(acc, x) -> struct({a} * x + {1.0 - a} * acc.level as level, "
+        f"array_append(acc.outs, {a} * x + {1.0 - a} * acc.level) as outs), "
+        f"acc -> acc.outs)"
+    )
+    exploded = (
+        chunks.join(level_in, [*key_cols, "_chunk"], "inner")
+        .withColumn(
+            "_ewma",
+            F.when(F.col("_level_in").isNull(), F.expr(head_scan)).otherwise(
+                F.expr(seeded_scan)
+            ),
+        )
         .select(
             *key_cols,
             F.posexplode(F.arrays_zip(F.col("_ords"), F.col("_ewma"))).alias("_i", "_z"),

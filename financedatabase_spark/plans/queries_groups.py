@@ -234,6 +234,33 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ewma_chunked",
+    oracle="""
+    SELECT event_type,
+           list_reduce(list(value ORDER BY event_id),
+                       (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma_value,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked carry-forward EWMA (operators/smoothing.ewma_last_chunked):
+    the unbounded-key variant — fold fixed-span chunks (2000 event_ids
+    per epoch) in bounded tasks, thread the boundary accumulator across
+    epochs. The oracle is the SAME whole-series list_reduce as
+    `ewma_smoothing` because the chunked fold is bit-identical: each
+    chunk folds with the carried level as its initial accumulator, so
+    the multiply/add operand sequence never changes."""
+    from financedatabase_spark.operators.smoothing import ewma_last_chunked
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return ewma_last_chunked(
+        ev, 0.2, ["event_type"], "event_id", "value",
+        chunk_expr=F.floor(F.col("event_id") / 2000),
+    )
+
+
+@register(
     "tick_imbalance_bars",
     oracle="""
     WITH RECURSIVE pref AS (

@@ -272,6 +272,57 @@ def test_ewma_matches_pandas_ewm(spark):
         assert np.allclose(got_ser[got_ser.k == k]["ewma_value"].to_numpy(), want, rtol=1e-12)
 
 
+def test_ewma_chunked_bit_equals_whole_series(spark):
+    """The chunked carry-forward fold must be BIT-identical (==, not
+    allclose) to the single-task whole-series fold on a long key —
+    same multiply/add operand sequence, threaded boundary accumulator.
+    Keys deliberately span different chunk subsets (b is absent from
+    the middle chunks, c exists only in the last) so the carry-through
+    and late-first-appearance paths are both exercised."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.smoothing import (
+        ewma_last,
+        ewma_last_chunked,
+        ewma_series,
+        ewma_series_chunked,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    frames = [
+        pd.DataFrame({"k": "a", "i": np.arange(n), "x": rng.normal(100.0, 5.0, n)}),
+        pd.DataFrame(  # absent from chunks 2..4
+            {"k": "b", "i": np.concatenate([np.arange(2000), np.arange(12000, 15000)]),
+             "x": rng.normal(50.0, 2.0, 5000)}
+        ),
+        pd.DataFrame({"k": "c", "i": np.arange(18000, n), "x": rng.normal(10.0, 1.0, 2000)}),
+    ]
+    df = spark.createDataFrame(pd.concat(frames)).repartition(7)
+    chunk = F.floor(F.col("i") / 2500)  # 8 epochs
+
+    want_last = {r.k: (r.ewma_value, r.n) for r in ewma_last(df, 0.3, ["k"], "i", "x").collect()}
+    got_last = {
+        r.k: (r.ewma_value, r.n)
+        for r in ewma_last_chunked(df, 0.3, ["k"], "i", "x", chunk_expr=chunk,
+                                   checkpoint_every=3).collect()
+    }
+    assert got_last == want_last  # exact float equality, counts included
+
+    want_ser = (
+        ewma_series(df, 0.3, ["k"], "i", "x").toPandas().sort_values(["k", "i"]).reset_index(drop=True)
+    )
+    got_ser = (
+        ewma_series_chunked(df, 0.3, ["k"], "i", "x", chunk_expr=chunk)
+        .toPandas().sort_values(["k", "i"]).reset_index(drop=True)
+    )
+    assert len(got_ser) == len(want_ser) == 27_000
+    assert (got_ser["ewma_value"].to_numpy() == want_ser["ewma_value"].to_numpy()).all()
+
+
 def test_tick_imbalance_bars_hand_example(spark):
     """Tick rule + fixed-threshold boundary recursion on a worked
     example: signs (0,+1,carry +1,-1,+1), sizes (5,3,4,2,6) -> signed

@@ -3,8 +3,10 @@ each after a small-SF warm pass. DuckDB runs per-query in a subprocess
 with a hard cap (its recursive-CTE bar oracles are superlinear at 10x).
 Produces the numbers in SCALE.md's 10x ratio table.
 
-Usage: python tools/bench_10x.py [sf1x_dir]   (default /tmp/sf1x; build
-       it first with tools/make_10x.py)
+Usage: python tools/bench_10x.py [sf1x_dir] [query ...]   (default
+       /tmp/sf1x + the full HEADLINE list; build the dataset first with
+       tools/make_10x.py — e.g. the 50x crossover run passes /tmp/sf5x
+       and the six fixed-floor queries)
 """
 import json
 import os
@@ -36,18 +38,20 @@ def main() -> None:
     from financedatabase_spark.plans.registry import QUERIES
     from financedatabase_spark.session import get_spark
 
+    names = sys.argv[2:] or HEADLINE
+
     spark = get_spark("bench10x")
     spark.range(1).count()
     warm = os.path.join(os.path.dirname(SF.rstrip("/")), "sf0.001")
     warm = warm if os.path.isdir(warm) else "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in names:
         try:
             QUERIES[name](spark, warm).count()
         except Exception:
             pass
 
     engine = {}
-    for name in HEADLINE:
+    for name in names:
         t0 = time.perf_counter()
         n = QUERIES[name](spark, SF).count()
         engine[name] = [round(time.perf_counter() - t0, 2), n]
@@ -55,7 +59,7 @@ def main() -> None:
     spark.stop()
 
     duck = {}
-    for name in HEADLINE:
+    for name in names:
         try:
             r = subprocess.run(
                 [sys.executable, "-c", _DUCK_SNIPPET, name, REPO, SF],

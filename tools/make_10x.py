@@ -5,8 +5,9 @@ cardinality scales 10x (new users, orders, docs, vectors), timestamps
 offset 30 days per copy so the time axis grows instead of densifying.
 This is the dataset behind SCALE.md's 10x ratio table.
 
-Usage: python tools/make_10x.py [src_dir] [dst_dir]
-       (defaults: /root/testdata/sf0.1 -> /tmp/sf1x)
+Usage: python tools/make_10x.py [src_dir] [dst_dir] [copies]
+       (defaults: /root/testdata/sf0.1 -> /tmp/sf1x, 10 copies;
+       pass copies=50 + dst=/tmp/sf5x for the 50x crossover table)
 """
 import os
 import sys
@@ -15,7 +16,7 @@ import duckdb
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1x"
-COPIES = 10
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 SHIFTS = {
     "events": """
