@@ -216,6 +216,36 @@ def paginated_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("symbol", "strike", F.col("right").alias("right_"))
 
 
+@register(
+    "rest_datasource_scan",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size, p_type
+    FROM part
+    WHERE p_brand IN ('Brand#13', 'Brand#42') AND p_size >= 25
+    """,
+)
+def rest_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 as a planned scan — the Python DataSourceV2
+    (sources/restds.py) with real ``pushFilters`` pushdown, replacing
+    the reference's driver-side pagination loop (Alpaca.py:486-517).
+    The IN predicate on the partition axis (p_brand) prunes the key
+    partitions before any fetch — 2 of 25 brand partitions survive
+    planning; the p_size range predicate is returned unsupported and
+    re-applied by Spark above the scan."""
+    from financedatabase_spark.sources.restds import FORMAT_NAME, register_rest_catalog
+
+    register_rest_catalog(spark)
+    catalog = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", f"{sf_dir}/part.parquet")
+        .option("partition_col", "p_brand")
+        .load()
+    )
+    return catalog.filter(
+        F.col("p_brand").isin("Brand#13", "Brand#42") & (F.col("p_size") >= 25)
+    ).select("p_partkey", "p_brand", "p_size", "p_type")
+
+
 def bars_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 calendar-month frequency (reference freq aliases BME/BQE/BYS,
     utils.py:349-357). Months are variable-length, so the bucket is
