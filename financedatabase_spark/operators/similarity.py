@@ -105,10 +105,107 @@ def ivf_topk(
     vec_col: str = "embedding",
     cell_col: str = "label",
     round_digits: int | None = 6,
+    vectorized: bool = True,
+    block_rows: int = 200_000,
 ) -> DataFrame:
     """IVF-style ANN: probe only the query's cell (coarse-quantizer
-    bucket). Equi-join on the cell id — Catalyst turns the cross join into
-    a hash join, and a cell-partitioned corpus table prunes at the scan."""
+    bucket) — the FAISS IVF-Flat shape.
+
+    Default path (``vectorized=True``): cells are cogrouped
+    (queries-of-cell × corpus-of-cell land in the same Arrow batch) and
+    scored as ONE numpy matmul per cell block — the per-pair work never
+    leaves the BLAS kernel, and the shuffle moves each corpus vector
+    once (to its cell) instead of one row per (query, candidate) pair.
+    Corpus cells larger than ``block_rows`` are hash-split into bounded
+    sub-blocks with the queries replicated per block, and the per-block
+    top-k lists merge in a final window over Q·k·blocks rows — so task
+    memory is bounded regardless of cell skew. At 100 TB: corpus
+    hash-partitions on (cell, block), codebook-sized metadata
+    broadcasts, per-task state is one block.
+
+    ``vectorized=False`` keeps the pure-Catalyst equi-join + sequential
+    fold scoring (`dot`) whose summation order is bit-identical to the
+    DuckDB oracle — the correctness baseline. The vectorized path's raw
+    scores can differ by ~1 ULP (pairwise vs sequential summation); the
+    returned score is rounded (``round_digits``) on the Spark side so
+    both paths agree on every realistic input.
+    """
+    if not vectorized:
+        return _ivf_topk_fold(
+            queries, corpus, k, query_id, corpus_id, vec_col, cell_col, round_digits
+        )
+    import numpy as np
+    import pandas as pd
+
+    sizes = corpus.groupBy(F.col(cell_col).alias("_cell")).agg(
+        F.ceil(F.count("*") / F.lit(block_rows)).cast("int").alias("_nblk")
+    )
+    c = (
+        _spread(corpus)
+        .select(F.col(corpus_id), F.col(cell_col).alias("_cell"), _vec(vec_col).alias("_cv"))
+        .join(F.broadcast(sizes), "_cell")
+        .withColumn("_blk", F.pmod(F.hash(F.col(corpus_id)), F.col("_nblk")))
+        .drop("_nblk")
+    )
+    sizes_q = sizes.select("_cell", F.col("_nblk").alias("_nblk_q"))
+    q = (
+        queries.select(F.col(query_id), F.col(cell_col).alias("_cell"), _vec(vec_col).alias("_qv"))
+        .join(F.broadcast(sizes_q), "_cell")
+        .withColumn("_blk", F.explode(F.sequence(F.lit(0), F.col("_nblk_q") - 1)))
+        .drop("_nblk_q")
+    )
+    kk, qid, cid = int(k), query_id, corpus_id
+    qid_t = dict(queries.dtypes)[query_id]
+    cid_t = dict(corpus.dtypes)[corpus_id]
+
+    def score_block(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({qid: [], cid: [], "_raw": []})
+        Q = np.stack(qpdf["_qv"].to_numpy()).astype(np.float64)
+        C = np.stack(cpdf["_cv"].to_numpy()).astype(np.float64)
+        S = (Q @ C.T) / np.outer(
+            np.sqrt((Q * Q).sum(axis=1)), np.sqrt((C * C).sum(axis=1))
+        )
+        # selection uses the same HALF_UP 6-digit rounding Spark applies
+        # to the emitted score, so block top-k == global-rank top-k
+        R = np.copysign(np.floor(np.abs(S) * 1e6 + 0.5), S) / 1e6 if round_digits else S
+        cids = cpdf[cid].to_numpy()
+        n = min(kk, len(cids))
+        out_q, out_c, out_s = [], [], []
+        for i in range(len(qpdf)):
+            order = np.lexsort((cids, -R[i]))[:n]
+            out_q.extend([qpdf[qid].iat[i]] * n)
+            out_c.extend(cids[order])
+            out_s.extend(S[i][order])
+        return pd.DataFrame({qid: out_q, cid: out_c, "_raw": out_s})
+
+    candidates = (
+        q.groupBy("_cell", "_blk")
+        .cogroup(c.groupBy("_cell", "_blk"))
+        .applyInPandas(score_block, f"{qid} {qid_t}, {cid} {cid_t}, _raw double")
+    )
+    score = F.round(F.col("_raw"), round_digits) if round_digits else F.col("_raw")
+    scored = candidates.select(qid, cid, score.alias("score"))
+    w = Window.partitionBy(qid).orderBy(F.col("score").desc(), F.col(cid).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(qid, cid, "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _ivf_topk_fold(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    cell_col: str,
+    round_digits: int | None,
+) -> DataFrame:
+    """Pure-Catalyst IVF scoring: cell equi-join + sequential-fold dot
+    product (bit-identical summation order to the oracle's list_reduce)."""
     q = queries.select(
         F.col(query_id), F.col(cell_col).alias("_cell"), _vec(vec_col).alias("_qv")
     ).withColumn("_qn", l2_norm(F.col("_qv")))

@@ -101,17 +101,25 @@ def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    # Pre-aggregate lineitem to one row per orderkey BEFORE the join:
+    # the map-side partial combine compresses 4 line items per order into
+    # one shuffled row, the orders join then lands on the same orderkey
+    # partitioning, and — because each surviving row IS a distinct order —
+    # n_orders becomes a plain count(*), eliminating the second wide
+    # shuffle a count(DISTINCT o_orderkey) re-aggregation would need over
+    # the full joined fact. (Decimal sums are associative, so the
+    # sum-of-per-order-sums is bit-identical to the flat sum.)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount"))).alias("_rev")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_mktsegment", "n_name")
         .agg(
-            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount")))
-            .cast("decimal(18,4)")
-            .cast("double")
-            .alias("revenue"),
-            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.sum("_rev").cast("decimal(18,4)").cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
         )
     )
 

@@ -106,6 +106,33 @@ def test_minhash_recall_vs_exact_baseline(spark, sf_dir):
         assert len(found & exact) / len(exact) >= 0.7
 
 
+def test_ivf_vectorized_equals_fold_path(spark, sf_dir):
+    """The cogrouped numpy scoring path must return the same (query,
+    corpus, score, rank) rows as the pure-Catalyst sequential-fold
+    baseline — including when block_rows forces every cell into
+    multiple hash-split sub-blocks whose per-block top-k lists merge in
+    the final window."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators import similarity as sim
+    from financedatabase_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "label", "embedding")
+
+    want = sorted(map(tuple, sim.ivf_topk(queries, corpus, k=5, vectorized=False).collect()))
+    got = sorted(map(tuple, sim.ivf_topk(queries, corpus, k=5).collect()))
+    assert got == want
+    # tiny block size -> every cell splits; the block-merge must be lossless
+    blocked = sorted(
+        map(tuple, sim.ivf_topk(queries, corpus, k=5, block_rows=7).collect())
+    )
+    assert blocked == want
+
+
 def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     """nprobe monotonicity: visiting 2 cells can only add candidates, so
     multi-probe recall vs the brute-force top-5 must be >= single-probe
