@@ -360,6 +360,133 @@ def tick_imbalance_bars(
     )
 
 
+def tick_imbalance_bars_chunked(
+    df: DataFrame,
+    threshold: int,
+    key_cols: list[str],
+    order_col: str,
+    price_col: str = "price",
+    size_col: str = "volume",
+    chunk_expr=None,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """`tick_imbalance_bars` for unbounded per-key histories — the same
+    chunked carry-forward scheme as `ewma_last_chunked`, with the
+    threaded boundary state being the full recursion state: (last
+    price, carried tick-rule sign, running signed-size sum, sum at last
+    bar close).
+
+    Each (key, chunk) folds its own sorted row array in a bounded task;
+    the epoch walk threads the state struct chunk-to-chunk and each
+    epoch's fold emits that chunk's bar closes directly (no second
+    pass). Global tick positions come from per-chunk row counts
+    prefix-summed over the tiny chunk-summary frame, so `n_ticks`
+    arithmetic matches the single-fold implementation exactly —
+    results are bit-identical (pytest-gated).
+    """
+    from pyspark.sql import Window
+
+    t = int(threshold)
+    ord_t = dict(df.dtypes)[order_col]
+    rows_arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("ord"),
+                F.col(price_col).cast("double").alias("price"),
+                F.col(size_col).cast("long").alias("size"),
+            )
+        )
+    )
+    chunks = (
+        df.withColumn("_chunk", chunk_expr if not isinstance(chunk_expr, str) else F.col(chunk_expr))
+        .groupBy(*key_cols, "_chunk")
+        .agg(rows_arr.alias("_rows"), F.count("*").cast("long").alias("_n"))
+        .localCheckpoint()
+    )
+    # global tick offsets: prefix-sum the per-chunk counts (chunk-summary
+    # frame only — a handful of rows per key)
+    woff = Window.partitionBy(*key_cols).orderBy("_chunk")
+    offsets = chunks.select(*key_cols, "_chunk", "_n").withColumn(
+        "_off", F.sum("_n").over(woff.rowsBetween(Window.unboundedPreceding, 0)) - F.col("_n")
+    ).drop("_n")
+    chunks = chunks.join(offsets, [*key_cols, "_chunk"])
+    epochs = [r[0] for r in chunks.select("_chunk").distinct().orderBy("_chunk").collect()]
+
+    end_t = f"struct<pos:bigint,ord:{ord_t},cum:bigint>"
+    sg = "if(acc.pp is not null and bigint(sign(x.price - acc.pp)) != 0, bigint(sign(x.price - acc.pp)), acc.sg)"
+    cum = f"acc.cum + ({sg}) * x.size"
+    closed = f"abs(({cum}) - acc.bcum) >= {t}"
+    step = (
+        f"(acc, x) -> named_struct("
+        f"'pp', x.price, 'sg', {sg}, 'cum', {cum}, "
+        f"'bcum', if({closed}, {cum}, acc.bcum), 'pos', acc.pos + 1L, "
+        f"'ends', if({closed}, array_append(acc.ends, "
+        f"named_struct('pos', acc.pos + 1L, 'ord', x.ord, 'cum', {cum})), acc.ends))"
+    )
+    init = (
+        f"named_struct('pp', _pp, 'sg', _sg, 'cum', _cum, 'bcum', _bcum, "
+        f"'pos', _off, 'ends', cast(array() as array<{end_t}>))"
+    )
+    fold = (
+        f"aggregate(_rows, {init}, {step}, acc -> named_struct("
+        f"'pp', acc.pp, 'sg', acc.sg, 'cum', acc.cum, 'bcum', acc.bcum, 'ends', acc.ends))"
+    )
+    keep = (
+        f"named_struct('pp', _pp, 'sg', _sg, 'cum', _cum, 'bcum', _bcum, "
+        f"'ends', cast(array() as array<{end_t}>))"
+    )
+
+    states: DataFrame | None = None
+    ends_frames: list[DataFrame] = []
+    for i, ep in enumerate(epochs):
+        cur = chunks.filter(F.col("_chunk") == F.lit(ep)).select(*key_cols, "_rows", "_off")
+        if states is None:
+            j = cur.select(
+                *key_cols, "_rows", "_off",
+                F.lit(None).cast("double").alias("_pp"),
+                F.lit(0).cast("long").alias("_sg"),
+                F.lit(0).cast("long").alias("_cum"),
+                F.lit(0).cast("long").alias("_bcum"),
+            )
+        else:
+            j = cur.join(states, list(key_cols), "full_outer").select(
+                *key_cols, "_rows", F.coalesce("_off", F.lit(0)).alias("_off"),
+                F.col("_pp"),
+                F.coalesce("_sg", F.lit(0)).alias("_sg"),
+                F.coalesce("_cum", F.lit(0)).alias("_cum"),
+                F.coalesce("_bcum", F.lit(0)).alias("_bcum"),
+            )
+        folded = j.select(
+            *key_cols,
+            F.when(F.col("_rows").isNull(), F.expr(keep)).otherwise(F.expr(fold)).alias("_fs"),
+        )
+        states = folded.select(
+            *key_cols,
+            F.col("_fs.pp").alias("_pp"),
+            F.col("_fs.sg").alias("_sg"),
+            F.col("_fs.cum").alias("_cum"),
+            F.col("_fs.bcum").alias("_bcum"),
+        )
+        ends_frames.append(
+            folded.select(*key_cols, F.explode(F.col("_fs.ends")).alias("_e"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            states = states.localCheckpoint()
+            ends_frames[-1] = ends_frames[-1].localCheckpoint()
+    ends = ends_frames[0]
+    for frame in ends_frames[1:]:
+        ends = ends.unionByName(frame)
+    wb = Window.partitionBy(*key_cols).orderBy("_e.pos")
+    prev = lambda c: F.coalesce(F.lag(c).over(wb), F.lit(0))  # noqa: E731
+    return ends.select(
+        *key_cols,
+        (F.row_number().over(wb) - 1).cast("long").alias("bar_idx"),
+        F.col("_e.ord").alias(f"end_{order_col}"),
+        (F.col("_e.pos") - prev("_e.pos")).cast("long").alias("n_ticks"),
+        (F.col("_e.cum") - prev("_e.cum")).cast("long").alias("imbalance"),
+    )
+
+
 def tick_run_bars(
     df: DataFrame,
     threshold: int,

@@ -323,6 +323,51 @@ def test_ewma_chunked_bit_equals_whole_series(spark):
     assert (got_ser["ewma_value"].to_numpy() == want_ser["ewma_value"].to_numpy()).all()
 
 
+def test_tick_imbalance_bars_chunked_bit_equals_whole_series(spark):
+    """The chunked tick-bar fold must reproduce the single-fold output
+    exactly — bar indices, end markers, tick counts, imbalances — with
+    the full recursion state (last price, carried sign, running sum,
+    last-close sum) threaded across chunk boundaries. A bar that OPENS
+    in one chunk and CLOSES in another is the case that breaks naive
+    chunking; 8 chunks over random-walk prices guarantees many such."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.smoothing import (
+        tick_imbalance_bars,
+        tick_imbalance_bars_chunked,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 8000
+    pdf = pd.concat(
+        [
+            pd.DataFrame(
+                {"k": k, "i": np.arange(n),
+                 "price": 100.0 + np.cumsum(rng.choice([-0.5, 0.0, 0.5], n)),
+                 "volume": rng.integers(1, 9, n)}
+            )
+            for k in ("a", "b")
+        ]
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+    chunk = F.floor(F.col("i") / 1000)  # 8 epochs; bars span boundaries
+
+    want = sorted(map(tuple, tick_imbalance_bars(df, 40, ["k"], "i").collect()))
+    got = sorted(
+        map(
+            tuple,
+            tick_imbalance_bars_chunked(
+                df, 40, ["k"], "i", chunk_expr=chunk, checkpoint_every=3
+            ).collect(),
+        )
+    )
+    assert len(want) > 20  # the walk actually closes bars
+    assert got == want
+
+
 def test_tick_imbalance_bars_hand_example(spark):
     """Tick rule + fixed-threshold boundary recursion on a worked
     example: signs (0,+1,carry +1,-1,+1), sizes (5,3,4,2,6) -> signed
