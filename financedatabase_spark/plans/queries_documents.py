@@ -75,6 +75,61 @@ def doc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_stats",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, words[i] || ' ' || words[i + 1] AS gram
+      FROM w, LATERAL (SELECT unnest(range(1, len(words))) AS i)
+      WHERE len(words) >= 3
+    ),
+    g3 AS (
+      SELECT doc_id, words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS gram
+      FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i)
+      WHERE len(words) >= 3
+    ),
+    c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+    c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+    s2 AS (
+      SELECT doc_id,
+             sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)::DOUBLE
+               / sum(c * length(gram)) AS dup2_frac,
+             max(c * length(gram))::DOUBLE / sum(c * length(gram)) AS top2_frac
+      FROM c2 GROUP BY doc_id
+    ),
+    s3 AS (
+      SELECT doc_id,
+             sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)::DOUBLE
+               / sum(c * length(gram)) AS dup3_frac,
+             max(c * length(gram))::DOUBLE / sum(c * length(gram)) AS top3_frac
+      FROM c3 GROUP BY doc_id
+    )
+    SELECT s2.doc_id, dup2_frac, top2_frac, dup3_frac, top3_frac
+    FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher §A1.1): fraction of
+    n-gram characters in duplicated {2,3}-grams and under the single
+    most-repeated n-gram. Computed entirely inside the row — sorted
+    gram list + one higher-order fold per n — so the corpus pays one
+    scan with zero shuffle; the oracle re-derives the same Σc(g)·L(g)
+    sums via unnest + GROUP BY. Docs shorter than 3 words carry no
+    3-gram signal and are excluded on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(tx.normalized_text("text"), " ")
+    return docs.filter(F.size(words) >= 3).select(
+        "doc_id",
+        *tx.ngram_repetition_columns("text", 2),
+        *tx.ngram_repetition_columns("text", 3),
+    )
+
+
+@register(
     "lang_id",
     oracle=r"""
     WITH h AS (

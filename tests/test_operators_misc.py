@@ -247,6 +247,25 @@ def test_deterministic_sampling(spark):
     assert fx2 == {r.doc_id for r in fx.collect()}
 
 
+def test_ngram_repetition_hand_example(spark):
+    """'a b a b a b c' has six 2-grams: 'a b'×3, 'b a'×2, 'b c'×1 — five
+    occurrences of duplicated grams (15 of 18 chars), top gram 9/18. A
+    no-repeat doc scores 0; a fully repeated doc scores dup=1."""
+    from financedatabase_spark.operators.text import ngram_repetition_columns
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c"), (2, "one two three four"), (3, "x y x y x y x y")],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select("doc_id", *ngram_repetition_columns("text", 2)).collect()
+    }
+    assert rows[1].dup2_frac == 15 / 18 and rows[1].top2_frac == 9 / 18
+    assert rows[2].dup2_frac == 0.0
+    assert rows[3].dup2_frac == 1.0 and rows[3].top2_frac == 12 / 21
+
+
 def test_ewma_matches_pandas_ewm(spark):
     """The fold recursion must equal pandas ewm(adjust=False) — level
     after the last observation and the full per-row scan series."""
