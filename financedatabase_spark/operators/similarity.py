@@ -134,29 +134,50 @@ def ivf_topk(
         return _ivf_topk_fold(
             queries, corpus, k, query_id, corpus_id, vec_col, cell_col, round_digits
         )
+    q = queries.select(F.col(query_id), F.col(cell_col).alias("_cell"), _vec(vec_col).alias("_qv"))
+    c = _spread(corpus).select(
+        F.col(corpus_id), F.col(cell_col).alias("_cell"), _vec(vec_col).alias("_cv")
+    )
+    candidates = _blocked_candidates(
+        q, c, int(k), query_id, corpus_id, round_digits, block_rows
+    )
+    return _rank_topk(candidates, int(k), query_id, corpus_id, round_digits)
+
+
+def _blocked_candidates(
+    q: DataFrame,
+    c: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    round_digits: int | None,
+    block_rows: int,
+) -> DataFrame:
+    """Cogrouped numpy scoring: q(query_id, _cell, _qv) probes
+    c(corpus_id, _cell, _cv) cell-by-cell, one matmul per bounded block
+    (corpus cells above ``block_rows`` hash-split, queries replicated
+    per block). Emits the per-(query, block) top-k candidate rows with
+    RAW scores; callers rank/merge with `_rank_topk`."""
     import numpy as np
     import pandas as pd
 
-    sizes = corpus.groupBy(F.col(cell_col).alias("_cell")).agg(
+    sizes = c.groupBy("_cell").agg(
         F.ceil(F.count("*") / F.lit(block_rows)).cast("int").alias("_nblk")
     )
-    c = (
-        _spread(corpus)
-        .select(F.col(corpus_id), F.col(cell_col).alias("_cell"), _vec(vec_col).alias("_cv"))
-        .join(F.broadcast(sizes), "_cell")
+    cb = (
+        c.join(F.broadcast(sizes), "_cell")
         .withColumn("_blk", F.pmod(F.hash(F.col(corpus_id)), F.col("_nblk")))
         .drop("_nblk")
     )
     sizes_q = sizes.select("_cell", F.col("_nblk").alias("_nblk_q"))
-    q = (
-        queries.select(F.col(query_id), F.col(cell_col).alias("_cell"), _vec(vec_col).alias("_qv"))
-        .join(F.broadcast(sizes_q), "_cell")
+    qb = (
+        q.join(F.broadcast(sizes_q), "_cell")
         .withColumn("_blk", F.explode(F.sequence(F.lit(0), F.col("_nblk_q") - 1)))
         .drop("_nblk_q")
     )
     kk, qid, cid = int(k), query_id, corpus_id
-    qid_t = dict(queries.dtypes)[query_id]
-    cid_t = dict(corpus.dtypes)[corpus_id]
+    qid_t = dict(q.dtypes)[query_id]
+    cid_t = dict(c.dtypes)[corpus_id]
 
     def score_block(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(qpdf) or not len(cpdf):
@@ -179,18 +200,29 @@ def ivf_topk(
             out_s.extend(S[i][order])
         return pd.DataFrame({qid: out_q, cid: out_c, "_raw": out_s})
 
-    candidates = (
-        q.groupBy("_cell", "_blk")
-        .cogroup(c.groupBy("_cell", "_blk"))
+    return (
+        qb.groupBy("_cell", "_blk")
+        .cogroup(cb.groupBy("_cell", "_blk"))
         .applyInPandas(score_block, f"{qid} {qid_t}, {cid} {cid_t}, _raw double")
     )
+
+
+def _rank_topk(
+    candidates: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    round_digits: int | None,
+) -> DataFrame:
+    """Round raw candidate scores engine-side and take the global
+    per-query top-k (score desc, corpus_id asc tie-break)."""
     score = F.round(F.col("_raw"), round_digits) if round_digits else F.col("_raw")
-    scored = candidates.select(qid, cid, score.alias("score"))
-    w = Window.partitionBy(qid).orderBy(F.col("score").desc(), F.col(cid).asc())
+    scored = candidates.select(query_id, corpus_id, score.alias("score"))
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= kk)
-        .select(qid, cid, "score", F.col("rank").cast("long").alias("rank"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -261,6 +293,8 @@ def ivf_multiprobe_topk(
     centroid_cell_col: str = "cell",
     centroid_vec_col: str = "cvec",
     round_digits: int | None = 6,
+    vectorized: bool = True,
+    block_rows: int = 200_000,
 ) -> DataFrame:
     """Multi-probe IVF ANN: each query visits its ``n_probe`` nearest
     coarse-quantizer cells instead of one — the FAISS nprobe recall knob.
@@ -268,7 +302,9 @@ def ivf_multiprobe_topk(
     is a map-side top-n over the broadcast, and the corpus join stays a
     cell equi-join, so scanned volume grows linearly in n_probe while the
     plan shape — partition-prunable on a cell-partitioned corpus — is
-    unchanged from single-probe `ivf_topk`."""
+    unchanged from single-probe `ivf_topk`. Scoring itself runs on the
+    same blocked-matmul cogroup path as `ivf_topk` (``vectorized=False``
+    keeps the sequential-fold Catalyst baseline)."""
     q = queries.select(F.col(query_id), _vec(vec_col).alias("_qv"))
     cen = centroids.select(
         F.col(centroid_cell_col).alias("_cell"), F.col(centroid_vec_col).alias("_cvec")
@@ -287,25 +323,26 @@ def ivf_multiprobe_topk(
         .filter(F.col("_pn") <= n_probe)
         .select(query_id, "_qv", "_cell")
     )
+    # cells partition the corpus, so no (query, doc) pair repeats across probes
+    if vectorized:
+        c = _spread(corpus).select(
+            F.col(corpus_id), F.col(cell_col).alias("_cell"), _vec(vec_col).alias("_cv")
+        )
+        candidates = _blocked_candidates(
+            probes, c, int(k), query_id, corpus_id, round_digits, block_rows
+        )
+        return _rank_topk(candidates, int(k), query_id, corpus_id, round_digits)
     c = _spread(corpus).select(
         F.col(corpus_id), F.col(cell_col).alias("_ccell"), _vec(vec_col).alias("_cv")
     ).withColumn("_cn", l2_norm(F.col("_cv")))
     probes = probes.withColumn("_qn", l2_norm(F.col("_qv")))
-    # cells partition the corpus, so no (query, doc) pair repeats across probes;
     # per-row norms hoisted ahead of the join (see cosine_topk)
     scored = probes.join(c, F.col("_cell") == F.col("_ccell")).select(
         query_id,
         corpus_id,
         (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("_raw"),
     )
-    score = F.round(F.col("_raw"), round_digits) if round_digits else F.col("_raw")
-    scored = scored.select(query_id, corpus_id, score.alias("score"))
-    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "score", F.col("rank").cast("long").alias("rank"))
-    )
+    return _rank_topk(scored, int(k), query_id, corpus_id, round_digits)
 
 
 def embedding_near_dups(
