@@ -487,6 +487,120 @@ def tick_imbalance_bars_chunked(
     )
 
 
+def tick_run_bars_chunked(
+    df: DataFrame,
+    threshold: int,
+    key_cols: list[str],
+    order_col: str,
+    price_col: str = "price",
+    size_col: str = "volume",
+    chunk_expr=None,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """`tick_run_bars` for unbounded per-key histories — the chunked
+    carry-forward of `tick_imbalance_bars_chunked` with the run-bar
+    state: (last price, carried sign, buy-side cumulative, sell-side
+    cumulative, both sides at last close). Bit-identical to the
+    single-fold operator (pytest-gated)."""
+    from pyspark.sql import Window
+
+    t = int(threshold)
+    ord_t = dict(df.dtypes)[order_col]
+    rows_arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("ord"),
+                F.col(price_col).cast("double").alias("price"),
+                F.col(size_col).cast("long").alias("size"),
+            )
+        )
+    )
+    chunks = (
+        df.withColumn("_chunk", chunk_expr if not isinstance(chunk_expr, str) else F.col(chunk_expr))
+        .groupBy(*key_cols, "_chunk")
+        .agg(rows_arr.alias("_rows"), F.count("*").cast("long").alias("_n"))
+        .localCheckpoint()
+    )
+    woff = Window.partitionBy(*key_cols).orderBy("_chunk")
+    offsets = chunks.select(*key_cols, "_chunk", "_n").withColumn(
+        "_off", F.sum("_n").over(woff.rowsBetween(Window.unboundedPreceding, 0)) - F.col("_n")
+    ).drop("_n")
+    chunks = chunks.join(offsets, [*key_cols, "_chunk"])
+    epochs = [r[0] for r in chunks.select("_chunk").distinct().orderBy("_chunk").collect()]
+
+    end_t = f"struct<pos:bigint,ord:{ord_t},cb:bigint,cs:bigint>"
+    sg = "if(acc.pp is not null and bigint(sign(x.price - acc.pp)) != 0, bigint(sign(x.price - acc.pp)), acc.sg)"
+    cb = f"acc.cb + if(({sg}) > 0, x.size, 0L)"
+    cs = f"acc.cs + if(({sg}) < 0, x.size, 0L)"
+    closed = f"greatest(({cb}) - acc.bb, ({cs}) - acc.bs) >= {t}"
+    step = (
+        f"(acc, x) -> named_struct("
+        f"'pp', x.price, 'sg', {sg}, 'cb', {cb}, 'cs', {cs}, "
+        f"'bb', if({closed}, {cb}, acc.bb), 'bs', if({closed}, {cs}, acc.bs), "
+        f"'pos', acc.pos + 1L, "
+        f"'ends', if({closed}, array_append(acc.ends, "
+        f"named_struct('pos', acc.pos + 1L, 'ord', x.ord, 'cb', {cb}, 'cs', {cs})), acc.ends))"
+    )
+    init = (
+        f"named_struct('pp', _pp, 'sg', _sg, 'cb', _cb, 'cs', _cs, 'bb', _bb, 'bs', _bs, "
+        f"'pos', _off, 'ends', cast(array() as array<{end_t}>))"
+    )
+    fold = (
+        f"aggregate(_rows, {init}, {step}, acc -> named_struct("
+        f"'pp', acc.pp, 'sg', acc.sg, 'cb', acc.cb, 'cs', acc.cs, "
+        f"'bb', acc.bb, 'bs', acc.bs, 'ends', acc.ends))"
+    )
+    keep = (
+        f"named_struct('pp', _pp, 'sg', _sg, 'cb', _cb, 'cs', _cs, 'bb', _bb, 'bs', _bs, "
+        f"'ends', cast(array() as array<{end_t}>))"
+    )
+
+    zero = lambda n: F.coalesce(F.col(n), F.lit(0)).alias(n)  # noqa: E731
+    states: DataFrame | None = None
+    ends_frames: list[DataFrame] = []
+    for i, ep in enumerate(epochs):
+        cur = chunks.filter(F.col("_chunk") == F.lit(ep)).select(*key_cols, "_rows", "_off")
+        if states is None:
+            j = cur.select(
+                *key_cols, "_rows", "_off",
+                F.lit(None).cast("double").alias("_pp"),
+                *[F.lit(0).cast("long").alias(n) for n in ("_sg", "_cb", "_cs", "_bb", "_bs")],
+            )
+        else:
+            j = cur.join(states, list(key_cols), "full_outer").select(
+                *key_cols, "_rows", F.coalesce("_off", F.lit(0)).alias("_off"),
+                F.col("_pp"),
+                *[zero(n) for n in ("_sg", "_cb", "_cs", "_bb", "_bs")],
+            )
+        folded = j.select(
+            *key_cols,
+            F.when(F.col("_rows").isNull(), F.expr(keep)).otherwise(F.expr(fold)).alias("_fs"),
+        )
+        states = folded.select(
+            *key_cols,
+            *[F.col(f"_fs.{n.lstrip('_')}").alias(n) for n in ("_pp", "_sg", "_cb", "_cs", "_bb", "_bs")],
+        )
+        ends_frames.append(
+            folded.select(*key_cols, F.explode(F.col("_fs.ends")).alias("_e"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            states = states.localCheckpoint()
+            ends_frames[-1] = ends_frames[-1].localCheckpoint()
+    ends = ends_frames[0]
+    for frame in ends_frames[1:]:
+        ends = ends.unionByName(frame)
+    wb = Window.partitionBy(*key_cols).orderBy("_e.pos")
+    prev = lambda c: F.coalesce(F.lag(c).over(wb), F.lit(0))  # noqa: E731
+    return ends.select(
+        *key_cols,
+        (F.row_number().over(wb) - 1).cast("long").alias("bar_idx"),
+        F.col("_e.ord").alias(f"end_{order_col}"),
+        (F.col("_e.pos") - prev("_e.pos")).cast("long").alias("n_ticks"),
+        (F.col("_e.cb") - prev("_e.cb")).cast("long").alias("buy_size"),
+        (F.col("_e.cs") - prev("_e.cs")).cast("long").alias("sell_size"),
+    )
+
+
 def tick_run_bars(
     df: DataFrame,
     threshold: int,

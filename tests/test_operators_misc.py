@@ -387,6 +387,47 @@ def test_tick_imbalance_bars_chunked_bit_equals_whole_series(spark):
     assert got == want
 
 
+def test_tick_run_bars_chunked_bit_equals_whole_series(spark):
+    """Same contract as the imbalance variant, for the two-sided run-bar
+    state (buy/sell cumulatives + both last-close marks)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.smoothing import (
+        tick_run_bars,
+        tick_run_bars_chunked,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 6000
+    pdf = pd.concat(
+        [
+            pd.DataFrame(
+                {"k": k, "i": np.arange(n),
+                 "price": 100.0 + np.cumsum(rng.choice([-0.5, 0.0, 0.5], n)),
+                 "volume": rng.integers(1, 9, n)}
+            )
+            for k in ("a", "b")
+        ]
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+    chunk = F.floor(F.col("i") / 900)  # 7 epochs
+
+    want = sorted(map(tuple, tick_run_bars(df, 120, ["k"], "i").collect()))
+    got = sorted(
+        map(
+            tuple,
+            tick_run_bars_chunked(
+                df, 120, ["k"], "i", chunk_expr=chunk, checkpoint_every=3
+            ).collect(),
+        )
+    )
+    assert len(want) > 20
+    assert got == want
+
+
 def test_tick_imbalance_bars_hand_example(spark):
     """Tick rule + fixed-threshold boundary recursion on a worked
     example: signs (0,+1,carry +1,-1,+1), sizes (5,3,4,2,6) -> signed
