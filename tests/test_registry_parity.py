@@ -133,6 +133,26 @@ def test_ivf_vectorized_equals_fold_path(spark, sf_dir):
     assert blocked == want
 
 
+def test_near_dups_vectorized_equals_fold_path(spark, sf_dir):
+    """Block-pair cogrouped near-dup scoring must emit exactly the pair
+    set (and scores) of the Catalyst pair-join baseline — including
+    with block_rows small enough that every cell splits into many
+    blocks (diagonal dedup + off-diagonal bipartite both exercised)."""
+    from financedatabase_spark.operators import similarity as sim
+    from financedatabase_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = sorted(
+        map(tuple, sim.embedding_near_dups(emb, threshold=0.4, vectorized=False).collect())
+    )
+    got = sorted(map(tuple, sim.embedding_near_dups(emb, threshold=0.4).collect()))
+    assert got == want and len(want) > 0
+    blocked = sorted(
+        map(tuple, sim.embedding_near_dups(emb, threshold=0.4, block_rows=11).collect())
+    )
+    assert blocked == want
+
+
 def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     """nprobe monotonicity: visiting 2 cells can only add candidates, so
     multi-probe recall vs the brute-force top-5 must be >= single-probe
