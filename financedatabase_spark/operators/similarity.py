@@ -66,11 +66,26 @@ def cosine_topk(
     corpus_id: str = "corpus_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    vectorized: bool = False,
+    block_rows: int = 200_000,
 ) -> DataFrame:
     """Brute-force top-k: every query scores the whole corpus.
 
     Scores are rounded (default 1e-6) before ranking so float ties break
-    identically across engines; rank ties break on corpus_id."""
+    identically across engines; rank ties break on corpus_id. The
+    default path is the bit-exact sequential-fold baseline (this IS the
+    ground-truth operator, so exactness outranks speed); pass
+    ``vectorized=True`` for scalable exact brute force — the whole
+    corpus becomes one logical cell of the blocked-matmul scorer, split
+    into ``block_rows`` tasks whose per-block top-k lists merge in the
+    final window."""
+    if vectorized:
+        q = queries.select(F.col(query_id), F.lit(0).alias("_cell"), _vec(vec_col).alias("_qv"))
+        c = _spread(corpus).select(
+            F.col(corpus_id), F.lit(0).alias("_cell"), _vec(vec_col).alias("_cv")
+        )
+        cand = _blocked_candidates(q, c, int(k), query_id, corpus_id, round_digits, block_rows)
+        return _rank_topk(cand, int(k), query_id, corpus_id, round_digits)
     # norms are per-ROW quantities: compute them once on each side before
     # the join instead of per PAIR (identical IEEE result — the division
     # still sees l2(q)*l2(c) in the same operand order — at a third of the

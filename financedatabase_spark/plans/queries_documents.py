@@ -75,6 +75,50 @@ def doc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_length_quantiles",
+    oracle=r"""
+    WITH base AS (
+      SELECT source, n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+           round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+           round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+           round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens,
+           count(*)::BIGINT AS n_docs
+    FROM base GROUP BY source
+    """,
+)
+def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length/token quantiles — where a curation pipeline
+    reads its filter thresholds from. Exact `percentile` (both engines
+    interpolate linearly, results rounded at 1e-6); at 100 TB swap in
+    `approx_percentile` (t-digest sketch, one pass, mergeable) and keep
+    this exact form as the small-sample oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", F.col("n_chars").cast("double").alias("n_chars"),
+        tx.ws_token_count("text").cast("double").alias("n_tokens"),
+    )
+    qs = [0.5, 0.9, 0.99]
+    pct = lambda c, p, n: F.round(F.expr(f"percentile({c}, {p})"), 6).alias(n)  # noqa: E731
+    return base.groupBy("source").agg(
+        pct("n_chars", qs[0], "p50_chars"),
+        pct("n_chars", qs[1], "p90_chars"),
+        pct("n_chars", qs[2], "p99_chars"),
+        pct("n_tokens", qs[0], "p50_tokens"),
+        pct("n_tokens", qs[1], "p90_tokens"),
+        pct("n_tokens", qs[2], "p99_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register(
     "repetition_stats",
     oracle=r"""
     WITH w AS (

@@ -132,6 +132,13 @@ def test_ivf_vectorized_equals_fold_path(spark, sf_dir):
     )
     assert blocked == want
 
+    # brute-force: the blocked single-cell path must equal the fold baseline
+    bf_want = sorted(map(tuple, sim.cosine_topk(queries, corpus, k=5).collect()))
+    bf_got = sorted(
+        map(tuple, sim.cosine_topk(queries, corpus, k=5, vectorized=True, block_rows=37).collect())
+    )
+    assert bf_got == bf_want
+
 
 def test_near_dups_vectorized_equals_fold_path(spark, sf_dir):
     """Block-pair cogrouped near-dup scoring must emit exactly the pair

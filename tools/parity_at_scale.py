@@ -86,8 +86,16 @@ def main() -> None:
             good = len(a) == len(b) and list(a.columns) == list(b.columns)
             if good:
                 for c in a.columns:
-                    if pd.api.types.is_float_dtype(a[c]):
-                        good = bool(np.allclose(a[c], b[c], rtol=1e-9, equal_nan=True))
+                    # DECIMAL oracles come back from the parquet hop as
+                    # object(Decimal) — compare numerically when either
+                    # side is float-like
+                    if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+                        good = bool(
+                            np.allclose(
+                                a[c].astype(float), b[c].astype(float),
+                                rtol=1e-9, equal_nan=True,
+                            )
+                        )
                     else:
                         good = a[c].astype(str).equals(b[c].astype(str))
                     if not good:
