@@ -156,3 +156,55 @@ def test_dataset_split_partitions_exactly(spark_h):
         .count()
     )
     assert moved == 0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32),
+        min_size=1, max_size=120,
+    ),
+    chunk=st.integers(min_value=1, max_value=40),
+    alpha=st.floats(min_value=0.01, max_value=0.99),
+)
+def test_chunked_ewma_equals_whole_series_property(spark_h, vals, chunk, alpha):
+    """For ARBITRARY series, chunk spans, and alphas, the chunked
+    carry-forward fold is bit-identical to the whole-series fold —
+    including single-element chunks and chunk == series length."""
+    from financedatabase_spark.operators.smoothing import ewma_last, ewma_last_chunked
+
+    df = spark_h.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, x double"
+    ).withColumn("k", F.lit("only"))
+    want = ewma_last(df, alpha, ["k"], "i", "x").first()
+    got = ewma_last_chunked(
+        df, alpha, ["k"], "i", "x", chunk_expr=F.floor(F.col("i") / chunk)
+    ).first()
+    assert (got.ewma_value, got.n) == (want.ewma_value, want.n)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    dim=st.integers(min_value=2, max_value=8),
+    block=st.integers(min_value=1, max_value=50),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_blocked_near_dups_equals_fold_property(spark_h, n, dim, block, seed):
+    """For random vector sets and ANY block size (1 row per block up to
+    no split at all), the block-pair cogrouped scorer emits exactly the
+    fold baseline's pair set and scores."""
+    import numpy as np
+
+    from financedatabase_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, dim)], int(i % 3)) for i in range(n)
+    ]
+    df = spark_h.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    want = sorted(map(tuple, embedding_near_dups(df, threshold=0.2, vectorized=False).collect()))
+    got = sorted(
+        map(tuple, embedding_near_dups(df, threshold=0.2, block_rows=block).collect())
+    )
+    assert got == want
