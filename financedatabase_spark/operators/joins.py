@@ -114,6 +114,44 @@ def asof_join(
     return out
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Point-in-interval (range) join without a cartesian: every point
+    row whose ``ts`` falls in ``[start, end]`` (inclusive) of an
+    interval row pairs with it.
+
+    Spark has no native range-join optimization — a raw
+    ``ON ts BETWEEN start AND end`` plans as a nested-loop over
+    points × intervals. The scale shape is time bucketing: points map
+    to the ONE bucket containing their ts, intervals explode to every
+    bucket they overlap, and the join becomes a bucket equi-join (hash,
+    AQE/skew-eligible) with the exact BETWEEN predicate applied to the
+    co-bucketed candidates. Each matching pair is produced exactly once
+    — a point lives in exactly one bucket — so there is no post-dedup.
+    Shuffle volume: points once, plus intervals × their bucket span;
+    pick ``bucket_seconds`` near the typical interval length so the
+    explode factor stays ~2.
+    """
+    usec = int(bucket_seconds) * 1_000_000
+
+    def b(col: str):
+        return F.floor(F.expr(f"unix_micros(cast({col} as timestamp))") / usec)
+
+    p = points.withColumn("_bkt", b(ts_col))
+    iv = intervals.withColumn(
+        "_bkt", F.explode(F.sequence(b(start_col), b(end_col)))
+    )
+    return p.join(iv, "_bkt").filter(
+        F.col(ts_col).between(F.col(start_col), F.col(end_col))
+    ).drop("_bkt")
+
+
 def union_splice(
     frames: list[DataFrame],
     key_cols: list[str],

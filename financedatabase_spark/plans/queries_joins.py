@@ -235,3 +235,51 @@ def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_type", "value", "event_id"
     )
     return dedup_keep_last(ev, ["user_id"], ["ts", "event_id"]).drop("event_id")
+
+
+@register(
+    "interval_window_counts",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 997 = 0
+    )
+    SELECT o_orderkey AS window_id,
+           count(l_shipdate)::BIGINT AS n_shipments,
+           CAST(coalesce(sum(l_quantity), 0) AS DOUBLE) AS total_qty
+    FROM w
+    LEFT JOIN lineitem
+      ON l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 7 DAY
+    GROUP BY o_orderkey
+    """,
+)
+def interval_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators/joins.interval_join): shipments
+    whose date falls inside sampled 7-day order windows, counted per
+    window. The oracle's BETWEEN join is the nested-loop formulation;
+    the engine buckets the time axis so the same pairs come from a hash
+    equi-join on the bucket id (plan-gated: no cartesian). Empty
+    windows survive via the interval-side left join of counts."""
+    from financedatabase_spark.operators.joins import interval_join
+
+    windows = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 997 == 0
+    ).select(
+        F.col("o_orderkey").alias("window_id"),
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("w_end"),
+    )
+    points = load_table(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    hits = interval_join(points, windows, "l_shipdate", "w_start", "w_end")
+    counts = hits.groupBy("window_id").agg(
+        F.count("*").alias("n_shipments"),
+        F.sum("l_quantity").cast("double").alias("total_qty"),
+    )
+    return (
+        windows.select("window_id")
+        .join(counts, "window_id", "left")
+        .select(
+            "window_id",
+            F.coalesce("n_shipments", F.lit(0)).cast("long").alias("n_shipments"),
+            F.coalesce("total_qty", F.lit(0.0)).alias("total_qty"),
+        )
+    )

@@ -558,3 +558,30 @@ def test_token_packing_hierarchical_equivalence(spark):
                 key_cols,
                 parts,
             )
+
+
+def test_interval_join_boundaries_and_multiplicity(spark):
+    """Inclusive [start, end] bounds, exactly-once pairing even when an
+    interval spans many buckets, and overlapping intervals each match."""
+    import datetime as dt
+
+    from financedatabase_spark.operators.joins import interval_join
+
+    d = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    points = spark.createDataFrame(
+        [(1, d("2024-01-01 00:00:00")), (2, d("2024-01-05 12:00:00")),
+         (3, d("2024-01-10 00:00:00")), (4, d("2024-02-01 00:00:00"))],
+        "pid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(10, d("2024-01-01 00:00:00"), d("2024-01-10 00:00:00")),  # spans many 1-day buckets
+         (20, d("2024-01-05 00:00:00"), d("2024-01-06 00:00:00"))],
+        "iid int, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(points, intervals, "ts", "s", "e", bucket_seconds=86400).collect()
+    )
+    # p1 at start bound, p3 at end bound (inclusive), p2 in both intervals,
+    # p4 in none; no duplicate pairs from the 10-bucket interval
+    assert got == [(1, 10), (2, 10), (2, 20), (3, 10)]

@@ -191,3 +191,11 @@ def test_fixed_size_sample_two_phase(spark, sf_dir):
     assert "MapInPandas" in p
     node_ids = set(re.findall(r"Exchange \((\d+)\)", p))
     assert len(node_ids) == 1, node_ids
+
+
+def test_interval_join_avoids_nested_loop(spark, sf_dir):
+    # the BETWEEN predicate must ride a bucket equi-join, never a
+    # cartesian/nested-loop over points x intervals
+    p = plan_of(spark, sf_dir, "interval_window_counts")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
