@@ -382,3 +382,28 @@ def dedup_rewrite(table: ParquetTable) -> DmlReport:
     after = out.count()
     table.rewrite(out)
     return DmlReport(True, rows_matched=before, rows_affected=before - after)
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    compression: str | None = "gzip",
+) -> int:
+    """Training-data export: write one JSONL directory per shard id —
+    the hand-off format data loaders stream (pairs with
+    `sampling.token_shard_packing`, which assigns the shard ids under a
+    token budget).
+
+    Spark-first: `partitionBy(shard_col)` routes rows to their shard
+    directory in ONE pass with no per-shard loop or driver involvement;
+    rows are repartitioned on the shard column first so each shard is
+    written by one task as a contiguous file set (loaders see
+    `shard=<id>/part-*.json.gz`). Returns the shard count.
+    """
+    shards = df.repartition(F.col(shard_col))
+    writer = shards.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.partitionBy(shard_col).json(path)
+    return df.select(shard_col).distinct().count()

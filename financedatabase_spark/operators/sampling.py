@@ -141,6 +141,7 @@ def token_shard_packing(
     order_col: str = "doc_id",
     key_cols: list[str] | None = None,
     hierarchical: bool = True,
+    return_rows: bool = False,
 ) -> DataFrame:
     """Sequence-packing shard assignment — the data-loader layout step of
     a training pipeline: stream docs in a deterministic order, cut a new
@@ -165,7 +166,10 @@ def token_shard_packing(
     (ReusedExchange), so the corpus shuffles once.
 
     ``hierarchical=False`` keeps the monolithic single-window form (the
-    equivalence baseline used by tests)."""
+    equivalence baseline used by tests). ``return_rows=True`` returns the
+    per-row assignment (key..., order, n_tokens, shard_idx) instead of
+    the shard summary — the frame `io_sinks.export_jsonl_shards` routes
+    to disk."""
     key_cols = key_cols or []
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
 
@@ -182,6 +186,8 @@ def token_shard_packing(
             t.alias("_tok"),
             F.floor((cum - t) / F.lit(float(budget))).cast("long").alias("shard_idx"),
         )
+        if return_rows:
+            return staged.withColumnRenamed("_tok", "n_tokens")
         return _shard_agg(staged, key_cols, order_col)
 
     keys = list(key_cols)
@@ -245,6 +251,8 @@ def token_shard_packing(
         .cast("long")
         .alias("shard_idx"),
     )
+    if return_rows:
+        return assigned.withColumnRenamed("_tok", "n_tokens")
     return _shard_agg(assigned, keys, order_col)
 
 

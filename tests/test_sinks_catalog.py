@@ -248,3 +248,46 @@ def test_concurrent_rewrite_second_writer_loses(table):
     os.utime(stale, (old, old))
     report = run_update(table, {"status": "F"}, {"price": 6.0})
     assert report.success
+
+
+def test_export_jsonl_shards_roundtrip(spark, sf_dir, tmp_path):
+    """Packed shards export as shard=<id>/ JSONL dirs; reading them back
+    yields exactly the input rows with their shard assignment."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.io_sinks import export_jsonl_shards
+    from financedatabase_spark.operators.sampling import token_shard_packing
+    from financedatabase_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    assigned = token_shard_packing(
+        docs, F.col("n_chars"), budget=200_000, key_cols=["lang"], return_rows=True
+    )
+    rows = docs.join(assigned.select("doc_id", "shard_idx"), "doc_id")
+    out = str(tmp_path / "shards")
+    n_shards = export_jsonl_shards(rows, out, shard_col="shard_idx")
+    assert n_shards == assigned.select("shard_idx").distinct().count()
+
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    # every row landed in the shard the packing assigned it
+    moved = (
+        back.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("shard_idx").cast("long").alias("got"),
+        )
+        .join(assigned.select("doc_id", F.col("shard_idx").alias("want")), "doc_id")
+        .filter(F.col("got") != F.col("want"))
+        .count()
+    )
+    assert moved == 0
+    # summary form and per-row form agree
+    from financedatabase_spark.operators.sampling import token_shard_packing as tsp
+
+    summary = tsp(docs, F.col("n_chars"), budget=200_000, key_cols=["lang"])
+    per_row = {
+        (r.lang, r.shard_idx): r.n
+        for r in assigned.groupBy("lang", "shard_idx").agg(F.count("*").alias("n")).collect()
+    }
+    for r in summary.collect():
+        assert per_row[(r.lang, r.shard_idx)] == r.n_docs
