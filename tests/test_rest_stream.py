@@ -88,3 +88,71 @@ def test_stream_delivers_each_row_exactly_once(spark, stream_endpoint):
         "SELECT seq, symbol, px FROM rest_stream_sink ORDER BY seq LIMIT 1"
     ).first()
     assert (top.seq, top.symbol, top.px) == (1, "S0", 100.0)
+
+
+def test_streaming_bars_over_rest_stream(spark, tmp_path):
+    """Integration: the polled REST feed drives the engine's windowed
+    OHLCV aggregation and the streamed result equals the batch bars on
+    the same data — the R2/R4 'today leg' built on the new source."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ticks.parquet")
+    base = dt.datetime(2024, 3, 4, 9, 30)
+    n = 600
+    pq.write_table(
+        pa.table(
+            {
+                "seq": list(range(1, n + 1)),
+                "ts": [base + dt.timedelta(seconds=13 * i) for i in range(n)],
+                "symbol": [f"S{i % 3}" for i in range(n)],
+                "px": [100.0 + (i % 37) * 0.5 for i in range(n)],
+            }
+        ),
+        path,
+    )
+    register_rest_stream(spark)
+    sdf = (
+        spark.readStream.format(STREAM_FORMAT_NAME)
+        .option("path", path)
+        .option("cursor_col", "seq")
+        .option("page_rows", "128")
+        .load()
+    )
+    bars = sdf.groupBy("symbol", F.window("ts", "5 minutes").alias("w")).agg(
+        F.min_by("px", "seq").alias("open"),
+        F.max("px").alias("high"),
+        F.min("px").alias("low"),
+        F.max_by("px", "seq").alias("close"),
+        F.count("*").alias("volume"),
+    )
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("rest_stream_bars")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.symbol, r.w.start, r.open, r.high, r.low, r.close, r.volume)
+        for r in spark.sql("SELECT * FROM rest_stream_bars").collect()
+    }
+    batch = spark.read.parquet(path)
+    want = {
+        (r.symbol, r.w.start, r.open, r.high, r.low, r.close, r.volume)
+        for r in batch.groupBy("symbol", F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.min_by("px", "seq").alias("open"),
+            F.max("px").alias("high"),
+            F.min("px").alias("low"),
+            F.max_by("px", "seq").alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 10
