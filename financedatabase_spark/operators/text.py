@@ -200,6 +200,65 @@ def ngram_repetition_columns(text: Column | str, n: int) -> list[Column]:
     ]
 
 
+def winnow_fingerprint_set(text: Column | str, k: int = 3, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+    MOSS algorithm): hash every k-gram, slide a window of ``w`` hashes,
+    keep each window's minimum — guaranteeing any shared run of
+    ``w + k - 1`` words between two documents shares a fingerprint.
+    Hashes are md5 strings (lexicographic min — engine-agnostic), the
+    set is distinct + sorted; docs shorter than one window keep all
+    their hashes. Entirely in-row: one scan, zero shuffle."""
+    hashes = F.transform(word_ngrams(text, k), F.md5)
+    m = F.size(hashes)
+    # sliding-window min as an element-wise least() over w shifted
+    # copies — O(m·w) scalar comparisons with NO per-window array
+    # slicing (a transform(i -> array_min(slice(h, i, w))) copies the
+    # window per position and is ~100x slower interpreted)
+    length = m - (w - 1)
+    acc = F.slice(hashes, 1, length)
+    for off in range(1, w):
+        acc = F.zip_with(acc, F.slice(hashes, 1 + off, length), lambda a, b: F.least(a, b))
+    wins = F.when(m >= w, acc).otherwise(hashes)
+    return F.array_sort(F.array_distinct(wins))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 5,
+    max_doc_freq: int = 64,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    the plagiarism/near-copy detector that catches SHARED PASSAGES
+    (contiguous runs), which whole-document MinHash dilutes away.
+
+    Scale shape: fingerprints explode to a posting list and pair up via
+    an equi-join on the fingerprint — the LSH-bucket trick — but
+    fingerprints with document frequency above ``max_doc_freq`` are
+    DROPPED first (boilerplate n-grams carry no pairing signal, the idf
+    argument), so no posting list can go quadratic. One shuffle for the
+    doc-frequency filter, one for the pair count."""
+    fps = df.select(
+        F.col(id_col), F.explode(winnow_fingerprint_set(text_col, k, w)).alias("fp")
+    ).localCheckpoint()  # postings feed 3 plan branches — materialize once
+    rare = fps.groupBy("fp").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= max_doc_freq
+    )
+    kept = fps.join(rare.select("fp"), "fp")
+    a = kept.select(F.col(id_col).alias("doc1"), "fp")
+    b = kept.select(F.col(id_col).alias("doc2"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").cast("long").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
 def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document statistics table."""
     t = F.col(text_col)

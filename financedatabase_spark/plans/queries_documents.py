@@ -119,6 +119,54 @@ def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnow_overlap_pairs",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 3
+                  THEN list_transform(generate_series(1, len(words) - 2),
+                                      i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                  ELSE [] END AS h
+      FROM w
+    ),
+    fps AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(h) >= 4
+             THEN list_transform(generate_series(1, len(h) - 3),
+                                 i -> list_min(h[i:i+3]))
+             ELSE h END)) AS fp
+      FROM grams
+    ),
+    rare AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64
+    ),
+    kept AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)),
+    pairs AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*)::BIGINT AS shared_fingerprints
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, shared_fingerprints FROM pairs WHERE shared_fingerprints >= 5
+    """,
+)
+def winnow_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (operators/text.winnow_overlap_pairs,
+    k=3 w=4): shared-passage detection that complements whole-document
+    MinHash — any common 6-word run is guaranteed a shared fingerprint.
+    Boilerplate fingerprints (doc frequency > 64) are dropped before
+    pairing so posting lists stay bounded. DuckDB list slicing
+    `h[i:i+3]` is INCLUSIVE of both ends (4 elements) — matching
+    Spark's slice(h, i, 4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.winnow_overlap_pairs(docs)
+
+
+@register(
     "repetition_stats",
     oracle=r"""
     WITH w AS (
