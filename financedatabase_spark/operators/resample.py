@@ -342,6 +342,7 @@ def volume_bars(
     price_col: str = "price",
     vol_col: str = "volume",
     order_col: str | None = None,
+    hierarchical: bool = False,
 ) -> DataFrame:
     """Volume bars — buckets close when cumulative volume crosses a
     threshold, the classic activity-clock alternative to time bars
@@ -355,21 +356,35 @@ def volume_bars(
     looks sequential but `sum() over (rows unbounded preceding)` is
     exactly the distributed prefix-sum Spark already has.
 
+    The window puts one KEY in one task; for unbounded per-key
+    histories pass ``hierarchical=True`` to compute the same pre-tick
+    cumulative with the two-level scan (`prefix.attach_running_total_
+    before`) — bounded tasks, identical bars for integral/decimal
+    volume columns (float window sums would reassociate).
+
     ``order_col`` breaks timestamp ties deterministically (defaults to
     ``ts_col`` alone). OHLC open/close use min_by/max_by on the order
     column — single-column primitive orderings keep HashAggregate (struct
     orderings would force SortAggregate).
     """
     order = order_col or ts_col
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = F.sum(vol_col).over(w)
-    with_bar = df.withColumn(
-        "bar_idx", F.floor((cum - F.col(vol_col)) / F.lit(per_bar_volume)).cast("long")
-    )
+    if hierarchical:
+        from financedatabase_spark.operators.prefix import attach_running_total_before
+
+        with_bar = attach_running_total_before(df, vol_col, key_cols, order).select(
+            *df.columns,
+            F.floor(F.col("_before") / F.lit(per_bar_volume)).cast("long").alias("bar_idx"),
+        )
+    else:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = F.sum(vol_col).over(w)
+        with_bar = df.withColumn(
+            "bar_idx", F.floor((cum - F.col(vol_col)) / F.lit(per_bar_volume)).cast("long")
+        )
     return (
         with_bar.groupBy(*key_cols, "bar_idx")
         .agg(

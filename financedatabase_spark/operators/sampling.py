@@ -191,65 +191,17 @@ def token_shard_packing(
         return _shard_agg(staged, key_cols, order_col)
 
     keys = list(key_cols)
-    staged = (
-        df.select(*keys, F.col(order_col), t.cast("long").alias("_tok"))
-        .repartitionByRange(*keys, order_col)
-        .sortWithinPartitions(*keys, order_col)
-        .withColumn("_p", F.spark_partition_id())
+    from financedatabase_spark.operators.prefix import attach_running_total_before
+
+    pre = attach_running_total_before(
+        df.select(*keys, F.col(order_col), t.cast("long").alias("_tok")),
+        "_tok", keys, order_col,
     )
-
-    out_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in staged.schema.fields
-    )
-
-    def _local_prefix(batches):
-        import pandas as pd
-
-        carry = None  # keys + _carry, or scalar when unkeyed
-        run0 = 0
-        for pdf in batches:
-            if keys:
-                before = pdf.groupby(keys, sort=False)["_tok"].cumsum() - pdf["_tok"]
-                pdf = pdf.assign(_before=before)
-                if carry is not None:
-                    pdf = pdf.merge(carry, on=keys, how="left")
-                    pdf["_before"] = pdf["_before"] + pdf.pop("_carry").fillna(0).astype("int64")
-                sums = (
-                    pdf.groupby(keys, sort=False, as_index=False)["_tok"]
-                    .sum()
-                    .rename(columns={"_tok": "_new"})
-                )
-                if carry is None:
-                    carry = sums.rename(columns={"_new": "_carry"})
-                else:
-                    carry = carry.merge(sums, on=keys, how="outer")
-                    carry["_carry"] = (
-                        carry["_carry"].fillna(0) + carry["_new"].fillna(0)
-                    ).astype("int64")
-                    carry = carry.drop(columns="_new")
-            else:
-                before = pdf["_tok"].cumsum() - pdf["_tok"] + run0
-                pdf = pdf.assign(_before=before)
-                run0 += int(pdf["_tok"].sum())
-            yield pdf
-
-    local = staged.mapInPandas(_local_prefix, f"{out_fields}, _before long")
-
-    totals = staged.groupBy("_p", *keys).agg(F.sum("_tok").alias("_ptot"))
-    w_off = (
-        Window.partitionBy(*keys) if keys else Window.partitionBy()
-    ).orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_p", *keys, F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)).alias("_offset")
-    )
-
-    assigned = local.join(F.broadcast(offsets), ["_p", *keys]).select(
+    assigned = pre.select(
         *keys,
         F.col(order_col),
         "_tok",
-        F.floor((F.col("_offset") + F.col("_before")) / F.lit(float(budget)))
-        .cast("long")
-        .alias("shard_idx"),
+        F.floor(F.col("_before") / F.lit(float(budget))).cast("long").alias("shard_idx"),
     )
     if return_rows:
         return assigned.withColumnRenamed("_tok", "n_tokens")

@@ -585,3 +585,23 @@ def test_interval_join_boundaries_and_multiplicity(spark):
     # p1 at start bound, p3 at end bound (inclusive), p2 in both intervals,
     # p4 in none; no duplicate pairs from the 10-bucket interval
     assert got == [(1, 10), (2, 10), (2, 20), (3, 10)]
+
+
+def test_volume_bars_hierarchical_equals_window(spark, sf_dir):
+    """The two-level prefix sum must produce identical bars to the
+    per-key window on integral volumes, at any partition layout."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.resample import volume_bars
+    from financedatabase_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.col("value").alias("price"),
+        (F.col("event_id") % 7 + 1).cast("long").alias("volume"),
+    )
+    kw = dict(key_cols=["event_type"], price_col="price", order_col="event_id")
+    want = sorted(map(tuple, volume_bars(ev, 100.0, **kw).collect()))
+    got = sorted(map(tuple, volume_bars(ev.repartition(11), 100.0, hierarchical=True, **kw).collect()))
+    assert len(want) > 30
+    assert got == want
