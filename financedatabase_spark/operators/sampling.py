@@ -217,6 +217,39 @@ def _shard_agg(staged: DataFrame, key_cols: list[str], order_col: str) -> DataFr
     )
 
 
+def corpus_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    token_col: str = "n_chars",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Source-weighted corpus mixing to a token budget — the data-mixing
+    step of a training pipeline ("50% web, 30% wiki, 20% code"): each
+    source's acceptance rate is ``min(1, weight·budget / available)``,
+    then rows are selected by the same deterministic md5-bucket
+    predicate as `stratified_sample`, so re-runs (and engines) pick the
+    SAME documents. Sources absent from ``weights`` are dropped.
+
+    The availability aggregate collects ONE ROW PER SOURCE (the only
+    driver-side step — sources number dozens, not rows); the sampling
+    itself stays a broadcast-dim map-side filter at any corpus size.
+    Oversubscribed weights (weight·budget > available) clamp to keeping
+    the whole source — the standard epochs>1 upsampling decision is
+    left to the loader."""
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(F.sum(token_col).alias("_tot")).collect()
+    }
+    fractions = {
+        s: min(1.0, (weights[s] * token_budget) / float(totals[s]))
+        for s in weights
+        if s in totals and totals[s] > 0
+    }
+    return stratified_sample(df, fractions, stratum_col=source_col, key_col=key_col)
+
+
 def dataset_split(
     df: DataFrame,
     splits: dict[str, float],

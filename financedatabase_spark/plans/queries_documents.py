@@ -833,6 +833,41 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mixture_sample",
+    oracle="""
+    WITH tot AS (
+      SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tot
+      FROM documents GROUP BY source
+    ),
+    w(source, wgt) AS (VALUES ('src0', 0.5), ('src1', 0.2), ('src2', 0.2), ('src3', 0.1)),
+    thr AS (
+      SELECT t.source,
+             CASE WHEN (w.wgt * 20000) / t.tot >= 1.0 THEN 'gggggggg'
+                  ELSE printf('%08x', CAST(trunc(least(1.0, (w.wgt * 20000) / t.tot)
+                                               * 4294967296.0) AS BIGINT))
+             END AS thr
+      FROM tot t JOIN w USING (source)
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN thr USING (source)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixing to a 20k-token budget
+    (operators/sampling.corpus_mixture): per-source acceptance
+    min(1, weight·budget/available) — src0's 50% share oversubscribes
+    its supply and clamps to keep-all, the others thin deterministically
+    by md5 bucket. The oracle re-derives the rates and the exact hex
+    thresholds (trunc(rate·16^8) printf'd) in SQL, so membership is
+    bit-identical."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return smp.corpus_mixture(
+        docs, {"src0": 0.5, "src1": 0.2, "src2": 0.2, "src3": 0.1}, token_budget=20000
+    )
+
+
+@register(
     "fixed_size_sample_docs",
     oracle="""
     SELECT doc_id, lang, source, n_chars FROM (
