@@ -833,6 +833,58 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_search",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*)::BIGINT AS n, sum(len(words))::BIGINT AS dl_sum,
+             sum(CASE WHEN list_contains(words, 'spark') THEN 1 ELSE 0 END)::BIGINT AS df0,
+             sum(CASE WHEN list_contains(words, 'vector') THEN 1 ELSE 0 END)::BIGINT AS df1,
+             sum(CASE WHEN list_contains(words, 'stream') THEN 1 ELSE 0 END)::BIGINT AS df2
+      FROM w
+    ),
+    tf AS (
+      SELECT doc_id, len(words)::DOUBLE AS dl,
+             len(list_filter(words, x -> x = 'spark'))::DOUBLE AS tf0,
+             len(list_filter(words, x -> x = 'vector'))::DOUBLE AS tf1,
+             len(list_filter(words, x -> x = 'stream'))::DOUBLE AS tf2
+      FROM w
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(
+               ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0)
+                 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (dl_sum / n)))
+             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0)
+                 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (dl_sum / n)))
+             + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0)
+                 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (dl_sum / n)))
+             , 6) AS score
+      FROM tf, stats
+    )
+    SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
+    FROM scored WHERE score > 0
+    ORDER BY score DESC, doc_id LIMIT 15
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for the query "spark vector stream"
+    (operators/retrieval.bm25_topk, Lucene idf form): corpus stats from
+    one conditional-sum aggregate pass, map-side scoring, top-k via
+    limit (TakeOrderedAndProject). The lexical half of hybrid search
+    next to `embedding_cosine_topk`/`embedding_ivf_topk`; scores
+    rounded at 1e-6 before ranking so both engines order identically."""
+    from financedatabase_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "vector", "stream"], k=15)
+
+
+@register(
     "corpus_mixture_sample",
     oracle="""
     WITH tot AS (

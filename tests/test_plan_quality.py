@@ -199,3 +199,8 @@ def test_interval_join_avoids_nested_loop(spark, sf_dir):
     p = plan_of(spark, sf_dir, "interval_window_counts")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bm25_topk_avoids_global_sort(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "bm25_search")
+    assert "TakeOrderedAndProject" in p
