@@ -406,4 +406,10 @@ def export_jsonl_shards(
     if compression:
         writer = writer.option("compression", compression)
     writer.partitionBy(shard_col).json(path)
-    return df.select(shard_col).distinct().count()
+    # count shards from the written layout — re-running the (possibly
+    # expensive) upstream plan just for a distinct count doubles the job
+    return sum(
+        1
+        for d in os.listdir(path)
+        if d.startswith(f"{shard_col}=") and os.path.isdir(os.path.join(path, d))
+    )

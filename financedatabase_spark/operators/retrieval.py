@@ -42,6 +42,8 @@ def bm25_topk(
 
     Output: (id, score, rank).
     """
+    if not query_terms:
+        raise ValueError("bm25_topk requires at least one query term")
     terms = [t.lower() for t in query_terms]
     words = F.split(normalized_text(text_col), " ")
     stats_row = df.agg(
@@ -53,6 +55,12 @@ def bm25_topk(
         ],
     ).first()
     n_docs = stats_row["n"]
+    if not n_docs:  # empty corpus: defined empty result, not None-math
+        return df.select(
+            F.col(id_col),
+            F.lit(0.0).alias("score"),
+            F.lit(0).cast("long").alias("rank"),
+        ).limit(0)
     avgdl = stats_row["dl_sum"] / n_docs
     idf = [
         math.log(1.0 + (n_docs - stats_row[f"df_{i}"] + 0.5) / (stats_row[f"df_{i}"] + 0.5))

@@ -121,7 +121,13 @@ def fixed_size_sample(
             for pdf in batches:
                 for s, g in pdf.groupby(s_name, sort=False, dropna=False):
                     cur = pd.concat([best[s], g]) if s in best else g
-                    best[s] = cur.sort_values(["_bucket", k_name], kind="mergesort").head(n)
+                    # na_position='first' mirrors Spark's ASC NULLS FIRST:
+                    # a null hash bucket (null key) ranks ahead of every
+                    # hex bucket in the exact window, so the prefilter
+                    # must keep those rows too
+                    best[s] = cur.sort_values(
+                        ["_bucket", k_name], kind="mergesort", na_position="first"
+                    ).head(n)
             if best:
                 yield pd.concat(list(best.values()), ignore_index=True)
 
@@ -171,7 +177,10 @@ def token_shard_packing(
     the shard summary — the frame `io_sinks.export_jsonl_shards` routes
     to disk."""
     key_cols = key_cols or []
-    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    # token counts are integral by definition; cast ONCE here so both
+    # the window and the hierarchical path sum identical values (a
+    # fractional token estimate would otherwise floor on one path only)
+    t = (F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col).cast("long")
 
     if not hierarchical:
         w = (
@@ -194,7 +203,7 @@ def token_shard_packing(
     from financedatabase_spark.operators.prefix import attach_running_total_before
 
     pre = attach_running_total_before(
-        df.select(*keys, F.col(order_col), t.cast("long").alias("_tok")),
+        df.select(*keys, F.col(order_col), t.alias("_tok")),
         "_tok", keys, order_col,
     )
     assigned = pre.select(

@@ -113,7 +113,13 @@ def _chunk_frames(
 ):
     """Per-(key, chunk) sorted value arrays, materialized once (the
     epoch loop filters it repeatedly), plus the ordered list of chunk
-    epochs (one scalar per chunk span — tiny driver list)."""
+    epochs (one scalar per chunk span — tiny driver list).
+
+    A null ``chunk_expr`` value forms its own epoch, matched null-safely
+    in the walk (never silently dropped) and ordered FIRST (Spark's ASC
+    NULLS FIRST) — but chunk ids should be non-null and monotone in the
+    order column; a null chunk has no defined position in the
+    recursion."""
     agg = [
         _sorted_vals(order_col, value_col).alias("_vals"),
         F.count("*").cast("long").alias("_n"),
@@ -173,7 +179,7 @@ def ewma_last_chunked(
     cont = _fold_expr(a, "_vals", "ewma_value")
     levels: DataFrame | None = None
     for i, ep in enumerate(epochs):
-        cur = chunks.filter(F.col("_chunk") == F.lit(ep)).drop("_chunk")
+        cur = chunks.filter(F.col("_chunk").eqNullSafe(F.lit(ep))).drop("_chunk")
         if levels is None:
             levels = cur.select(
                 *key_cols, F.expr(first).alias("ewma_value"), F.col("_n").alias("n")
@@ -228,7 +234,7 @@ def ewma_series_chunked(
     levels: DataFrame | None = None
     incoming: list[DataFrame] = []
     for i, ep in enumerate(epochs):
-        cur = chunks.filter(F.col("_chunk") == F.lit(ep)).select(*key_cols, "_vals", "_n")
+        cur = chunks.filter(F.col("_chunk").eqNullSafe(F.lit(ep))).select(*key_cols, "_vals", "_n")
         if levels is None:
             incoming.append(
                 cur.select(
@@ -439,7 +445,7 @@ def tick_imbalance_bars_chunked(
     states: DataFrame | None = None
     ends_frames: list[DataFrame] = []
     for i, ep in enumerate(epochs):
-        cur = chunks.filter(F.col("_chunk") == F.lit(ep)).select(*key_cols, "_rows", "_off")
+        cur = chunks.filter(F.col("_chunk").eqNullSafe(F.lit(ep))).select(*key_cols, "_rows", "_off")
         if states is None:
             j = cur.select(
                 *key_cols, "_rows", "_off",
@@ -559,7 +565,7 @@ def tick_run_bars_chunked(
     states: DataFrame | None = None
     ends_frames: list[DataFrame] = []
     for i, ep in enumerate(epochs):
-        cur = chunks.filter(F.col("_chunk") == F.lit(ep)).select(*key_cols, "_rows", "_off")
+        cur = chunks.filter(F.col("_chunk").eqNullSafe(F.lit(ep))).select(*key_cols, "_rows", "_off")
         if states is None:
             j = cur.select(
                 *key_cols, "_rows", "_off",

@@ -13,16 +13,9 @@ timestamps round-trip unchanged (SURVEY.md §7.4 risk 3).
 from __future__ import annotations
 
 import os
-import weakref
 from typing import Callable, Hashable
 
 from pyspark.sql import DataFrame, SparkSession
-
-#: Per-session memo for tiny literal dimensions (alias/quarantine dims,
-#: codebooks). WeakKeyDictionary on the session object: entries die with
-#: the session instead of pinning DataFrames for stopped sessions forever,
-#: and an id()-reuse collision on a new session object is impossible.
-_SESSION_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
 def _is_active(spark: SparkSession) -> bool:
@@ -35,14 +28,21 @@ def _is_active(spark: SparkSession) -> bool:
 def session_memo(
     spark: SparkSession, key: Hashable, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    """Memoize ``build()`` per (live session, key). A stopped session's
-    cached frames are unusable — on a stopped session the memo is bypassed
-    and its entry evicted (the caller's build against a stopped session
-    fails loudly, which is the right error surface)."""
+    """Memoize ``build()`` per (live session, key). The cache lives ON
+    the session object itself, so its lifetime is exactly the session
+    object's: no module-level registry to pin frames after the caller
+    drops the session. (A weak-keyed side table cannot give that
+    guarantee here — the cached DataFrames strongly reference their
+    session, so a weak key would never be collectible while its value
+    lives; an attribute makes that loop an ordinary gc-collectable
+    cycle.) A stopped session's cached frames are unusable — on a
+    stopped session the memo is bypassed and cleared (the caller's
+    build against a stopped session fails loudly, which is the right
+    error surface)."""
     if not _is_active(spark):
-        _SESSION_MEMO.pop(spark, None)
+        spark.__dict__.pop("_fdspark_memo", None)
         return build()
-    cache = _SESSION_MEMO.setdefault(spark, {})
+    cache = spark.__dict__.setdefault("_fdspark_memo", {})
     if key not in cache:
         cache[key] = build()
     return cache[key]

@@ -605,3 +605,42 @@ def test_volume_bars_hierarchical_equals_window(spark, sf_dir):
     got = sorted(map(tuple, volume_bars(ev.repartition(11), 100.0, hierarchical=True, **kw).collect()))
     assert len(want) > 30
     assert got == want
+
+
+def test_review_fix_edge_cases(spark):
+    """r5 review fixes: (1) fixed_size_sample's map-side prefilter must
+    rank null hash buckets first like Spark's exact window; (2) chunked
+    EWMA must not silently drop rows whose chunk id is null; (3) bm25
+    guards empty inputs."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.retrieval import bm25_topk
+    from financedatabase_spark.operators.sampling import fixed_size_sample
+    from financedatabase_spark.operators.smoothing import ewma_last, ewma_last_chunked
+
+    # (1) null keys in an oversized stratum
+    rows = [(i, "g") for i in range(40)] + [(None, "g")] * 3
+    df = spark.createDataFrame(rows, "doc_id int, grp string").repartition(5)
+    exact = sorted(map(tuple, fixed_size_sample(df, 5, "grp", local_prefilter=False).collect()),
+                   key=repr)
+    fast = sorted(map(tuple, fixed_size_sample(df, 5, "grp").collect()), key=repr)
+    assert fast == exact
+    assert (None, "g") in fast  # null bucket ranks first -> selected
+
+    # (2) null chunk ids fold (first), never dropped
+    ev = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "i int, x double"
+    ).withColumn("k", F.lit("a"))
+    chunk = F.when(F.col("i") >= 2, F.floor(F.col("i") / 5))  # i<2 -> null chunk
+    got = ewma_last_chunked(ev, 0.4, ["k"], "i", "x", chunk_expr=chunk).first()
+    want = ewma_last(ev, 0.4, ["k"], "i", "x").first()
+    assert got.n == want.n == 10  # all rows folded
+    assert got.ewma_value == want.ewma_value  # null chunk = earliest epoch
+
+    # (3) bm25 input guards
+    with _pytest.raises(ValueError, match="query term"):
+        bm25_topk(ev, [])
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_topk(empty, ["spark"]).count() == 0
