@@ -366,6 +366,100 @@ def tick_imbalance_bars(
     )
 
 
+def _chunked_tick_frames(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    price_col: str,
+    size_col: str,
+    chunk_expr,
+):
+    """Chunk scaffolding shared by the chunked bar walks: per-(key,
+    chunk) sorted (ord, price, size) row arrays, materialized once,
+    with each chunk's global tick offset (prefix-summed per-chunk
+    counts over the tiny chunk-summary frame) and the ordered epoch
+    list. Null-epoch semantics as in `_chunk_frames`."""
+    from pyspark.sql import Window
+
+    rows_arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("ord"),
+                F.col(price_col).cast("double").alias("price"),
+                F.col(size_col).cast("long").alias("size"),
+            )
+        )
+    )
+    chunks = (
+        df.withColumn("_chunk", chunk_expr if not isinstance(chunk_expr, str) else F.col(chunk_expr))
+        .groupBy(*key_cols, "_chunk")
+        .agg(rows_arr.alias("_rows"), F.count("*").cast("long").alias("_n"))
+        .localCheckpoint()
+    )
+    woff = Window.partitionBy(*key_cols).orderBy("_chunk")
+    offsets = chunks.select(*key_cols, "_chunk", "_n").withColumn(
+        "_off", F.sum("_n").over(woff.rowsBetween(Window.unboundedPreceding, 0)) - F.col("_n")
+    ).drop("_n")
+    chunks = chunks.join(offsets, [*key_cols, "_chunk"])
+    epochs = [r[0] for r in chunks.select("_chunk").distinct().orderBy("_chunk").collect()]
+    return chunks, epochs
+
+
+def _chunked_state_walk(
+    chunks: DataFrame,
+    epochs: list,
+    key_cols: list[str],
+    state_cols: list[str],
+    fold: str,
+    keep: str,
+    checkpoint_every: int,
+) -> DataFrame:
+    """The epoch walk shared by the chunked bar recursions: thread a
+    named_struct state (double ``pp`` + the LONG fields in
+    ``state_cols``) across epochs via full-outer key joins, collect
+    each epoch's emitted ``ends`` entries, truncate lineage every
+    ``checkpoint_every`` epochs. ``fold``/``keep`` are SQL expressions
+    over ``_rows``/``_off`` and the ``_``-prefixed incoming state
+    columns, producing struct(pp, <state...>, ends)."""
+    states: DataFrame | None = None
+    ends_frames: list[DataFrame] = []
+    for i, ep in enumerate(epochs):
+        cur = chunks.filter(F.col("_chunk").eqNullSafe(F.lit(ep))).select(
+            *key_cols, "_rows", "_off"
+        )
+        if states is None:
+            j = cur.select(
+                *key_cols, "_rows", "_off",
+                F.lit(None).cast("double").alias("_pp"),
+                *[F.lit(0).cast("long").alias(n) for n in state_cols],
+            )
+        else:
+            j = cur.join(states, list(key_cols), "full_outer").select(
+                *key_cols, "_rows", F.coalesce("_off", F.lit(0)).alias("_off"),
+                F.col("_pp"),
+                *[F.coalesce(n, F.lit(0)).alias(n) for n in state_cols],
+            )
+        folded = j.select(
+            *key_cols,
+            F.when(F.col("_rows").isNull(), F.expr(keep)).otherwise(F.expr(fold)).alias("_fs"),
+        )
+        states = folded.select(
+            *key_cols,
+            F.col("_fs.pp").alias("_pp"),
+            *[F.col(f"_fs.{n.lstrip('_')}").alias(n) for n in state_cols],
+        )
+        ends_frames.append(
+            folded.select(*key_cols, F.explode(F.col("_fs.ends")).alias("_e"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            states = states.localCheckpoint()
+            ends_frames[-1] = ends_frames[-1].localCheckpoint()
+    ends = ends_frames[0]
+    for frame in ends_frames[1:]:
+        ends = ends.unionByName(frame)
+    return ends
+
+
 def tick_imbalance_bars_chunked(
     df: DataFrame,
     threshold: int,
@@ -394,30 +488,9 @@ def tick_imbalance_bars_chunked(
 
     t = int(threshold)
     ord_t = dict(df.dtypes)[order_col]
-    rows_arr = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col(order_col).alias("ord"),
-                F.col(price_col).cast("double").alias("price"),
-                F.col(size_col).cast("long").alias("size"),
-            )
-        )
+    chunks, epochs = _chunked_tick_frames(
+        df, key_cols, order_col, price_col, size_col, chunk_expr
     )
-    chunks = (
-        df.withColumn("_chunk", chunk_expr if not isinstance(chunk_expr, str) else F.col(chunk_expr))
-        .groupBy(*key_cols, "_chunk")
-        .agg(rows_arr.alias("_rows"), F.count("*").cast("long").alias("_n"))
-        .localCheckpoint()
-    )
-    # global tick offsets: prefix-sum the per-chunk counts (chunk-summary
-    # frame only — a handful of rows per key)
-    woff = Window.partitionBy(*key_cols).orderBy("_chunk")
-    offsets = chunks.select(*key_cols, "_chunk", "_n").withColumn(
-        "_off", F.sum("_n").over(woff.rowsBetween(Window.unboundedPreceding, 0)) - F.col("_n")
-    ).drop("_n")
-    chunks = chunks.join(offsets, [*key_cols, "_chunk"])
-    epochs = [r[0] for r in chunks.select("_chunk").distinct().orderBy("_chunk").collect()]
-
     end_t = f"struct<pos:bigint,ord:{ord_t},cum:bigint>"
     sg = "if(acc.pp is not null and bigint(sign(x.price - acc.pp)) != 0, bigint(sign(x.price - acc.pp)), acc.sg)"
     cum = f"acc.cum + ({sg}) * x.size"
@@ -441,47 +514,9 @@ def tick_imbalance_bars_chunked(
         f"named_struct('pp', _pp, 'sg', _sg, 'cum', _cum, 'bcum', _bcum, "
         f"'ends', cast(array() as array<{end_t}>))"
     )
-
-    states: DataFrame | None = None
-    ends_frames: list[DataFrame] = []
-    for i, ep in enumerate(epochs):
-        cur = chunks.filter(F.col("_chunk").eqNullSafe(F.lit(ep))).select(*key_cols, "_rows", "_off")
-        if states is None:
-            j = cur.select(
-                *key_cols, "_rows", "_off",
-                F.lit(None).cast("double").alias("_pp"),
-                F.lit(0).cast("long").alias("_sg"),
-                F.lit(0).cast("long").alias("_cum"),
-                F.lit(0).cast("long").alias("_bcum"),
-            )
-        else:
-            j = cur.join(states, list(key_cols), "full_outer").select(
-                *key_cols, "_rows", F.coalesce("_off", F.lit(0)).alias("_off"),
-                F.col("_pp"),
-                F.coalesce("_sg", F.lit(0)).alias("_sg"),
-                F.coalesce("_cum", F.lit(0)).alias("_cum"),
-                F.coalesce("_bcum", F.lit(0)).alias("_bcum"),
-            )
-        folded = j.select(
-            *key_cols,
-            F.when(F.col("_rows").isNull(), F.expr(keep)).otherwise(F.expr(fold)).alias("_fs"),
-        )
-        states = folded.select(
-            *key_cols,
-            F.col("_fs.pp").alias("_pp"),
-            F.col("_fs.sg").alias("_sg"),
-            F.col("_fs.cum").alias("_cum"),
-            F.col("_fs.bcum").alias("_bcum"),
-        )
-        ends_frames.append(
-            folded.select(*key_cols, F.explode(F.col("_fs.ends")).alias("_e"))
-        )
-        if (i + 1) % checkpoint_every == 0:
-            states = states.localCheckpoint()
-            ends_frames[-1] = ends_frames[-1].localCheckpoint()
-    ends = ends_frames[0]
-    for frame in ends_frames[1:]:
-        ends = ends.unionByName(frame)
+    ends = _chunked_state_walk(
+        chunks, epochs, key_cols, ["_sg", "_cum", "_bcum"], fold, keep, checkpoint_every
+    )
     wb = Window.partitionBy(*key_cols).orderBy("_e.pos")
     prev = lambda c: F.coalesce(F.lag(c).over(wb), F.lit(0))  # noqa: E731
     return ends.select(
@@ -491,7 +526,6 @@ def tick_imbalance_bars_chunked(
         (F.col("_e.pos") - prev("_e.pos")).cast("long").alias("n_ticks"),
         (F.col("_e.cum") - prev("_e.cum")).cast("long").alias("imbalance"),
     )
-
 
 def tick_run_bars_chunked(
     df: DataFrame,
@@ -512,28 +546,9 @@ def tick_run_bars_chunked(
 
     t = int(threshold)
     ord_t = dict(df.dtypes)[order_col]
-    rows_arr = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col(order_col).alias("ord"),
-                F.col(price_col).cast("double").alias("price"),
-                F.col(size_col).cast("long").alias("size"),
-            )
-        )
+    chunks, epochs = _chunked_tick_frames(
+        df, key_cols, order_col, price_col, size_col, chunk_expr
     )
-    chunks = (
-        df.withColumn("_chunk", chunk_expr if not isinstance(chunk_expr, str) else F.col(chunk_expr))
-        .groupBy(*key_cols, "_chunk")
-        .agg(rows_arr.alias("_rows"), F.count("*").cast("long").alias("_n"))
-        .localCheckpoint()
-    )
-    woff = Window.partitionBy(*key_cols).orderBy("_chunk")
-    offsets = chunks.select(*key_cols, "_chunk", "_n").withColumn(
-        "_off", F.sum("_n").over(woff.rowsBetween(Window.unboundedPreceding, 0)) - F.col("_n")
-    ).drop("_n")
-    chunks = chunks.join(offsets, [*key_cols, "_chunk"])
-    epochs = [r[0] for r in chunks.select("_chunk").distinct().orderBy("_chunk").collect()]
-
     end_t = f"struct<pos:bigint,ord:{ord_t},cb:bigint,cs:bigint>"
     sg = "if(acc.pp is not null and bigint(sign(x.price - acc.pp)) != 0, bigint(sign(x.price - acc.pp)), acc.sg)"
     cb = f"acc.cb + if(({sg}) > 0, x.size, 0L)"
@@ -560,41 +575,9 @@ def tick_run_bars_chunked(
         f"named_struct('pp', _pp, 'sg', _sg, 'cb', _cb, 'cs', _cs, 'bb', _bb, 'bs', _bs, "
         f"'ends', cast(array() as array<{end_t}>))"
     )
-
-    zero = lambda n: F.coalesce(F.col(n), F.lit(0)).alias(n)  # noqa: E731
-    states: DataFrame | None = None
-    ends_frames: list[DataFrame] = []
-    for i, ep in enumerate(epochs):
-        cur = chunks.filter(F.col("_chunk").eqNullSafe(F.lit(ep))).select(*key_cols, "_rows", "_off")
-        if states is None:
-            j = cur.select(
-                *key_cols, "_rows", "_off",
-                F.lit(None).cast("double").alias("_pp"),
-                *[F.lit(0).cast("long").alias(n) for n in ("_sg", "_cb", "_cs", "_bb", "_bs")],
-            )
-        else:
-            j = cur.join(states, list(key_cols), "full_outer").select(
-                *key_cols, "_rows", F.coalesce("_off", F.lit(0)).alias("_off"),
-                F.col("_pp"),
-                *[zero(n) for n in ("_sg", "_cb", "_cs", "_bb", "_bs")],
-            )
-        folded = j.select(
-            *key_cols,
-            F.when(F.col("_rows").isNull(), F.expr(keep)).otherwise(F.expr(fold)).alias("_fs"),
-        )
-        states = folded.select(
-            *key_cols,
-            *[F.col(f"_fs.{n.lstrip('_')}").alias(n) for n in ("_pp", "_sg", "_cb", "_cs", "_bb", "_bs")],
-        )
-        ends_frames.append(
-            folded.select(*key_cols, F.explode(F.col("_fs.ends")).alias("_e"))
-        )
-        if (i + 1) % checkpoint_every == 0:
-            states = states.localCheckpoint()
-            ends_frames[-1] = ends_frames[-1].localCheckpoint()
-    ends = ends_frames[0]
-    for frame in ends_frames[1:]:
-        ends = ends.unionByName(frame)
+    ends = _chunked_state_walk(
+        chunks, epochs, key_cols, ["_sg", "_cb", "_cs", "_bb", "_bs"], fold, keep, checkpoint_every
+    )
     wb = Window.partitionBy(*key_cols).orderBy("_e.pos")
     prev = lambda c: F.coalesce(F.lag(c).over(wb), F.lit(0))  # noqa: E731
     return ends.select(
@@ -605,7 +588,6 @@ def tick_run_bars_chunked(
         (F.col("_e.cb") - prev("_e.cb")).cast("long").alias("buy_size"),
         (F.col("_e.cs") - prev("_e.cs")).cast("long").alias("sell_size"),
     )
-
 
 def tick_run_bars(
     df: DataFrame,

@@ -31,7 +31,7 @@ STREAM_FORMAT_NAME = "rest_stream"
 
 
 class _CursorRange(InputPartition):
-    def __init__(self, lo, hi):  # [lo, hi) over the cursor column
+    def __init__(self, lo, hi):  # half-open (lo, hi] over the cursor column
         self.lo = lo
         self.hi = hi
 
