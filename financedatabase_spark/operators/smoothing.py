@@ -366,6 +366,80 @@ def tick_imbalance_bars(
     )
 
 
+def tick_imbalance_bars_adaptive(
+    df: DataFrame,
+    initial_threshold: float,
+    alpha: float,
+    key_cols: list[str],
+    order_col: str,
+    price_col: str = "price",
+    size_col: str = "volume",
+) -> DataFrame:
+    """Adaptive tick-imbalance bars — the production form of
+    `tick_imbalance_bars` (López de Prado 2018 §2.3.2.1): the close
+    threshold is an EWMA of the magnitudes of PREVIOUS bars'
+    imbalances, so bar size tracks the market's current imbalance
+    regime instead of a fixed constant. Recursions compose: the k-th
+    bar closes when ``|cum - cum_at_last_close| >= thr_k`` with
+    ``thr_0 = initial_threshold`` and
+    ``thr_(k+1) = alpha·|imbalance_k| + (1-alpha)·thr_k`` — the same
+    EWMA fold as `ewma_last`, threaded through the boundary recursion's
+    accumulator (the extension point the fixed-threshold docstring
+    promises). Same plan shape: windowed sign/prefix-sum prep sharing
+    one key partitioning, then a per-key higher-order fold.
+
+    Output: (key..., bar_idx, end_<order_col>, n_ticks, imbalance,
+    threshold) — ``threshold`` is the thr_k the bar closed against.
+    Gated by a pure-pandas reference loop (pytest) rather than a SQL
+    oracle: the doubly-recursive boundary condition has no tractable
+    recursive-CTE form.
+    """
+    from pyspark.sql import Window
+
+    a = float(alpha)
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sgn_raw = F.signum(F.col(price_col) - F.lag(price_col).over(w))
+    carried = F.last(F.when(sgn_raw != 0, sgn_raw), ignorenulls=True).over(wcum)
+    pref = (
+        df.withColumn("_sv", F.coalesce(carried, F.lit(0.0)).cast("long") * F.col(size_col))
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn("_cum", F.sum("_sv").over(wcum))
+        .select(*key_cols, F.struct("_i", F.col(order_col).alias("_ord"), "_cum").alias("_row"))
+    )
+    t0 = float(initial_threshold)
+    ord_t = dict(df.dtypes)[order_col]
+    fold = (
+        "aggregate(_arr, "
+        f"named_struct('bcum', bigint(0), 'thr', double({t0}), "
+        f"'ends', cast(array() as array<struct<_i:bigint,_ord:{ord_t},_cum:bigint,_thr:double>>)), "
+        "(acc, x) -> if(abs(x._cum - acc.bcum) >= acc.thr, "
+        "named_struct('bcum', x._cum, "
+        # D suffix: bare 0.3 parses as DECIMAL in Spark SQL; the EWMA
+        # here must run in doubles to match float references
+        f"'thr', {a}D * abs(x._cum - acc.bcum) + {1.0 - a}D * acc.thr, "
+        "'ends', array_append(acc.ends, named_struct("
+        "'_i', bigint(x._i), '_ord', x._ord, '_cum', x._cum, '_thr', acc.thr))), "
+        "acc), "
+        "acc -> acc.ends)"
+    )
+    ends = (
+        pref.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list("_row")).alias("_arr"))
+        .select(*key_cols, F.posexplode(F.expr(fold)).alias("_b", "_e"))
+    )
+    wb = Window.partitionBy(*key_cols).orderBy("_b")
+    prev = lambda c: F.coalesce(F.lag(c).over(wb), F.lit(0))  # noqa: E731
+    return ends.select(
+        *key_cols,
+        F.col("_b").cast("long").alias("bar_idx"),
+        F.col("_e._ord").alias(f"end_{order_col}"),
+        (F.col("_e._i") - prev("_e._i")).cast("long").alias("n_ticks"),
+        (F.col("_e._cum") - prev("_e._cum")).cast("long").alias("imbalance"),
+        F.col("_e._thr").alias("threshold"),
+    )
+
+
 def _chunked_tick_frames(
     df: DataFrame,
     key_cols: list[str],

@@ -644,3 +644,54 @@ def test_review_fix_edge_cases(spark):
         bm25_topk(ev, [])
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert bm25_topk(empty, ["spark"]).count() == 0
+
+
+def test_tick_imbalance_bars_adaptive_matches_reference_loop(spark):
+    """Adaptive-threshold imbalance bars vs a straightforward pandas
+    loop implementing the same recursion (tick rule with carried sign,
+    close when |cum - bcum| >= thr_k, thr updated by EWMA of the closed
+    bar's |imbalance|)."""
+    import numpy as np
+    import pandas as pd
+
+    from financedatabase_spark.operators.smoothing import tick_imbalance_bars_adaptive
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    frames = []
+    for k in ("a", "b"):
+        frames.append(
+            pd.DataFrame(
+                {"k": k, "i": np.arange(n),
+                 "price": 100.0 + np.cumsum(rng.choice([-0.5, 0.0, 0.5], n)),
+                 "volume": rng.integers(1, 9, n)}
+            )
+        )
+    pdf = pd.concat(frames)
+    df = spark.createDataFrame(pdf).repartition(5)
+
+    def reference(g, t0, a):
+        sg, pp, cum, bcum, thr = 0, None, 0, 0, float(t0)
+        prev_i, prev_cum, out = 0, 0, []
+        for idx, (_, r) in enumerate(g.sort_values("i").iterrows(), start=1):
+            if pp is not None:
+                s = (r.price > pp) - (r.price < pp)
+                if s != 0:
+                    sg = s
+            pp = r.price
+            cum += sg * int(r.volume)
+            if abs(cum - bcum) >= thr:
+                out.append((len(out), int(r.i), idx - prev_i, cum - prev_cum, thr))
+                thr = a * abs(cum - bcum) + (1 - a) * thr
+                bcum, prev_i, prev_cum = cum, idx, cum
+        return out
+
+    got = {}
+    for r in tick_imbalance_bars_adaptive(df, 40.0, 0.3, ["k"], "i").collect():
+        got.setdefault(r.k, []).append(
+            (r.bar_idx, r.end_i, r.n_ticks, r.imbalance, r.threshold)
+        )
+    for k in ("a", "b"):
+        want = reference(pdf[pdf.k == k], 40.0, 0.3)
+        assert len(want) > 10
+        assert sorted(got[k]) == want
