@@ -208,3 +208,43 @@ def test_blocked_near_dups_equals_fold_property(spark_h, n, dim, block, seed):
         map(tuple, embedding_near_dups(df, threshold=0.2, block_rows=block).collect())
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(st.integers(0, 3_000_000), min_size=1, max_size=60),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 3_000_000), st.integers(0, 400_000)),
+        min_size=1, max_size=25,
+    ),
+    bucket=st.integers(min_value=1, max_value=200_000),
+)
+def test_interval_join_equals_bruteforce_property(spark_h, pts, ivs, bucket):
+    """For arbitrary points, intervals, and bucket sizes (down to 1s
+    buckets forcing huge explode factors), the bucketed interval join
+    must produce exactly the brute-force BETWEEN pair set."""
+    import datetime as dt
+
+    from financedatabase_spark.operators.joins import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    p = spark_h.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(pts)],
+        "pid int, ts timestamp",
+    )
+    iv = spark_h.createDataFrame(
+        [(j, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + d))
+         for j, (s, d) in enumerate(ivs)],
+        "iid int, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(p, iv, "ts", "s", "e", bucket_seconds=bucket).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, sp in enumerate(pts)
+        for j, (s, d) in enumerate(ivs)
+        if s <= sp <= s + d
+    )
+    assert got == want
