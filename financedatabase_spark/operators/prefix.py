@@ -49,9 +49,9 @@ def attach_running_total_before(
     as ``_val`` first."""
     keys = list(key_cols or [])
     if isinstance(value_col, str):
-        vname, based = value_col, df
+        vname, based, drop_val = value_col, df, ()
     else:
-        vname, based = "_val", df.withColumn("_val", value_col)
+        vname, based, drop_val = "_val", df.withColumn("_val", value_col), ("_val",)
     staged = (
         based.repartitionByRange(*keys, order_col)
         .sortWithinPartitions(*keys, order_col)
@@ -111,5 +111,5 @@ def attach_running_total_before(
     return (
         local.join(F.broadcast(offsets), ["_p", *keys])
         .withColumn("_before", (F.col("_offset") + F.col("_before")).cast(before_t))
-        .drop("_p", "_offset")
+        .drop("_p", "_offset", *drop_val)
     )

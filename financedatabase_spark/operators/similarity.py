@@ -202,9 +202,13 @@ def _blocked_candidates(
         S = (Q @ C.T) / np.outer(
             np.sqrt((Q * Q).sum(axis=1)), np.sqrt((C * C).sum(axis=1))
         )
-        # selection uses the same HALF_UP 6-digit rounding Spark applies
-        # to the emitted score, so block top-k == global-rank top-k
-        R = np.copysign(np.floor(np.abs(S) * 1e6 + 0.5), S) / 1e6 if round_digits else S
+        # selection uses the same HALF_UP rounding (at round_digits) Spark
+        # applies to the emitted score, so block top-k == global-rank top-k
+        if round_digits:
+            scale = 10.0 ** int(round_digits)
+            R = np.copysign(np.floor(np.abs(S) * scale + 0.5), S) / scale
+        else:
+            R = S
         cids = cpdf[cid].to_numpy()
         n = min(kk, len(cids))
         out_q, out_c, out_s = [], [], []

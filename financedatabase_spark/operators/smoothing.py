@@ -120,6 +120,12 @@ def _chunk_frames(
     NULLS FIRST) — but chunk ids should be non-null and monotone in the
     order column; a null chunk has no defined position in the
     recursion."""
+    if chunk_expr is None:
+        raise ValueError(
+            "chunk_expr is required: pass a Column (or column name) that buckets "
+            "rows into spans monotone in the order column, e.g. "
+            "F.date_trunc('month', ts) or F.floor(F.col('seq') / 100000)"
+        )
     agg = [
         _sorted_vals(order_col, value_col).alias("_vals"),
         F.count("*").cast("long").alias("_n"),
@@ -231,6 +237,7 @@ def ewma_series_chunked(
         f"(acc, x) -> {a} * x + {1.0 - a} * acc)"
     )
     cont = _fold_expr(a, "_vals", "ewma_value")
+    chunk_t = chunks.schema["_chunk"].dataType
     levels: DataFrame | None = None
     incoming: list[DataFrame] = []
     for i, ep in enumerate(epochs):
@@ -239,7 +246,7 @@ def ewma_series_chunked(
             incoming.append(
                 cur.select(
                     *key_cols,
-                    F.lit(ep).alias("_chunk"),
+                    F.lit(ep).cast(chunk_t).alias("_chunk"),
                     F.lit(None).cast("double").alias("_level_in"),
                 )
             )
@@ -249,7 +256,7 @@ def ewma_series_chunked(
             incoming.append(
                 j.filter(F.col("_vals").isNotNull()).select(
                     *key_cols,
-                    F.lit(ep).alias("_chunk"),
+                    F.lit(ep).cast(chunk_t).alias("_chunk"),
                     F.col("ewma_value").alias("_level_in"),
                 )
             )
@@ -266,6 +273,16 @@ def ewma_series_chunked(
     level_in = incoming[0]
     for frame in incoming[1:]:
         level_in = level_in.unionByName(frame)
+    # Join back null-safely: a null chunk id is a real (earliest) epoch
+    # and plain equality would silently drop its rows (null != null).
+    li = level_in.select(
+        *[F.col(k).alias(f"_li_{k}") for k in key_cols],
+        F.col("_chunk").alias("_li_chunk"),
+        "_level_in",
+    )
+    cond = F.col("_chunk").eqNullSafe(F.col("_li_chunk"))
+    for k in key_cols:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_li_{k}"))
     seeded_scan = (
         f"aggregate(_vals, "
         f"struct(double(_level_in) as level, cast(array() as array<double>) as outs), "
@@ -281,7 +298,7 @@ def ewma_series_chunked(
         f"acc -> acc.outs)"
     )
     exploded = (
-        chunks.join(level_in, [*key_cols, "_chunk"], "inner")
+        chunks.join(li, cond, "inner")
         .withColumn(
             "_ewma",
             F.when(F.col("_level_in").isNull(), F.expr(head_scan)).otherwise(
@@ -455,6 +472,12 @@ def _chunked_tick_frames(
     list. Null-epoch semantics as in `_chunk_frames`."""
     from pyspark.sql import Window
 
+    if chunk_expr is None:
+        raise ValueError(
+            "chunk_expr is required: pass a Column (or column name) that buckets "
+            "rows into spans monotone in the order column, e.g. "
+            "F.date_trunc('month', ts) or F.floor(F.col('seq') / 100000)"
+        )
     rows_arr = F.array_sort(
         F.collect_list(
             F.struct(
@@ -470,11 +493,14 @@ def _chunked_tick_frames(
         .agg(rows_arr.alias("_rows"), F.count("*").cast("long").alias("_n"))
         .localCheckpoint()
     )
+    # Prefix-sum the per-chunk counts with a window directly over the
+    # chunk-summary frame (one row per (key, chunk)): no equality join
+    # back, so null epochs keep their offsets (ASC NULLS FIRST = the
+    # null epoch is the earliest span, matching the walk's order).
     woff = Window.partitionBy(*key_cols).orderBy("_chunk")
-    offsets = chunks.select(*key_cols, "_chunk", "_n").withColumn(
+    chunks = chunks.withColumn(
         "_off", F.sum("_n").over(woff.rowsBetween(Window.unboundedPreceding, 0)) - F.col("_n")
-    ).drop("_n")
-    chunks = chunks.join(offsets, [*key_cols, "_chunk"])
+    )
     epochs = [r[0] for r in chunks.select("_chunk").distinct().orderBy("_chunk").collect()]
     return chunks, epochs
 

@@ -646,6 +646,73 @@ def test_review_fix_edge_cases(spark):
     assert bm25_topk(empty, ["spark"]).count() == 0
 
 
+def test_review_fix_edge_cases_r6(spark):
+    """r6 review fixes: (1) ewma_series_chunked must emit rows whose
+    chunk id is null (the final join is null-safe, not plain equality);
+    (2) chunk_expr=None raises a clear ValueError instead of an obscure
+    PySpark type error; (3) attach_running_total_before with a Column
+    value_col must not leak the internal _val column; (4) blocked
+    candidate selection honors a non-default round_digits."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.prefix import attach_running_total_before
+    from financedatabase_spark.operators.similarity import cosine_topk
+    from financedatabase_spark.operators.smoothing import (
+        ewma_last_chunked,
+        ewma_series,
+        ewma_series_chunked,
+        tick_imbalance_bars_chunked,
+    )
+
+    # (1) null chunk ids survive the series join
+    ev = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "i int, x double"
+    ).withColumn("k", F.lit("a"))
+    chunk = F.when(F.col("i") >= 2, F.floor(F.col("i") / 5))  # i<2 -> null chunk
+    want = ewma_series(ev, 0.4, ["k"], "i", "x").toPandas().sort_values("i")
+    got = (
+        ewma_series_chunked(ev, 0.4, ["k"], "i", "x", chunk_expr=chunk)
+        .toPandas().sort_values("i")
+    )
+    assert len(got) == len(want) == 10  # null-chunk rows emitted
+    assert (got["ewma_value"].to_numpy() == want["ewma_value"].to_numpy()).all()
+
+    # (2) chunk_expr is effectively required — clear error, not a type crash
+    with _pytest.raises(ValueError, match="chunk_expr is required"):
+        ewma_last_chunked(ev, 0.4, ["k"], "i", "x")
+    with _pytest.raises(ValueError, match="chunk_expr is required"):
+        tick_imbalance_bars_chunked(ev, 5, ["k"], "i", price_col="x", size_col="i")
+
+    # (3) Column-typed value_col: _val must not leak into the output
+    base = spark.createDataFrame([(i, i % 3, float(i)) for i in range(20)],
+                                 "i int, g int, v double")
+    out = attach_running_total_before(base, F.col("v") * 2, ["g"], "i")
+    assert set(out.columns) == {"i", "g", "v", "_before"}
+    row = {(r.g, r.i): r._before for r in out.collect()}
+    pdf = base.toPandas().sort_values(["g", "i"])
+    expect = pdf.groupby("g")["v"].cumsum() * 2 - pdf["v"] * 2
+    for (g, i), want_b in zip(zip(pdf["g"], pdf["i"]), expect):
+        assert row[(g, i)] == want_b
+
+    # (4) blocked top-k selection rounds at round_digits, not 1e6:
+    # with 2-digit rounding the two corpus vectors tie on score and the
+    # corpus_id asc tie-break must pick id=1 — a 6-digit block selection
+    # would keep id=2 (raw score higher) and drop id=1.
+    qdf = spark.createDataFrame(pd.DataFrame({"qid": [0], "vec": [[1.0, 0.0]]}))
+    theta1, theta2 = 0.08, 0.075  # cos ~0.9968 vs ~0.9972 -> both round to 1.0
+    cdf = spark.createDataFrame(pd.DataFrame({
+        "cid": [1, 2],
+        "vec": [[np.cos(theta1), np.sin(theta1)], [np.cos(theta2), np.sin(theta2)]],
+    }))
+    top = cosine_topk(qdf, cdf, k=1, query_id="qid", corpus_id="cid",
+                      vec_col="vec", round_digits=2, vectorized=True).collect()
+    assert [(r.cid, r.score) for r in top] == [(1, 1.0)]
+
+
 def test_tick_imbalance_bars_adaptive_matches_reference_loop(spark):
     """Adaptive-threshold imbalance bars vs a straightforward pandas
     loop implementing the same recursion (tick rule with carried sign,
