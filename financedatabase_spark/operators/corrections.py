@@ -46,6 +46,69 @@ def quarantine_dim(
     return session_memo(spark, ("quarantine_dim", use), build)
 
 
+def load_quarantine_config(path: str) -> list[tuple[str, str, str]]:
+    """File-driven corrections config — the declarative counterpart of
+    the reference's patch registry (patches/setup.yaml loaded by
+    patches/main.py:95-114 ``setup()``, entries certified by
+    ``certify_function_signature`` main.py:68-93 before registration).
+
+    Accepts YAML (PyYAML available) or JSON with the reference's shape,
+    data-first:
+
+    .. code-block:: yaml
+
+        patches:
+          - query_name: list_dates   # reference: func_name
+            symbol: AAPL
+            bad_date: 2014-06-09
+            enabled: true            # optional, default true
+            description: ...         # optional, ignored
+
+    Each entry is CERTIFIED before it registers (the reference raises
+    ValueError on an uncertified patch function; we raise on a
+    malformed entry): required keys present, ``bad_date`` ISO-parses,
+    values are strings. Entries with ``enabled: false`` are skipped —
+    the per-query targeting the reference gets from ``func_name``.
+    Returns (query_name, symbol, bad_date) tuples for `quarantine_dim`.
+    """
+    with open(path) as f:
+        text = f.read()
+    if path.endswith(".json"):
+        import json
+
+        config = json.loads(text)
+    else:
+        try:
+            import yaml
+        except ImportError as exc:  # pragma: no cover - baked into the env
+            raise ImportError(
+                "PyYAML is required for YAML corrections configs; "
+                "use a .json file instead"
+            ) from exc
+        config = yaml.safe_load(text)
+    if not isinstance(config, dict) or not isinstance(config.get("patches"), list):
+        raise ValueError(f"{path}: expected a mapping with a 'patches' list")
+    entries: list[tuple[str, str, str]] = []
+    for i, patch in enumerate(config["patches"]):
+        where = f"{path}: patches[{i}]"
+        if not isinstance(patch, dict):
+            raise ValueError(f"{where}: expected a mapping")
+        missing = [k for k in ("query_name", "symbol", "bad_date") if k not in patch]
+        if missing:
+            raise ValueError(f"{where}: missing required key(s) {missing}")
+        q, s, d = patch["query_name"], patch["symbol"], patch["bad_date"]
+        if not (isinstance(q, str) and q and isinstance(s, str) and s):
+            raise ValueError(f"{where}: query_name and symbol must be non-empty strings")
+        d = d.isoformat() if isinstance(d, dt.date) else str(d)
+        try:
+            dt.date.fromisoformat(d)
+        except ValueError as exc:
+            raise ValueError(f"{where}: bad_date {d!r} is not an ISO date") from exc
+        if patch.get("enabled", True):
+            entries.append((q, s, d))
+    return entries
+
+
 def apply_corrections(
     df: DataFrame,
     quarantine: DataFrame,

@@ -114,10 +114,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, k: int, out_col: str
+) -> DataFrame:
+    """(doc_id, <out_col>: distinct shingle array), staged via
+    `text.with_word_ngrams` so the normalize+split runs once per row —
+    the Column-API `word_shingles` re-evaluates the split per gram
+    inside its HOF lambda (see the staging note in operators/text.py)."""
+    from financedatabase_spark.operators.text import with_word_ngrams
+
+    base = _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_sf_text")
+    )
+    return with_word_ngrams(base, "_sf_text", k, out_col, distinct=True).drop("_sf_text")
+
+
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """(doc_id, shingle) exploded table — distinct shingles per doc."""
-    return _spread(df).select(
-        F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, k)).alias("shingle")
+    return _shingle_frame(df, text_col, id_col, k, "_sh").select(
+        "doc_id", F.explode("_sh").alias("shingle")
     )
 
 
@@ -182,12 +197,11 @@ def minhash_signatures_arrays(
     `minhash_signatures`, but zero shuffles: the whole signature stage is
     map-side. Docs too short for any shingle get null signatures and are
     verified away downstream."""
-    # materialize the shingle array ONCE — 16 per-column transforms over a
-    # shared column; inlining word_shingles() into each h_i would re-run
-    # the normalize+split+shingle regex 16× per row (measured 7× slower)
-    base = _spread(df).select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, k_shingle).alias("_sh")
-    )
+    # materialize the shingle array ONCE (staged: one split per row) — 16
+    # per-column transforms over a shared column; inlining word_shingles()
+    # into each h_i would re-run the normalize+split 16× per row, and the
+    # one-expression form re-splits per gram on top of that
+    base = _shingle_frame(df, text_col, id_col, k_shingle, "_sh")
     cols = [
         F.array_min(
             F.transform(F.col("_sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
@@ -240,9 +254,7 @@ def jaccard_verify_pairs(
     and the intersection is `array_intersect` per pair. Cost is
     O(pairs × set-size) — immune to hot-shingle join explosion (a tiny
     vocabulary makes the equality join quadratic; arrays don't care)."""
-    sets_ = _spread(df).select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, k_shingle).alias("sh")
-    )
+    sets_ = _shingle_frame(df, text_col, id_col, k_shingle, "sh")
     a = sets_.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
     b = sets_.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
     paired = candidates.select("doc1", "doc2").distinct().join(a, "doc1").join(b, "doc2")
@@ -277,9 +289,7 @@ def minhash_lsh_dedup(
     Exact Jaccard on candidates is per-pair `array_intersect` math.
     """
     rows_per_band = num_hashes // bands
-    base = _spread(df).select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, k_shingle).alias("sh")
-    )
+    base = _shingle_frame(df, text_col, id_col, k_shingle, "sh")
     # hash each shingle ONCE (md5 → 28-bit int), then derive the k min-hash
     # values with integer permutations h_i(v) = (a_i·v + b_i) mod P — the
     # standard one-hash MinHash family. k× fewer digest calls; the linear

@@ -750,3 +750,85 @@ def tick_run_bars(
         (F.col("_e._cb") - prev("_e._cb")).cast("long").alias("buy_size"),
         (F.col("_e._cs") - prev("_e._cs")).cast("long").alias("sell_size"),
     )
+
+
+def tick_run_bars_adaptive(
+    df: DataFrame,
+    initial_threshold: float,
+    alpha: float,
+    key_cols: list[str],
+    order_col: str,
+    price_col: str = "price",
+    size_col: str = "volume",
+) -> DataFrame:
+    """Adaptive tick-run bars — the production form of `tick_run_bars`
+    (López de Prado 2018 §2.3.2.2), completing the adaptive pair next
+    to `tick_imbalance_bars_adaptive`: the close threshold is an EWMA
+    of previous bars' triggering run magnitudes, so bar size tracks the
+    current one-sided-flow regime. The k-th bar closes when EITHER
+    side's accumulated size since the last close reaches ``thr_k``,
+    with ``thr_0 = initial_threshold`` and
+    ``thr_(k+1) = alpha·run_k + (1-alpha)·thr_k`` where ``run_k =
+    max(buy_run_k, sell_run_k)`` is the magnitude that closed bar k.
+
+    Same plan shape as the fixed form: tick-rule sign + two one-sided
+    integer prefix sums share one key partitioning; the doubly-recursive
+    boundary condition is the per-key higher-order fold. Output:
+    (key..., bar_idx, end_<order_col>, n_ticks, buy_size, sell_size,
+    threshold) — ``threshold`` is the thr_k the bar closed against.
+    Gated by a pure-pandas reference loop (pytest), not a SQL oracle:
+    like the adaptive imbalance bars, the recursion has no tractable
+    recursive-CTE form.
+    """
+    from pyspark.sql import Window
+
+    a = float(alpha)
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sgn_raw = F.signum(F.col(price_col) - F.lag(price_col).over(w))
+    carried = F.last(F.when(sgn_raw != 0, sgn_raw), ignorenulls=True).over(wcum)
+    sgn = F.coalesce(carried, F.lit(0.0)).cast("long")
+    pref = (
+        df.withColumn("_b", F.when(sgn > 0, F.col(size_col)).otherwise(F.lit(0)).cast("long"))
+        .withColumn("_s", F.when(sgn < 0, F.col(size_col)).otherwise(F.lit(0)).cast("long"))
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn("_cb", F.sum("_b").over(wcum))
+        .withColumn("_cs", F.sum("_s").over(wcum))
+        .select(
+            *key_cols,
+            F.struct("_i", F.col(order_col).alias("_ord"), "_cb", "_cs").alias("_row"),
+        )
+    )
+    t0 = float(initial_threshold)
+    ord_t = dict(df.dtypes)[order_col]
+    run = "double(greatest(x._cb - acc.bb, x._cs - acc.bs))"
+    fold = (
+        "aggregate(_arr, "
+        f"named_struct('bb', bigint(0), 'bs', bigint(0), 'thr', double({t0}), "
+        f"'ends', cast(array() as array<struct<_i:bigint,_ord:{ord_t},_cb:bigint,_cs:bigint,_thr:double>>)), "
+        f"(acc, x) -> if({run} >= acc.thr, "
+        "named_struct('bb', x._cb, 'bs', x._cs, "
+        # D suffix: bare 0.3 parses as DECIMAL in Spark SQL; the EWMA
+        # here must run in doubles to match float references
+        f"'thr', {a}D * {run} + {1.0 - a}D * acc.thr, "
+        "'ends', array_append(acc.ends, named_struct("
+        "'_i', bigint(x._i), '_ord', x._ord, '_cb', x._cb, '_cs', x._cs, '_thr', acc.thr))), "
+        "acc), "
+        "acc -> acc.ends)"
+    )
+    ends = (
+        pref.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list("_row")).alias("_arr"))
+        .select(*key_cols, F.posexplode(F.expr(fold)).alias("_b", "_e"))
+    )
+    wb = Window.partitionBy(*key_cols).orderBy("_b")
+    prev = lambda c: F.coalesce(F.lag(c).over(wb), F.lit(0))  # noqa: E731
+    return ends.select(
+        *key_cols,
+        F.col("_b").cast("long").alias("bar_idx"),
+        F.col("_e._ord").alias(f"end_{order_col}"),
+        (F.col("_e._i") - prev("_e._i")).cast("long").alias("n_ticks"),
+        (F.col("_e._cb") - prev("_e._cb")).cast("long").alias("buy_size"),
+        (F.col("_e._cs") - prev("_e._cs")).cast("long").alias("sell_size"),
+        F.col("_e._thr").alias("threshold"),
+    )

@@ -126,7 +126,9 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
 
 def fingerprint_columns(text: Column | str, k: int = 3) -> list[Column]:
     """Winnowing-style fingerprint: total shingles + extremal shingle
-    hashes (min-wise sketch of the shingle set)."""
+    hashes (min-wise sketch of the shingle set). Column-API convenience
+    — for corpus scans use `with_fingerprint` (staged gram source, same
+    values; see the staging note below)."""
     sh = word_shingles(text, k)
     hashes = F.transform(sh, lambda s: F.md5(s))
     return [
@@ -135,6 +137,20 @@ def fingerprint_columns(text: Column | str, k: int = 3) -> list[Column]:
         F.array_min(hashes).alias("min_shingle_hash"),
         F.array_max(hashes).alias("max_shingle_hash"),
     ]
+
+
+def with_fingerprint(df: DataFrame, text_col: Column | str, k: int = 3) -> DataFrame:
+    """Append `fingerprint_columns`' four outputs — staged form
+    (identical values, corpus-scan cost)."""
+    sh = with_word_ngrams(df, text_col, k, "_fpc_sh", distinct=True)
+    hashed = sh.withColumn("_fpc_h", F.transform("_fpc_sh", lambda s: F.md5(s)))
+    return hashed.select(
+        *[F.col(c) for c in df.columns],
+        doc_hash(text_col).alias("content_hash"),
+        F.size("_fpc_sh").cast("long").alias("n_shingles"),
+        F.array_min("_fpc_h").alias("min_shingle_hash"),
+        F.array_max("_fpc_h").alias("max_shingle_hash"),
+    )
 
 
 def word_ngrams(text: Column | str, n: int) -> Column:
@@ -147,6 +163,86 @@ def word_ngrams(text: Column | str, n: int) -> Column:
     )
     gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])  # noqa: E731
     return F.transform(idx, gram)
+
+
+# ---------------------------------------------------------------------------
+# Staged (DataFrame-level) gram builders — the scale path.
+#
+# The Column-API builders (`word_shingles` / `word_ngrams` /
+# `winnow_fingerprint_set`) embed the `split(normalized_text(...))` word
+# array INSIDE their HOF lambdas. Catalyst evaluates a lambda body's
+# non-lambda subtrees PER ELEMENT, so a one-expression gram column
+# re-splits the whole document once per gram per referenced word —
+# O(m²·k) character work per doc. Measured on 200-word docs this is
+# ~1700x slower than staging (67 s vs 0.04 s for 5k docs' winnow scan).
+#
+# The staged builders materialize words/grams/hashes as aliased columns
+# across separate Projects. CollapseProject leaves them materialized
+# because each alias is referenced more than once and is not cheap
+# (plan-gated: tests/test_plan_quality.py asserts the optimized plan
+# contains exactly one `split` per staged gram source). Prefer these for
+# every corpus-scale scan; the Column API remains for short-text
+# convenience and oracle-parity snippets.
+# ---------------------------------------------------------------------------
+
+
+def with_word_ngrams(
+    df: DataFrame,
+    text_col: Column | str,
+    n: int,
+    out_col: str,
+    distinct: bool = False,
+) -> DataFrame:
+    """Append the n-word gram array of ``text_col`` as ``out_col`` —
+    staged so the split/gram trees evaluate once per row (see the
+    staging note above). ``distinct=True`` gives `word_shingles`
+    semantics (the unit set for Jaccard/MinHash), default keeps
+    multiplicity (`word_ngrams` semantics)."""
+    wc = f"_{out_col}_words"
+    words = df.withColumn(wc, F.split(normalized_text(text_col), " "))
+    sz = F.size(wc)
+    idx = F.when(sz >= n, F.sequence(F.lit(1), sz - (n - 1))).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col(wc), i + j) for j in range(n)]
+    )
+    grams = F.transform(idx, gram)
+    if distinct:
+        grams = F.array_distinct(grams)
+    return words.withColumn(out_col, grams).drop(wc)
+
+
+def with_winnow_fingerprints(
+    df: DataFrame,
+    text_col: Column | str,
+    out_col: str = "fingerprints",
+    k: int = 3,
+    w: int = 4,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Append the winnowing fingerprint set of ``text_col`` as
+    ``out_col`` — the staged form of `winnow_fingerprint_set` (identical
+    values, corpus-scan cost). See that function for the algorithm and
+    ``hash_mode`` contract."""
+    hc = f"_{out_col}_h"
+    g = with_word_ngrams(df, text_col, k, f"_{out_col}_grams")
+    if hash_mode == "md5":
+        hfn = F.md5
+    elif hash_mode == "xxhash64":
+        hfn = lambda x: F.xxhash64(x)  # noqa: E731
+    else:
+        raise ValueError(f"hash_mode must be 'md5' or 'xxhash64', got {hash_mode!r}")
+    h = g.withColumn(hc, F.transform(F.col(f"_{out_col}_grams"), hfn)).drop(
+        f"_{out_col}_grams"
+    )
+    m = F.size(hc)
+    length = m - (w - 1)
+    acc = F.slice(hc, 1, length)
+    for off in range(1, w):
+        acc = F.zip_with(acc, F.slice(hc, 1 + off, length), lambda a, b: F.least(a, b))
+    wins = F.when(m >= w, acc).otherwise(F.col(hc))
+    return h.withColumn(out_col, F.array_sort(F.array_distinct(wins))).drop(hc)
 
 
 def ngram_repetition_columns(text: Column | str, n: int) -> list[Column]:
@@ -165,8 +261,32 @@ def ngram_repetition_columns(text: Column | str, n: int) -> list[Column]:
     count of gram g and L(g) its character length,
     ``dup = Σ_{c(g)≥2} c(g)·L(g)``, ``top = max_g c(g)·L(g)``,
     ``tot = Σ_g c(g)·L(g)``; fractions are dup/tot and top/tot.
+
+    Column-API convenience — for corpus scans use `with_ngram_repetition`
+    (staged gram source, same values; see the staging note above).
     """
-    grams = F.array_sort(word_ngrams(text, n))
+    return _repetition_cols_from_sorted_grams(F.array_sort(word_ngrams(text, n)), n)
+
+
+def with_ngram_repetition(
+    df: DataFrame, text_col: Column | str, ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Append ``dup{n}_frac``/``top{n}_frac`` for each n in ``ns`` —
+    the staged form of `ngram_repetition_columns` (identical values,
+    corpus-scan cost)."""
+    out = df
+    for n in ns:
+        out = with_word_ngrams(out, text_col, n, f"_rep{n}")
+    keep = [F.col(c) for c in df.columns]
+    reps = []
+    for n in ns:
+        reps.extend(
+            _repetition_cols_from_sorted_grams(F.array_sort(F.col(f"_rep{n}")), n)
+        )
+    return out.select(*keep, *reps)
+
+
+def _repetition_cols_from_sorted_grams(grams: Column, n: int) -> list[Column]:
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(1).alias("run"),
@@ -200,15 +320,39 @@ def ngram_repetition_columns(text: Column | str, n: int) -> list[Column]:
     ]
 
 
-def winnow_fingerprint_set(text: Column | str, k: int = 3, w: int = 4) -> Column:
+def winnow_fingerprint_set(
+    text: Column | str, k: int = 3, w: int = 4, hash_mode: str = "md5"
+) -> Column:
     """Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
     MOSS algorithm): hash every k-gram, slide a window of ``w`` hashes,
     keep each window's minimum — guaranteeing any shared run of
     ``w + k - 1`` words between two documents shares a fingerprint.
-    Hashes are md5 strings (lexicographic min — engine-agnostic), the
-    set is distinct + sorted; docs shorter than one window keep all
-    their hashes. Entirely in-row: one scan, zero shuffle."""
-    hashes = F.transform(word_ngrams(text, k), F.md5)
+    The set is distinct + sorted; docs shorter than one window keep all
+    their hashes. Entirely in-row: one scan, zero shuffle.
+
+    ``hash_mode``:
+
+    - ``"md5"`` (default) — 32-char hex strings, lexicographic min.
+      Engine-agnostic (DuckDB computes identical hashes), so this is
+      the oracle-parity baseline. Cost: the w−1 `least()` passes below
+      compare 32-byte strings, all interpreted.
+    - ``"xxhash64"`` — BIGINT fingerprints; min over longs is one
+      primitive compare per element, ~an order of magnitude cheaper
+      per document (measured in ``tools/bench_winnow.py``). THE SCALE
+      PATH: at corpus scale the k-gram hash + sliding min dominates the
+      scan stage, so a 100 TB run should always pass ``"xxhash64"``.
+      Which k-grams become window minima differs between hash modes,
+      but the winnowing guarantee (every shared ``w + k - 1``-word run
+      shares a fingerprint) holds under ANY hash, so downstream overlap
+      detection flags the same pairs (property-tested).
+    """
+    grams = word_ngrams(text, k)
+    if hash_mode == "md5":
+        hashes = F.transform(grams, F.md5)
+    elif hash_mode == "xxhash64":
+        hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    else:
+        raise ValueError(f"hash_mode must be 'md5' or 'xxhash64', got {hash_mode!r}")
     m = F.size(hashes)
     # sliding-window min as an element-wise least() over w shifted
     # copies — O(m·w) scalar comparisons with NO per-window array
@@ -230,6 +374,7 @@ def winnow_overlap_pairs(
     w: int = 4,
     min_shared: int = 5,
     max_doc_freq: int = 64,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
     the plagiarism/near-copy detector that catches SHARED PASSAGES
@@ -240,9 +385,21 @@ def winnow_overlap_pairs(
     fingerprints with document frequency above ``max_doc_freq`` are
     DROPPED first (boilerplate n-grams carry no pairing signal, the idf
     argument), so no posting list can go quadratic. One shuffle for the
-    doc-frequency filter, one for the pair count."""
-    fps = df.select(
-        F.col(id_col), F.explode(winnow_fingerprint_set(text_col, k, w)).alias("fp")
+    doc-frequency filter, one for the pair count.
+
+    ``hash_mode="md5"`` is the oracle-parity baseline;
+    ``"xxhash64"`` is the scale path (BIGINT fingerprints: primitive
+    sliding-min compares AND 8-byte instead of 32-byte shuffle keys) —
+    see `winnow_fingerprint_set`. Exact per-pair shared counts differ
+    between modes (different grams become window minima); which PAIRS
+    clear ``min_shared`` is property-tested to agree on well-separated
+    corpora."""
+    staged = with_winnow_fingerprints(
+        df.select(F.col(id_col), _c(text_col).alias("_wtxt")),
+        "_wtxt", "_wfps", k, w, hash_mode,
+    )
+    fps = staged.select(
+        F.col(id_col), F.explode(F.col("_wfps")).alias("fp")
     ).localCheckpoint()  # postings feed 3 plan branches — materialize once
     rare = fps.groupBy("fp").agg(F.count("*").alias("_df")).filter(
         F.col("_df") <= max_doc_freq

@@ -211,14 +211,13 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram list + one higher-order fold per n — so the corpus pays one
     scan with zero shuffle; the oracle re-derives the same Σc(g)·L(g)
     sums via unnest + GROUP BY. Docs shorter than 3 words carry no
-    3-gram signal and are excluded on both sides."""
+    3-gram signal and are excluded on both sides. Uses the staged gram
+    builder (tx.with_ngram_repetition) so the split runs once per row."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(tx.normalized_text("text"), " ")
-    return docs.filter(F.size(words) >= 3).select(
-        "doc_id",
-        *tx.ngram_repetition_columns("text", 2),
-        *tx.ngram_repetition_columns("text", 3),
-    )
+    return tx.with_ngram_repetition(
+        docs.filter(F.size(words) >= 3).select("doc_id", "text"), "text", (2, 3)
+    ).drop("text")
 
 
 @register(
@@ -268,9 +267,9 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-content hash + min-wise shingle
-    sketch (winnowing-style extremal hashes)."""
+    sketch (winnowing-style extremal hashes); staged gram source."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", *tx.fingerprint_columns("text"))
+    return tx.with_fingerprint(docs.select("doc_id", "text"), "text").drop("text")
 
 
 @register(

@@ -387,3 +387,140 @@ def tick_run_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 7 + 1).cast("long").alias("volume"),
     )
     return tick_run_bars(ev, 150, ["event_type"], "event_id")
+
+
+@register(
+    "tick_run_bars_adaptive",
+    oracle="""
+    WITH RECURSIVE pref AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS i,
+             event_id,
+             CAST(sum(CASE WHEN sgn > 0 THEN sz ELSE 0 END)
+                  OVER (PARTITION BY event_type ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb,
+             CAST(sum(CASE WHEN sgn < 0 THEN sz ELSE 0 END)
+                  OVER (PARTITION BY event_type ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+      FROM (
+        SELECT event_type, event_id, (event_id % 7 + 1)::BIGINT AS sz,
+               CAST(coalesce(last_value(CASE WHEN sgn0 <> 0 THEN sgn0 END IGNORE NULLS)
+                    OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS sgn
+        FROM (
+          SELECT event_type, event_id,
+                 sign(value - lag(value) OVER (PARTITION BY event_type
+                                               ORDER BY event_id)) AS sgn0
+          FROM events
+        )
+      )
+    ),
+    bounds(event_type, bar_idx, i, end_event_id, cb, cs, thr) AS (
+      SELECT DISTINCT event_type, -1, 0, CAST(NULL AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(150 AS DOUBLE)
+      FROM pref
+      UNION ALL
+      SELECT b.event_type, b.bar_idx + 1, p.i, p.event_id, p.cb, p.cs,
+             0.25::DOUBLE * greatest(p.cb - b.cb, p.cs - b.cs)
+               + 0.75::DOUBLE * b.thr
+      FROM bounds b JOIN pref p
+        ON p.event_type = b.event_type
+       AND p.i = (SELECT min(i) FROM pref q
+                  WHERE q.event_type = b.event_type AND q.i > b.i
+                    AND greatest(q.cb - b.cb, q.cs - b.cs) >= b.thr)
+    ),
+    pairs AS (
+      SELECT event_type, bar_idx, i, end_event_id, cb, cs,
+             lag(i, 1) OVER (PARTITION BY event_type ORDER BY bar_idx) AS prev_i,
+             lag(cb, 1) OVER (PARTITION BY event_type ORDER BY bar_idx) AS prev_cb,
+             lag(cs, 1) OVER (PARTITION BY event_type ORDER BY bar_idx) AS prev_cs,
+             lag(thr, 1) OVER (PARTITION BY event_type ORDER BY bar_idx) AS closed_thr
+      FROM bounds
+    )
+    SELECT event_type, bar_idx::BIGINT AS bar_idx, end_event_id,
+           (i - prev_i)::BIGINT AS n_ticks,
+           (cb - prev_cb)::BIGINT AS buy_size,
+           (cs - prev_cs)::BIGINT AS sell_size,
+           closed_thr AS threshold
+    FROM pairs WHERE bar_idx >= 0
+    """,
+)
+def tick_run_bars_adaptive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive tick-run bars (operators/smoothing.tick_run_bars_adaptive,
+    thr_0=150, alpha=0.25): the close threshold is an EWMA of previous
+    bars' triggering run magnitudes. The oracle carries the DOUBLE
+    threshold through the same boundary-stepping recursive CTE as the
+    fixed form — the EWMA operands (integer-exact run, double thr) and
+    operation order match the engine's fold exactly, so the boundary
+    decisions and emitted thresholds are bit-identical."""
+    from financedatabase_spark.operators.smoothing import tick_run_bars_adaptive
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").alias("price"),
+        (F.col("event_id") % 7 + 1).cast("long").alias("volume"),
+    )
+    return tick_run_bars_adaptive(ev, 150.0, 0.25, ["event_type"], "event_id")
+
+
+@register(
+    "tick_imbalance_bars_adaptive",
+    oracle="""
+    WITH RECURSIVE pref AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS i,
+             event_id,
+             CAST(sum(sv) OVER (PARTITION BY event_type ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM (
+        SELECT event_type, event_id,
+               CAST(coalesce(last_value(CASE WHEN sgn <> 0 THEN sgn END IGNORE NULLS)
+                    OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING), 0) AS BIGINT)
+                 * (event_id % 7 + 1) AS sv
+        FROM (
+          SELECT event_type, event_id,
+                 sign(value - lag(value) OVER (PARTITION BY event_type
+                                               ORDER BY event_id)) AS sgn
+          FROM events
+        )
+      )
+    ),
+    bounds(event_type, bar_idx, i, end_event_id, cum, thr) AS (
+      SELECT DISTINCT event_type, -1, 0, CAST(NULL AS BIGINT),
+             CAST(0 AS BIGINT), CAST(50 AS DOUBLE)
+      FROM pref
+      UNION ALL
+      SELECT b.event_type, b.bar_idx + 1, p.i, p.event_id, p.cum,
+             0.25::DOUBLE * abs(p.cum - b.cum) + 0.75::DOUBLE * b.thr
+      FROM bounds b JOIN pref p
+        ON p.event_type = b.event_type
+       AND p.i = (SELECT min(i) FROM pref q
+                  WHERE q.event_type = b.event_type AND q.i > b.i
+                    AND abs(q.cum - b.cum) >= b.thr)
+    ),
+    pairs AS (
+      SELECT event_type, bar_idx, i, end_event_id, cum,
+             lag(i, 1) OVER (PARTITION BY event_type ORDER BY bar_idx) AS prev_i,
+             lag(cum, 1) OVER (PARTITION BY event_type ORDER BY bar_idx) AS prev_cum,
+             lag(thr, 1) OVER (PARTITION BY event_type ORDER BY bar_idx) AS closed_thr
+      FROM bounds
+    )
+    SELECT event_type, bar_idx::BIGINT AS bar_idx, end_event_id,
+           (i - prev_i)::BIGINT AS n_ticks, (cum - prev_cum)::BIGINT AS imbalance,
+           closed_thr AS threshold
+    FROM pairs WHERE bar_idx >= 0
+    """,
+)
+def tick_imbalance_bars_adaptive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive tick-imbalance bars
+    (operators/smoothing.tick_imbalance_bars_adaptive, thr_0=50,
+    alpha=0.25): promotes the pandas-gated adaptive operator to a full
+    bit-exact oracle row — same recursive-CTE shape as
+    `tick_run_bars_adaptive`."""
+    from financedatabase_spark.operators.smoothing import tick_imbalance_bars_adaptive
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").alias("price"),
+        (F.col("event_id") % 7 + 1).cast("long").alias("volume"),
+    )
+    return tick_imbalance_bars_adaptive(ev, 50.0, 0.25, ["event_type"], "event_id")

@@ -762,3 +762,122 @@ def test_tick_imbalance_bars_adaptive_matches_reference_loop(spark):
         want = reference(pdf[pdf.k == k], 40.0, 0.3)
         assert len(want) > 10
         assert sorted(got[k]) == want
+
+
+def test_corrections_config_file_matches_dict_path(spark, tmp_path):
+    """File-driven corrections (reference patches/setup.yaml +
+    main.py:95-114 setup()): a YAML config must anti-join identically
+    to the in-code entry list; disabled entries are skipped; malformed
+    entries fail certification with a clear ValueError (the reference
+    raises on uncertified patch functions)."""
+    import pytest as _pytest
+
+    from financedatabase_spark.operators.corrections import (
+        apply_corrections,
+        load_quarantine_config,
+        quarantine_dim,
+    )
+
+    yml = tmp_path / "setup.yaml"
+    yml.write_text(
+        "patches:\n"
+        "  - query_name: list_dates\n"
+        "    symbol: AAPL\n"
+        "    bad_date: 2014-06-09\n"
+        "    description: AAPL 7:1 split artifact\n"
+        "  - query_name: list_dates\n"
+        "    symbol: MSFT\n"
+        "    bad_date: 2020-08-25\n"
+        "    enabled: false\n"
+    )
+    entries = load_quarantine_config(str(yml))
+    assert entries == [("list_dates", "AAPL", "2014-06-09")]  # disabled skipped
+
+    df = spark.createDataFrame(
+        [("AAPL", "2014-06-09"), ("AAPL", "2014-06-10"), ("MSFT", "2020-08-25")],
+        "symbol string, ts string",
+    ).withColumn("ts", F.to_date("ts"))
+    from_file = apply_corrections(
+        df, quarantine_dim(spark, entries), "list_dates"
+    )
+    from_dict = apply_corrections(
+        df,
+        quarantine_dim(spark, [("list_dates", "AAPL", "2014-06-09")]),
+        "list_dates",
+    )
+    got = sorted(map(tuple, from_file.collect()))
+    assert got == sorted(map(tuple, from_dict.collect()))
+    assert len(got) == 2  # only the quarantined AAPL row dropped
+
+    # JSON variant loads the same entries
+    js = tmp_path / "setup.json"
+    js.write_text(
+        '{"patches": [{"query_name": "list_dates", "symbol": "AAPL",'
+        ' "bad_date": "2014-06-09"}]}'
+    )
+    assert load_quarantine_config(str(js)) == entries
+
+    # certification failures
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("patches:\n  - query_name: q\n    symbol: A\n")
+    with _pytest.raises(ValueError, match="missing required"):
+        load_quarantine_config(str(bad))
+    bad.write_text(
+        "patches:\n  - query_name: q\n    symbol: A\n    bad_date: junk\n"
+    )
+    with _pytest.raises(ValueError, match="not an ISO date"):
+        load_quarantine_config(str(bad))
+
+
+def test_tick_run_bars_adaptive_matches_reference_loop(spark):
+    """Adaptive-threshold run bars vs a straightforward pandas loop
+    implementing the same recursion (tick rule with carried sign, close
+    when max(buy_run, sell_run) >= thr_k, thr updated by EWMA of the
+    closed bar's triggering run magnitude)."""
+    import numpy as np
+    import pandas as pd
+
+    from financedatabase_spark.operators.smoothing import tick_run_bars_adaptive
+
+    rng = np.random.default_rng(37)
+    n = 4000
+    frames = []
+    for k in ("a", "b"):
+        frames.append(
+            pd.DataFrame(
+                {"k": k, "i": np.arange(n),
+                 "price": 100.0 + np.cumsum(rng.choice([-0.5, 0.0, 0.5], n)),
+                 "volume": rng.integers(1, 9, n)}
+            )
+        )
+    pdf = pd.concat(frames)
+    df = spark.createDataFrame(pdf).repartition(5)
+
+    def reference(g, t0, a):
+        sg, pp, cb, cs, bb, bs, thr = 0, None, 0, 0, 0, 0, float(t0)
+        prev_i, prev_cb, prev_cs, out = 0, 0, 0, []
+        for idx, (_, r) in enumerate(g.sort_values("i").iterrows(), start=1):
+            if pp is not None:
+                s = (r.price > pp) - (r.price < pp)
+                if s != 0:
+                    sg = s
+            pp = r.price
+            cb += int(r.volume) if sg > 0 else 0
+            cs += int(r.volume) if sg < 0 else 0
+            run = max(cb - bb, cs - bs)
+            if run >= thr:
+                out.append((len(out), int(r.i), idx - prev_i,
+                            cb - prev_cb, cs - prev_cs, thr))
+                thr = a * run + (1 - a) * thr
+                bb, bs, prev_i, prev_cb, prev_cs = cb, cs, idx, cb, cs
+        return out
+
+    got = {}
+    for r in tick_run_bars_adaptive(df, 60.0, 0.3, ["k"], "i").collect():
+        got.setdefault(r.k, []).append(
+            (r.bar_idx, r.end_i, r.n_ticks, r.buy_size, r.sell_size, r.threshold)
+        )
+    for k in ("a", "b"):
+        want = reference(pdf[pdf.k == k], 60.0, 0.3)
+        assert len(want) > 10
+        assert sorted(got[k]) == want

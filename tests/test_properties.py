@@ -248,3 +248,46 @@ def test_interval_join_equals_bruteforce_property(spark_h, pts, ivs, bucket):
         if s <= sp <= s + d
     )
     assert got == want
+
+
+def test_winnow_hash_modes_flag_same_pairs(spark_h):
+    """The xxhash64 scale path and the md5 oracle path select different
+    window minima, but the winnowing guarantee (any shared w+k-1-word
+    run shares a fingerprint) holds under any hash — so on a corpus
+    whose true overlaps are well-separated from the min_shared
+    threshold, both modes must flag exactly the planted pair set."""
+    import numpy as np
+
+    from financedatabase_spark.operators.text import (
+        winnow_fingerprint_set,
+        winnow_overlap_pairs,
+    )
+
+    rng = np.random.default_rng(17)
+    passages = [
+        " ".join(f"p{p}w{rng.integers(0, 1_000_000)}" for _ in range(40))
+        for p in range(3)
+    ]
+    docs = []
+    for i in range(24):
+        own = " ".join(f"d{i}u{j}" for j in range(30))  # disjoint per-doc vocab
+        if i < 6:  # docs 0-5 embed passage i//2 -> planted pairs (0,1) (2,3) (4,5)
+            words = own.split()
+            cut = int(rng.integers(5, 25))
+            docs.append((i, " ".join(words[:cut]) + " " + passages[i // 2] + " "
+                         + " ".join(words[cut:])))
+        else:
+            docs.append((i, own))
+    df = spark_h.createDataFrame(docs, "doc_id int, text string")
+    planted = [(0, 1), (2, 3), (4, 5)]
+    for mode in ("md5", "xxhash64"):
+        got = sorted(
+            (r.doc1, r.doc2)
+            for r in winnow_overlap_pairs(df, hash_mode=mode).collect()
+        )
+        assert got == planted, mode
+    # type contract: xxhash64 fingerprints are BIGINT (primitive compares)
+    row = df.limit(1).select(
+        winnow_fingerprint_set("text", hash_mode="xxhash64").alias("fp")
+    )
+    assert dict(row.dtypes)["fp"] == "array<bigint>"
