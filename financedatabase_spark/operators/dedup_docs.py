@@ -130,9 +130,17 @@ def _shingle_frame(
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded table — distinct shingles per doc."""
-    return _shingle_frame(df, text_col, id_col, k, "_sh").select(
-        "doc_id", F.explode("_sh").alias("shingle")
+    """(doc_id, shingle) exploded table — distinct shingles per doc.
+
+    explode_OUTER + null filter, not plain explode: a non-outer Generate
+    makes Catalyst infer a size(...) > 0 filter and push it below the
+    staged shingle projections, re-inlining the whole gram tree into one
+    per-row Filter (the per-element re-split pathology). The null filter
+    on the GENERATOR OUTPUT cannot be pushed below the Generate."""
+    return (
+        _shingle_frame(df, text_col, id_col, k, "_sh")
+        .select("doc_id", F.explode_outer("_sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 

@@ -397,10 +397,17 @@ def winnow_overlap_pairs(
     staged = with_winnow_fingerprints(
         df.select(F.col(id_col), _c(text_col).alias("_wtxt")),
         "_wtxt", "_wfps", k, w, hash_mode,
-    )
-    fps = staged.select(
+    ).drop("_wtxt")
+    # checkpoint BEFORE the explode: a non-outer Generate makes Catalyst
+    # infer a size(fingerprints) > 0 filter and push it below the staged
+    # projections, re-inlining the whole gram tree into one per-row
+    # Filter (the O(m²·k) pathology again — measured 9 s for 500 docs).
+    # The barrier keeps the inferred filter on the materialized array.
+    # Postings also feed 3 plan branches, so materializing once pays
+    # regardless.
+    fps = staged.localCheckpoint().select(
         F.col(id_col), F.explode(F.col("_wfps")).alias("fp")
-    ).localCheckpoint()  # postings feed 3 plan branches — materialize once
+    )
     rare = fps.groupBy("fp").agg(F.count("*").alias("_df")).filter(
         F.col("_df") <= max_doc_freq
     )

@@ -243,3 +243,13 @@ def test_staged_grams_materialize_once(spark):
     fpc = tx.with_fingerprint(df, "text")
     want_fpc = df.select("doc_id", "text", *tx.fingerprint_columns("text")).collect()
     assert fpc.collect() == want_fpc
+
+    # a non-outer explode over a staged array would let Catalyst infer a
+    # size(...) > 0 filter and push the whole gram tree into one per-row
+    # Filter; shingle_table guards with explode_outer + null filter
+    from financedatabase_spark.operators.dedup_docs import shingle_table
+
+    st = shingle_table(df)
+    plan = st._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    assert st.count() == 6  # 8 words -> 6 distinct 3-shingles
