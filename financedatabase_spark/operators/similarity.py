@@ -111,6 +111,29 @@ def cosine_topk(
     )
 
 
+#: Plan-stats corpus size above which `vectorized="auto"` picks the
+#: blocked-matmul path. The Arrow cogroup + per-block top-k merge carry
+#: fixed stage overhead that only pays once BLAS throughput dominates —
+#: measured crossover ≈ tens of MB of vectors (~50x the test corpus,
+#: SCALE.md: 1.1x at 50x, wins 0.44x at 100x). Below it the
+#: pure-Catalyst fold is faster AND bit-identical to the oracle.
+AUTO_VECTORIZE_BYTES = 24 * 1024 * 1024
+
+
+def _resolve_vectorized(vectorized, corpus: DataFrame) -> bool:
+    """Size-based fold/blocked switch for ``vectorized="auto"``: reads
+    Catalyst's plan-stats size estimate (file sizes for scan-backed
+    frames) — no job is triggered."""
+    if vectorized != "auto":
+        return bool(vectorized)
+    try:
+        raw = corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(raw if isinstance(raw, int) else raw.toString())
+    except Exception:
+        return True  # unknown size: assume big (the scale-safe default)
+    return size > AUTO_VECTORIZE_BYTES
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -120,7 +143,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     cell_col: str = "label",
     round_digits: int | None = 6,
-    vectorized: bool = True,
+    vectorized: bool | str = "auto",
     block_rows: int = 200_000,
 ) -> DataFrame:
     """IVF-style ANN: probe only the query's cell (coarse-quantizer
@@ -144,7 +167,13 @@ def ivf_topk(
     scores can differ by ~1 ULP (pairwise vs sequential summation); the
     returned score is rounded (``round_digits``) on the Spark side so
     both paths agree on every realistic input.
+
+    ``vectorized="auto"`` (default) picks fold below
+    `AUTO_VECTORIZE_BYTES` of corpus and blocked above — both paths are
+    oracle-identical after rounding, so the switch is purely a cost
+    decision.
     """
+    vectorized = _resolve_vectorized(vectorized, corpus)
     if not vectorized:
         return _ivf_topk_fold(
             queries, corpus, k, query_id, corpus_id, vec_col, cell_col, round_digits
@@ -312,7 +341,7 @@ def ivf_multiprobe_topk(
     centroid_cell_col: str = "cell",
     centroid_vec_col: str = "cvec",
     round_digits: int | None = 6,
-    vectorized: bool = True,
+    vectorized: bool | str = "auto",
     block_rows: int = 200_000,
 ) -> DataFrame:
     """Multi-probe IVF ANN: each query visits its ``n_probe`` nearest
@@ -323,7 +352,9 @@ def ivf_multiprobe_topk(
     plan shape — partition-prunable on a cell-partitioned corpus — is
     unchanged from single-probe `ivf_topk`. Scoring itself runs on the
     same blocked-matmul cogroup path as `ivf_topk` (``vectorized=False``
-    keeps the sequential-fold Catalyst baseline)."""
+    keeps the sequential-fold Catalyst baseline; ``"auto"`` switches on
+    corpus plan-stats size like `ivf_topk`)."""
+    vectorized = _resolve_vectorized(vectorized, corpus)
     q = queries.select(F.col(query_id), _vec(vec_col).alias("_qv"))
     cen = centroids.select(
         F.col(centroid_cell_col).alias("_cell"), F.col(centroid_vec_col).alias("_cvec")

@@ -881,3 +881,30 @@ def test_tick_run_bars_adaptive_matches_reference_loop(spark):
         want = reference(pdf[pdf.k == k], 60.0, 0.3)
         assert len(want) > 10
         assert sorted(got[k]) == want
+
+
+def test_ivf_auto_vectorized_switch(spark, sf_dir):
+    """vectorized="auto" must pick the Catalyst fold below
+    AUTO_VECTORIZE_BYTES of corpus and the blocked-matmul path above —
+    with identical (rounded) results either way."""
+    from financedatabase_spark.operators import similarity as sim
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = corpus.limit(8).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    c = corpus.select(F.col("vec_id").alias("corpus_id"), "label", "embedding")
+    assert sim._resolve_vectorized("auto", c) is False  # test corpora are tiny
+    assert sim._resolve_vectorized(True, c) is True
+    old = sim.AUTO_VECTORIZE_BYTES
+    try:
+        sim.AUTO_VECTORIZE_BYTES = 0
+        assert sim._resolve_vectorized("auto", c) is True
+        blocked = sim.ivf_topk(queries, c, k=3, query_id="query_id",
+                               cell_col="label", vectorized="auto").collect()
+    finally:
+        sim.AUTO_VECTORIZE_BYTES = old
+    fold = sim.ivf_topk(queries, c, k=3, query_id="query_id",
+                        cell_col="label", vectorized="auto").collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(blocked, key=key) == sorted(fold, key=key)
