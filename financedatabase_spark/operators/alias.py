@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from financedatabase_spark.operators.dedup import dedup_keep_last
-from financedatabase_spark.session import session_memo
+from financedatabase_spark.session import session_memo, values_dim
 
 
 def alias_dim(
@@ -32,14 +32,14 @@ def alias_dim(
 
     Tiny literal dimensions are rebuilt on every pipeline run in the
     reference (per-request Python lists); here the (session, rows) pair
-    is memoized (weakref per-session, see session.session_memo) so
-    repeated runs reuse one local relation instead of paying a
-    Python->JVM createDataFrame round-trip each time."""
+    is memoized (per-session, see session.session_memo) and built as a
+    VALUES LocalRelation (session.values_dim) — broadcasting it costs no
+    Python->JVM job, unlike a createDataFrame RDD-backed frame."""
 
     def build() -> DataFrame:
         rows = [(c, o, dt.date.fromisoformat(d)) for c, o, d in changes]
-        return spark.createDataFrame(
-            rows, "current_symbol string, old_symbol string, change_date date"
+        return values_dim(
+            spark, rows, "current_symbol string, old_symbol string, change_date date"
         )
 
     return session_memo(spark, ("alias_dim", tuple(changes)), build)

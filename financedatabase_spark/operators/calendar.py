@@ -68,9 +68,15 @@ def enforce_business_hours(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 
 
 def holiday_dim(spark: SparkSession, holidays: tuple[str, ...] = US_MARKET_HOLIDAYS) -> DataFrame:
-    """Holiday dimension table — one `holiday_date` column."""
-    rows = [(dt.date.fromisoformat(d),) for d in holidays]
-    return spark.createDataFrame(rows, "holiday_date date")
+    """Holiday dimension table — one `holiday_date` column (memoized
+    VALUES LocalRelation: broadcasts with no Python->JVM job)."""
+    from financedatabase_spark.session import session_memo, values_dim
+
+    def build() -> DataFrame:
+        rows = [(dt.date.fromisoformat(d),) for d in holidays]
+        return values_dim(spark, rows, "holiday_date date")
+
+    return session_memo(spark, ("holiday_dim", tuple(holidays)), build)
 
 
 def is_weekday(d: Column | str) -> Column:

@@ -19,7 +19,7 @@ import datetime as dt
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from financedatabase_spark.session import session_memo
+from financedatabase_spark.session import session_memo, values_dim
 
 #: Default quarantine entries, mirroring the reference's p1 patch shape:
 #: (query_name, symbol, bad_date). The reference's only shipped patch
@@ -34,13 +34,14 @@ def quarantine_dim(
     entries: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
     """Memoized per live session — same rationale as alias.alias_dim
-    (weakref session memo, evicted with the session)."""
+    (session memo, evicted with the session; VALUES LocalRelation so
+    broadcasting costs no Python->JVM job)."""
     use = tuple(entries or DEFAULT_QUARANTINE)
 
     def build() -> DataFrame:
         rows = [(q, s, dt.date.fromisoformat(d)) for q, s, d in use]
-        return spark.createDataFrame(
-            rows, "query_name string, symbol string, bad_date date"
+        return values_dim(
+            spark, rows, "query_name string, symbol string, bad_date date"
         )
 
     return session_memo(spark, ("quarantine_dim", use), build)

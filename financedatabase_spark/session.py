@@ -48,6 +48,46 @@ def session_memo(
     return cache[key]
 
 
+def values_dim(spark: SparkSession, rows, columns_sql: str) -> DataFrame:
+    """Tiny literal dimension as a VALUES LocalRelation.
+
+    `spark.createDataFrame(list)` yields a Python-RDD-backed frame
+    (`Scan ExistingRDD`): every broadcast of it runs a separate
+    Python→JVM job (applySchemaToPythonRDD) — measured as a fixed
+    per-query stage cost in the flagship pipeline. A VALUES relation
+    lives in the driver as a LocalRelation: broadcasts materialize with
+    NO job, and Catalyst constant-folds/prunes it like any literal.
+
+    ``columns_sql`` is "name type, name type, ..."; every value is cast
+    to its declared type. Supported value types: str, int, float, bool,
+    datetime.date/datetime (rendered as typed SQL literals), None.
+    """
+    import datetime as _dt
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if isinstance(v, _dt.date):
+            return f"DATE '{v.isoformat()}'"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+
+    cols = [c.strip().split(None, 1) for c in columns_sql.split(",")]
+    if not rows:
+        casts = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+        return spark.sql(f"SELECT {casts} WHERE FALSE")
+    vals = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    names = ", ".join(n for n, _ in cols)
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    return spark.sql(f"SELECT {casts} FROM (VALUES {vals}) AS t({names})")
+
+
 def get_spark(app_name: str = "financedatabase_spark", cpus: int | None = None) -> SparkSession:
     """Build (or return) the engine SparkSession.
 
