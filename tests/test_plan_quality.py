@@ -253,3 +253,25 @@ def test_staged_grams_materialize_once(spark):
     plan = st._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") == 1, plan
     assert st.count() == 6  # 8 words -> 6 distinct 3-shingles
+
+
+def test_plans_md_digests_current(spark):
+    """PLANS.md is a committed snapshot that can silently drift from the
+    code. Regenerate the per-query digests (scans/pushed/exch/py counts)
+    at the same SF the report uses and assert they match — full plan
+    text varies by exprIds, the digest is the stable audit surface."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import plan_report
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.1 dataset not present")
+    want = plan_report.committed_digests(os.path.join(repo, "PLANS.md"))
+    got = plan_report.compute_digests(spark, sf)
+    assert set(got) == set(want), "headline list changed: regenerate PLANS.md"
+    drift = {n: (want[n], got[n]) for n in got if got[n] != want[n]}
+    assert not drift, f"PLANS.md stale (committed vs live): {drift}"
