@@ -6,9 +6,12 @@ approximation (functions/analytics.py). These oracles re-express the SAME
 fixed-iteration algorithms in pure DuckDB SQL so the driver can verify the
 pandas-UDF path against an independent engine:
 
-- every solver iteration is one chained CTE (generated here, not
-  hand-written), mirroring the numpy code op-for-op: same clamps, same
-  branch thresholds, same iteration counts;
+- solver iterations mirror the numpy code op-for-op: same clamps, same
+  branch thresholds, same iteration counts. Two generated forms exist:
+  `bs_iv_chain` (one CTE per iteration — used by risk_pipeline, fine at
+  driver scale) and `bs_iv_walk` (one recursive CTE over narrow state —
+  used by implied_vol_bs; the chain's ~80 inlined levels OOM DuckDB's
+  planner at 50x verification scale, the walk does not);
 - branch decisions (Newton-converged? solvable? vol<=0 fallback?) were
   measured to sit >= 4 orders of magnitude away from their thresholds on
   the synthetic inputs, so both engines take identical branches;
@@ -17,10 +20,9 @@ pandas-UDF path against an independent engine:
   because numpy's SIMD exp/log differ from libm at the ULP level, which
   would otherwise break the driver's full-precision value-hash.
 
-The binomial oracle walks the CRR lattice (American) inside one recursive
-CTE: a lock-step state machine over (evaluation mode, lattice step) whose
-node values ride in a LIST(DOUBLE) column; bisection needs 43 lattice
-evaluations (target, lo bracket, hi bracket, 40 mids).
+The binomial oracle evaluates each CRR lattice (American) as a branchless
+nested list fold and bisects via a recursive CTE over (lo, hi) — 43
+lattice evaluations per row (target, lo bracket, hi bracket, 40 mids).
 
 Reference semantics: /root/reference/dbase/DataAPI/Organizers.py:127-185
 (BS_IV / Binomial_IV / greeks / resolve_missing_vol row-wise applies).
@@ -189,6 +191,68 @@ def _greek_cols(sig_expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# scale-verifiable solver walks. The original bs_iv_chain inlines 80
+# solver levels into one expression tree (DuckDB single-use CTEs are
+# inlined), which OOMs the planner at 50x. bs_iv_walk keeps the SAME math
+# as ONE recursive CTE over narrow (sig, lo, hi) state — constant-size
+# expressions, iteration happens executionally, memory is rows x levels of
+# a dozen columns. Bit-identical: each level prices with the same
+# `_price_cols` laterals in the same order.
+#
+# NOTE on DuckDB lambdas: list_reduce with a STRUCT accumulator whose step
+# is a row-dependent CASE between struct constructions is batch-UNSAFE in
+# DuckDB 1.0 (rows collapse to shared results above a few vector rows —
+# found while building this; single-row evaluation is correct, so the
+# sf0.01 driver gate catches it). Branchless list folds (the binomial
+# lattice rollback below, where GREATEST does the branching) verified
+# batch-correct. Keep row-dependent branching in recursive CTE levels,
+# never inside a list_reduce accumulator.
+# ---------------------------------------------------------------------------
+
+
+def bs_iv_walk(prefix: str, carry: list[str], tgt: str, out: str) -> tuple[str, str]:
+    """`bs_iv_chain` as one recursive CTE: levels 0-19 are the Newton
+    steps, 20-79 the bisection steps, each pricing one trial sigma with
+    the shared `_price_cols` laterals. Same interface and bit-exact
+    results; the caller's WITH must be RECURSIVE."""
+    carry_s = ", ".join(carry)
+    carry2 = carry + ["plo_x", "phi_x"]
+    carry2_s = ", ".join(carry2)
+    walk = (
+        f"{prefix}_br AS (\n"
+        f"  SELECT {carry_s}, pr_L AS plo_x, pr_H AS phi_x\n"
+        f"  FROM (SELECT {carry_s},\n         {_price_cols('1e-9', 'L')},\n"
+        f"         {_price_cols('5.0', 'H')}\n  FROM {prefix}_in)\n"
+        f"),\n"
+        f"{prefix}_walk({carry2_s}, it, sig, lo, hi) AS (\n"
+        f"  SELECT {carry2_s}, 0 AS it,\n"
+        f"         CAST(LEAST(GREATEST(sqrt(2.0 * pi() / tt) * {tgt} / s, 0.05), 3.0) AS DOUBLE) AS sig,\n"
+        f"         1e-9::DOUBLE AS lo, 5.0::DOUBLE AS hi\n"
+        f"  FROM {prefix}_br\n"
+        f"  UNION ALL\n"
+        f"  SELECT {carry2_s}, it + 1,\n"
+        f"         CASE WHEN it < 20 THEN LEAST(GREATEST(sig - CASE WHEN vg_x > 1e-12 "
+        f"THEN (pr_x - {tgt}) / GREATEST(vg_x, 1e-12) ELSE 0.0 END, 1e-9), 5.0) ELSE sig END,\n"
+        f"         CASE WHEN it < 20 THEN lo WHEN pr_x > {tgt} THEN lo ELSE 0.5 * (lo + hi) END,\n"
+        f"         CASE WHEN it < 20 THEN hi WHEN pr_x > {tgt} THEN 0.5 * (lo + hi) ELSE hi END\n"
+        f"  FROM (SELECT {carry2_s}, it, sig, lo, hi,\n"
+        f"         {_price_cols('CASE WHEN it < 20 THEN sig ELSE 0.5 * (lo + hi) END', 'x', vega=True)}\n"
+        f"  FROM {prefix}_walk WHERE it < 80)\n"
+        f"),\n"
+        f"{prefix}_out AS (\n"
+        f"  SELECT {carry_s},\n"
+        f"         CASE WHEN NOT ({tgt} > plo_x + 1e-12 AND {tgt} < phi_x - 1e-12 AND t > 0) THEN 0.0\n"
+        f"              WHEN abs(pr_c - {tgt}) < 1e-6 THEN sig\n"
+        f"              ELSE 0.5 * (lo + hi) END AS {out}\n"
+        f"  FROM (SELECT {carry2_s}, sig, lo, hi,\n"
+        f"         {_price_cols('sig', 'c')}\n"
+        f"  FROM {prefix}_walk WHERE it = 80)\n"
+        f")"
+    )
+    return walk, f"{prefix}_out"
+
+
+# ---------------------------------------------------------------------------
 # per-query oracles
 # ---------------------------------------------------------------------------
 
@@ -197,9 +261,9 @@ _CARRY = ["p_partkey", "s", "k", "t", "r", "q", "is_call", "true_sigma",
 
 
 def implied_vol_bs_oracle() -> str:
-    chain, final = bs_iv_chain("iv", _CARRY + ["tgt"], "tgt", "bs_iv_raw")
+    chain, final = bs_iv_walk("iv", _CARRY + ["tgt"], "tgt", "bs_iv_raw")
     return f"""
-    WITH {BASE},
+    WITH RECURSIVE {BASE},
     iv_in AS (
       SELECT {', '.join(_CARRY)}, pr_t AS tgt
       FROM (SELECT {', '.join(_CARRY)},
@@ -270,31 +334,39 @@ def risk_pipeline_oracle() -> str:
 
 
 def implied_vol_binomial_oracle(steps: int = 32, iters: int = 40) -> str:
-    """CRR American binomial IV via bisection as ONE recursive CTE.
+    """CRR American binomial IV: bisection as a recursive CTE over
+    narrow (lo, hi) state, one full lattice evaluation per level.
 
-    Lock-step state machine: mode 0 prices the target at true_sigma, mode 1
-    the lo bracket (1e-6), mode 2 the hi bracket (5.0), modes 3..2+iters the
-    bisection mids, 99 = done. Within an evaluation each recursion level
-    rolls the lattice back one step:
-
-      vals'[j] = max(disc*(p*vals[j+1] + (1-p)*vals[j]),
-                     sign*(s*u^(2j-step') - k))          (American exercise)
-
-    mirroring analytics.binomial_price. All rows share the same control
-    flow, so every level is a full-width vectorized batch.
+    Each lattice evaluation is a BRANCHLESS nested list fold (terminal
+    payoffs via list_transform, ``steps`` rollback levels via
+    list_reduce over a list accumulator, GREATEST doing the American
+    exercise) — batch-safe in DuckDB 1.0, unlike struct-accumulator
+    folds with row-dependent CASE steps (see module note). 43 lattice
+    evaluations per row (target, lo bracket, hi bracket, 40 mids), with
+    only 40 recursive levels of a dozen columns — vs the previous
+    lock-step machine's 1376 levels each materializing a 33-double list
+    per row, which timed out at 50x verification.
     """
     n = steps
-    last = 2 + iters
-    cols = ("p_partkey, s, k, t, tt, sgn, true_sigma, dsc, eg, "
-            "mode, u, pp, step, vals, tgt, plo, phi, lo2, hi2")
 
     def init_u(sig: str) -> str:
         return f"exp(GREATEST({sig}, 1e-9) * sqrt(tt / {n}.0))"
 
-    def term_vals(u: str) -> str:
-        return (f"list_transform(range(0, {n + 1}), "
+    def price_at(sig: str) -> str:
+        u = init_u(sig)
+        pp = f"LEAST(GREATEST((eg - 1.0 / {u}) / ({u} - 1.0 / {u}), 0.0), 1.0)"
+        term = (f"list_transform(range(0, {n + 1}), "
                 f"j -> GREATEST(sgn * (s * power({u}, 2 * j - {n}) - k), 0.0))")
+        return (
+            f"list_reduce(\n"
+            f"      list_prepend({term},\n"
+            f"                   list_transform(range(1, {n + 1}), i -> CAST([] AS DOUBLE[]))),\n"
+            f"      (vals, x) -> list_transform(range(0, len(vals) - 1),\n"
+            f"        j -> GREATEST(dsc * ({pp} * vals[j + 2] + (1.0 - {pp}) * vals[j + 1]),\n"
+            f"                      sgn * (s * power({u}, 2 * j - len(vals) + 2) - k))))[1]"
+        )
 
+    state = "p_partkey, s, k, t, tt, sgn, true_sigma, dsc, eg, tgt, plo, phi"
     return f"""
     WITH RECURSIVE base AS (
       SELECT p_partkey,
@@ -314,55 +386,26 @@ def implied_vol_binomial_oracle(steps: int = 32, iters: int = 40) -> str:
              exp((r - q) * (GREATEST(t, 1e-12) / {n}.0)) AS eg
       FROM base
     ),
-    walk({cols}) AS (
-      SELECT p_partkey, s, k, t, tt, sgn, true_sigma, dsc, eg,
-             0 AS mode,
-             {init_u('true_sigma')} AS u,
-             LEAST(GREATEST((eg - 1.0 / u) / (u - 1.0 / u), 0.0), 1.0) AS pp,
-             {n} AS step,
-             {term_vals('u')} AS vals,
-             0.0::DOUBLE AS tgt, 0.0::DOUBLE AS plo, 0.0::DOUBLE AS phi, 1e-6 AS lo2, 5.0::DOUBLE AS hi2
+    ev AS (
+      SELECT {state.replace(', tgt, plo, phi', '')},
+             {price_at('true_sigma')} AS tgt,
+             {price_at('1e-6')} AS plo,
+             {price_at('5.0')} AS phi
       FROM pre
+    ),
+    bis({state}, it, lo, hi) AS (
+      SELECT {state}, 0 AS it, 1e-6::DOUBLE AS lo, 5.0::DOUBLE AS hi FROM ev
       UNION ALL
-      SELECT p_partkey, s, k, t, tt, sgn, true_sigma, dsc, eg,
-             CASE WHEN step > 0 THEN mode WHEN mode < {last} THEN mode + 1 ELSE 99 END,
-             nu,
-             CASE WHEN step > 0 THEN pp
-                  ELSE LEAST(GREATEST((eg - 1.0 / nu) / (nu - 1.0 / nu), 0.0), 1.0) END,
-             CASE WHEN step > 0 THEN step - 1 WHEN mode = {last} THEN 0 ELSE {n} END,
-             CASE WHEN step > 0 THEN
-                    list_transform(range(0, step),
-                      j -> GREATEST(dsc * (pp * vals[j + 2] + (1.0 - pp) * vals[j + 1]),
-                                    sgn * (s * power(u, 2 * j - step + 1) - k)))
-                  WHEN mode = {last} THEN CAST([] AS DOUBLE[])
-                  ELSE {term_vals('nu')} END,
-             ntgt, nplo, nphi, nlo, nhi
-      FROM (
-        SELECT *,
-               CASE WHEN step > 0 THEN u ELSE {init_u('signext')} END AS nu
-        FROM (
-          SELECT *,
-                 CASE WHEN step > 0 THEN 0.0
-                      WHEN mode = 0 THEN 1e-6
-                      WHEN mode = 1 THEN 5.0
-                      ELSE 0.5 * (nlo + nhi) END AS signext
-          FROM (
-            SELECT *,
-                   CASE WHEN step = 0 AND mode >= 3 AND px > tgt
-                        THEN 0.5 * (lo2 + hi2) ELSE hi2 END AS nhi,
-                   CASE WHEN step = 0 AND mode >= 3 AND NOT (px > tgt)
-                        THEN 0.5 * (lo2 + hi2) ELSE lo2 END AS nlo,
-                   CASE WHEN step = 0 AND mode = 0 THEN px ELSE tgt END AS ntgt,
-                   CASE WHEN step = 0 AND mode = 1 THEN px ELSE plo END AS nplo,
-                   CASE WHEN step = 0 AND mode = 2 THEN px ELSE phi END AS nphi
-            FROM (SELECT *, vals[1] AS px FROM walk WHERE mode <> 99)
-          )
-        )
-      )
+      SELECT {state}, it + 1,
+             CASE WHEN px > tgt THEN lo ELSE 0.5 * (lo + hi) END,
+             CASE WHEN px > tgt THEN 0.5 * (lo + hi) ELSE hi END
+      FROM (SELECT {state}, it, lo, hi,
+             {price_at('(0.5 * (lo + hi))')} AS px
+      FROM bis WHERE it < {iters})
     )
     SELECT p_partkey,
            {q6('tgt')} AS price,
            true_sigma,
-           {q6('CASE WHEN tgt > plo AND tgt < phi AND t > 0 THEN 0.5 * (lo2 + hi2) ELSE 0.0 END')} AS binomial_iv
-    FROM walk WHERE mode = 99
+           {q6('CASE WHEN tgt > plo AND tgt < phi AND t > 0 THEN 0.5 * (lo + hi) ELSE 0.0 END')} AS binomial_iv
+    FROM bis WHERE it = {iters}
     """

@@ -361,19 +361,22 @@ _MINHASH_PAIRS_WITH = f"""{_SHINGLES_CTE},
       FROM bands a JOIN bstats s ON s.band = a.band AND s.key = a.key
       WHERE s.n > 64 AND a.doc_id > s.rep
     ),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
+    shl AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
     mh_pairs AS (
-      SELECT c.doc1, c.doc2, i / (s1.sz + s2.sz - i) AS jaccard
-      FROM cands c
-      JOIN inter ON inter.doc1 = c.doc1 AND inter.doc2 = c.doc2
-      JOIN sizes s1 ON s1.doc_id = c.doc1
-      JOIN sizes s2 ON s2.doc_id = c.doc2
-      WHERE i / (s1.sz + s2.sz - i) >= 0.2
+      -- intersections ONLY for band-colliding candidates, via list
+      -- intersection per pair (shingles are distinct per doc) — the
+      -- previous shingle-equality self-join computed |A∩B| for EVERY
+      -- co-shingled pair and went quadratic at verification scale
+      SELECT doc1, doc2, i / (sz1 + sz2 - i) AS jaccard
+      FROM (
+        SELECT c.doc1, c.doc2,
+               len(list_intersect(s1.shs, s2.shs)) AS i,
+               len(s1.shs) AS sz1, len(s2.shs) AS sz2
+        FROM cands c
+        JOIN shl s1 ON s1.doc_id = c.doc1
+        JOIN shl s2 ON s2.doc_id = c.doc2
+      )
+      WHERE i / (sz1 + sz2 - i) >= 0.2
     )"""
 
 

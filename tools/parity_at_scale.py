@@ -7,7 +7,9 @@ under a hard cap — an oracle that cannot finish at scale is reported as
 ORACLE_TIMEOUT (the operator's scaling is the bench's job, not this
 sweep's), never as a pass.
 
-Usage: python tools/parity_at_scale.py [sf_dir] [driver_mem] [cap_s]
+Usage: python tools/parity_at_scale.py [sf_dir] [driver_mem] [cap_s] [query ...]
+       (trailing query names restrict the sweep — e.g. re-checking the
+       queries whose oracles were reformulated for scale)
 """
 import json
 import os
@@ -24,10 +26,16 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf5x"
 if len(sys.argv) > 2:
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = sys.argv[2]
 CAP_S = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+ONLY = set(sys.argv[4:])
 
 #: correctness baselines whose ORACLE is quadratic / recursive-CTE —
 #: verified at sf0.01 by the driver; unrunnable at 50x by construction.
-SKIP = {"ngram_jaccard_dups", "tick_imbalance_bars", "tick_run_bars"}
+SKIP = {
+    "ngram_jaccard_dups", "tick_imbalance_bars", "tick_run_bars",
+    # the adaptive variants share the same boundary-stepping recursive
+    # oracle shape (one min-subquery per bar) — sf0.01-verified, not 50x
+    "tick_imbalance_bars_adaptive", "tick_run_bars_adaptive",
+}
 
 _DUCK_SNIPPET = r"""
 import sys, duckdb
@@ -73,6 +81,8 @@ def main() -> None:
 
     ok, bad, timeouts = 0, [], []
     names = [n for n in sorted(ORACLE_SQL) if n not in SKIP]
+    if ONLY:
+        names = [n for n in names if n in ONLY]
     for name in names:
         out_path = os.path.join(tmp, f"{name}.parquet")
         try:
