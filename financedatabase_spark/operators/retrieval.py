@@ -18,6 +18,7 @@ different workload, not this operator.)
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -45,8 +46,13 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("bm25_topk requires at least one query term")
     terms = [t.lower() for t in query_terms]
-    words = F.split(normalized_text(text_col), " ")
-    stats_row = df.agg(
+    # stage the word array once: the one-expression form re-splits the
+    # text per reference (~2 per term + stats) — see the staging note in
+    # operators/text.py. The alias is multi-referenced so CollapseProject
+    # keeps it materialized.
+    staged = df.select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("_w"))
+    words = F.col("_w")
+    stats_row = staged.agg(
         F.count("*").alias("n"),
         F.sum(F.size(words)).alias("dl_sum"),
         *[
@@ -67,24 +73,45 @@ def bm25_topk(
         for i in range(len(terms))
     ]
 
-    dl = F.size(words).cast("double")
-    norm = k1 * (1.0 - b + b * dl / F.lit(avgdl))
+    # Candidate pruning WITHOUT re-splitting: a `score > 0` filter would
+    # be pushed below the staged word projection, re-expanding the full
+    # split/filter tree per term inside one per-row Filter (plan-gated).
+    # Instead (a) a SUBSTRING-superset regex on the raw text — cheap,
+    # pushes to the scan, prunes the corpus before any splitting — and
+    # (b) the exact `score > 0` applied AFTER the top-k limit: positives
+    # sort above zero-score rows, so the retained positives are
+    # identical to filtering first.
+    superset = F.lower(F.col(text_col)).rlike("|".join(re.escape(t) for t in terms))
+    cands = df.filter(superset).select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("_w")
+    )
+    # per-term counts + doc length as their own staged projection, each
+    # referenced twice downstream (tf in numerator and saturation)
+    def _is_term(term: str):
+        # closure factory: a `t=t` default would change the lambda's
+        # arity and PySpark would bind it as (element, index)
+        return lambda w: w == F.lit(term)
 
-    def term_count(term: str):
-        return F.size(F.filter(words, lambda w: w == F.lit(term))).cast("double")
-
+    tf_frame = cands.select(
+        F.col(id_col),
+        F.size("_w").cast("double").alias("_dl"),
+        *[
+            F.size(F.filter(F.col("_w"), _is_term(t))).cast("double").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    norm = k1 * (1.0 - b + b * F.col("_dl") / F.lit(avgdl))
     score = None
-    for i, t in enumerate(terms):
-        tf = term_count(t)
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}")
         part = F.lit(idf[i]) * tf * (k1 + 1.0) / (tf + norm)
         score = part if score is None else score + part
-    scored = df.select(
-        F.col(id_col), F.round(score, round_digits).alias("score")
-    ).filter(F.col("score") > 0)
+    scored = tf_frame.select(F.col(id_col), F.round(score, round_digits).alias("score"))
     # limit-then-rank: the rank window runs over k rows, not the corpus
     rank = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(int(k))
+        .filter(F.col("score") > 0)
         .withColumn("rank", rank.cast("long"))
     )

@@ -62,6 +62,11 @@ from financedatabase_spark.operators.text import (
     pii_counts,
     pii_redact,
     quality_score,
+    winnow_overlap_pairs,
+    with_fingerprint,
+    with_ngram_repetition,
+    with_winnow_fingerprints,
+    with_word_ngrams,
     word_shingles,
     ws_token_count,
 )
@@ -70,7 +75,8 @@ __all__ = [
     # text / quality
     "doc_stats", "lang_id", "quality_score", "ws_token_count",
     "bpe_token_count", "doc_hash", "word_shingles", "pii_redact",
-    "pii_counts",
+    "pii_counts", "with_word_ngrams", "with_winnow_fingerprints",
+    "with_ngram_repetition", "with_fingerprint", "winnow_overlap_pairs",
     # dedup
     "exact_dedup", "minhash_lsh_dedup", "simhash_near_dups",
     "jaccard_pairs", "shingle_table", "connected_components",

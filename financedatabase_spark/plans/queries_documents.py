@@ -766,22 +766,51 @@ def ivf_multiprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_multiprobe_topk(queries, corpus, centroids, k=5, n_probe=2)
 
 
+def _components_sql(rounds: int = 12) -> str:
+    """Connected components as ``rounds`` chained min-label propagation
+    CTEs over the mh_pairs edge list (expects the `edges` CTE). A
+    recursive-CTE transitive closure enumerates every reachable PAIR —
+    quadratic per clique, and 50x replication makes ~500-member cliques
+    (timed out at scale verification). Label propagation is one
+    aggregation join per round; star-capped LSH graphs have diameter
+    ~2-4, so 12 rounds carry margin — and the final round is
+    convergence-POISONED: if labels still moved on the last round every
+    rep comes back NULL, which can never silently match the engine."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
+    # round references the previous one twice -> exponential expansion
+    # (observed as a file-handle explosion before it even runs)
+    parts = ["l0 AS MATERIALIZED (SELECT DISTINCT a AS doc_id, a AS lbl FROM edges)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (\n"
+            f"      SELECT p.doc_id, LEAST(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl\n"
+            f"      FROM l{i - 1} p\n"
+            f"      LEFT JOIN edges e ON e.a = p.doc_id\n"
+            f"      LEFT JOIN l{i - 1} q ON q.doc_id = e.b\n"
+            f"      GROUP BY p.doc_id, p.lbl\n"
+            f"    )"
+        )
+    parts.append(
+        f"comp AS (\n"
+        f"      SELECT a.doc_id,\n"
+        f"             CASE WHEN bool_and(a.lbl = b.lbl) OVER () THEN a.lbl END AS cluster_rep\n"
+        f"      FROM l{rounds} a JOIN l{rounds - 1} b USING (doc_id)\n"
+        f"    )"
+    )
+    return ",\n    ".join(parts)
+
+
 @register(
     "dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE {_MINHASH_PAIRS_WITH},
-    edges AS (
+    WITH {_MINHASH_PAIRS_WITH},
+    edges AS MATERIALIZED (
       SELECT doc1 AS a, doc2 AS b FROM mh_pairs
       UNION
       SELECT doc2, doc1 FROM mh_pairs
     ),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    )
-    SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
-    FROM reach GROUP BY a
+    {_components_sql()}
+    SELECT doc_id, cluster_rep FROM comp
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,10 +818,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     into duplicate groups via iterative min-label propagation
     (operators/dedup_docs.connected_components) — (doc_id, cluster_rep)
     where the rep (component-min id) is what a keep-list retains. The
-    oracle computes the same components with a recursive-CTE transitive
-    closure, tractable at verification scale; the Spark loop is the
-    distributed formulation (rounds = graph diameter, star-capped pairs
-    keep it 2-3)."""
+    oracle runs the SAME propagation as 12 chained SQL rounds with a
+    convergence poison (non-converged labels surface as NULL reps and
+    fail the comparison); the Spark loop is the distributed formulation
+    (rounds = graph diameter, star-capped pairs keep it 2-3)."""
     pairs = dd.minhash_lsh_dedup(
         load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.2
     )
@@ -1285,21 +1314,13 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_keep_best",
     oracle=f"""
-    WITH RECURSIVE {_MINHASH_PAIRS_WITH},
-    edges AS (
+    WITH {_MINHASH_PAIRS_WITH},
+    edges AS MATERIALIZED (
       SELECT doc1 AS a, doc2 AS b FROM mh_pairs
       UNION
       SELECT doc2, doc1 FROM mh_pairs
     ),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    ),
-    comp AS (
-      SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
-      FROM reach GROUP BY a
-    ),
+    {_components_sql()},
     ranked AS (
       SELECT c.cluster_rep, c.doc_id, d.n_chars,
              row_number() OVER (PARTITION BY c.cluster_rep

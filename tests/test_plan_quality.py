@@ -254,6 +254,14 @@ def test_staged_grams_materialize_once(spark):
     assert plan.count("split(") == 1, plan
     assert st.count() == 6  # 8 words -> 6 distinct 3-shingles
 
+    # bm25 stages the word array once too (was ~2 splits per query term)
+    from financedatabase_spark.operators.retrieval import bm25_topk
+
+    bm = bm25_topk(df, ["c", "f"], k=2)
+    plan = bm._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    assert [r.doc_id for r in bm.collect()] == [1]
+
 
 def test_plans_md_digests_current(spark):
     """PLANS.md is a committed snapshot that can silently drift from the
