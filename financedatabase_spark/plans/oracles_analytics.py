@@ -21,8 +21,11 @@ pandas-UDF path against an independent engine:
   would otherwise break the driver's full-precision value-hash.
 
 The binomial oracle evaluates each CRR lattice (American) as a branchless
-nested list fold and bisects via a recursive CTE over (lo, hi) — 43
-lattice evaluations per row (target, lo bracket, hi bracket, 40 mids).
+nested list fold and bisects via 40 CHAINED MATERIALIZED CTE levels over
+(lo, hi) — 43 lattice evaluations per row (target, lo bracket, hi
+bracket, 40 mids). Chained-materialized, not recursive: DuckDB 1.0 runs
+recursive CTEs single-threaded, while each materialized level
+parallelizes the per-row lattice work across threads.
 
 Reference semantics: /root/reference/dbase/DataAPI/Organizers.py:127-185
 (BS_IV / Binomial_IV / greeks / resolve_missing_vol row-wise applies).
@@ -334,27 +337,32 @@ def risk_pipeline_oracle() -> str:
 
 
 def implied_vol_binomial_oracle(steps: int = 32, iters: int = 40) -> str:
-    """CRR American binomial IV: bisection as a recursive CTE over
-    narrow (lo, hi) state, one full lattice evaluation per level.
+    """CRR American binomial IV: bisection as chained MATERIALIZED CTE
+    levels over (lo, hi), one full lattice evaluation per level.
 
-    Each lattice evaluation is a BRANCHLESS nested list fold (terminal
-    payoffs via list_transform, ``steps`` rollback levels via
-    list_reduce over a list accumulator, GREATEST doing the American
-    exercise) — batch-safe in DuckDB 1.0, unlike struct-accumulator
-    folds with row-dependent CASE steps (see module note). 43 lattice
-    evaluations per row (target, lo bracket, hi bracket, 40 mids), with
-    only 40 recursive levels of a dozen columns — vs the previous
-    lock-step machine's 1376 levels each materializing a 33-double list
-    per row, which timed out at 50x verification.
+    Shaped for DuckDB's executor, measured at 50x verification scale:
+    - chained-MATERIALIZED, not recursive (recursive CTEs run
+      single-threaded; materialized levels parallelize across threads);
+    - the lattice fold is BRANCHLESS (GREATEST does the American
+      exercise) — struct-accumulator folds with row-dependent CASE steps
+      are batch-unsafe in DuckDB 1.0 (see module note);
+    - u and pp are hoisted into materialized COLUMNS per level: a lambda
+      re-evaluates captured non-column subtrees (u contains exp()) per
+      list element, which cost ~8x the whole evaluation before hoisting;
+    - the px column is its own level so the two CASE branches don't
+      duplicate the fold.
+
+    43 lattice evaluations per row (target, lo bracket, hi bracket, 40
+    mids); bit-exact vs the engine's numpy path (same ops, same order).
     """
     n = steps
 
-    def init_u(sig: str) -> str:
+    def u_expr(sig: str) -> str:
         return f"exp(GREATEST({sig}, 1e-9) * sqrt(tt / {n}.0))"
 
-    def price_at(sig: str) -> str:
-        u = init_u(sig)
-        pp = f"LEAST(GREATEST((eg - 1.0 / {u}) / ({u} - 1.0 / {u}), 0.0), 1.0)"
+    PP = "LEAST(GREATEST((eg - 1.0 / {u}) / ({u} - 1.0 / {u}), 0.0), 1.0)"
+
+    def lattice(u: str, pp: str) -> str:
         term = (f"list_transform(range(0, {n + 1}), "
                 f"j -> GREATEST(sgn * (s * power({u}, 2 * j - {n}) - k), 0.0))")
         return (
@@ -367,8 +375,58 @@ def implied_vol_binomial_oracle(steps: int = 32, iters: int = 40) -> str:
         )
 
     state = "p_partkey, s, k, t, tt, sgn, true_sigma, dsc, eg, tgt, plo, phi"
+    pre_state = state.replace(", tgt, plo, phi", "")
+    levels = []
+    for i in range(1, iters + 1):
+        levels.append(
+            f"b{i}u AS MATERIALIZED (\n"
+            f"      SELECT {state}, lo, hi, {u_expr('(0.5 * (lo + hi))')} AS u FROM b{i - 1}\n"
+            f"    )"
+        )
+        levels.append(
+            f"b{i}w AS MATERIALIZED (\n"
+            f"      SELECT {state}, lo, hi, u, {PP.format(u='u')} AS pp FROM b{i}u\n"
+            f"    )"
+        )
+        levels.append(
+            f"b{i}p AS MATERIALIZED (\n"
+            f"      SELECT {state}, lo, hi, {lattice('u', 'pp')} AS px FROM b{i}w\n"
+            f"    )"
+        )
+        levels.append(
+            f"b{i} AS (\n"
+            f"      SELECT {state},\n"
+            f"             CASE WHEN px > tgt THEN lo ELSE 0.5 * (lo + hi) END AS lo,\n"
+            f"             CASE WHEN px > tgt THEN 0.5 * (lo + hi) ELSE hi END AS hi\n"
+            f"      FROM b{i}p\n"
+            f"    )"
+        )
+    chain = ",\n    ".join(levels)
+    ev_levels = (
+        f"evu AS MATERIALIZED (\n"
+        f"      SELECT {pre_state},\n"
+        f"             {u_expr('true_sigma')} AS u_t,\n"
+        f"             {u_expr('1e-6')} AS u_l,\n"
+        f"             {u_expr('5.0')} AS u_h\n"
+        f"      FROM pre\n"
+        f"    ),\n"
+        f"    evw AS MATERIALIZED (\n"
+        f"      SELECT {pre_state}, u_t, u_l, u_h,\n"
+        f"             {PP.format(u='u_t')} AS pp_t,\n"
+        f"             {PP.format(u='u_l')} AS pp_l,\n"
+        f"             {PP.format(u='u_h')} AS pp_h\n"
+        f"      FROM evu\n"
+        f"    ),\n"
+        f"    ev AS MATERIALIZED (\n"
+        f"      SELECT {pre_state},\n"
+        f"             {lattice('u_t', 'pp_t')} AS tgt,\n"
+        f"             {lattice('u_l', 'pp_l')} AS plo,\n"
+        f"             {lattice('u_h', 'pp_h')} AS phi\n"
+        f"      FROM evw\n"
+        f"    )"
+    )
     return f"""
-    WITH RECURSIVE base AS (
+    WITH base AS (
       SELECT p_partkey,
              100.0::DOUBLE AS s,
              80.0::DOUBLE + (p_partkey % 41) AS k,
@@ -386,26 +444,14 @@ def implied_vol_binomial_oracle(steps: int = 32, iters: int = 40) -> str:
              exp((r - q) * (GREATEST(t, 1e-12) / {n}.0)) AS eg
       FROM base
     ),
-    ev AS (
-      SELECT {state.replace(', tgt, plo, phi', '')},
-             {price_at('true_sigma')} AS tgt,
-             {price_at('1e-6')} AS plo,
-             {price_at('5.0')} AS phi
-      FROM pre
+    {ev_levels},
+    b0 AS (
+      SELECT {state}, 1e-6::DOUBLE AS lo, 5.0::DOUBLE AS hi FROM ev
     ),
-    bis({state}, it, lo, hi) AS (
-      SELECT {state}, 0 AS it, 1e-6::DOUBLE AS lo, 5.0::DOUBLE AS hi FROM ev
-      UNION ALL
-      SELECT {state}, it + 1,
-             CASE WHEN px > tgt THEN lo ELSE 0.5 * (lo + hi) END,
-             CASE WHEN px > tgt THEN 0.5 * (lo + hi) ELSE hi END
-      FROM (SELECT {state}, it, lo, hi,
-             {price_at('(0.5 * (lo + hi))')} AS px
-      FROM bis WHERE it < {iters})
-    )
+    {chain}
     SELECT p_partkey,
            {q6('tgt')} AS price,
            true_sigma,
            {q6('CASE WHEN tgt > plo AND tgt < phi AND t > 0 THEN 0.5 * (lo + hi) ELSE 0.0 END')} AS binomial_iv
-    FROM bis WHERE it = {iters}
+    FROM b{iters}
     """

@@ -41,7 +41,7 @@ _DUCK_SNIPPET = r"""
 import sys, duckdb
 sys.path.insert(0, sys.argv[1])
 from financedatabase_spark.plans.registry import ORACLE_SQL
-con = duckdb.connect(); con.execute("SET threads TO 16")
+con = duckdb.connect(); con.execute("SET threads TO 32")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '" + sys.argv[2] + f"/{t}.parquet'")
 con.execute("COPY (" + ORACLE_SQL[sys.argv[3]] + ") TO '" + sys.argv[4] + "' (FORMAT PARQUET)")
