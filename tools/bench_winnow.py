@@ -32,7 +32,7 @@ TEXT_REPEAT = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from financedatabase_spark.operators.text import winnow_fingerprint_set  # noqa: E402
+from financedatabase_spark.operators.text import with_winnow_fingerprints  # noqa: E402
 from financedatabase_spark.session import get_spark  # noqa: E402
 
 
@@ -51,15 +51,20 @@ def main() -> None:
     )
 
     def run(mode: str) -> float:
-        # sum of set sizes forces every fingerprint to materialize
-        q = docs.select(
-            F.size(winnow_fingerprint_set("text", hash_mode=mode)).alias("n")
-        ).agg(F.sum("n"))
-        q.collect()  # warm (codegen + JIT)
+        # sum of set sizes forces every fingerprint to materialize; the
+        # query is REBUILT per rep — re-collecting one DataFrame object
+        # skips the map stage via shuffle-output reuse (measured 0.03s
+        # "runs" otherwise)
+        def q():
+            return (
+                with_winnow_fingerprints(docs, "text", "_fp", hash_mode=mode)
+                .select(F.size("_fp").alias("n")).agg(F.sum("n"))
+            )
+        q().collect()  # warm (codegen + JIT)
         times = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            q.collect()
+            q().collect()
             times.append(time.perf_counter() - t0)
         return statistics.median(times)
 
