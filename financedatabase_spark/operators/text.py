@@ -475,3 +475,51 @@ def pii_counts(text: Column | str) -> list[Column]:
         cols.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{tag.lower()}"))
         cur = F.regexp_replace(cur, pat, f"[{tag}]")
     return cols
+
+
+def with_document_chunks(
+    df: DataFrame,
+    text_col: Column | str,
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Context-window chunking (RAG / pretraining prep): split each
+    document into whitespace-token chunks of ``max_tokens`` with
+    ``overlap`` tokens of left context, emitting one row per chunk with
+    ``chunk_idx`` (0-based), ``chunk_text``, and ``chunk_tokens``.
+
+    Chunk i covers tokens ``[1 + i·(max_tokens - overlap),
+    … + max_tokens - 1]`` of the normalized token sequence; the last
+    chunk may be shorter. Deterministic and engine-portable (the SQL
+    oracle reproduces it with range + list_slice).
+
+    Scale shape: staged words (one split per row — see the staging note
+    above), starts/slices as in-row array ops, then explode_outer + a
+    null filter (a non-outer explode would re-inline the chunk tree into
+    an inferred size() filter). One scan, zero shuffle.
+    """
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than max_tokens ({max_tokens})"
+        )
+    stride = max_tokens - overlap
+    wc = "_chk_words"
+    words = df.withColumn(wc, F.split(normalized_text(text_col), " "))
+    n = F.size(wc)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    chunk = lambda s: F.struct(  # noqa: E731
+        ((s - 1) / stride).cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice(F.col(wc), s, max_tokens)).alias("chunk_text"),
+        F.least(n - s + 1, F.lit(max_tokens)).cast("long").alias("chunk_tokens"),
+    )
+    chunked = words.withColumn("_chk", F.transform(starts, chunk)).drop(wc)
+    return (
+        chunked.withColumn("_c", F.explode_outer("_chk"))
+        .filter(F.col("_c").isNotNull())
+        .select(
+            *[c for c in df.columns],
+            F.col("_c.chunk_idx").alias("chunk_idx"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+            F.col("_c.chunk_tokens").alias("chunk_tokens"),
+        )
+    )

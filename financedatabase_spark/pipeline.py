@@ -63,6 +63,7 @@ from financedatabase_spark.operators.text import (
     pii_redact,
     quality_score,
     winnow_overlap_pairs,
+    with_document_chunks,
     with_fingerprint,
     with_ngram_repetition,
     with_winnow_fingerprints,
@@ -77,6 +78,7 @@ __all__ = [
     "bpe_token_count", "doc_hash", "word_shingles", "pii_redact",
     "pii_counts", "with_word_ngrams", "with_winnow_fingerprints",
     "with_ngram_repetition", "with_fingerprint", "winnow_overlap_pairs",
+    "with_document_chunks",
     # dedup
     "exact_dedup", "minhash_lsh_dedup", "simhash_near_dups",
     "jaccard_pairs", "shingle_table", "connected_components",

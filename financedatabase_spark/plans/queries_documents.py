@@ -1359,3 +1359,34 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("keep_n_chars"),
         F.col("n_members").cast("long").alias("n_members"),
     )
+
+
+@register(
+    "document_chunks",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, words,
+             unnest(range(1, greatest(len(words), 1) + 1, 18)) AS st
+      FROM w
+    )
+    SELECT doc_id,
+           ((st - 1) // 18)::BIGINT AS chunk_idx,
+           array_to_string(words[st:st + 23], ' ') AS chunk_text,
+           least(len(words) - st + 1, 24)::BIGINT AS chunk_tokens
+    FROM s
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for RAG/pretraining prep
+    (operators/text.with_document_chunks, max_tokens=24, overlap=6):
+    each document splits into overlapping token-bounded chunks — the
+    map-only stage every retrieval/packing pipeline starts from. One
+    scan, zero shuffle; the oracle re-derives identical chunks with
+    range + list slicing."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.with_document_chunks(docs, "text", max_tokens=24, overlap=6).drop("text")

@@ -908,3 +908,48 @@ def test_ivf_auto_vectorized_switch(spark, sf_dir):
                         cell_col="label", vectorized="auto").collect()
     key = lambda r: (r.query_id, r.rank)  # noqa: E731
     assert sorted(blocked, key=key) == sorted(fold, key=key)
+
+
+def test_document_chunks_reference_and_plan(spark):
+    """with_document_chunks vs a pandas reference loop: full coverage
+    with the declared overlap, 0-based chunk indices, short-doc and
+    single-token edges; plan gate: staged words (one split), no
+    re-inlined chunk tree in an inferred generate filter."""
+    import pytest as _pytest
+
+    from financedatabase_spark.operators.text import with_document_chunks
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # 3 chunks at stride 4
+        (2, "only three words"),                    # single short chunk
+        (3, "solo"),                                # single token
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.chunk_tokens)
+        for r in with_document_chunks(df, "text", max_tokens=6, overlap=2).collect()
+    )
+    want = []
+    for doc_id, text in rows:
+        words = text.split()
+        stride = 6 - 2
+        s = 0
+        idx = 0
+        while s < max(len(words), 1):
+            piece = words[s:s + 6]
+            want.append((doc_id, idx, " ".join(piece), len(piece)))
+            s += stride
+            idx += 1
+    assert got == sorted(want)
+    # overlap property: consecutive chunks share exactly `overlap` tokens
+    c0, c1 = want[0][2].split(), want[1][2].split()
+    assert c0[-2:] == c1[:2]
+
+    plan = (
+        with_document_chunks(df, "text", max_tokens=6, overlap=2)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("split(") == 1, plan
+
+    with _pytest.raises(ValueError, match="overlap"):
+        with_document_chunks(df, "text", max_tokens=8, overlap=8)
