@@ -100,7 +100,14 @@ def load_quarantine_config(path: str) -> list[tuple[str, str, str]]:
         q, s, d = patch["query_name"], patch["symbol"], patch["bad_date"]
         if not (isinstance(q, str) and q and isinstance(s, str) and s):
             raise ValueError(f"{where}: query_name and symbol must be non-empty strings")
-        d = d.isoformat() if isinstance(d, dt.date) else str(d)
+        # YAML parses "2014-06-09 00:00:00" to datetime (a dt.date
+        # subclass) — take its date part, not the full isoformat.
+        if isinstance(d, dt.datetime):
+            d = d.date().isoformat()
+        elif isinstance(d, dt.date):
+            d = d.isoformat()
+        else:
+            d = str(d)
         try:
             dt.date.fromisoformat(d)
         except ValueError as exc:

@@ -124,8 +124,13 @@ def _resolve_vectorized(vectorized, corpus: DataFrame) -> bool:
     """Size-based fold/blocked switch for ``vectorized="auto"``: reads
     Catalyst's plan-stats size estimate (file sizes for scan-backed
     frames) — no job is triggered."""
+    if vectorized is True or vectorized is False:
+        return vectorized
     if vectorized != "auto":
-        return bool(vectorized)
+        # A typo like "fold"/"false" must not silently pick a path.
+        raise ValueError(
+            f"vectorized must be True, False, or 'auto'; got {vectorized!r}"
+        )
     try:
         raw = corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         size = int(raw if isinstance(raw, int) else raw.toString())

@@ -490,8 +490,12 @@ def with_document_chunks(
 
     Chunk i covers tokens ``[1 + i·(max_tokens - overlap),
     … + max_tokens - 1]`` of the normalized token sequence; the last
-    chunk may be shorter. Deterministic and engine-portable (the SQL
-    oracle reproduces it with range + list_slice).
+    chunk may be shorter. Starts stop once a chunk reaches the document
+    end (cap ``n - max_tokens + stride``), so no trailing chunk made
+    solely of already-covered overlap tokens is emitted — a duplicate
+    overlap-only tail would double-index text in RAG stores.
+    Deterministic and engine-portable (the SQL oracle reproduces it
+    with range + list_slice).
 
     Scale shape: staged words (one split per row — see the staging note
     above), starts/slices as in-row array ops, then explode_outer + a
@@ -506,7 +510,9 @@ def with_document_chunks(
     wc = "_chk_words"
     words = df.withColumn(wc, F.split(normalized_text(text_col), " "))
     n = F.size(wc)
-    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - max_tokens + stride, F.lit(1)), F.lit(stride)
+    )
     chunk = lambda s: F.struct(  # noqa: E731
         ((s - 1) / stride).cast("long").alias("chunk_idx"),
         F.concat_ws(" ", F.slice(F.col(wc), s, max_tokens)).alias("chunk_text"),

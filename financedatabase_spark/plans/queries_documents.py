@@ -1371,7 +1371,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT doc_id, words,
-             unnest(range(1, greatest(len(words), 1) + 1, 18)) AS st
+             unnest(range(1, greatest(len(words) - 6, 1) + 1, 18)) AS st
       FROM w
     )
     SELECT doc_id,

@@ -59,10 +59,15 @@ def values_dim(spark: SparkSession, rows, columns_sql: str) -> DataFrame:
     NO job, and Catalyst constant-folds/prunes it like any literal.
 
     ``columns_sql`` is "name type, name type, ..."; every value is cast
-    to its declared type. Supported value types: str, int, float, bool,
-    datetime.date/datetime (rendered as typed SQL literals), None.
+    to its declared type. Parameterized/nested types (``decimal(10,2)``,
+    ``array<int>``, ``struct<...>``) are supported — the column list is
+    split on top-level commas only. Supported value types: str, int,
+    float (NaN/±Inf rendered as typed casts), bool, datetime.date/
+    datetime (rendered as typed SQL literals), list/tuple (rendered as
+    array(...)), None.
     """
     import datetime as _dt
+    import math as _math
 
     def lit(v) -> str:
         if v is None:
@@ -73,12 +78,37 @@ def values_dim(spark: SparkSession, rows, columns_sql: str) -> DataFrame:
             return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
         if isinstance(v, _dt.date):
             return f"DATE '{v.isoformat()}'"
+        if isinstance(v, float) and not _math.isfinite(v):
+            if _math.isnan(v):
+                return "CAST('NaN' AS DOUBLE)"
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
         if isinstance(v, (int, float)):
             return repr(v)
-        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        if isinstance(v, (list, tuple)):
+            return "array(" + ", ".join(lit(x) for x in v) + ")"
+        s = str(v)
+        if "'" in s or "\\" in s:
+            # Quote/backslash escaping differs between the default
+            # C-style parser and spark.sql.parser.escapedStringLiterals
+            # (Hive-compat) mode — and legacy mode has NO quote escape
+            # at all. A hex binary literal parses identically in both.
+            return f"CAST(X'{s.encode('utf-8').hex()}' AS STRING)"
         return f"'{s}'"
 
-    cols = [c.strip().split(None, 1) for c in columns_sql.split(",")]
+    def split_top_level(spec: str) -> list[str]:
+        parts, depth, start = [], 0, 0
+        for i, ch in enumerate(spec):
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(spec[start:i])
+                start = i + 1
+        parts.append(spec[start:])
+        return [p for p in (p.strip() for p in parts) if p]
+
+    cols = [c.split(None, 1) for c in split_top_level(columns_sql)]
     if not rows:
         casts = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
         return spark.sql(f"SELECT {casts} WHERE FALSE")

@@ -920,7 +920,8 @@ def test_document_chunks_reference_and_plan(spark):
     from financedatabase_spark.operators.text import with_document_chunks
 
     rows = [
-        (1, " ".join(f"w{i}" for i in range(10))),  # 3 chunks at stride 4
+        (1, " ".join(f"w{i}" for i in range(10))),  # 2 chunks at stride 4
+        (4, " ".join(f"w{i}" for i in range(11))),  # 3rd chunk adds w10
         (2, "only three words"),                    # single short chunk
         (3, "solo"),                                # single token
     ]
@@ -935,9 +936,11 @@ def test_document_chunks_reference_and_plan(spark):
         stride = 6 - 2
         s = 0
         idx = 0
-        while s < max(len(words), 1):
-            piece = words[s:s + 6]
+        while True:  # stop once a chunk reaches the document end —
+            piece = words[s:s + 6]  # no overlap-only trailing chunk
             want.append((doc_id, idx, " ".join(piece), len(piece)))
+            if s + 6 >= len(words):
+                break
             s += stride
             idx += 1
     assert got == sorted(want)
