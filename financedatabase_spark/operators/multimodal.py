@@ -4,10 +4,13 @@ Media travel as opaque `binary` columns with a typed metadata struct —
 the lakehouse-standard layout (one row per asset, bytes inline for small
 assets or a URI for large ones). Decode / feature-extract / resize /
 frame-sample run as Arrow-batched `mapInPandas` stages: the Spark-side
-contract (schema, batch iteration, partition sizing) is real and tested;
-the codec call itself is STUBBED because no image/audio library exists in
-this container — `decode_fn=None` raises NotImplementedError at the point
-a real codec would plug in, and tests use a deterministic fake.
+contract (schema, batch iteration, partition sizing) is real and tested.
+
+Codecs: audio (RIFF/WAVE PCM) decodes for real via the stdlib `wave`
+module (`wav_decode` — header parse + int16 PCM windowed energy);
+images decode via Pillow when importable (`pil_decode`); video remains
+the documented NotImplementedError seam (no ffmpeg in this container) —
+tests use a deterministic fake there.
 
 Scale notes: binary payloads make wide rows — `maxPartitionBytes` governs
 scan parallelism, and mapInPandas keeps peak memory at one Arrow batch per
@@ -16,7 +19,10 @@ worker. No shuffle is introduced by any stage here.
 
 from __future__ import annotations
 
+import struct
+import wave
 from collections.abc import Callable, Iterator
+from io import BytesIO
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -64,6 +70,7 @@ def decode_features(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     feature_dim: int = 8,
+    pass_media_type: bool = False,
 ) -> DataFrame:
     """Decode + feature-extract stage over `mapInPandas`.
 
@@ -71,7 +78,14 @@ def decode_features(
     raises NotImplementedError where a real codec (PIL/ffmpeg/torchaudio)
     would be invoked — the surrounding plumbing (Arrow batching, schema,
     column pruning) is the part this engine owns and tests.
+
+    With ``pass_media_type=True`` the decode is called as
+    ``decode_fn(payload, media_type)`` so a dispatching codec (see
+    `dispatch_decode`) can pick its decoder per row; the frame must then
+    carry a ``media_type`` column.
     """
+    if pass_media_type and "media_type" not in df.columns:
+        raise ValueError("pass_media_type=True requires a media_type column")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -80,7 +94,13 @@ def decode_features(
                     "no media codec available in this environment; supply "
                     "decode_fn (e.g. PIL-based) to decode real payloads"
                 )
-            feats = pdf[payload_col].map(lambda b: list(decode_fn(bytes(b))))
+            if pass_media_type:
+                feats = [
+                    list(decode_fn(bytes(b), mt))
+                    for b, mt in zip(pdf[payload_col], pdf["media_type"])
+                ]
+            else:
+                feats = pdf[payload_col].map(lambda b: list(decode_fn(bytes(b))))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -111,10 +131,85 @@ def pil_decode(payload: bytes, dim: int = 8) -> list[float]:
     return [c / total for c in counts]
 
 
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic WAV fixture: a real RIFF/WAVE container (stdlib
+    `wave` writer, 16-bit mono PCM) whose samples derive from ``doc_id``
+    by pure integer arithmetic — so a SQL oracle can recompute the
+    decoded features from the id alone, while the Spark path must
+    round-trip the actual container (44-byte header + LE int16 frames).
+
+    n_samples = 400 + doc_id % 257; rate = 8000 + (doc_id % 3) * 4000;
+    sample[t] = (doc_id*7919 + t*104729) % 65536 - 32768.
+    """
+    doc_id = int(doc_id)
+    n = 400 + doc_id % 257
+    rate = 8000 + (doc_id % 3) * 4000
+    samples = [((doc_id * 7919 + t * 104729) % 65536) - 32768 for t in range(n)]
+    buf = BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    return buf.getvalue()
+
+
+def wav_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Real audio codec for the `decode_features` seam — stdlib `wave`,
+    no external dependency. Parses the RIFF/WAVE header (channels, sample
+    width, frame count), decodes little-endian int16 PCM, mono-mixes
+    multi-channel input, and emits ``dim`` windowed energy features:
+    feats[w] = sum(abs(sample[t]) for t with t*dim//n == w). Integer
+    sums (exact in double) keep the output bit-stable across engines.
+
+    Reference parity: the reference treats media as opaque payloads with
+    no audio path at all; this is the brief's LLM-pipeline audio
+    feature-extract stage, not a reference port.
+    """
+    with wave.open(BytesIO(bytes(payload)), "rb") as w:
+        n, ch, sw = w.getnframes(), w.getnchannels(), w.getsampwidth()
+        frames = w.readframes(n)
+    if sw != 2:
+        raise NotImplementedError(f"only 16-bit PCM supported, got {8 * sw}-bit")
+    samples = struct.unpack(f"<{n * ch}h", frames)
+    if ch > 1:  # mono-mix, truncating toward zero like int division
+        samples = [int(sum(samples[i * ch:(i + 1) * ch]) / ch) for i in range(n)]
+    feats = [0] * dim
+    for t, s in enumerate(samples):
+        feats[t * dim // max(n, 1)] += abs(s)
+    return [float(v) for v in feats]
+
+
+def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8) -> list[float]:
+    """Per-payload codec dispatch on `media_meta.media_type` (magic-byte
+    sniff as fallback): audio/* → `wav_decode` (always available,
+    stdlib); image/* → `pil_decode` when Pillow is importable; video/*
+    and everything else → NotImplementedError (the remaining documented
+    seam — no ffmpeg in this container)."""
+    mt = (media_type or "").lower()
+    raw = bytes(payload)
+    is_wav = raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    if mt.startswith("audio/") or (not mt and is_wav):
+        return wav_decode(raw, dim)
+    if mt.startswith("image/"):
+        try:
+            return pil_decode(raw, dim)
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image payloads need Pillow, which is not importable here"
+            ) from exc
+    raise NotImplementedError(
+        f"no codec for media_type {media_type!r} in this environment "
+        "(video needs ffmpeg; supply a custom decode_fn)"
+    )
+
+
 def default_decode() -> Callable[[bytes], list[float]] | None:
-    """The best codec this environment offers: PIL-backed when Pillow is
-    importable, else None (callers fall back to `fake_decode` for tests
-    or get NotImplementedError on real payloads)."""
+    """The best single-modality image codec this environment offers:
+    PIL-backed when Pillow is importable, else None (callers fall back
+    to `fake_decode` for tests or get NotImplementedError on real
+    payloads). For mixed-modality frames use `dispatch_decode` with
+    ``pass_media_type=True`` — its audio path needs no extra library."""
     try:
         import PIL  # noqa: F401
 

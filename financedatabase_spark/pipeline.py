@@ -34,8 +34,11 @@ from financedatabase_spark.operators.multimodal import (
     attach_media_meta,
     decode_features,
     default_decode,
+    dispatch_decode,
     fake_decode,
     frame_sample_plan,
+    synth_wav,
+    wav_decode,
 )
 from financedatabase_spark.operators.sampling import (
     dataset_split,
@@ -92,5 +95,6 @@ __all__ = [
     "dataset_split", "token_shard_packing",
     # multimodal
     "attach_media_meta", "decode_features", "default_decode",
+    "dispatch_decode", "synth_wav", "wav_decode",
     "fake_decode", "frame_sample_plan",
 ]

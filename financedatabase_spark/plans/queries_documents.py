@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 from financedatabase_spark.operators import dedup_docs as dd
 from financedatabase_spark.operators import similarity as sim
 from financedatabase_spark.operators import text as tx
-from financedatabase_spark.operators.multimodal import attach_media_meta, decode_features, fake_decode
+from financedatabase_spark.operators.multimodal import (
+    attach_media_meta,
+    decode_features,
+    dispatch_decode,
+    fake_decode,
+    synth_wav,
+)
 from financedatabase_spark.plans.registry import register
 from financedatabase_spark.sources.readers import load_table
 
@@ -617,6 +623,57 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bytes",
         F.posexplode("feature").alias("pos", "x"),
+    )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 400 + doc_id % 257 AS n FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, i AS t,
+             abs(((doc_id * 7919 + i * 104729) % 65536) - 32768) AS a
+      FROM d, UNNEST(generate_series(0, n - 1)) AS u(i)
+    )
+    SELECT doc_id,
+           (44 + 2 * n)::BIGINT AS n_bytes,
+           ((t * 8) // n)::INT AS win,
+           sum(a)::DOUBLE AS abs_sum
+    FROM s GROUP BY doc_id, n, (t * 8) // n
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through the REAL stdlib-`wave` codec
+    (operators/multimodal.wav_decode via dispatch_decode): each doc gets
+    a deterministic RIFF/WAVE container (synth_wav — 16-bit mono PCM,
+    samples a pure integer function of doc_id), and the codec must parse
+    the header, decode the LE int16 frames, and emit 8 windowed
+    |amplitude| sums. The oracle recomputes the features from doc_id by
+    the same integer formula — and checks the container round-trip via
+    n_bytes = 44-byte header + 2·n_samples.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; zero shuffle, one Arrow batch per worker in flight."""
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_wav(int(i))),
+                    "media_type": "audio/wav",
+                }
+            )
+
+    wavs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(wavs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("feature").alias("win", "abs_sum")
     )
 
 

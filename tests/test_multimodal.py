@@ -64,6 +64,102 @@ def test_frame_sampling(spark):
     assert kept.filter(~F.col("frame_idx").isin(0, 5)).count() == 0
 
 
+def test_wav_codec_round_trip():
+    """wav_decode must parse the real container synth_wav writes: header
+    fields round-trip through the wave module, and the windowed |amp|
+    sums equal a direct integer computation from the synthesis formula."""
+    import struct
+    import wave
+    from io import BytesIO
+
+    from financedatabase_spark.operators.multimodal import synth_wav, wav_decode
+
+    for doc_id in (0, 1, 7, 256, 12345):
+        payload = synth_wav(doc_id)
+        n = 400 + doc_id % 257
+        assert len(payload) == 44 + 2 * n  # 44-byte RIFF/fmt/data header
+        with wave.open(BytesIO(payload)) as w:
+            assert w.getnframes() == n
+            assert w.getnchannels() == 1 and w.getsampwidth() == 2
+            assert w.getframerate() == 8000 + (doc_id % 3) * 4000
+        want = [0] * 8
+        for t in range(n):
+            want[t * 8 // n] += abs(((doc_id * 7919 + t * 104729) % 65536) - 32768)
+        assert wav_decode(payload) == [float(v) for v in want]
+
+    # stereo mono-mix: L/R averaged (truncating), 2 frames -> 2 samples
+    buf = BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 100, 200, -300, -100))
+    feats = wav_decode(buf.getvalue(), dim=2)
+    assert feats == [150.0, 200.0]  # |avg(100,200)|, |avg(-300,-100)|
+
+    # 8-bit PCM is out of contract
+    buf8 = BytesIO()
+    with wave.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x80\xff")
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        wav_decode(buf8.getvalue())
+
+
+def test_dispatch_decode_routes_by_media_type():
+    from financedatabase_spark.operators.multimodal import (
+        dispatch_decode,
+        synth_wav,
+        wav_decode,
+    )
+
+    payload = synth_wav(42)
+    assert dispatch_decode(payload, "audio/wav") == wav_decode(payload)
+    assert dispatch_decode(payload, None) == wav_decode(payload)  # magic sniff
+    with pytest.raises(NotImplementedError, match="video"):
+        dispatch_decode(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+    with pytest.raises(NotImplementedError):
+        dispatch_decode(b"not media", None)
+
+
+def test_audio_decode_through_mapinpandas(spark):
+    """decode_features with pass_media_type=True drives dispatch_decode
+    end-to-end over Arrow batches: real WAV payloads decode to the same
+    features driver-side wav_decode computes; missing media_type column
+    errors up front."""
+    import pandas as pd
+
+    from financedatabase_spark.operators.multimodal import (
+        decode_features,
+        dispatch_decode,
+        synth_wav,
+        wav_decode,
+    )
+
+    ids = [0, 3, 11, 500]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "payload": [synth_wav(i) for i in ids],
+            "media_type": ["audio/wav"] * len(ids),
+        }
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, payload binary, media_type string")
+    out = {
+        r.doc_id: r
+        for r in decode_features(df, decode_fn=dispatch_decode, pass_media_type=True).collect()
+    }
+    for i in ids:
+        assert out[i].media_type == "audio/wav"
+        assert out[i].n_bytes == len(synth_wav(i))
+        assert out[i].feature == wav_decode(synth_wav(i))
+
+    with pytest.raises(ValueError, match="media_type"):
+        decode_features(df.drop("media_type"), decode_fn=dispatch_decode, pass_media_type=True)
+
+
 def test_codec_seam_both_ways(spark, media_df):
     """The optional-codec seam: with Pillow importable, default_decode()
     returns the PIL codec and decode_features produces dim-length
