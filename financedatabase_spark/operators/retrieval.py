@@ -115,3 +115,43 @@ def bm25_topk(
         .filter(F.col("score") > 0)
         .withColumn("rank", rank.cast("long"))
     )
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher) of N ranked
+    lists: rrf_score(d) = Σ_lists 1/(k_rrf + rank_list(d)), the standard
+    hybrid-search combiner for a lexical (BM25) and a dense (ANN) list —
+    rank-based, so the two incomparable score scales never mix.
+
+    Inputs are top-k lists (k rows each), so every stage here is
+    trivially small: one union, one tiny groupBy, and a final
+    TakeOrderedAndProject — no global sort, no assumption that the
+    corpus itself fits anywhere. Scores are rounded before ranking so
+    float ties break identically across engines; ties break on
+    ``id_col``. Output: (id, rrf_score, n_lists, rank).
+    """
+    if not lists:
+        raise ValueError("rrf_fuse requires at least one ranked list")
+    tagged = None
+    for df in lists:
+        part = df.select(F.col(id_col), F.col(rank_col).cast("long").alias("_r"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = tagged.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("_r"))), round_digits
+        ).alias("rrf_score"),
+        F.count("*").cast("long").alias("n_lists"),
+    )
+    rank = F.row_number().over(Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()))
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .withColumn("rank", rank.cast("long"))
+    )

@@ -40,6 +40,7 @@ from financedatabase_spark.operators.multimodal import (
     synth_wav,
     wav_decode,
 )
+from financedatabase_spark.operators.retrieval import bm25_topk, rrf_fuse
 from financedatabase_spark.operators.sampling import (
     dataset_split,
     deterministic_sample,
@@ -86,6 +87,8 @@ __all__ = [
     "exact_dedup", "minhash_lsh_dedup", "simhash_near_dups",
     "jaccard_pairs", "shingle_table", "connected_components",
     "contamination_pairs",
+    # retrieval
+    "bm25_topk", "rrf_fuse",
     # similarity / embeddings
     "cosine_topk", "ivf_topk", "ivf_multiprobe_topk", "cell_centroids",
     "kmeans_refine", "embedding_near_dups", "scalar_quantize_int8",

@@ -973,6 +973,91 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_search_rrf",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*)::BIGINT AS n, sum(len(words))::BIGINT AS dl_sum,
+             sum(CASE WHEN list_contains(words, 'spark') THEN 1 ELSE 0 END)::BIGINT AS df0,
+             sum(CASE WHEN list_contains(words, 'vector') THEN 1 ELSE 0 END)::BIGINT AS df1,
+             sum(CASE WHEN list_contains(words, 'stream') THEN 1 ELSE 0 END)::BIGINT AS df2
+      FROM w
+    ),
+    tf AS (
+      SELECT doc_id, len(words)::DOUBLE AS dl,
+             len(list_filter(words, x -> x = 'spark'))::DOUBLE AS tf0,
+             len(list_filter(words, x -> x = 'vector'))::DOUBLE AS tf1,
+             len(list_filter(words, x -> x = 'stream'))::DOUBLE AS tf2
+      FROM w
+    ),
+    lex_scored AS (
+      SELECT doc_id,
+             round(
+               ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0)
+                 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (dl_sum / n)))
+             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0)
+                 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (dl_sum / n)))
+             + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0)
+                 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (dl_sum / n)))
+             , 6) AS score
+      FROM tf, stats
+    ),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
+      FROM lex_scored WHERE score > 0
+      ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dense_scored AS (
+      SELECT c.corpus_id,
+             round(list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+      FROM q CROSS JOIN c
+    ),
+    dense AS (
+      SELECT corpus_id AS doc_id, row_number() OVER (ORDER BY score DESC, corpus_id)::BIGINT AS rank
+      FROM dense_scored ORDER BY score DESC, corpus_id LIMIT 20
+    ),
+    fused AS (
+      SELECT doc_id,
+             round(sum(1.0::DOUBLE / (60.0::DOUBLE + rank)), 6) AS rrf_score,
+             count(*)::BIGINT AS n_lists
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_lists,
+           row_number() OVER (ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — reciprocal-rank fusion of the lexical BM25
+    top-20 ("spark vector stream") with the dense cosine top-20 for the
+    vec_id=0 query embedding (operators/retrieval.rrf_fuse). The two
+    ranked lists are k-row frames, so fusion costs one tiny union +
+    groupBy + TakeOrderedAndProject regardless of corpus size; rank
+    fusion never mixes the incomparable BM25/cosine score scales.
+    With document chunking, BM25, and IVF ANN in place this closes the
+    retrieval stack a RAG data pipeline needs."""
+    from financedatabase_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "vector", "stream"], k=20).select("doc_id", "rank")
+    dense = sim.cosine_topk(
+        emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding"),
+        emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+        k=20,
+    ).select(F.col("corpus_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, dense], k=10)
+
+
+@register(
     "corpus_mixture_sample",
     oracle="""
     WITH tot AS (

@@ -956,3 +956,35 @@ def test_document_chunks_reference_and_plan(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         with_document_chunks(df, "text", max_tokens=8, overlap=8)
+
+
+def test_rrf_fuse_semantics(spark):
+    """Reciprocal-rank fusion: a doc present in both lists must outscore
+    a doc that ranks first in only one list (the RRF property that makes
+    it the standard hybrid combiner); scores equal the hand-computed
+    sum(1/(k_rrf+rank)); n_lists counts contributing lists; ties break
+    on doc_id; empty input rejected."""
+    import pytest as _pytest
+
+    from financedatabase_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    dense = spark.createDataFrame(
+        [(99, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([lex, dense], k=10).collect()}
+    assert out[20].n_lists == 2 and out[10].n_lists == 1
+    assert out[20].rrf_score == round(1 / 62 + 1 / 62, 6)
+    assert out[10].rrf_score == round(1 / 61, 6)
+    # doc 20 (rank 2 in both) beats docs 10/99 (rank 1 in one list each)
+    assert out[20].rank == 1
+    # 10 vs 99: identical scores -> id tiebreak
+    assert out[10].rank < out[99].rank
+
+    # k truncates the fused list
+    assert rrf_fuse([lex, dense], k=2).count() == 2
+
+    with _pytest.raises(ValueError, match="ranked list"):
+        rrf_fuse([])

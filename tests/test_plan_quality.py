@@ -206,6 +206,15 @@ def test_bm25_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
+def test_hybrid_rrf_avoids_global_sort(spark, sf_dir):
+    """RRF fusion ranks two k-row lists: every corpus-sized top-k must
+    compile to TakeOrderedAndProject (bm25, cosine, and the fused list),
+    and nothing in the plan may materialize a cartesian."""
+    p = plan_of(spark, sf_dir, "hybrid_search_rrf")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
 def test_staged_grams_materialize_once(spark):
     """The staged gram builders (text.with_word_ngrams and friends) must
     keep words/grams/hashes as materialized columns: CollapseProject
