@@ -2,13 +2,16 @@
 (default /root/testdata/sf0.1) and print ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is planned lazily and timed over a full execution that touches
-every result row (count of a cheap projection would skip value computation,
-so we use `df.foreach`-free `write.format("noop")`-style materialization via
-`collect` on small results / `count` after a `localCheckpoint`-free plan —
-here: `df.toPandas()` is avoided; we time `count()` which executes the whole
-plan because every query ends in aggregation/join work, not a bare scan).
-"""
+Each query is timed over a `write.format("noop")` materialization: the
+noop batch sink consumes every result row, so the full plan executes
+with all its expressions. `count()` under-measured MORE than expected —
+not just map-only projections: for any groupBy query Catalyst strips
+the unused aggregate expressions themselves (a count over the groups
+needs only the keys), so e.g. pricing_summary timed its grouping but
+not its decimal sums (measured 3x gap at sf0.1). The r7+ numbers are
+therefore honestly higher than r6's for expression-heavy queries; the
+DuckDB baseline always materialized full results (fetchall), so noop
+makes the two sides measure the same work."""
 
 from __future__ import annotations
 
@@ -40,6 +43,11 @@ HEADLINE = [
 ]
 
 
+def materialize(df) -> None:
+    """Execute the whole plan, touching every result row and column."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -55,7 +63,7 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         for name in names:
             try:
-                QUERIES[name](spark, warm_dir).count()
+                materialize(QUERIES[name](spark, warm_dir))
             except Exception:
                 pass
     # Variance guard: this host shows 2-4x run-to-run variance under
@@ -69,7 +77,7 @@ def main() -> None:
     for _ in range(passes):
         for name in names:
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
+            materialize(QUERIES[name](spark, sf_dir))
             timings[name] = min(timings[name], time.perf_counter() - t0)
     timings = {n: round(t, 4) for n, t in timings.items()}
     total = sum(timings.values())

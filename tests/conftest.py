@@ -10,6 +10,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+
+# The oracle suite is SHAPED AROUND DuckDB-1.0 semantics documented in
+# plans/oracles_analytics.py: the list_reduce struct-accumulator batch
+# bug (workaround: branchless folds / recursive-CTE levels), per-
+# reference CTE inlining (workaround: AS MATERIALIZED), and lambda
+# captured-subtree re-evaluation. A different DuckDB would silently
+# change what the oracles compute — fail loudly instead.
+if not duckdb.__version__.startswith("1.0."):
+    raise RuntimeError(
+        f"oracle suite is calibrated for DuckDB 1.0.x, found "
+        f"{duckdb.__version__}; re-audit the workarounds documented in "
+        "financedatabase_spark/plans/oracles_analytics.py before bumping"
+    )
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

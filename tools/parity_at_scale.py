@@ -22,6 +22,18 @@ import pandas as pd
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+# Oracles are calibrated to DuckDB-1.0 semantics (list_reduce batch bug,
+# CTE inlining, lambda re-evaluation — see plans/oracles_analytics.py);
+# refuse to "verify" against a version with different semantics.
+import duckdb  # noqa: E402
+
+if not duckdb.__version__.startswith("1.0."):
+    sys.exit(
+        f"oracle suite is calibrated for DuckDB 1.0.x, found "
+        f"{duckdb.__version__}; re-audit plans/oracles_analytics.py first"
+    )
+
 SF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf5x"
 if len(sys.argv) > 2:
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = sys.argv[2]
