@@ -8,9 +8,13 @@ contract (schema, batch iteration, partition sizing) is real and tested.
 
 Codecs: audio (RIFF/WAVE PCM) decodes for real via the stdlib `wave`
 module (`wav_decode` — header parse + int16 PCM windowed energy);
-images decode via Pillow when importable (`pil_decode`); video remains
-the documented NotImplementedError seam (no ffmpeg in this container) —
-tests use a deterministic fake there.
+video (uncompressed RIFF/AVI, 24-bit DIB frames) decodes for real via a
+pure-stdlib chunk walker (`avi_decode` — avih/strf header parse, per-
+frame luminance-sum features with row-padding awareness); images decode
+via Pillow when importable (`pil_decode`). Compressed video (mp4/h264)
+stays a documented NotImplementedError seam — no ffmpeg in this
+container — but the container plumbing is exercised by the real AVI
+path, not a fake.
 
 Scale notes: binary payloads make wide rows — `maxPartitionBytes` governs
 scan parallelism, and mapInPandas keeps peak memory at one Arrow batch per
@@ -180,17 +184,160 @@ def wav_decode(payload: bytes, dim: int = 8) -> list[float]:
     return [float(v) for v in feats]
 
 
+#: Synthetic AVI fixture geometry (16x16 24-bit frames; stride 48 is
+#: already 4-byte aligned, so frame payload = 16*48 = 768 bytes).
+AVI_W = AVI_H = 16
+_AVI_FRAME_BYTES = AVI_H * ((AVI_W * 3 + 3) // 4 * 4)
+
+
+def synth_avi(doc_id: int) -> bytes:
+    """Deterministic AVI fixture: a real RIFF/AVI container (hdrl with
+    avih + strl/strh/strf, movi with ``00db`` uncompressed 24-bit DIB
+    frames) whose pixel bytes derive from ``doc_id`` by pure integer
+    arithmetic — so a SQL oracle can recompute the decoded features from
+    the id alone while the Spark path must parse the actual container.
+
+    n_frames = 8 + doc_id % 5 (≥ dim, so every feature window is hit);
+    byte at (frame f, row y, col x, channel c) =
+    (doc_id*31 + f*97 + y*13 + x*7 + c*5) % 256;
+    total size = 224 + 776·n_frames (fixed headers + 8+768 per frame).
+    """
+    doc_id = int(doc_id)
+    n = 8 + doc_id % 5
+    w, h, fb = AVI_W, AVI_H, _AVI_FRAME_BYTES
+
+    def frame(f: int) -> bytes:
+        rows = []
+        for y in range(h - 1, -1, -1):  # DIB rows are stored bottom-up
+            rows.append(
+                bytes(
+                    (doc_id * 31 + f * 97 + y * 13 + x * 7 + c * 5) % 256
+                    for x in range(w)
+                    for c in range(3)
+                )
+            )
+        return b"".join(rows)
+
+    avih = struct.pack(
+        "<10I", 40000, fb * 25, 0, 0, n, 0, 1, fb, w, h
+    ) + b"\x00" * 16
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, n, fb, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fb, 0, 0, 0, 0)
+    strl = (
+        b"LIST" + struct.pack("<I", 4 + 8 + 56 + 8 + 40) + b"strl"
+        + b"strh" + struct.pack("<I", 56) + strh
+        + b"strf" + struct.pack("<I", 40) + strf
+    )
+    hdrl = (
+        b"LIST" + struct.pack("<I", 4 + 8 + 56 + len(strl)) + b"hdrl"
+        + b"avih" + struct.pack("<I", 56) + avih + strl
+    )
+    frames = b"".join(
+        b"00db" + struct.pack("<I", fb) + frame(f) for f in range(n)
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(frames)) + b"movi" + frames
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+
+
+def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Real video codec for the `decode_features` seam — pure stdlib, no
+    ffmpeg. Walks the RIFF chunk tree (hdrl → avih geometry + strf
+    BITMAPINFOHEADER pixel format; movi → ``00db``/``00dc`` frames),
+    requires uncompressed 24-bit BI_RGB DIB frames, and emits ``dim``
+    windowed features: feats[w] = sum of per-frame pixel-byte sums for
+    frames f with f*dim//n_frames == w, skipping each row's 4-byte
+    alignment padding. Integer sums keep the output bit-stable across
+    engines.
+
+    Reference parity: the reference has no video path at all (media are
+    opaque payloads); this is the brief's LLM-pipeline frame-sample /
+    feature-extract stage, not a reference port.
+    """
+    raw = bytes(payload)
+    if raw[:4] != b"RIFF" or len(raw) < 12 or raw[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    (riff_sz,) = struct.unpack_from("<I", raw, 4)
+    end = min(8 + riff_sz, len(raw))
+
+    def chunks(off: int, stop: int):
+        while off + 8 <= stop:
+            cid = raw[off:off + 4]
+            (sz,) = struct.unpack_from("<I", raw, off + 4)
+            yield cid, off + 8, sz
+            off += 8 + sz + (sz & 1)  # chunks are word-aligned
+
+    width = height = total_frames = None
+    bitcount = compression = None
+    frame_spans: list[tuple[int, int]] = []
+    for cid, off, sz in chunks(12, end):
+        if cid != b"LIST":
+            continue
+        ltype = raw[off:off + 4]
+        if ltype == b"hdrl":
+            for c2, o2, s2 in chunks(off + 4, off + sz):
+                if c2 == b"avih":
+                    hdr = struct.unpack_from("<10I", raw, o2)
+                    total_frames, width, height = hdr[4], hdr[8], hdr[9]
+                elif c2 == b"LIST" and raw[o2:o2 + 4] == b"strl":
+                    for c3, o3, s3 in chunks(o2 + 4, o2 + s2):
+                        if c3 == b"strf":
+                            bmi = struct.unpack_from("<IiiHHI", raw, o3)
+                            bitcount, compression = bmi[4], bmi[5]
+        elif ltype == b"movi":
+            for c2, o2, s2 in chunks(off + 4, off + sz):
+                if c2[2:4] in (b"db", b"dc"):
+                    frame_spans.append((o2, s2))
+    if width is None or not frame_spans:
+        raise ValueError("AVI missing avih header or movi frames")
+    if bitcount != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit DIB frames supported "
+            f"(got bitcount={bitcount}, compression={compression})"
+        )
+    stride = (width * 3 + 3) // 4 * 4
+    sums = []
+    for o, sz in frame_spans:
+        data = raw[o:o + sz]
+        total = 0
+        for r in range(height):
+            total += sum(data[r * stride:r * stride + width * 3])
+        sums.append(total)
+    if total_frames is not None and len(sums) != total_frames:
+        raise ValueError(
+            f"frame count mismatch: avih says {total_frames}, movi has {len(sums)}"
+        )
+    n = len(sums)
+    feats = [0] * dim
+    for f, s in enumerate(sums):
+        feats[f * dim // n] += s
+    return [float(v) for v in feats]
+
+
 def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8) -> list[float]:
     """Per-payload codec dispatch on `media_meta.media_type` (magic-byte
-    sniff as fallback): audio/* → `wav_decode` (always available,
-    stdlib); image/* → `pil_decode` when Pillow is importable; video/*
-    and everything else → NotImplementedError (the remaining documented
-    seam — no ffmpeg in this container)."""
+    sniff as fallback): audio/* → `wav_decode`; video/* → `avi_decode`
+    (both always available, pure stdlib); image/* → `pil_decode` when
+    Pillow is importable; compressed video and everything else →
+    NotImplementedError (the remaining documented seam — no ffmpeg in
+    this container)."""
     mt = (media_type or "").lower()
     raw = bytes(payload)
-    is_wav = raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    is_riff = raw[:4] == b"RIFF"
+    is_wav = is_riff and raw[8:12] == b"WAVE"
+    is_avi = is_riff and raw[8:12] == b"AVI "
     if mt.startswith("audio/") or (not mt and is_wav):
         return wav_decode(raw, dim)
+    if mt.startswith("video/") or (not mt and is_avi):
+        if not is_avi:
+            raise NotImplementedError(
+                f"video payloads only decode from uncompressed RIFF/AVI here "
+                f"(media_type {media_type!r} needs ffmpeg; supply a custom decode_fn)"
+            )
+        return avi_decode(raw, dim)
     if mt.startswith("image/"):
         try:
             return pil_decode(raw, dim)
@@ -200,7 +347,7 @@ def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8)
             ) from exc
     raise NotImplementedError(
         f"no codec for media_type {media_type!r} in this environment "
-        "(video needs ffmpeg; supply a custom decode_fn)"
+        "(supply a custom decode_fn)"
     )
 
 

@@ -19,6 +19,7 @@ from financedatabase_spark.operators.multimodal import (
     decode_features,
     dispatch_decode,
     fake_decode,
+    synth_avi,
     synth_wav,
 )
 from financedatabase_spark.plans.registry import register
@@ -674,6 +675,66 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = decode_features(wavs, decode_fn=dispatch_decode, pass_media_type=True)
     return feats.select(
         "doc_id", "n_bytes", F.posexplode("feature").alias("win", "abs_sum")
+    )
+
+
+@register(
+    "multimodal_video_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 5 AS n FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, n, f
+      FROM d, UNNEST(generate_series(0, n - 1)) uf(f)
+    ),
+    fs AS (
+      SELECT doc_id, n, f,
+             sum((doc_id*31 + f*97 + y*13 + x*7 + c*5) % 256)::BIGINT AS fsum
+      FROM fr,
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, 15)) ux(x),
+           UNNEST(generate_series(0, 2)) uc(c)
+      GROUP BY doc_id, n, f
+    )
+    SELECT doc_id,
+           (224 + 776 * n)::BIGINT AS n_bytes,
+           ((f * 8) // n)::INT AS win,
+           sum(fsum)::DOUBLE AS lum_sum
+    FROM fs GROUP BY doc_id, n, (f * 8) // n
+    """,
+)
+def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video feature extraction through the REAL pure-stdlib AVI codec
+    (operators/multimodal.avi_decode via dispatch_decode): each doc gets
+    a deterministic RIFF/AVI container (synth_avi — hdrl/avih/strh/strf
+    headers + 8..12 uncompressed 24-bit DIB frames whose pixel bytes are
+    a pure integer function of doc_id), and the codec must walk the
+    chunk tree, validate the pixel format, and emit 8 windowed per-frame
+    luminance sums. The oracle recomputes the features from doc_id by
+    the same integer formula — and checks the container round-trip via
+    n_bytes = 224 fixed header bytes + 776 per frame.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; zero shuffle, one Arrow batch per worker in flight."""
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_avi(int(i))),
+                    "media_type": "video/avi",
+                }
+            )
+
+    avis = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(avis, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("feature").alias("win", "lum_sum")
     )
 
 

@@ -263,7 +263,7 @@ def ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tick_imbalance_bars",
     oracle="""
-    WITH RECURSIVE pref AS (
+    WITH RECURSIVE pref AS MATERIALIZED (
       SELECT event_type,
              row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS i,
              event_id,
@@ -288,11 +288,13 @@ def ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pref
       UNION ALL
       SELECT b.event_type, b.bar_idx + 1, p.i, p.event_id, p.cum
-      FROM bounds b JOIN pref p
-        ON p.event_type = b.event_type
-       AND p.i = (SELECT min(i) FROM pref q
-                  WHERE q.event_type = b.event_type AND q.i > b.i
-                    AND abs(q.cum - b.cum) >= 50)
+      FROM bounds b, LATERAL (
+        SELECT q.i, q.event_id, q.cum
+        FROM pref q
+        WHERE q.event_type = b.event_type AND q.i > b.i
+          AND abs(q.cum - b.cum) >= 50
+        ORDER BY q.i LIMIT 1
+      ) p
     ),
     pairs AS (
       SELECT event_type, bar_idx, i, end_event_id, cum,
@@ -325,7 +327,7 @@ def tick_imbalance_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tick_run_bars",
     oracle="""
-    WITH RECURSIVE pref AS (
+    WITH RECURSIVE pref AS MATERIALIZED (
       SELECT event_type,
              row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS i,
              event_id,
@@ -354,11 +356,13 @@ def tick_imbalance_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pref
       UNION ALL
       SELECT b.event_type, b.bar_idx + 1, p.i, p.event_id, p.cb, p.cs
-      FROM bounds b JOIN pref p
-        ON p.event_type = b.event_type
-       AND p.i = (SELECT min(i) FROM pref q
-                  WHERE q.event_type = b.event_type AND q.i > b.i
-                    AND greatest(q.cb - b.cb, q.cs - b.cs) >= 150)
+      FROM bounds b, LATERAL (
+        SELECT q.i, q.event_id, q.cb, q.cs
+        FROM pref q
+        WHERE q.event_type = b.event_type AND q.i > b.i
+          AND greatest(q.cb - b.cb, q.cs - b.cs) >= 150
+        ORDER BY q.i LIMIT 1
+      ) p
     ),
     pairs AS (
       SELECT event_type, bar_idx, i, end_event_id, cb, cs,
@@ -392,7 +396,7 @@ def tick_run_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tick_run_bars_adaptive",
     oracle="""
-    WITH RECURSIVE pref AS (
+    WITH RECURSIVE pref AS MATERIALIZED (
       SELECT event_type,
              row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS i,
              event_id,
@@ -423,11 +427,13 @@ def tick_run_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT b.event_type, b.bar_idx + 1, p.i, p.event_id, p.cb, p.cs,
              0.25::DOUBLE * greatest(p.cb - b.cb, p.cs - b.cs)
                + 0.75::DOUBLE * b.thr
-      FROM bounds b JOIN pref p
-        ON p.event_type = b.event_type
-       AND p.i = (SELECT min(i) FROM pref q
-                  WHERE q.event_type = b.event_type AND q.i > b.i
-                    AND greatest(q.cb - b.cb, q.cs - b.cs) >= b.thr)
+      FROM bounds b, LATERAL (
+        SELECT q.i, q.event_id, q.cb, q.cs
+        FROM pref q
+        WHERE q.event_type = b.event_type AND q.i > b.i
+          AND greatest(q.cb - b.cb, q.cs - b.cs) >= b.thr
+        ORDER BY q.i LIMIT 1
+      ) p
     ),
     pairs AS (
       SELECT event_type, bar_idx, i, end_event_id, cb, cs,
@@ -465,7 +471,7 @@ def tick_run_bars_adaptive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tick_imbalance_bars_adaptive",
     oracle="""
-    WITH RECURSIVE pref AS (
+    WITH RECURSIVE pref AS MATERIALIZED (
       SELECT event_type,
              row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS i,
              event_id,
@@ -492,11 +498,13 @@ def tick_run_bars_adaptive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT b.event_type, b.bar_idx + 1, p.i, p.event_id, p.cum,
              0.25::DOUBLE * abs(p.cum - b.cum) + 0.75::DOUBLE * b.thr
-      FROM bounds b JOIN pref p
-        ON p.event_type = b.event_type
-       AND p.i = (SELECT min(i) FROM pref q
-                  WHERE q.event_type = b.event_type AND q.i > b.i
-                    AND abs(q.cum - b.cum) >= b.thr)
+      FROM bounds b, LATERAL (
+        SELECT q.i, q.event_id, q.cum
+        FROM pref q
+        WHERE q.event_type = b.event_type AND q.i > b.i
+          AND abs(q.cum - b.cum) >= b.thr
+        ORDER BY q.i LIMIT 1
+      ) p
     ),
     pairs AS (
       SELECT event_type, bar_idx, i, end_event_id, cum,

@@ -160,6 +160,109 @@ def test_audio_decode_through_mapinpandas(spark):
         decode_features(df.drop("media_type"), decode_fn=dispatch_decode, pass_media_type=True)
 
 
+def test_avi_codec_round_trip():
+    """avi_decode must parse the real container synth_avi writes: RIFF
+    chunk walk, avih geometry, strf pixel-format validation, row-padding
+    aware frame sums — all equal to a direct integer recomputation from
+    the synthesis formula."""
+    import struct
+
+    from financedatabase_spark.operators.multimodal import avi_decode, synth_avi
+
+    for doc_id in (0, 1, 7, 256, 12345):
+        payload = synth_avi(doc_id)
+        n = 8 + doc_id % 5
+        assert len(payload) == 224 + 776 * n  # fixed headers + (8+768)/frame
+        want = [0] * 8
+        for f in range(n):
+            s = sum(
+                (doc_id * 31 + f * 97 + y * 13 + x * 7 + c * 5) % 256
+                for y in range(16)
+                for x in range(16)
+                for c in range(3)
+            )
+            want[f * 8 // n] += s
+        assert avi_decode(payload) == [float(v) for v in want]
+
+    # row padding must be skipped: a 1x1 24-bit frame has 3 pixel bytes
+    # + 1 alignment byte; the pad byte must not leak into the sum
+    fb = 4
+    avih = struct.pack("<10I", 40000, fb, 0, 0, 1, 0, 1, fb, 1, 1) + b"\x00" * 16
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, 1, fb, 0, 0)
+        + struct.pack("<4H", 0, 0, 1, 1)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, fb, 0, 0, 0, 0)
+    strl = (
+        b"LIST" + struct.pack("<I", 116) + b"strl"
+        + b"strh" + struct.pack("<I", 56) + strh
+        + b"strf" + struct.pack("<I", 40) + strf
+    )
+    hdrl = b"LIST" + struct.pack("<I", 192) + b"hdrl" + b"avih" + struct.pack("<I", 56) + avih + strl
+    movi = b"LIST" + struct.pack("<I", 4 + 8 + fb) + b"movi" + b"00db" + struct.pack("<I", fb) + bytes([10, 20, 30, 255])
+    tiny = b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+    assert avi_decode(tiny, dim=1) == [60.0]  # 10+20+30, pad byte 255 skipped
+
+    # non-AVI bytes and malformed containers fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF/AVI"):
+        avi_decode(b"not a container")
+    wav_like = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
+    with _pytest.raises(ValueError, match="RIFF/AVI"):
+        avi_decode(wav_like)
+    # compressed (non-BI_RGB) frames are out of contract
+    strf_cmp = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 1, fb, 0, 0, 0, 0)
+    cmp_avi = tiny.replace(strf, strf_cmp)
+    with _pytest.raises(NotImplementedError, match="uncompressed"):
+        avi_decode(cmp_avi)
+
+
+def test_dispatch_decode_video_route():
+    from financedatabase_spark.operators.multimodal import (
+        avi_decode,
+        dispatch_decode,
+        synth_avi,
+    )
+
+    payload = synth_avi(42)
+    assert dispatch_decode(payload, "video/avi") == avi_decode(payload)
+    assert dispatch_decode(payload, None) == avi_decode(payload)  # magic sniff
+
+
+def test_mixed_modality_through_mapinpandas(spark):
+    """One media table, three media types: dispatch_decode routes each
+    row to its codec inside a single mapInPandas stage — the lakehouse
+    mixed-asset layout the module docstring promises."""
+    import pandas as pd
+
+    from financedatabase_spark.operators.multimodal import (
+        avi_decode,
+        decode_features,
+        dispatch_decode,
+        synth_avi,
+        synth_wav,
+        wav_decode,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "payload": [synth_wav(1), synth_avi(2)],
+            "media_type": ["audio/wav", "video/avi"],
+        }
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, payload binary, media_type string")
+    out = {
+        r.doc_id: r
+        for r in decode_features(df, decode_fn=dispatch_decode, pass_media_type=True).collect()
+    }
+    assert out[1].feature == wav_decode(synth_wav(1))
+    assert out[2].feature == avi_decode(synth_avi(2))
+    assert out[2].media_type == "video/avi"
+
+
 def test_codec_seam_both_ways(spark, media_df):
     """The optional-codec seam: with Pillow importable, default_decode()
     returns the PIL codec and decode_features produces dim-length

@@ -43,10 +43,11 @@ ONLY = set(sys.argv[4:])
 #: correctness baselines whose ORACLE is quadratic / recursive-CTE —
 #: verified at sf0.01 by the driver; unrunnable at 50x by construction.
 SKIP = {
-    "ngram_jaccard_dups", "tick_imbalance_bars", "tick_run_bars",
-    # the adaptive variants share the same boundary-stepping recursive
-    # oracle shape (one min-subquery per bar) — sf0.01-verified, not 50x
-    "tick_imbalance_bars_adaptive", "tick_run_bars_adaptive",
+    # all four tick-bar oracles were reformulated (r7) as MATERIALIZED
+    # prefix + LATERAL next-boundary probes and now finish at 50x
+    # (~15 min each under a 1800 s cap); only the intentionally
+    # quadratic n-gram Jaccard baseline remains 50x-unrunnable.
+    "ngram_jaccard_dups",
 }
 
 _DUCK_SNIPPET = r"""
