@@ -10,11 +10,13 @@ Codecs: audio (RIFF/WAVE PCM) decodes for real via the stdlib `wave`
 module (`wav_decode` — header parse + int16 PCM windowed energy);
 video (uncompressed RIFF/AVI, 24-bit DIB frames) decodes for real via a
 pure-stdlib chunk walker (`avi_decode` — avih/strf header parse, per-
-frame luminance-sum features with row-padding awareness); images decode
-via Pillow when importable (`pil_decode`). Compressed video (mp4/h264)
-stays a documented NotImplementedError seam — no ffmpeg in this
-container — but the container plumbing is exercised by the real AVI
-path, not a fake.
+frame luminance-sum features with row-padding awareness); images
+(8-bit grayscale/RGB PNG) decode for real via a pure-stdlib parser
+(`png_decode` — chunk walk, zlib inflate, full five-filter scanline
+reconstruction), with Pillow as the optional general-format fallback
+(`pil_decode`). Compressed video (mp4/h264) and non-PNG images without
+Pillow stay documented NotImplementedError seams — but every modality's
+container plumbing is exercised by a real codec, not a fake.
 
 Scale notes: binary payloads make wide rows — `maxPartitionBytes` governs
 scan parallelism, and mapInPandas keeps peak memory at one Arrow batch per
@@ -25,6 +27,7 @@ from __future__ import annotations
 
 import struct
 import wave
+import zlib
 from collections.abc import Callable, Iterator
 from io import BytesIO
 
@@ -184,6 +187,148 @@ def wav_decode(payload: bytes, dim: int = 8) -> list[float]:
     return [float(v) for v in feats]
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+#: Synthetic PNG fixture geometry: height fixed, width varies by doc so
+#: the decoder must take geometry from IHDR, not assume it.
+PNG_H = 16
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Deterministic PNG fixture: a real, spec-valid PNG (signature,
+    IHDR, one zlib IDAT, IEND, correct CRCs) in 8-bit grayscale,
+    non-interlaced. Pixel (x, y) = (doc_id*17 + y*31 + x*7) % 256;
+    width = 8 + (doc_id % 3)*4 (8/12/16), height = 16.
+
+    Each scanline is written with filter type y % 5 — all five PNG
+    filters (None/Sub/Up/Average/Paeth) appear in every fixture, so a
+    decoder that shortcuts the un-filter step cannot round-trip it."""
+    doc_id = int(doc_id)
+    w, h = 8 + (doc_id % 3) * 4, PNG_H
+    rows = [
+        [(doc_id * 17 + y * 31 + x * 7) % 256 for x in range(w)]
+        for y in range(h)
+    ]
+    raw = bytearray()
+    for y, row in enumerate(rows):
+        ft = y % 5
+        raw.append(ft)
+        prior = rows[y - 1] if y > 0 else [0] * w
+        for x, v in enumerate(row):
+            left = row[x - 1] if x > 0 else 0
+            up = prior[x]
+            ul = prior[x - 1] if x > 0 else 0
+            if ft == 0:
+                f = v
+            elif ft == 1:
+                f = v - left
+            elif ft == 2:
+                f = v - up
+            elif ft == 3:
+                f = v - (left + up) // 2
+            else:
+                f = v - _paeth(left, up, ul)
+            raw.append(f % 256)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Real image codec for the `decode_features` seam — pure stdlib
+    (`zlib`), no Pillow. Parses the PNG signature and chunk stream,
+    validates IHDR (8-bit grayscale or RGB, non-interlaced), inflates
+    the concatenated IDAT stream, inverts the per-scanline filter
+    (all five types: None/Sub/Up/Average/Paeth), and emits the same
+    normalized ``dim``-bin luminance histogram `pil_decode` produces:
+    feats[k] = count(pixels with luma*dim//256 == k) / n_pixels, where
+    RGB luma is the integer average (r+g+b)//3. Integer bin math and
+    int/int division keep the output bit-stable across engines.
+
+    Reference parity: the reference has no image path (media are opaque
+    payloads); this is the brief's LLM-pipeline image decode stage, not
+    a reference port.
+    """
+    raw = bytes(payload)
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    off, ihdr, idat = 8, None, bytearray()
+    while off + 8 <= len(raw):
+        (clen,) = struct.unpack_from(">I", raw, off)
+        ctype = raw[off + 4:off + 8]
+        data = raw[off + 8:off + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        off += 12 + clen  # len + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, ctype_v, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_v not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit grayscale/RGB non-interlaced PNG supported "
+            f"(depth={depth}, color_type={ctype_v}, interlace={interlace})"
+        )
+    bpp = 1 if ctype_v == 0 else 3
+    stride = w * bpp
+    flat = zlib.decompress(bytes(idat))
+    if len(flat) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    prior = bytearray(stride)
+    pixels: list[int] = []
+    for y in range(h):
+        ft = flat[y * (1 + stride)]
+        line = bytearray(flat[y * (1 + stride) + 1:(y + 1) * (1 + stride)])
+        if ft > 4:
+            raise ValueError(f"bad PNG filter type {ft}")
+        for x in range(stride):
+            left = line[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            if ft == 1:
+                line[x] = (line[x] + left) % 256
+            elif ft == 2:
+                line[x] = (line[x] + up) % 256
+            elif ft == 3:
+                line[x] = (line[x] + (left + up) // 2) % 256
+            elif ft == 4:
+                line[x] = (line[x] + _paeth(left, up, ul)) % 256
+        if bpp == 1:
+            pixels.extend(line)
+        else:
+            pixels.extend(
+                (line[i] + line[i + 1] + line[i + 2]) // 3
+                for i in range(0, stride, 3)
+            )
+        prior = line
+    counts = [0] * dim
+    for v in pixels:
+        counts[v * dim // 256] += 1
+    n = max(len(pixels), 1)
+    return [c / n for c in counts]
+
+
 #: Synthetic AVI fixture geometry (16x16 24-bit frames; stride 48 is
 #: already 4-byte aligned, so frame payload = 16*48 = 768 bytes).
 AVI_W = AVI_H = 16
@@ -338,12 +483,15 @@ def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8)
                 f"(media_type {media_type!r} needs ffmpeg; supply a custom decode_fn)"
             )
         return avi_decode(raw, dim)
-    if mt.startswith("image/"):
+    is_png = raw[:8] == b"\x89PNG\r\n\x1a\n"
+    if mt.startswith("image/") or (not mt and is_png):
+        if is_png:
+            return png_decode(raw, dim)
         try:
             return pil_decode(raw, dim)
         except ImportError as exc:
             raise NotImplementedError(
-                "image payloads need Pillow, which is not importable here"
+                "non-PNG image payloads need Pillow, which is not importable here"
             ) from exc
     raise NotImplementedError(
         f"no codec for media_type {media_type!r} in this environment "
@@ -352,11 +500,13 @@ def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8)
 
 
 def default_decode() -> Callable[[bytes], list[float]] | None:
-    """The best single-modality image codec this environment offers:
-    PIL-backed when Pillow is importable, else None (callers fall back
-    to `fake_decode` for tests or get NotImplementedError on real
-    payloads). For mixed-modality frames use `dispatch_decode` with
-    ``pass_media_type=True`` — its audio path needs no extra library."""
+    """The best GENERAL image codec this environment offers: PIL-backed
+    when Pillow is importable, else None (callers fall back to
+    `fake_decode` for tests or get NotImplementedError on real
+    payloads). PNG payloads never need this seam — `png_decode` is pure
+    stdlib. For mixed-modality frames use `dispatch_decode` with
+    ``pass_media_type=True``; its audio/video/PNG paths need no extra
+    library."""
     try:
         import PIL  # noqa: F401
 

@@ -20,6 +20,7 @@ from financedatabase_spark.operators.multimodal import (
     dispatch_decode,
     fake_decode,
     synth_avi,
+    synth_png,
     synth_wav,
 )
 from financedatabase_spark.plans.registry import register
@@ -735,6 +736,62 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = decode_features(avis, decode_fn=dispatch_decode, pass_media_type=True)
     return feats.select(
         "doc_id", "n_bytes", F.posexplode("feature").alias("win", "lum_sum")
+    )
+
+
+@register(
+    "multimodal_image_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 8 + (doc_id % 3) * 4 AS w FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w,
+             (((doc_id*17 + y*31 + x*7) % 256) * 8) // 256 AS bin
+      FROM d,
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, w - 1)) ux(x)
+    ),
+    hist AS (SELECT doc_id, w, bin, count(*) AS c FROM px GROUP BY 1, 2, 3),
+    grid AS (SELECT doc_id, w, unnest(generate_series(0, 7)) AS pos FROM d)
+    SELECT g.doc_id, g.w::BIGINT AS width, g.pos::INT AS pos,
+           coalesce(h.c, 0) / (g.w * 16) AS x
+    FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.pos
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction through the REAL pure-stdlib PNG codec
+    (operators/multimodal.png_decode via dispatch_decode): each doc gets
+    a deterministic spec-valid PNG (synth_png — 8-bit grayscale, width
+    varying 8/12/16 by doc so geometry must come from IHDR, and every
+    fixture cycles through ALL FIVE scanline filters), and the codec
+    must parse the chunk stream, inflate IDAT, invert the filters, and
+    emit the 8-bin normalized luminance histogram. The oracle recomputes
+    the histogram from the pixel-synthesis formula — a decoder that
+    mis-parses geometry or shortcuts the un-filter step cannot match.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; zero shuffle, one Arrow batch per worker in flight."""
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_png(int(i))),
+                    "media_type": "image/png",
+                }
+            )
+
+    pngs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(pngs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 3 * 4 + 8).cast("long").alias("width"),
+        F.posexplode("feature").alias("pos", "x"),
     )
 
 
