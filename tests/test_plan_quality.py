@@ -173,6 +173,25 @@ def test_pii_redaction_is_pure_map(spark, sf_dir):
     assert "codegen id" in p  # whole-stage codegen spans the projection
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "multimodal_audio_features",
+        "multimodal_video_features",
+        "multimodal_image_features",
+    ],
+)
+def test_media_pipelines_stay_map_side(spark, sf_dir, name):
+    # scan -> mapInPandas synth -> mapInPandas decode -> posexplode:
+    # zero Exchange, so a 100 TB media table decodes in one pass with
+    # no shuffle of binary payloads
+    import re
+
+    p = plan_of(spark, sf_dir, name)
+    assert "Exchange" not in p
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 2
+
+
 def test_shipping_priority_topk_and_broadcast(spark, sf_dir):
     # Q3 shape: segment-filtered customers broadcast; the top-10 compiles
     # to TakeOrderedAndProject, never a global Sort

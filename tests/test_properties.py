@@ -291,3 +291,101 @@ def test_winnow_hash_modes_flag_same_pairs(spark_h):
         winnow_fingerprint_set("text", hash_mode="xxhash64").alias("fp")
     )
     assert dict(row.dtypes)["fp"] == "array<bigint>"
+
+
+@given(
+    pixels=st.lists(
+        st.lists(st.integers(0, 255), min_size=1, max_size=24),
+        min_size=1,
+        max_size=24,
+    ).filter(lambda rows: len({len(r) for r in rows}) == 1),
+    filters=st.data(),
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_png_roundtrip_any_geometry_any_filters(pixels, filters):
+    """Property: for ANY grayscale pixel grid and ANY per-row filter
+    choice, a PNG written with properly computed filter deltas decodes
+    back to the exact source histogram — the un-filter implementation
+    (Sub/Up/Average/Paeth inverse, mod-256) is total, not
+    fixture-shaped."""
+    import struct
+    import zlib
+
+    from financedatabase_spark.operators.multimodal import (
+        _paeth,
+        _png_chunk,
+        png_decode,
+    )
+
+    h, w = len(pixels), len(pixels[0])
+    fts = [filters.draw(st.integers(0, 4)) for _ in range(h)]
+    raw = bytearray()
+    for y, row in enumerate(pixels):
+        ft = fts[y]
+        raw.append(ft)
+        prior = pixels[y - 1] if y > 0 else [0] * w
+        for x, v in enumerate(row):
+            left = row[x - 1] if x > 0 else 0
+            up = prior[x]
+            ul = prior[x - 1] if x > 0 else 0
+            f = (
+                v if ft == 0
+                else v - left if ft == 1
+                else v - up if ft == 2
+                else v - (left + up) // 2 if ft == 3
+                else v - _paeth(left, up, ul)
+            )
+            raw.append(f % 256)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    counts = [0] * 8
+    for row in pixels:
+        for v in row:
+            counts[v * 8 // 256] += 1
+    assert png_decode(png) == [c / (w * h) for c in counts]
+
+
+@given(
+    doc_id=st.integers(0, 2**31 - 1),
+    dim=st.integers(1, 16),
+)
+@settings(max_examples=25, deadline=None)
+def test_media_codecs_roundtrip_any_doc_id(doc_id, dim):
+    """Property: the three synth->decode pairs are exact for any doc_id
+    and any feature dimension — windowing/binning math has no edge cases
+    at id boundaries."""
+    from financedatabase_spark.operators.multimodal import (
+        avi_decode,
+        png_decode,
+        synth_avi,
+        synth_png,
+        wav_decode,
+        synth_wav,
+    )
+
+    n = 400 + doc_id % 257
+    want_w = [0] * dim
+    for t in range(n):
+        want_w[t * dim // n] += abs(((doc_id * 7919 + t * 104729) % 65536) - 32768)
+    assert wav_decode(synth_wav(doc_id), dim=dim) == [float(v) for v in want_w]
+
+    nf = 8 + doc_id % 5
+    want_v = [0] * dim
+    for f in range(nf):
+        s = sum(
+            (doc_id * 31 + f * 97 + y * 13 + x * 7 + c * 5) % 256
+            for y in range(16) for x in range(16) for c in range(3)
+        )
+        want_v[f * dim // nf] += s
+    assert avi_decode(synth_avi(doc_id), dim=dim) == [float(v) for v in want_v]
+
+    w = 8 + (doc_id % 3) * 4
+    counts = [0] * dim
+    for y in range(16):
+        for x in range(w):
+            counts[((doc_id * 17 + y * 31 + x * 7) % 256) * dim // 256] += 1
+    assert png_decode(synth_png(doc_id), dim=dim) == [c / (w * 16) for c in counts]
