@@ -43,10 +43,15 @@ ONLY = set(sys.argv[4:])
 #: correctness baselines whose ORACLE is quadratic / recursive-CTE —
 #: verified at sf0.01 by the driver; unrunnable at 50x by construction.
 SKIP = {
-    # all four tick-bar oracles were reformulated (r7) as MATERIALIZED
-    # prefix + LATERAL next-boundary probes and now finish at 50x
-    # (~15 min each under a 1800 s cap); only the intentionally
-    # quadratic n-gram Jaccard baseline remains 50x-unrunnable.
+    # All four tick-bar oracles were reformulated (r7) as MATERIALIZED
+    # prefix + LATERAL next-boundary probes; recursion depth = bar count,
+    # so oracle cost scales with data. Measured at 50x: adaptive variants
+    # 1202 s / 8115 s (both verified MATCH); the FIXED-threshold variants
+    # produce ~6x more bars and cost multiple hours at 50x — verified
+    # MATCH at 10x instead (310 s / 1426 s oracles). Default 300 s cap
+    # reports them ORACLE_TIMEOUT here, which is the honest outcome.
+    # Only the intentionally quadratic n-gram Jaccard baseline is
+    # unrunnable at 50x by construction.
     "ngram_jaccard_dups",
 }
 
