@@ -171,23 +171,25 @@ def flagship_eod_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financedatabase_spark.operators.calendar import in_business_hours, is_weekday
     from financedatabase_spark.operators.corrections import apply_corrections, quarantine_dim
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", F.col("event_type").alias("symbol"), "value"
+    # selectExpr over per-column Column ops: one py4j round-trip per
+    # projection instead of ~16 — the driver-side plan build is a
+    # measurable slice of this query's wall time (SCALE.md r7 floor notes)
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_id", "ts", "event_type AS symbol", "value"
     )
     canon = canonicalize_symbols(
         ev, alias_dim(spark, [("click", "view", "2024-01-15")]), "symbol", "ts"
     )
     sess = canon.filter(in_business_hours("ts") & is_weekday("ts"))
-    ticks = sess.select(
+    ticks = sess.selectExpr(
         "symbol", "ts", "event_id",
-        F.col("value").alias("open"), F.col("value").alias("high"),
-        F.col("value").alias("low"), F.col("value").alias("close"),
-        F.lit(1).cast("long").alias("volume"),
+        "value AS open", "value AS high", "value AS low", "value AS close",
+        "CAST(1 AS BIGINT) AS volume",
     )
     bars = resample(
         ticks, "1h", ts_col="ts", key_cols=["symbol"], order_cols=["event_id"],
         fill_gaps=False,
-    ).withColumn("midpoint", (F.col("open") + F.col("close")) / 2)
+    ).selectExpr("*", "(open + close) / 2 AS midpoint")
     q = quarantine_dim(spark, [("flagship", "click", "2024-01-22")])
     return apply_corrections(bars, q, "flagship", symbol_col="symbol", date_col="ts")
 

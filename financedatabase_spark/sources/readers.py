@@ -49,20 +49,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The conf is set at runtime here (it is a runtime-settable SQL conf) so the
     read works under ANY caller-provided SparkSession, not just the one built
     by `session.get_session()`.
+
+    The inferred schema is memoized per (live session, path, mtime):
+    schema inference opens the file footer JVM-side on every
+    `read.parquet` call (~90 ms of the driver's per-query plan-build
+    cost, measured at sf0.1), while `read.schema(...).parquet` skips it.
+    The mtime in the key makes a rewrite of the same path (tests that
+    regenerate fixtures mid-session) fall back to fresh inference; each
+    call still returns a NEW DataFrame, so self-joins keep distinct
+    attribute ids.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            # TIMESTAMP(NANOS, isAdjustedToUTC=false) is a WITHOUT-TIME-ZONE
-            # type, so surface it as timestamp_ntz — also the type every
-            # other temporal column in the testdata arrives as (orders.
-            # o_orderdate etc.), and the shape DuckDB's TIMESTAMP pairs
-            # with cleanly. (The LTZ->NTZ cast is wall-clock-preserving
-            # here: this container and the driver both run UTC.)
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-            )
+    cache = spark.__dict__.setdefault("_fdspark_scan_memo", {})
+    if "nanos_conf" not in cache:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        cache["nanos_conf"] = True
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = (path, None)
+    hit = cache.get(key)
+    if hit is not None:
+        schema, ts_is_nanos = hit
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        schema = df.schema
+        ts_is_nanos = any(
+            f.name == "ts" and f.dataType.simpleString() == "bigint"
+            for f in schema.fields
+        )
+        cache[key] = (schema, ts_is_nanos)
+    if ts_is_nanos:
+        # TIMESTAMP(NANOS, isAdjustedToUTC=false) is a WITHOUT-TIME-ZONE
+        # type, so surface it as timestamp_ntz — also the type every
+        # other temporal column in the testdata arrives as (orders.
+        # o_orderdate etc.), and the shape DuckDB's TIMESTAMP pairs
+        # with cleanly. (The LTZ->NTZ cast is wall-clock-preserving
+        # here: this container and the driver both run UTC.)
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
     return df
 
 
