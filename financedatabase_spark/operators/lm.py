@@ -1,0 +1,126 @@
+"""Statistical language-model quality scoring over the documents table.
+
+The CCNet-style corpus filter (Wenzek et al., "CCNet: Extracting High
+Quality Monolingual Datasets from Web Crawl Data", 2020) scores each
+document by the perplexity of a language model trained on the corpus
+(or a trusted reference corpus) and keeps the low-perplexity head. The
+reference repo has no LM component — this operator extends the engine's
+training-data toolkit (SURVEY.md LLM-pipeline section) alongside
+doc_stats / lang_id / repetition.
+
+Spark-first shape, two declarative passes over the staged word arrays:
+
+1. TRAIN — explode words, hash-aggregate token counts (one shuffle on
+   token, map-side partial counts), then cap the vocabulary to the
+   top-``vocab_size`` tokens by (count DESC, token ASC). The cap is an
+   ``orderBy(...).limit(k)`` which compiles to TakeOrderedAndProject —
+   a distributed per-partition heap top-k merged on the driver, NOT a
+   single-partition global sort — so the train pass stays shaped for a
+   100 TB corpus whose raw token-type count follows Heaps' law.
+2. SCORE — explode words again, broadcast-join the capped vocabulary
+   (≤ vocab_size rows regardless of corpus size), and aggregate per-doc
+   mean log10-probability (one shuffle on doc id, partial aggs). A
+   token outside the capped vocabulary takes the closed-vocabulary
+   add-alpha floor: p(t) = (c_t + alpha) / (N_kept + alpha * (V + 1)),
+   with the single "+1" unseen bucket carrying all OOV mass.
+
+The trained vocabulary is a BOUNDED result (≤ vocab_size rows by
+construction, whatever the corpus size), so it is collected once and
+replayed as a VALUES LocalRelation — the same stats-as-literals move
+retrieval.bm25_topk makes. Keeping it lazy instead puts the train
+subtree in the score plan TWICE (the vocab feeds both the probability
+join and the N_kept/V totals, Spark plans each reference separately —
+measured 3 corpus FileScans and 2 token shuffles, no ReusedExchange);
+the literal form runs train exactly once and leaves the score pass a
+single corpus scan. A deployment refreshing scores against a fixed
+reference model would persist the vocab table instead — same plan
+shape, the literal just comes off storage.
+
+Scores are rounded before emission (same engine-parity discipline as
+retrieval.bm25_topk): both engines sum per-token float logprobs in
+different orders; rounding at 1e-6 collapses the last-ulp drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from financedatabase_spark.operators.text import normalized_text
+from financedatabase_spark.session import values_dim
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 4096,
+    alpha: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document unigram-LM quality scores against a corpus-trained,
+    vocabulary-capped add-alpha model.
+
+    Output: (id_col, n_tokens, oov_tokens, avg_logprob) — one row per
+    document with at least one token; ``avg_logprob`` is the mean
+    log10 p(token) (higher = more in-distribution; the CCNet keep/drop
+    cut is a threshold on exactly this number, perplexity being the
+    monotone transform 10^-avg_logprob). ``oov_tokens`` counts tokens
+    that fell outside the capped vocabulary — a high count flags
+    boilerplate/garble even when the in-vocab tokens look fluent.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    staged = df.select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("_w")
+    )
+    # explode_outer, not explode: a plain explode lets
+    # InferFiltersFromGenerate push a size(split(...)) > 0 filter into
+    # the scan, re-evaluating the tokenization per row (the r6 staged-
+    # gram trap, SCALE.md); the outer variant infers nothing and the
+    # != '' filter below drops its null rows anyway
+    tokens = staged.select(
+        F.col(id_col), F.explode_outer("_w").alias("_tok")
+    ).filter(F.col("_tok") != "")
+
+    counts = tokens.groupBy("_tok").agg(F.count("*").alias("_c"))
+    # TakeOrderedAndProject: distributed heap top-k, deterministic
+    # (count DESC, token ASC) tie-break
+    vocab = counts.orderBy(F.col("_c").desc(), F.col("_tok")).limit(vocab_size)
+
+    # bounded collect (≤ vocab_size rows): train runs exactly once, and
+    # the score plan below joins a LocalRelation instead of re-planning
+    # the whole train subtree per reference (module docstring)
+    rows = [(r["_tok"], r["_c"]) for r in vocab.collect()]
+    n_kept = sum(c for _, c in rows)
+    v = len(rows)
+    denom = float(n_kept) + alpha * (v + 1)
+    logprob = F.log10(
+        (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(alpha)) / F.lit(denom)
+    )
+    if rows:
+        joined = tokens.join(
+            F.broadcast(values_dim(df.sparkSession, rows, "_tok string, _c bigint")),
+            "_tok",
+            "left",
+        )
+    else:  # empty corpus: no vocab to join, every token (none) is OOV
+        joined = tokens.withColumn("_c", F.lit(None).cast("bigint"))
+    scored = (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("_c").isNull().cast("bigint")).alias("oov_tokens"),
+            F.sum(logprob).alias("_lp"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "oov_tokens",
+        F.round(F.col("_lp") / F.col("n_tokens"), round_digits).alias(
+            "avg_logprob"
+        ),
+    )

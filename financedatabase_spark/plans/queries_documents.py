@@ -1650,3 +1650,42 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     range + list slicing."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.with_document_chunks(docs, "text", max_tokens=24, overlap=6).drop("text")
+
+
+@register(
+    "unigram_lm_quality",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(words) AS t FROM w
+    ),
+    tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    counts AS (SELECT t, count(*)::BIGINT AS c FROM tok2 GROUP BY t),
+    vocab AS (SELECT t, c FROM counts ORDER BY c DESC, t LIMIT 4096),
+    tot AS (SELECT sum(c)::BIGINT AS n_kept, count(*)::BIGINT AS v FROM vocab)
+    SELECT k.doc_id,
+           count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN vb.c IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov_tokens,
+           round(sum(log10((coalesce(vb.c, 0) + 0.5)
+                           / (tot.n_kept + 0.5 * (tot.v + 1))))
+                 / count(*), 6) AS avg_logprob
+    FROM tok2 k LEFT JOIN vocab vb ON k.t = vb.t CROSS JOIN tot
+    GROUP BY k.doc_id
+    """,
+)
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scores (operators/lm.unigram_lm_scores):
+    corpus-trained add-alpha unigram model with a top-4096 capped
+    vocabulary, per-doc mean log10-probability + OOV count. Train pass
+    = one token-count shuffle + a TakeOrderedAndProject vocabulary cap;
+    score pass = broadcast vocab join + one per-doc shuffle — the
+    keep/drop perplexity filter every crawl-curation pipeline runs
+    before pretraining."""
+    from financedatabase_spark.operators.lm import unigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_lm_scores(docs, vocab_size=4096, alpha=0.5)

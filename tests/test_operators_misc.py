@@ -988,3 +988,75 @@ def test_rrf_fuse_semantics(spark):
 
     with _pytest.raises(ValueError, match="ranked list"):
         rrf_fuse([])
+
+
+# --- unigram LM quality (operators/lm.py) ---
+
+
+def test_unigram_lm_known_corpus(spark):
+    """Hand-computable: 2 docs over a tiny vocab; cap keeps top-2 tokens."""
+    import math
+
+    from financedatabase_spark.operators.lm import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in unigram_lm_scores(docs, vocab_size=2, alpha=0.5).collect()
+    }
+    # counts: a=3, b=1, c=1 -> top-2 by (count desc, token asc) = {a:3, b:1}
+    # n_kept=4, V=2, denom = 4 + 0.5*3 = 5.5
+    lp = lambda c: math.log10((c + 0.5) / 5.5)  # noqa: E731
+    exp1 = (2 * lp(3) + lp(1)) / 3
+    exp2 = (lp(3) + lp(0)) / 2  # c is OOV
+    assert out[1].n_tokens == 3 and out[1].oov_tokens == 0
+    assert out[2].n_tokens == 2 and out[2].oov_tokens == 1
+    assert abs(out[1].avg_logprob - round(exp1, 6)) < 1e-12
+    assert abs(out[2].avg_logprob - round(exp2, 6)) < 1e-12
+
+
+def test_unigram_lm_vocab_tiebreak_deterministic(spark):
+    """Equal-count tokens at the cap boundary resolve by token ASC."""
+    from financedatabase_spark.operators.lm import unigram_lm_scores
+
+    docs = spark.createDataFrame([(1, "z y x w")], "doc_id long, text string")
+    # all counts equal 1; vocab_size=2 keeps {w, x} (token asc)
+    row = unigram_lm_scores(docs, vocab_size=2, alpha=0.5).collect()[0]
+    assert row.oov_tokens == 2
+
+
+def test_unigram_lm_empty_and_args(spark):
+    import pytest
+
+    from financedatabase_spark.operators.lm import unigram_lm_scores
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert unigram_lm_scores(empty).count() == 0
+    # blank-only text yields no tokens -> doc drops out
+    blank = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    assert unigram_lm_scores(blank).count() == 0
+    with pytest.raises(ValueError, match="vocab_size"):
+        unigram_lm_scores(empty, vocab_size=0)
+    with pytest.raises(ValueError, match="alpha"):
+        unigram_lm_scores(empty, alpha=0.0)
+
+
+def test_unigram_lm_scoreplan_single_scan(spark, sf_dir):
+    """The score plan joins a LocalRelation vocab: one corpus FileScan,
+    no re-planned train subtree, no inferred tokenizer re-evaluation in
+    the scan (DataFilters stays empty)."""
+    from financedatabase_spark.operators.lm import unigram_lm_scores
+    from financedatabase_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = (
+        unigram_lm_scores(docs, vocab_size=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert "LocalTableScan" in plan
+    assert "DataFilters: []" in plan or "DataFilters" not in plan
