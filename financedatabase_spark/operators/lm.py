@@ -124,3 +124,72 @@ def unigram_lm_scores(
             "avg_logprob"
         ),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the topic-tagging /
+    index-enrichment stage of a corpus analytics pipeline.
+
+    score(t, d) = tf(t, d) * ln(N / df(t)), natural-log idf over raw
+    document frequency, with ``min_df`` pruning hapax noise (a term in
+    fewer than ``min_df`` docs never becomes a keyword). Scores are
+    rounded before ranking (bm25_topk discipline) and rank ties break
+    on the term string, so the selection is engine-independent.
+
+    Scale shape: three shuffles, all key-partitioned and combine-heavy —
+    (1) per-(doc, term) counts, (2) per-term document frequency (a
+    partial-agg count over the doc-term pairs, NOT a distinct over raw
+    tokens), (3) the per-doc top-k window. The df() side joins back on
+    term as an ordinary hash join: both sides are already doc-term
+    aggregates, orders of magnitude smaller than the token stream, and
+    nothing here is bounded by vocabulary size (no collect, no
+    broadcast of unbounded state).
+
+    Output: (id_col, term, tf, score, rank), rank 1..k per doc.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    staged = df.select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("_w")
+    )
+    tokens = staged.select(
+        F.col(id_col), F.explode_outer("_w").alias("term")
+    ).filter(F.col("term") != "")
+
+    doc_terms = tokens.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf")
+    )
+    n_docs = df.select(id_col).distinct().count()  # scalar, folded as literal
+    term_df = (
+        doc_terms.groupBy("term")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+    )
+    scored = doc_terms.join(term_df, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("_df")),
+            round_digits,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", F.col("rank").cast("long").alias("rank"))
+    )

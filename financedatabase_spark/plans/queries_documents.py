@@ -1689,3 +1689,40 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return unigram_lm_scores(docs, vocab_size=4096, alpha=0.5)
+
+
+@register(
+    "tfidf_keywords",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+    tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    dt AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY doc_id, term),
+    tdf AS (SELECT term, count(*)::BIGINT AS dfc FROM dt GROUP BY term HAVING count(*) >= 2),
+    n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents),
+    scored AS (
+      SELECT dt.doc_id, dt.term, dt.tf,
+             round(dt.tf * ln(n.n::DOUBLE / tdf.dfc), 6) AS score
+      FROM dt JOIN tdf USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)::BIGINT AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (operators/lm.tfidf_keywords,
+    min_df=2): doc-term counts -> term document frequency -> idf join ->
+    per-doc top-k window. Three combine-heavy key-partitioned shuffles,
+    no collect/broadcast of unbounded state — the topic-tagging stage
+    next to the unigram-LM quality filter."""
+    from financedatabase_spark.operators.lm import tfidf_keywords as tk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tk(docs, k=5, min_df=2)

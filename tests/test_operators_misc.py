@@ -1060,3 +1060,45 @@ def test_unigram_lm_scoreplan_single_scan(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert "LocalTableScan" in plan
     assert "DataFilters: []" in plan or "DataFilters" not in plan
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    import math
+
+    from financedatabase_spark.operators.lm import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog fish"), (3, "cat bird")],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, k=2, min_df=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # df: cat=2, dog=2, fish=1(bird pruned too); N=3
+    # doc1: cat tf=2 score=2*ln(1.5), dog tf=1 score=ln(1.5)
+    assert [r.term for r in by_doc[1]] == ["cat", "dog"]
+    assert abs(by_doc[1][0].score - round(2 * math.log(1.5), 6)) < 1e-12
+    # doc2: fish pruned by min_df -> only dog remains
+    assert [r.term for r in by_doc[2]] == ["dog"]
+    # doc3: bird pruned -> only cat
+    assert [r.term for r in by_doc[3]] == ["cat"]
+    assert all(r.rank == i + 1 for rs in by_doc.values() for i, r in enumerate(rs))
+
+
+def test_tfidf_keywords_tie_and_args(spark):
+    import pytest
+
+    from financedatabase_spark.operators.lm import tfidf_keywords
+
+    # equal scores tie-break on term asc
+    docs = spark.createDataFrame(
+        [(1, "b a"), (2, "a b")], "doc_id long, text string"
+    )
+    rows = tfidf_keywords(docs, k=2, min_df=2).collect()
+    d1 = sorted([r for r in rows if r.doc_id == 1], key=lambda r: r.rank)
+    assert [r.term for r in d1] == ["a", "b"]
+    with pytest.raises(ValueError, match="k must"):
+        tfidf_keywords(docs, k=0)
+    with pytest.raises(ValueError, match="min_df"):
+        tfidf_keywords(docs, min_df=0)
