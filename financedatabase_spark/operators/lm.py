@@ -126,6 +126,43 @@ def unigram_lm_scores(
     )
 
 
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: the top-``k`` tokens by total term frequency,
+    with per-token document frequency — the tokenizer-training /
+    corpus-profiling primitive (BPE seeding, stopword discovery, OOV
+    budgeting all start from this table).
+
+    Scale shape: tokens aggregate per (doc, term) FIRST (combine-heavy,
+    the token stream collapses to doc-term pairs map-side), then per
+    term — so document frequency is a plain count over the doc-term
+    pairs, never a count-distinct expansion over raw tokens. The top-k
+    is an orderBy+limit that compiles to TakeOrderedAndProject: each
+    task keeps a k-row heap, the driver merges heaps — no global sort.
+    Ties break on the token string, so selection is engine-independent.
+
+    Output: (token, term_freq, doc_freq), the k most frequent tokens.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    staged = df.select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("_w")
+    )
+    tokens = staged.select(
+        F.col(id_col), F.explode_outer("_w").alias("token")
+    ).filter(F.col("token") != "")
+    doc_terms = tokens.groupBy(id_col, "token").agg(F.count("*").alias("_tf"))
+    vocab = doc_terms.groupBy("token").agg(
+        F.sum("_tf").cast("long").alias("term_freq"),
+        F.count("*").alias("doc_freq"),
+    )
+    return vocab.orderBy(F.col("term_freq").desc(), F.col("token")).limit(k)
+
+
 def tfidf_keywords(
     df: DataFrame,
     text_col: str = "text",

@@ -1692,6 +1692,36 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_topk",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(words) AS token FROM w),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    dt AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok2 GROUP BY doc_id, token),
+    v AS (
+      SELECT token, sum(tf)::BIGINT AS term_freq, count(*)::BIGINT AS doc_freq
+      FROM dt GROUP BY token
+    )
+    SELECT token, term_freq, doc_freq
+    FROM v ORDER BY term_freq DESC, token LIMIT 100
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100 (operators/lm.vocab_topk): the
+    tokenizer-training / corpus-profiling word count. Two combine-heavy
+    aggregates (doc-term, then term) and a TakeOrderedAndProject top-k —
+    no global sort, no count-distinct expansion."""
+    from financedatabase_spark.operators.lm import vocab_topk as vt
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return vt(docs, k=100)
+
+
+@register(
     "tfidf_keywords",
     oracle=r"""
     WITH w AS (

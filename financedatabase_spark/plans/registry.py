@@ -39,6 +39,7 @@ from financedatabase_spark.plans import (  # noqa: E402,F401
     queries_groups,
     queries_joins,
     queries_lifecycle,
+    queries_market,
     queries_scalar,
     queries_setops_sorts,
     queries_streaming,
