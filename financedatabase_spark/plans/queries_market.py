@@ -208,9 +208,12 @@ def realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT symbol_a, symbol_b, n,
-           (CAST(n AS DOUBLE) * sxy - sx * sy)
-             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
-                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_daily_mean
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                 AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+                ELSE NULL END AS corr_daily_mean
     FROM pairs
     """,
 )
@@ -262,9 +265,16 @@ def symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nd = F.col("n").cast("double")
-    corr = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    varx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    # Degenerate pairs (n=1, or a zero-variance leg — varx can even round
+    # slightly negative since sxx/sx go through independent decimal(38,15)
+    # roundings) yield NULL, never NaN/Inf or a sqrt-domain error: same
+    # guard in the oracle, mirroring the peak>0 / prev>0 guards elsewhere.
+    corr = F.when(
+        (varx > F.lit(0.0)) & (vary > F.lit(0.0)),
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(varx) * F.sqrt(vary)),
     )
     return pairs.select(
         "symbol_a", "symbol_b", "n", corr.alias("corr_daily_mean")

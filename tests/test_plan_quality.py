@@ -81,6 +81,20 @@ def test_activity_bars_single_shuffle(spark, sf_dir):
         assert "SortAggregate" not in p, name
 
 
+def test_market_rollups_single_shuffle(spark, sf_dir):
+    # max_drawdown: the running-max window and the final agg group on the
+    # same key (event_type) — one hashpartitioning end to end.
+    # realized_volatility: the agg key (event_type, trade_date) refines
+    # the lag-window key, so the window's shuffle satisfies the agg's
+    # clustering requirement — again exactly one Exchange.
+    import re
+
+    for name in ("max_drawdown", "realized_volatility"):
+        p = plan_of(spark, sf_dir, name)
+        node_ids = set(re.findall(r"Exchange \((\d+)\)", p))
+        assert len(node_ids) == 1, (name, node_ids)
+
+
 def test_stratified_sample_stays_map_side(spark, sf_dir):
     # the fraction spec joins in as a broadcast; the corpus side must not
     # shuffle — the whole sample is a scan-side filter

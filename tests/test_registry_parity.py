@@ -4,7 +4,7 @@ match DuckDB on the same parquet tables (row count + schema + values)."""
 import pytest
 
 from financedatabase_spark.plans.registry import ORACLE_SQL, QUERIES
-from tests.conftest import run_parity
+from tests.conftest import assert_frames_match, run_parity
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
@@ -254,3 +254,50 @@ def test_kmeans_lloyd_improves_monotonically(spark, sf_dir):
         if prev is not None:
             assert row.m >= prev - 1e-9, f"objective regressed at iters={iters}"
         prev = row.m
+
+
+def test_symbol_correlation_degenerate_pairs_null(spark, tmp_path):
+    """Zero-variance and n=1 pairs must yield NULL correlation in BOTH
+    engines (advisor r7: unguarded denominator gave NaN/Inf in Spark and
+    a sqrt-domain error risk in DuckDB on such data)."""
+    import datetime as dt
+
+    import duckdb as ddb
+    import pandas as pd
+
+    from financedatabase_spark.plans.registry import ORACLE_SQL, QUERIES
+
+    rows = []
+    eid = 0
+    # FLAT: constant value every day -> zero variance on its leg
+    # VAR:  genuinely varying          -> positive variance
+    # ONCE: a single day               -> n=1 pairs with everyone
+    for d in range(4):
+        ts = dt.datetime(2024, 1, 1 + d, 12, 0, 0)
+        rows.append((eid := eid + 1, ts, 1, "FLAT", 5.0, "{}"))
+        rows.append((eid := eid + 1, ts, 2, "VAR", 1.0 + 2.5 * d, "{}"))
+    rows.append((eid + 1, dt.datetime(2024, 1, 2, 9, 0, 0), 3, "ONCE", 7.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+
+    spark_pdf = QUERIES["symbol_correlation"](spark, str(tmp_path)).toPandas()
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    oracle_pdf = con.execute(ORACLE_SQL["symbol_correlation"]).fetchdf()
+    con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, rtol=0.0)
+    by_pair = {
+        (r.symbol_a, r.symbol_b): r.corr_daily_mean
+        for r in spark_pdf.itertuples()
+    }
+    # every pair involving FLAT (zero variance) or ONCE (n=1) is NULL;
+    # no NaN/Inf anywhere
+    for pair, corr in by_pair.items():
+        if "FLAT" in pair or "ONCE" in pair:
+            assert pd.isna(corr), pair
+        else:
+            assert pd.notna(corr) and abs(corr) <= 1.0, pair
