@@ -230,6 +230,14 @@ GREEKS_SCHEMA = T.StructType(
 
 
 @F.pandas_udf(T.DoubleType())
+def bs_price_udf(
+    s: pd.Series, k: pd.Series, t: pd.Series, r: pd.Series,
+    q: pd.Series, sigma: pd.Series, is_call: pd.Series,
+) -> pd.Series:
+    return pd.Series(bs_price(s, k, t, r, q, sigma, is_call.astype(bool)))
+
+
+@F.pandas_udf(T.DoubleType())
 def bs_iv_udf(
     price: pd.Series, s: pd.Series, k: pd.Series, t: pd.Series,
     r: pd.Series, q: pd.Series, is_call: pd.Series,

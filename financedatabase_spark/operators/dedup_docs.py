@@ -302,30 +302,32 @@ def minhash_lsh_dedup(
     # values with integer permutations h_i(v) = (a_i·v + b_i) mod P — the
     # standard one-hash MinHash family. k× fewer digest calls; the linear
     # maps are exact int64 math the SQL oracle reproduces verbatim.
-    vs = F.transform(F.col("sh"), lambda s: _hex28(F.md5(s)))
-    base = base.select("doc_id", "sh", vs.alias("_vs"))
-
-    def _perm(i: int):
+    # The per-permutation exprs are SQL STRINGS in one selectExpr: a
+    # Python HOF lambda costs several Py4J roundtrips apiece, and the 16
+    # of them dominated the bench's measured plan-build time (~0.4 s of
+    # the r7 1.0 s build); one parse call builds the same analyzed tree.
+    base = base.selectExpr(
+        "doc_id",
+        "sh",
+        "transform(sh, s -> cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint))"
+        " AS _vs",
+    )
+    sig_exprs = []
+    for i in range(num_hashes):
         a, b = _minhash_coeffs(i)
-        return lambda v: (F.lit(a) * v + F.lit(b)) % F.lit(MINHASH_P)
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("_vs"), _perm(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = base.select("doc_id", "sh", *sig_cols)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
-            ).alias("key"),
+        sig_exprs.append(
+            f"array_min(transform(_vs, v -> ({a}L * v + {b}L) % {MINHASH_P}L))"
+            f" AS h{i}"
+        )
+    sigs = base.selectExpr("doc_id", "sh", *sig_exprs)
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'key', md5(concat_ws('|', {hs})))".format(
+            b=b,
+            hs=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
         )
         for b in range(bands)
-    ]
-    banded = sigs.select(
-        "doc_id", "sh", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    banded = sigs.selectExpr("doc_id", "sh", f"inline(array({band_structs}))")
     pairs = _capped_band_pairs(banded, {"sh": "sh"}, bucket_cap)
     inter = F.size(F.array_intersect("sh1", "sh2"))
     return pairs.select(
@@ -380,28 +382,30 @@ def simhash_signatures(
     assert bits % 4 == 0 and bits <= 48, "bits must be a multiple of 4, ≤48 (long-safe)"
     # map-side: token-hash array computed ONCE per doc, then `bits` cheap
     # array folds for the majority votes — no explode, no shuffle (the
-    # previous explode+groupBy formulation shuffled every token row)
+    # previous explode+groupBy formulation shuffled every token row).
+    # All `bits` folds are SQL strings in one selectExpr: per-bit Python
+    # HOF lambdas cost several Py4J roundtrips each and made plan BUILD
+    # (~1.5 s) outweigh execution in the bench; one parse call yields the
+    # identical analyzed tree. shiftright(v,j)&1 ≡ cast(v/2^j as long)%2
+    # for the non-negative conv() outputs.
     base = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.split(normalized_text(text_col), " ").alias("_toks"),
-    ).select(
+    ).selectExpr(
         "doc_id",
-        F.transform(F.col("_toks"), lambda t: token_hash32(t, hex_chars=bits // 4)).alias("_vs"),
+        f"transform(_toks, t -> cast(conv(substring(md5(t), 1, {bits // 4}),"
+        " 16, 10) as bigint)) AS _vs",
     )
-    def _bit_vote(j: int):
-        # closure factory: a `j=j` default would change the lambda's arity
-        # and break PySpark's higher-order-function signature inspection
-        return lambda acc, v: acc + F.when((v / (2**j)).cast("long") % 2 == 1, 1).otherwise(-1)
-
-    bit_cols = [
-        F.aggregate(F.col("_vs"), F.lit(0), _bit_vote(j)).alias(f"b{j}")
+    bit_exprs = [
+        f"aggregate(_vs, 0, (acc, v) -> acc +"
+        f" (CASE WHEN (shiftright(v, {j}) & 1) = 1 THEN 1 ELSE -1 END)) AS b{j}"
         for j in range(bits)
     ]
-    bit_sums = base.select("doc_id", *bit_cols)
-    sig = F.lit(0)
-    for j in range(bits):
-        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-    return bit_sums.select("doc_id", sig.cast("long").alias("simhash"))
+    bit_sums = base.selectExpr("doc_id", *bit_exprs)
+    sig = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {2**j}L ELSE 0L END)" for j in range(bits)
+    )
+    return bit_sums.selectExpr("doc_id", f"cast({sig} as bigint) AS simhash")
 
 
 def simhash_near_dups(
@@ -420,21 +424,12 @@ def simhash_near_dups(
     duplication stays linear."""
     band_bits = bits // 4
     sigs = simhash_signatures(df, text_col, id_col, bits)
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        ((F.col("simhash") / (2 ** (band_bits * b))).cast("long") % (2**band_bits)).alias("key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'key',"
+        f" shiftright(simhash, {band_bits * b}) & {2**band_bits - 1}L)"
+        for b in range(4)
+    )
+    bands = sigs.selectExpr("doc_id", "simhash", f"inline(array({band_structs}))")
     cands = _capped_band_pairs(bands, {"simhash": "sh"}, bucket_cap)
     return cands.select(
         "doc1",

@@ -317,14 +317,14 @@ def cell_centroids(
     df: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
     """Element-wise per-cell centroid — the coarse quantizer's codebook,
-    built in-engine: posexplode to (cell, pos, x), exact decimal means
+    built in-engine: posexplode to (cell, pos, x), exact integer-unit means
     (cross-engine deterministic), re-assemble position-sorted vectors.
     Output: (cell, cvec). One shuffle on (cell, pos), one on cell."""
     flat = _spread(df).select(
         F.col(cell_col).alias("cell"), F.posexplode(_vec(vec_col)).alias("pos", "x")
     )
     cmeans = flat.groupBy("cell", "pos").agg(
-        (F.sum(F.col("x").cast("decimal(28,10)")).cast("double") / F.count("*")).alias("m")
+        (F.sum(F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("long")).cast("double") / F.lit(1e6) / F.count("*")).alias("m")
     )
     return (
         cmeans.groupBy("cell")
@@ -605,11 +605,11 @@ def _assign_to_codebook(
 
 
 def _centroids_of_assignment(assign: DataFrame) -> DataFrame:
-    """Recompute the codebook from an assignment — exact decimal
+    """Recompute the codebook from an assignment — exact integer-unit
     element-wise means, identical math to `cell_centroids`."""
     flat = assign.select("cell", F.posexplode(F.col("_v")).alias("pos", "x"))
     cmeans = flat.groupBy("cell", "pos").agg(
-        (F.sum(F.col("x").cast("decimal(28,10)")).cast("double") / F.count("*")).alias("m")
+        (F.sum(F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("long")).cast("double") / F.lit(1e6) / F.count("*")).alias("m")
     )
     return (
         cmeans.groupBy("cell")

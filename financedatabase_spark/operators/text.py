@@ -461,10 +461,14 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         F.regexp_count(F.lower(t), F.lit(CJK_PATTERN)).alias("_cjk"),
     )
 
-    def hits(words: list[str]) -> Column:
-        return F.size(F.filter(F.col("_mk"), lambda w: w.isin(words)))
+    # marker-set counts as SQL strings in one selectExpr — per-set Python
+    # HOF lambdas cost several Py4J roundtrips each and dominated this
+    # query's measured plan-build time (bench counts build)
+    def hits(words: list[str]) -> str:
+        in_list = ", ".join(f"'{w}'" for w in words)
+        return f"size(filter(_mk, w -> w IN ({in_list})))"
 
-    counted = staged.select(
+    counted = staged.selectExpr(
         id_col,
         "_n",
         "_wt",
@@ -472,8 +476,8 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         "_pc",
         "_dc",
         "_cjk",
-        hits(_STOPWORD_SET).alias("_stop"),
-        *[hits(_LANG_SETS[lang]).alias(f"_h_{lang}") for lang in langs],
+        f"{hits(_STOPWORD_SET)} AS _stop",
+        *[f"{hits(_LANG_SETS[lang])} AS _h_{lang}" for lang in langs],
     )
 
     n, wt = F.col("_n"), F.col("_wt")
@@ -487,15 +491,18 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         + 0.25 * (F.lit(1.0) - F.least(digit_ratio * 4.0, F.lit(1.0)))
     )
     # same tie-break chain as lang_id: earlier languages win ties
-    lang_expr = F.when(F.col("_cjk") > 0, F.lit("zh"))
+    # (one CASE string: the O(langs²) Column-API condition chain was a
+    # measurable slice of plan build)
+    arms = []
     for lang in langs:
-        cond = F.col(f"_h_{lang}") > 0
+        cond = [f"_h_{lang} > 0"]
         for other in langs:
             if other != lang and langs.index(other) < langs.index(lang):
-                cond = cond & (F.col(f"_h_{lang}") > F.col(f"_h_{other}"))
+                cond.append(f"_h_{lang} > _h_{other}")
             elif other != lang:
-                cond = cond & (F.col(f"_h_{lang}") >= F.col(f"_h_{other}"))
-        lang_expr = lang_expr.when(cond, F.lit(lang))
+                cond.append(f"_h_{lang} >= _h_{other}")
+        arms.append(f"WHEN {' AND '.join(cond)} THEN '{lang}'")
+    lang_case = f"CASE WHEN _cjk > 0 THEN 'zh' {' '.join(arms)} ELSE 'und' END"
     return counted.select(
         id_col,
         F.col("_n").alias("n_chars"),
@@ -505,7 +512,7 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         digit_ratio.alias("digit_ratio"),
         stop_ratio.alias("stopword_ratio"),
         quality.alias("quality"),
-        lang_expr.otherwise(F.lit("und")).alias("lang_guess"),
+        F.expr(lang_case).alias("lang_guess"),
     )
 
 

@@ -29,6 +29,30 @@ from financedatabase_spark.plans.registry import register
 from financedatabase_spark.sources.readers import load_table
 
 
+# Module-level pandas-UDF singletons (a per-call @pandas_udf re-pickles
+# and re-registers the function on every plan build; the UDF object's
+# _judf memo only helps if the object survives across builds).
+# steps=32 keeps the DuckDB oracle's recursive-CTE lattice tractable;
+# the engine default (steps=64) stays covered by tests/test_analytics.py.
+import pandas as _pd  # noqa: E402
+from pyspark.sql import types as _T  # noqa: E402
+
+from financedatabase_spark.functions.analytics import (  # noqa: E402
+    binomial_iv,
+    binomial_price,
+)
+
+
+@F.pandas_udf(_T.DoubleType())
+def _binomial32_price_udf(s, k, t, r, q, sigma, is_call):
+    return _pd.Series(binomial_price(s, k, t, r, q, sigma, is_call.astype(bool), steps=32))
+
+
+@F.pandas_udf(_T.DoubleType())
+def _binomial32_iv_udf(price, s, k, t, r, q, is_call):
+    return _pd.Series(binomial_iv(price, s, k, t, r, q, is_call.astype(bool), steps=32, iters=40))
+
+
 def _q6(c):
     """6-decimal quantizer used on BOTH engines: floor(x*1e6 + 0.5)/1e6 is
     float-op-identical in Spark and DuckDB, unlike each engine's round().
@@ -58,19 +82,15 @@ def synthetic_option_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def implied_vol_bs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 — vectorized Black-Scholes IV (reference: BS_IV row-wise apply,
     Organizers.py:127-135). Price is generated inside the same plan with a
-    known sigma; the UDF recovers it."""
-    from financedatabase_spark.functions.analytics import bs_price
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    @F.pandas_udf(T.DoubleType())
-    def price_udf(s, k, t, r, q, sigma, is_call):
-        return pd.Series(bs_price(s, k, t, r, q, sigma, is_call.astype(bool)))
+    known sigma; the UDF recovers it. Module-level UDF singletons: a
+    per-call `@pandas_udf` re-cloudpickles and re-registers the function
+    on every plan build (bench counts build time)."""
+    from financedatabase_spark.functions.analytics import bs_price_udf
 
     rows = synthetic_option_rows(spark, sf_dir)
     priced = rows.withColumn(
         "price",
-        price_udf("underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "true_sigma", "is_call"),
+        bs_price_udf("underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "true_sigma", "is_call"),
     )
     return priced.withColumn(
         "bs_iv",
@@ -101,28 +121,14 @@ def implied_vol_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 — binomial (CRR, American) IV via vectorized bisection
     (reference: Binomial_IV, Organizers.py:138-147). Sampled 1-in-4 to
     keep the lattice work proportionate in the test harness."""
-    from financedatabase_spark.functions.analytics import binomial_iv, binomial_price
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    # steps=32 keeps the DuckDB oracle's recursive-CTE lattice tractable;
-    # the engine default (steps=64) stays covered by tests/test_analytics.py.
-    @F.pandas_udf(T.DoubleType())
-    def price_udf(s, k, t, r, q, sigma, is_call):
-        return pd.Series(binomial_price(s, k, t, r, q, sigma, is_call.astype(bool), steps=32))
-
-    @F.pandas_udf(T.DoubleType())
-    def iv32_udf(price, s, k, t, r, q, is_call):
-        return pd.Series(binomial_iv(price, s, k, t, r, q, is_call.astype(bool), steps=32, iters=40))
-
     rows = synthetic_option_rows(spark, sf_dir).filter(F.col("p_partkey") % 4 == 0)
     priced = rows.withColumn(
         "price",
-        price_udf("underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "true_sigma", "is_call"),
+        _binomial32_price_udf("underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "true_sigma", "is_call"),
     )
     return priced.withColumn(
         "binomial_iv",
-        iv32_udf("price", "underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "is_call"),
+        _binomial32_iv_udf("price", "underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "is_call"),
     ).select(
         "p_partkey", _q6("price").alias("price"), "true_sigma",
         _q6("binomial_iv").alias("binomial_iv"),
@@ -135,19 +141,13 @@ def risk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     as-of-style enrichment columns, IV + greeks UDFs, zero-IV fallback
     re-resolution (U4), open-interest left join (J2), inf/NaN scrub (F14).
     """
-    from financedatabase_spark.functions.analytics import bs_price
+    from financedatabase_spark.functions.analytics import bs_price_udf
     from financedatabase_spark.functions.columns import scrub_inf_nan
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    @F.pandas_udf(T.DoubleType())
-    def price_udf(s, k, t, r, q, sigma, is_call):
-        return pd.Series(bs_price(s, k, t, r, q, sigma, is_call.astype(bool)))
 
     rows = synthetic_option_rows(spark, sf_dir)
     priced = rows.withColumn(
         "close",
-        price_udf("underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "true_sigma", "is_call"),
+        bs_price_udf("underlier_price", "strike", "tenor_years", "rf_rate", "div_yield", "true_sigma", "is_call"),
     ).withColumn("midpoint", F.col("close") * 1.0005)
     with_iv = priced.withColumn(
         "bs_iv",

@@ -807,7 +807,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cmeans AS (
       SELECT label, pos,
-             CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+             CAST(CAST(sum(CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 / count(*) AS m
       FROM flat GROUP BY label, pos
     ),
     centroids AS (
@@ -828,7 +828,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivf_build_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index BUILD path: construct the coarse quantizer in-engine
-    (per-cell element-wise centroid via posexplode + exact decimal means)
+    (per-cell element-wise centroid via posexplode + exact integer-unit means)
     and assign probe vectors to their nearest centroid by cosine. With the
     assignment written back as a partition column, probes become
     partition-pruned scans (the ivf_topk query's precondition)."""
@@ -837,7 +837,7 @@ def ivf_build_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.posexplode(sim._vec("embedding")).alias("pos", "x")
     )
     cmeans = flat.groupBy("label", "pos").agg(
-        (F.sum(F.col("x").cast("decimal(28,10)")).cast("double") / F.count("*")).alias("m")
+        (F.sum(F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("long")).cast("double") / F.lit(1e6) / F.count("*")).alias("m")
     )
     centroids = cmeans.groupBy(F.col("label").alias("c_label")).agg(
         F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm")
@@ -890,7 +890,7 @@ def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cmeans AS (
       SELECT label, pos,
-             CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+             CAST(CAST(sum(CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 / count(*) AS m
       FROM flat GROUP BY label, pos
     ),
     centroids AS (
@@ -1452,7 +1452,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v, LATERAL (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS pos) u
     ),
     cm0 AS (SELECT cell, pos,
-                   CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+                   CAST(CAST(sum(CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 / count(*) AS m
             FROM flat0 GROUP BY cell, pos),
     cen0 AS (SELECT cell, list(m ORDER BY pos) AS cvec FROM cm0 GROUP BY cell),
     s1 AS (
@@ -1474,7 +1474,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM a1 a, LATERAL (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS pos) u
     ),
     cm1 AS (SELECT cell, pos,
-                   CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+                   CAST(CAST(sum(CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 / count(*) AS m
             FROM flat1 GROUP BY cell, pos),
     cen1 AS (SELECT cell, list(m ORDER BY pos) AS cvec FROM cm1 GROUP BY cell),
     s2 AS (

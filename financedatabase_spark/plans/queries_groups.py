@@ -18,7 +18,8 @@ from financedatabase_spark.sources.readers import load_table
     "group_mean_transform",
     oracle="""
     SELECT event_id, ts, event_type, value,
-           CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE)
+           CAST(CAST(sum(CAST(floor(value * 1e6 + 0.5e0) AS BIGINT)) OVER w
+                     AS BIGINT) AS DOUBLE) / 1e6
              / count(value) OVER w AS day_mean
     FROM events
     WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE))
@@ -28,12 +29,16 @@ def group_mean_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/W3 — per-group mean broadcast back to rows
     (reference: v2.py:2063 `groupby('date').transform('mean')`).
     Window aggregate: one shuffle on the partition key, no join-back.
-    The mean is exact-decimal-sum / count so the result is bit-identical
-    regardless of each engine's partition summation order."""
+    The mean is an exact integer-micro-unit sum / count so the result is
+    bit-identical regardless of each engine's partition summation order
+    AND engine-portable (a double→DECIMAL cast is not — Spark converts
+    via shortest decimal repr, DuckDB via the exact binary value; see
+    queries_market.realized_volatility)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type", F.to_date("ts"))
+    units = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
     mean = (
-        F.sum(F.col("value").cast("decimal(30,10)")).over(w).cast("double")
+        F.sum(units).over(w).cast("double") / F.lit(1e6)
         / F.count("value").over(w)
     )
     return ev.select("event_id", "ts", "event_type", "value", mean.alias("day_mean"))
@@ -50,7 +55,8 @@ def group_mean_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS rn
       FROM (
         SELECT event_type, CAST(ts AS DATE) AS date, value, event_id,
-               CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE)
+               CAST(CAST(sum(CAST(floor(value * 1e6 + 0.5e0) AS BIGINT)) OVER w
+                         AS BIGINT) AS DOUBLE) / 1e6
                  / count(value) OVER w AS day_mean
         FROM events
         WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE))
@@ -66,8 +72,9 @@ def argmin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("date"), "value", "event_id"
     )
     wmean = Window.partitionBy("event_type", "date")
+    units = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
     day_mean = (
-        F.sum(F.col("value").cast("decimal(30,10)")).over(wmean).cast("double")
+        F.sum(units).over(wmean).cast("double") / F.lit(1e6)
         / F.count("value").over(wmean)
     )
     wrank = Window.partitionBy("event_type", "date").orderBy(

@@ -32,13 +32,14 @@ _DEC = "decimal(30,10)"
     oracle="""
     WITH t AS (
       SELECT event_type AS symbol, CAST(ts AS DATE) AS trade_date,
-             value AS price, (event_id % 7 + 1)::BIGINT AS volume
+             CAST(floor(value * 1e6 + 0.5e0) AS BIGINT) AS price_u,
+             (event_id % 7 + 1)::BIGINT AS volume
       FROM events
     )
     SELECT symbol, trade_date,
-           CAST(sum(CAST(price AS DECIMAL(30,10)) * volume) AS DOUBLE)
+           CAST(CAST(sum(price_u * volume) AS BIGINT) AS DOUBLE) / 1e6
              / CAST(sum(volume) AS DOUBLE) AS vwap,
-           CAST(sum(CAST(price AS DECIMAL(30,10))) AS DOUBLE)
+           CAST(CAST(sum(price_u) AS BIGINT) AS DOUBLE) / 1e6
              / CAST(count(*) AS DOUBLE) AS twap,
            sum(volume)::BIGINT AS total_volume,
            count(*)::BIGINT AS n_ticks
@@ -49,24 +50,28 @@ def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily VWAP/TWAP per symbol — the standard execution benchmark pair
     (volume synthesized from event_id as in `volume_bars_activity`).
     One hash aggregate on (symbol, day): partial map-side sums, one
-    shuffle, no window. Decimal accumulators make the sums
-    order-independent; the final double divisions see identical operands
-    on both engines."""
+    shuffle, no window. Exact integer micro-price units make the sums
+    order-independent AND engine-portable (a double→DECIMAL cast is not:
+    see realized_volatility); the final double divisions see identical
+    operands on both engines."""
     ev = load_table(spark, sf_dir, "events")
-    price_dec = F.col("value").cast(_DEC)
+    price_u = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
     volume = (F.col("event_id") % 7 + 1).cast("long")
     t = ev.select(
         F.col("event_type").alias("symbol"),
         F.to_date("ts").alias("trade_date"),
-        price_dec.alias("price"),
+        price_u.alias("price_u"),
         volume.alias("volume"),
     )
     return t.groupBy("symbol", "trade_date").agg(
         (
-            F.sum(F.col("price") * F.col("volume")).cast("double")
+            F.sum(F.col("price_u") * F.col("volume")).cast("double") / F.lit(1e6)
             / F.sum("volume").cast("double")
         ).alias("vwap"),
-        (F.sum("price").cast("double") / F.count("*").cast("double")).alias("twap"),
+        (
+            F.sum("price_u").cast("double") / F.lit(1e6)
+            / F.count("*").cast("double")
+        ).alias("twap"),
         F.sum("volume").cast("long").alias("total_volume"),
         F.count("*").alias("n_ticks"),
     )
@@ -140,7 +145,8 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
     )
     SELECT symbol, trade_date,
-           sqrt(CAST(sum(CAST(ret * ret AS DECIMAL(38,15))) AS DOUBLE))
+           sqrt(CAST(CAST(sum(CAST(floor(ret * ret * 1e9 + 0.5e0) AS BIGINT))
+                          AS BIGINT) AS DOUBLE) / 1e9)
              AS realized_vol,
            count(ret)::BIGINT AS n_returns
     FROM r GROUP BY 1, 2
@@ -151,9 +157,16 @@ def realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     (guarded against the zero prices present in the data; the first tick
     of each symbol contributes no return), sum of squares per (symbol,
     day), square root. Returns and their squares are IEEE-exact double
-    ops on identical operands; the cross-row SUM goes through
-    DECIMAL(38,15) so partition order can't perturb it, and sqrt is
-    correctly-rounded by both engines.
+    ops on identical operands; the cross-row SUM runs in exact integer
+    1e-9 units — floor(ret²·1e9 + 0.5) is an integral double (< 2^53 for
+    any sane ret²·n, documented bound sum(ret²) < 9.2e9 per symbol-day),
+    so partition order can't perturb it, and bigint→double is correctly
+    rounded by both engines. (A DECIMAL(38,15) cast of the raw double is
+    NOT portable: Spark converts via the double's shortest decimal repr,
+    DuckDB via its exact binary value — they round scale-15 differently
+    on ~20% of real ret² values. The DuckDB side re-casts its sum —
+    HUGEINT — back to BIGINT first: int128→double double-rounds past
+    2^53, int64→double never does.)
 
     Scale shape: the lag window partitions on symbol, the aggregate on
     (symbol, day) — the day key is a refinement of the window key, so
@@ -169,12 +182,11 @@ def realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ev.select(
         "event_type", F.to_date("ts").alias("trade_date"), ret.alias("ret")
     )
+    units = F.floor(F.col("ret") * F.col("ret") * F.lit(1e9) + F.lit(0.5)).cast("long")
     return (
         r.groupBy("event_type", "trade_date")
         .agg(
-            F.sqrt(
-                F.sum((F.col("ret") * F.col("ret")).cast("decimal(38,15)")).cast("double")
-            ).alias("realized_vol"),
+            F.sqrt(F.sum(units).cast("double") / F.lit(1e9)).alias("realized_vol"),
             F.count("ret").alias("n_returns"),
         )
         .select(
@@ -191,18 +203,19 @@ def realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type AS symbol, CAST(ts AS DATE) AS trade_date,
-             CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+             CAST(CAST(sum(CAST(floor(value * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / 1e6
                / CAST(count(*) AS DOUBLE) AS day_mean
       FROM events GROUP BY 1, 2
     ),
     pairs AS (
       SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
              count(*)::BIGINT AS n,
-             CAST(sum(CAST(a.day_mean AS DECIMAL(38,15))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(b.day_mean AS DECIMAL(38,15))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(a.day_mean * b.day_mean AS DECIMAL(38,15))) AS DOUBLE) AS sxy,
-             CAST(sum(CAST(a.day_mean * a.day_mean AS DECIMAL(38,15))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(b.day_mean * b.day_mean AS DECIMAL(38,15))) AS DOUBLE) AS syy
+             CAST(CAST(sum(CAST(floor(a.day_mean * 1e9 + 0.5e0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9 AS sx,
+             CAST(CAST(sum(CAST(floor(b.day_mean * 1e9 + 0.5e0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9 AS sy,
+             CAST(CAST(sum(CAST(floor(a.day_mean * b.day_mean * 1e9 + 0.5e0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9 AS sxy,
+             CAST(CAST(sum(CAST(floor(a.day_mean * a.day_mean * 1e9 + 0.5e0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9 AS sxx,
+             CAST(CAST(sum(CAST(floor(b.day_mean * b.day_mean * 1e9 + 0.5e0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9 AS syy
       FROM daily a JOIN daily b
         ON a.trade_date = b.trade_date AND a.symbol < b.symbol
       GROUP BY 1, 2
@@ -220,22 +233,28 @@ def realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
 def symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation of the symbols' daily mean values —
     the cross-sectional co-movement matrix (upper triangle). Built from
-    explicit decimal moment sums rather than the engines' corr()
-    aggregates, whose internal single-pass accumulations are not
-    bit-portable across engines.
+    explicit moment sums in exact integer units (floor(x·scale + 0.5) →
+    bigint; see realized_volatility for why a double→DECIMAL cast is not
+    engine-portable) rather than the engines' corr() aggregates, whose
+    internal single-pass accumulations are not bit-portable across
+    engines.
 
     Scale shape: pre-aggregate to (symbol, day) FIRST — the pairwise
     self-join runs on the tiny daily frame (days x symbols rows), never
     on ticks, so its cost is independent of tick count; the moment sums
     are one more hash aggregate on the (symbol, symbol) pair key."""
     ev = load_table(spark, sf_dir, "events")
+
+    def units(c, scale: float = 1e9):
+        return F.floor(c * F.lit(scale) + F.lit(0.5)).cast("long")
+
     daily = (
         ev.groupBy(
             F.col("event_type").alias("symbol"), F.to_date("ts").alias("trade_date")
         )
         .agg(
             (
-                F.sum(F.col("value").cast(_DEC)).cast("double")
+                F.sum(units(F.col("value"), 1e6)).cast("double") / F.lit(1e6)
                 / F.count("*").cast("double")
             ).alias("day_mean")
         )
@@ -250,18 +269,18 @@ def symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("trade_date"),
         F.col("day_mean").alias("y"),
     )
-    d15 = lambda c: c.cast("decimal(38,15)")  # noqa: E731
+    usum = lambda c: F.sum(units(c)).cast("double") / F.lit(1e9)  # noqa: E731
     pairs = (
         a.join(b, ["trade_date"])
         .filter(F.col("symbol_a") < F.col("symbol_b"))
         .groupBy("symbol_a", "symbol_b")
         .agg(
             F.count("*").alias("n"),
-            F.sum(d15(F.col("x"))).cast("double").alias("sx"),
-            F.sum(d15(F.col("y"))).cast("double").alias("sy"),
-            F.sum(d15(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
-            F.sum(d15(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
-            F.sum(d15(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+            usum(F.col("x")).alias("sx"),
+            usum(F.col("y")).alias("sy"),
+            usum(F.col("x") * F.col("y")).alias("sxy"),
+            usum(F.col("x") * F.col("x")).alias("sxx"),
+            usum(F.col("y") * F.col("y")).alias("syy"),
         )
     )
     nd = F.col("n").cast("double")
