@@ -59,7 +59,14 @@ _DUCK_SNIPPET = r"""
 import sys, duckdb
 sys.path.insert(0, sys.argv[1])
 from financedatabase_spark.plans.registry import ORACLE_SQL
-con = duckdb.connect(); con.execute("SET threads TO 32")
+import os
+con = duckdb.connect()
+con.execute("SET threads TO " + os.environ.get("PARITY_ORACLE_THREADS", "32"))
+# a bounded memory_limit keeps the giant CTE-chain oracles from tripping
+# glibc TLS/mmap allocation failures when they run beside the Spark JVM
+lim = os.environ.get("PARITY_ORACLE_MEM")
+if lim:
+    con.execute(f"SET memory_limit='{lim}'")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '" + sys.argv[2] + f"/{t}.parquet'")
 con.execute("COPY (" + ORACLE_SQL[sys.argv[3]] + ") TO '" + sys.argv[4] + "' (FORMAT PARQUET)")
