@@ -1,0 +1,144 @@
+"""Distributed BPE tokenizer training — the vocabulary-learning stage of
+an LLM data pipeline (Sennrich et al. 2016, byte-pair encoding on a word
+frequency table).
+
+Scale shape: the corpus is scanned ONCE into a (word, freq) vocabulary
+table (a few 100k rows even for a 100 TB corpus — Heaps' law), which is
+localCheckpoint'ed; every merge round then runs entirely on that compact
+table: one hash aggregate for the weighted pair counts, one single-row
+collect for the arg-max pair (the same driver-scalar pattern as the
+connected-components convergence check), one map-side `replace` to apply
+the merge. Round cost is O(vocab), independent of corpus size.
+
+Cross-engine portability: a word's symbol sequence is stored as a
+DOUBLE-space-joined string ("h  e  l  l  o  </w>"). Merging pair (a, b)
+is then ONE `replace(' '||seq||' ', ' a  b ', ' ab ')`: because the
+separator is two spaces and the pattern consumes one leading + one
+trailing space, consecutive occurrences each retain a boundary space, so
+the engines' shared non-overlapping left-to-right replace semantics
+yields exactly the canonical greedy BPE merge ("a a a" -> "aa a", every
+disjoint occurrence merged in one pass). Both Spark's `replace` and
+DuckDB's `replace` scan left-to-right without rescanning replacements,
+so the SQL oracle reproduces the merge byte-for-byte.
+
+Reference parity: the reference engine has no tokenizer trainer; this is
+one of the LLM-pipeline operators the port adds (brief: "the operations
+a large-scale training-data pipeline would need").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from financedatabase_spark.operators.text import normalized_text
+from financedatabase_spark.session import values_dim
+
+#: End-of-word marker (classic BPE: lets merges learn word-final units
+#: like "ing</w>" distinct from word-internal "ing").
+EOW = "</w>"
+
+
+def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the normalized corpus — the compact table every
+    merge round runs on. One scan + one shuffle on the word."""
+    words = df.select(
+        F.explode(F.split(normalized_text(text_col), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    return words.groupBy("w").agg(F.count("*").alias("freq"))
+
+
+def _char_seq(w: Column) -> Column:
+    """'hello' -> 'h  e  l  l  o  </w>' (double-space separators)."""
+    return F.concat(F.regexp_replace(w, "(.)", "$1  "), F.lit(EOW))
+
+
+def _pair_counts(wf: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the vocab's symbol sequences.
+    Pairs keep multiplicity within a word (canonical BPE counts every
+    occurrence), weighted by the word's corpus frequency."""
+    sp = wf.select("freq", F.split("seq", "  ").alias("sp"))
+    pairs = sp.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(sp) - 1),"
+                " i -> concat(element_at(sp, i), ' ', element_at(sp, i + 1)))"
+            )
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(F.sum("freq").alias("cnt"))
+
+
+def _apply_merge(wf: DataFrame, left: str, right: str, merged: str) -> DataFrame:
+    """One canonical greedy merge pass (see module docstring)."""
+    pat = F.lit(f" {left}  {right} ")
+    rep = F.lit(f" {merged} ")
+    padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+    return wf.select("w", "freq", F.trim(F.replace(padded, pat, rep)).alias("seq"))
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", merges: int = 6
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``merges`` BPE merge rules from the corpus.
+
+    Returns ``(rules, vocab)``:
+    - rules: (round, left_sym, right_sym, merged, pair_count) — one row
+      per learned merge, rounds 1-based in learning order; ties broken
+      (count DESC, pair ASC) so the result is deterministic.
+    - vocab: the final (w, freq, seq) word table with all merges applied
+      (seq symbols double-space-joined) — the input to tokenize_with().
+    """
+    spark = df.sparkSession
+    wf = (
+        word_freq_table(df, text_col)
+        .select("w", "freq", _char_seq(F.col("w")).alias("seq"))
+        .localCheckpoint()  # corpus scanned once; rounds run on the vocab
+    )
+    rules: list[tuple] = []
+    for r in range(1, merges + 1):
+        top = (
+            _pair_counts(wf)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        left, right = pair.split(" ")
+        merged = left + right
+        rules.append((r, left, right, merged, cnt))
+        wf = _apply_merge(wf, left, right, merged)
+    rules_df = values_dim(
+        spark,
+        rules,
+        "round bigint, left_sym string, right_sym string, merged string,"
+        " pair_count bigint",
+    )
+    return rules_df, wf
+
+
+def tokenize_with(df: DataFrame, vocab: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts under the trained merges: each document's
+    words join to the trained vocab's final symbol sequences (words seen
+    in training resolve by lookup; unseen words fall back to char count
+    + 1 for the EOW marker — the untrained-symbol baseline).
+
+    Scale: one explode + one join on the word. The vocab side is small
+    (Heaps' law) — AQE broadcasts it; the corpus side never shuffles."""
+    doc_words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("w"),
+    ).filter(F.length("w") > 0)
+    tok = vocab.select("w", F.size(F.split("seq", "  ")).alias("_ntok"))
+    joined = doc_words.join(tok, "w", "left").select(
+        id_col,
+        F.coalesce(F.col("_ntok"), F.length("w") + 1).alias("_ntok"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.sum("_ntok").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_words"),
+    )

@@ -34,6 +34,7 @@ from financedatabase_spark.plans import (  # noqa: E402,F401
     queries_advanced,
     queries_analytics,
     queries_bars,
+    queries_bpe,
     queries_calendar_fallback,
     queries_documents,
     queries_groups,

@@ -1,0 +1,108 @@
+"""BPE trainer gates: canonical-greedy equivalence against a pure-Python
+reference (including the consecutive-run edge the one-pass replace trick
+must get right), tie-break determinism, and the tokenizer fallback."""
+
+import re
+
+import pytest
+
+
+def _ref_bpe(texts, merges):
+    """Canonical greedy BPE on a word-frequency table (left-to-right
+    disjoint merges, ties count DESC then pair ASC)."""
+    import collections
+
+    wf = collections.Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if w:
+                wf[w] += 1
+    seqs = {w: list(w) + ["</w>"] for w in wf}
+    rules = []
+    for rnd in range(1, merges + 1):
+        pc = collections.Counter()
+        for w, f in wf.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))[0]
+        rules.append((rnd, a, b, a + b, c))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return rules, seqs
+
+
+@pytest.fixture()
+def bpe_corpus(spark):
+    # 'aaaa'/'aaa' force consecutive-run merges: canonical greedy turns
+    # "a a a a" into "aa aa" (disjoint, left-to-right) — the case a naive
+    # single-space replace gets wrong.
+    texts = [
+        "aaaa aaa aaaa banana bandana",
+        "aaa aaaa banana banana low lower lowest",
+        "low low lower newest newest newest widest",
+    ]
+    return texts, spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+
+
+def test_bpe_matches_canonical_reference(bpe_corpus):
+    from financedatabase_spark.operators.bpe import bpe_train
+
+    texts, df = bpe_corpus
+    ref_rules, ref_seqs = _ref_bpe(texts, merges=8)
+    rules, vocab = bpe_train(df, merges=8)
+    got = [
+        (r.round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in rules.orderBy("round").collect()
+    ]
+    assert got == ref_rules
+    got_seqs = {
+        r.w: r.seq.split("  ") for r in vocab.collect()
+    }
+    assert got_seqs == ref_seqs
+
+
+def test_bpe_run_merge_is_canonical(spark):
+    # the distilled one-pass property: "a a a a a" -> "aa aa a"
+    from financedatabase_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([(0, "aaaaa")], "doc_id int, text string")
+    rules, vocab = bpe_train(df, merges=1)
+    row = rules.collect()[0]
+    assert (row.left_sym, row.right_sym, row.pair_count) == ("a", "a", 4)
+    assert vocab.collect()[0].seq.split("  ") == ["aa", "aa", "a", "</w>"]
+
+
+def test_bpe_tokenize_fallback_for_unseen_words(spark):
+    from financedatabase_spark.operators.bpe import bpe_train, tokenize_with
+
+    train = spark.createDataFrame([(0, "hello hello world")], "doc_id int, text string")
+    _, vocab = bpe_train(train, merges=2)
+    probe = spark.createDataFrame([(7, "hello unseen")], "doc_id int, text string")
+    out = {r.doc_id: (r.n_tokens, r.n_words) for r in tokenize_with(probe, vocab).collect()}
+    # 'hello' resolves through the trained vocab (5 chars + eow - 2 merges
+    # = 4 symbols); 'unseen' falls back to len+1 = 7
+    assert out[7] == (4 + 7, 2)
+
+
+def test_bpe_train_is_deterministic(bpe_corpus, spark):
+    from financedatabase_spark.operators.bpe import bpe_train
+
+    _, df = bpe_corpus
+    a, _ = bpe_train(df, merges=5)
+    b, _ = bpe_train(df.repartition(7), merges=5)
+    assert [tuple(r) for r in a.orderBy("round").collect()] == [
+        tuple(r) for r in b.orderBy("round").collect()
+    ]
