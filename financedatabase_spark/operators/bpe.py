@@ -58,12 +58,19 @@ def _pair_counts(wf: DataFrame) -> DataFrame:
     Pairs keep multiplicity within a word (canonical BPE counts every
     occurrence), weighted by the word's corpus frequency."""
     sp = wf.select("freq", F.split("seq", "  ").alias("sp"))
+    # Guard the fully-merged word (size(sp) = 1): Spark's sequence(1, 0)
+    # yields DESCENDING [1, 0] — not empty — so the unguarded transform
+    # would hit element_at(sp, 0) and abort the round. A one-symbol word
+    # simply contributes no pairs (same as DuckDB's empty
+    # generate_series(1, 0)).
     pairs = sp.select(
         "freq",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(sp) - 1),"
+                "CASE WHEN size(sp) >= 2 THEN"
+                " transform(sequence(1, size(sp) - 1),"
                 " i -> concat(element_at(sp, i), ' ', element_at(sp, i + 1)))"
+                " ELSE array() END"
             )
         ).alias("pair"),
     )

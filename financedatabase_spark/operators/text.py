@@ -465,7 +465,9 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # HOF lambdas cost several Py4J roundtrips each and dominated this
     # query's measured plan-build time (bench counts build)
     def hits(words: list[str]) -> str:
-        in_list = ", ".join(f"'{w}'" for w in words)
+        # escape quotes so a future marker word like "don't" renders as a
+        # valid SQL literal instead of a parse error
+        in_list = ", ".join("'{}'".format(w.replace("'", "''")) for w in words)
         return f"size(filter(_mk, w -> w IN ({in_list})))"
 
     counted = staged.selectExpr(

@@ -58,11 +58,15 @@ def _bpe_rounds_sql(n: int) -> str:
       FROM pc{r} ORDER BY cnt DESC, pair ASC LIMIT 1
     ),
     wf{r} AS MATERIALIZED (
+      -- coalesce to a can't-match sentinel (chr(1) never appears in a
+      -- symbol) so an empty p{{r}} (merges ran dry) passes seq through
+      -- unchanged instead of NULL-cascading through later rounds — this
+      -- mirrors the engine's graceful break out of the merge loop.
       SELECT w, freq,
              trim(replace(' ' || seq || ' ',
-                          ' ' || (SELECT l FROM p{r}) || '  '
-                              || (SELECT r FROM p{r}) || ' ',
-                          ' ' || (SELECT m FROM p{r}) || ' ')) AS seq
+                          ' ' || coalesce((SELECT l FROM p{r}), chr(1)) || '  '
+                              || coalesce((SELECT r FROM p{r}), chr(1)) || ' ',
+                          ' ' || coalesce((SELECT m FROM p{r}), chr(1)) || ' ')) AS seq
       FROM {prev}
     )""")
     return ",".join(parts)

@@ -287,9 +287,10 @@ def symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     varx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = nd * F.col("syy") - F.col("sy") * F.col("sy")
     # Degenerate pairs (n=1, or a zero-variance leg — varx can even round
-    # slightly negative since sxx/sx go through independent decimal(38,15)
-    # roundings) yield NULL, never NaN/Inf or a sqrt-domain error: same
-    # guard in the oracle, mirroring the peak>0 / prev>0 guards elsewhere.
+    # slightly negative since x and x² are quantized independently by the
+    # floor(·*1e9 + 0.5) integer-unit accumulators) yield NULL, never
+    # NaN/Inf or a sqrt-domain error: same guard in the oracle, mirroring
+    # the peak>0 / prev>0 guards elsewhere.
     corr = F.when(
         (varx > F.lit(0.0)) & (vary > F.lit(0.0)),
         (nd * F.col("sxy") - F.col("sx") * F.col("sy"))

@@ -85,6 +85,25 @@ def test_bpe_run_merge_is_canonical(spark):
     assert vocab.collect()[0].seq.split("  ") == ["aa", "aa", "a", "</w>"]
 
 
+def test_bpe_fully_merged_word_does_not_crash(spark):
+    # 'ab ab ab ab': merge 1 -> 'ab', merge 2 -> 'ab</w>' — the word's
+    # seq collapses to ONE symbol. Spark's sequence(1, 0) is the
+    # descending [1, 0] (not empty), so an unguarded pair transform hits
+    # element_at(sp, 0) and aborts round 3. The guard must let merges run
+    # dry gracefully instead.
+    from financedatabase_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([(0, "ab ab ab ab")], "doc_id int, text string")
+    ref_rules, ref_seqs = _ref_bpe(["ab ab ab ab"], merges=5)
+    rules, vocab = bpe_train(df, merges=5)
+    got = [
+        (r.round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in rules.orderBy("round").collect()
+    ]
+    assert got == ref_rules  # runs dry after 2 merges, no crash
+    assert {r.w: r.seq.split("  ") for r in vocab.collect()} == ref_seqs
+
+
 def test_bpe_tokenize_fallback_for_unseen_words(spark):
     from financedatabase_spark.operators.bpe import bpe_train, tokenize_with
 
