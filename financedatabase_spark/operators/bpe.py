@@ -149,3 +149,142 @@ def tokenize_with(df: DataFrame, vocab: DataFrame, text_col: str = "text",
         F.sum("_ntok").cast("long").alias("n_tokens"),
         F.count("*").cast("long").alias("n_words"),
     )
+
+
+# --- production-scale batched training --------------------------------------
+
+
+def _trigram_ext_maxima(wf: DataFrame, pairs: list[str]) -> dict[str, int]:
+    """For each candidate pair "a b", the maximum weighted count of any
+    single-symbol extension trigram — max over x of cnt(x a b) and over
+    y of cnt(a b y). This upper-bounds the count of EVERY pair the merge
+    a+b can create (left/right neighbors of the merged symbol, including
+    chained neighbors of other batch merges, whose new-vocab trigrams all
+    project onto an old-vocab extension trigram of some accepted pair).
+    Only the candidate pairs are aggregated: the exploded trigram stream
+    is cut by a broadcast semi-join before it shuffles."""
+    spark = wf.sparkSession
+    sp = wf.select("freq", F.split("seq", "  ").alias("sp"))
+    tri = sp.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(sp) >= 3 THEN flatten(transform("
+                " sequence(1, size(sp) - 2), i -> array("
+                "  struct(concat(element_at(sp, i), ' ', element_at(sp, i + 1)) AS pair,"
+                "         concat('R', element_at(sp, i + 2)) AS ext),"
+                "  struct(concat(element_at(sp, i + 1), ' ', element_at(sp, i + 2)) AS pair,"
+                "         concat('L', element_at(sp, i)) AS ext))))"
+                " ELSE array() END"
+            )
+        ).alias("pe"),
+    ).select("freq", F.col("pe.pair").alias("pair"), F.col("pe.ext").alias("ext"))
+    dim = F.broadcast(values_dim(spark, [(p,) for p in pairs], "pair string"))
+    ext = (
+        tri.join(dim, "pair", "left_semi")
+        .groupBy("pair", "ext")
+        .agg(F.sum("freq").alias("c"))
+        .groupBy("pair")
+        .agg(F.max("c").alias("maxext"))
+    )
+    return {r["pair"]: int(r["maxext"]) for r in ext.collect()}
+
+
+def _select_batch(
+    top: list[tuple[str, int]], maxext: dict[str, int], batch_cap: int
+) -> list[tuple[str, str, str, int]]:
+    """Greedy canonical-faithful batch from the (cnt DESC, pair ASC)
+    candidate list. A pair joins the batch only while the batch provably
+    equals sequential training:
+
+    - **disjointness**: it shares no symbol with any accepted pair or
+      merged output, so its own count is invariant under the earlier
+      merges (and the chained replaces cannot interact);
+    - **stop at the first conflict**: a skipped conflicted pair may
+      still outrank everything below it after the merges, so nothing
+      past it can be accepted this round;
+    - **new-pair bound**: its count strictly exceeds B = max maxext of
+      the accepted pairs — an upper bound on the count of any pair the
+      accepted merges create — so no created pair (or tie-break against
+      one) can win an intermediate sequential round.
+    """
+    accepted: list[tuple[str, str, str, int]] = []
+    used: set[str] = set()
+    bound = -1
+    for pair, cnt in top:
+        left, right = pair.split(" ")
+        merged = left + right
+        if accepted:
+            if cnt <= bound:
+                break
+            if left in used or right in used:
+                break
+        accepted.append((left, right, merged, cnt))
+        used.update((left, right, merged))
+        bound = max(bound, maxext.get(pair, 0))
+        if len(accepted) >= batch_cap:
+            break
+    return accepted
+
+
+def bpe_train_batched(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: int = 1024,
+    batch_cap: int = 48,
+    topk: int = 256,
+    checkpoint_every: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """`bpe_train` semantics (token-identical rules and vocab — gated in
+    tests/test_bpe.py against the pure-Python canonical trainer) at
+    production merge counts: instead of one cluster round per merge,
+    each round learns a BATCH of provably-independent merges
+    (`_select_batch`) and applies them as ONE chained-replace projection,
+    so 1000+ merges need only tens of aggregation rounds.
+
+    Scale shape per round: one pair-count shuffle over the compact vocab
+    table, one trigram shuffle cut to the top-``topk`` candidates by a
+    broadcast semi-join, two driver collects (≤ topk rows), one map-side
+    batch projection. The vocab is re-localCheckpoint'ed every
+    ``checkpoint_every`` batches so plan depth stays bounded at
+    ``checkpoint_every × batch_cap`` replaces regardless of total merge
+    count."""
+    spark = df.sparkSession
+    wf = (
+        word_freq_table(df, text_col)
+        .select("w", "freq", _char_seq(F.col("w")).alias("seq"))
+        .localCheckpoint()
+    )
+    rules: list[tuple] = []
+    rounds_since_ckpt = 0
+    while len(rules) < merges:
+        top = [
+            (r["pair"], int(r["cnt"]))
+            for r in _pair_counts(wf)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(topk)
+            .collect()
+        ]
+        if not top:
+            break
+        maxext = _trigram_ext_maxima(wf, [p for p, _ in top])
+        batch = _select_batch(top, maxext, min(batch_cap, merges - len(rules)))
+        for left, right, merged, cnt in batch:
+            rules.append((len(rules) + 1, left, right, merged, cnt))
+        # one projection: the chained replaces apply the batch in
+        # canonical order (pad once, fold the replaces, trim once)
+        col = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+        for left, right, merged, _ in batch:
+            col = F.replace(col, F.lit(f" {left}  {right} "), F.lit(f" {merged} "))
+        wf = wf.select("w", "freq", F.trim(col).alias("seq"))
+        rounds_since_ckpt += 1
+        if rounds_since_ckpt >= checkpoint_every:
+            wf = wf.localCheckpoint()
+            rounds_since_ckpt = 0
+    rules_df = values_dim(
+        spark,
+        rules,
+        "round bigint, left_sym string, right_sym string, merged string,"
+        " pair_count bigint",
+    )
+    return rules_df, wf

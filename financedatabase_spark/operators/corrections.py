@@ -136,3 +136,88 @@ def apply_corrections(
         (df[symbol_col] == q["symbol"]) & (d == q["bad_date"]),
         "left_anti",
     )
+
+
+# --- domain / URL blocklist filtering (C4-style curation stage) -------------
+#
+# Same data-not-code shape as the quarantine dim above, applied to a URL
+# column instead of (symbol, date): a blocklist of registrable domains
+# quarantines every document whose URL host equals a blocked domain OR sits
+# under it ("spamfarm.example" also blocks "cdn.spamfarm.example") — the
+# suffix-match semantics of C4/CCNet per-domain filtering.
+
+#: Default blocked registrable domains — overridable the same way
+#: `quarantine_dim` entries are.
+DEFAULT_DOMAIN_BLOCKLIST: list[str] = [
+    "spamfarm.example",
+]
+
+#: host extraction: scheme, optional userinfo@, then everything up to the
+#: first of [:/?#]. RE2∩Java common subset so the DuckDB oracle can use the
+#: identical pattern.
+_HOST_PATTERN = r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+
+
+def domain_blocklist_dim(
+    spark: SparkSession, domains: list[str] | None = None
+) -> DataFrame:
+    """Blocked-domain dimension (single `domain` column), memoized per
+    session like `quarantine_dim` — a VALUES LocalRelation so broadcasting
+    it costs no job."""
+    use = tuple(d.lower().strip(".") for d in (domains or DEFAULT_DOMAIN_BLOCKLIST))
+
+    def build() -> DataFrame:
+        return values_dim(spark, [(d,) for d in use], "domain string")
+
+    return session_memo(spark, ("domain_blocklist_dim", use), build)
+
+
+def registrable_host(url: Column | str) -> Column:
+    """Lower-cased host of a URL: scheme and userinfo stripped, cut at the
+    first port/path/query/fragment delimiter. No www-stripping — suffix
+    matching in `filter_blocked_domains` subsumes it."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(F.lower(u), _HOST_PATTERN, 1)
+
+
+def host_suffix_chain(host: Column) -> Column:
+    """Dot-suffix chain of a host: 'cdn.a.example' ->
+    ['cdn.a.example', 'a.example', 'example']. Bounded by label count
+    (~5 in practice), so exploding it is O(1) per row."""
+    parts = F.split(host, r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts) - i + 1), "."),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    host_col: str | None = None,
+) -> DataFrame:
+    """Drop rows whose URL host is a blocked domain or any subdomain of
+    one. Pass ``host_col`` to reuse an already-extracted host column.
+
+    Scale shape: the decision depends only on the host string, so the
+    (wide) corpus rows never explode — distinct hosts (tiny vs. the
+    corpus; partial-agg combines map-side) explode into their bounded
+    dot-suffix chains and semi-join the BROADCAST blocklist; the
+    resulting blocked-host set (≤ distinct hosts under blocked apexes)
+    broadcasts back for a map-side anti-join, so the corpus itself never
+    shuffles. If the blocked-host set ever outgrows the broadcast
+    threshold, drop the second hint and let AQE pick the join.
+    """
+    host = F.col(host_col) if host_col else registrable_host(F.col(url_col))
+    with_host = df.withColumn("_host", host)
+    hosts = with_host.select("_host").distinct()
+    blocked_hosts = (
+        hosts.select("_host", F.explode(host_suffix_chain(F.col("_host"))).alias("_dsuf"))
+        .join(F.broadcast(blocklist), F.col("_dsuf") == blocklist["domain"], "left_semi")
+        .select("_host")
+    )
+    return (
+        with_host.join(F.broadcast(blocked_hosts), "_host", "left_anti")
+        .drop("_host")
+    )

@@ -537,3 +537,78 @@ def contamination_pairs(
             "contamination",
         )
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Exact substring deduplication with cleaned-text output (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — the ExactSubstr pass), k-gram formulation: every k-token
+    gram occurring ≥ ``min_count`` times corpus-wide (across OR within
+    documents, like the paper's suffix-array match) marks its token
+    span ``[pos, pos+k)`` as duplicated; a document's cleaned text is
+    its remaining tokens rejoined. Any shared run of ≥ k tokens is
+    covered exactly by its constituent duplicated k-grams, so removed
+    spans coincide with the paper's ≥-k-token duplicated substrings
+    over the whitespace-token alphabet.
+
+    Returns (id_col, cleaned_text, n_removed_tokens, n_removed_chars).
+    ``cleaned_text`` is in normalized form (lowercase, collapsed
+    whitespace) — the form hashing/dedup pipelines feed downstream.
+
+    Scale shape: grams are built in-row with the staged builder (one
+    split per doc, O(m·k) char work), then ONE shuffle on the gram hash
+    where a count window marks duplicated occurrences — no self-join, so
+    the gram table is scanned once. Removed positions fold back per doc
+    as a sorted int array; reassembly is an in-row indexed filter (the
+    per-token membership probe is O(|removed|) — bounded by doc length,
+    never corpus size). ``hash_mode="md5"`` keeps oracle bit-parity;
+    pass ``"xxhash64"`` at corpus scale for 8-byte shuffle keys (same
+    spans unless a 64-bit collision, ~n²/2⁶⁵).
+    """
+    from financedatabase_spark.operators.text import with_word_ngrams
+
+    if hash_mode == "md5":
+        hfn = F.md5
+    elif hash_mode == "xxhash64":
+        hfn = lambda g: F.xxhash64(g)  # noqa: E731
+    else:
+        raise ValueError(f"hash_mode must be 'md5' or 'xxhash64', got {hash_mode!r}")
+
+    g = with_word_ngrams(df.select(id_col, text_col), text_col, k, "_grams")
+    occ = g.select(
+        id_col, F.posexplode("_grams").alias("_pos0", "_gram")
+    ).select(id_col, (F.col("_pos0") + 1).alias("pos"), hfn(F.col("_gram")).alias("_h"))
+    # one shuffle: window count over the gram hash replaces the usual
+    # groupBy + self-join (which would re-scan the gram table)
+    dup_starts = occ.withColumn(
+        "_c", F.count("*").over(Window.partitionBy("_h"))
+    ).filter(F.col("_c") >= min_count)
+    removed = dup_starts.groupBy(id_col).agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.expr(f"sequence(pos, pos + {k - 1})")))
+            )
+        ).alias("_rm")
+    )
+
+    base = df.select(id_col, normalized_text(text_col).alias("_nt"))
+    joined = base.join(removed, id_col, "left")
+    words = F.split(F.col("_nt"), " ")
+    kept = F.filter(
+        words,
+        lambda w, i: ~F.coalesce(F.array_contains(F.col("_rm"), i + 1), F.lit(False)),
+    )
+    cleaned = F.array_join(kept, " ")
+    return joined.select(
+        id_col,
+        cleaned.alias("cleaned_text"),
+        (F.size(words) - F.size(kept)).cast("long").alias("n_removed_tokens"),
+        (F.length("_nt") - F.length(cleaned)).cast("long").alias("n_removed_chars"),
+    )

@@ -653,3 +653,311 @@ def kmeans_refine(
     return assign.select(
         id_col, F.col("cell").alias("assigned_label"), F.col("sim")
     )
+
+
+# --- IVF-PQ: product quantization with asymmetric-distance scoring ----------
+
+
+def _sq_l2_units(a: Column, b: Column) -> Column:
+    """Squared L2 distance in exact 1e-6 integer units, via the
+    dot-product identity ||a-b||² = <a,a> + <b,b> - 2<a,b> — three
+    sequential-fold dots in a fixed combination order, so DuckDB
+    reproduces the double bit-for-bit before the single quantization."""
+    d2 = dot(a, a) + dot(b, b) - F.lit(2.0) * dot(a, b)
+    return F.floor(d2 * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def pq_codebooks(centroids: DataFrame, m: int, dim: int) -> DataFrame:
+    """Per-subspace PQ codebooks sliced out of the coarse k-means
+    centroids (the standard cheap PQ train when cells already cluster
+    the corpus — each cell centroid's m-th slice is one reproduction
+    value for subspace m). Output (sub, cid, cvec_sub); tiny
+    (m × n_cells rows), always broadcast."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    return centroids.select(
+        F.col("cell").alias("cid"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("sub"), F.slice("cvec", s * d + 1, d).alias("cvec_sub")
+                ),
+            )
+        ).alias("_sc"),
+    ).select(F.col("_sc.sub").alias("sub"), "cid", F.col("_sc.cvec_sub").alias("cvec_sub"))
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """PQ-encode every vector: per subspace, the id of the nearest
+    codebook entry by squared L2 (integer-unit, ties cid asc). Output
+    one row per vector: (id, *keep_cols, codes array<int> by subspace) —
+    the 4-byte-per-subspace compressed corpus an IVF-PQ index stores.
+
+    Scale shape: the corpus explodes only m-fold (not m×k): the
+    broadcast codebook join scores candidates map-side and ``min_by``
+    partial-aggregates them back to one row per (vector, subspace)
+    before the shuffle; the second fold to one row per vector shuffles
+    N rows."""
+    d = dim // m
+    subs = _spread(df).select(
+        F.col(id_col),
+        *keep_cols,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("sub"), F.slice(_vec(vec_col), s * d + 1, d).alias("v")
+                ),
+            )
+        ).alias("_sv"),
+    ).select(id_col, *keep_cols, F.col("_sv.sub").alias("sub"), F.col("_sv.v").alias("v"))
+    scored = subs.join(F.broadcast(codebooks), "sub").select(
+        id_col,
+        *keep_cols,
+        "sub",
+        "cid",
+        _sq_l2_units(F.col("v"), F.col("cvec_sub")).alias("_d"),
+    )
+    per_sub = scored.groupBy(id_col, *keep_cols, "sub").agg(
+        F.min_by("cid", F.struct("_d", "cid")).alias("code")
+    )
+    return (
+        per_sub.groupBy(id_col, *keep_cols)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("_sc"))
+        .select(
+            id_col,
+            *keep_cols,
+            F.transform(F.col("_sc"), lambda s: s.getField("code")).alias("codes"),
+        )
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    k: int = 5,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors — the standard 100 TB ANN
+    layout (Jégou et al. 2011): the corpus is stored as m-subspace PQ
+    codes inside coarse IVF cells; a query probes its ``n_probe``
+    nearest cells and scores candidates by ASYMMETRIC distance — the
+    exact query subvector against each candidate's reproduction values,
+    via a per-query lookup table — never touching raw corpus vectors.
+
+    Scale shape: codebooks and the per-query distance tables are tiny
+    and broadcast; the encoded corpus (4 bytes × m per vector instead of
+    4 × dim floats — 8× smaller at the defaults) joins the probe set on
+    its cell key, so a cell-partitioned store gives partition-pruned
+    scans; scoring is an in-row m-term fold over the broadcast table.
+    All distances are exact 1e-6 integer units: sums are
+    order-independent, so the SQL oracle reproduces ranks bit-for-bit.
+
+    Returns (query_id, corpus_id, approx_dist, rank) — rank by approx
+    L2² ascending, ties corpus_id asc.
+    """
+    d = dim // m
+    # default: the cheap sliced-centroid codebooks (fully SQL-expressible,
+    # oracle-parity); pass pq_train_subspace(...) output for FAISS-grade
+    # recall (resolves structure WITHIN coarse cells)
+    cbs = codebooks if codebooks is not None else pq_codebooks(centroids, m, dim)
+    codes = pq_encode(
+        corpus, cbs, m, dim, id_col=corpus_id, vec_col=vec_col, keep_cols=(cell_col,)
+    )
+
+    q = queries.select(F.col(query_id), _vec(vec_col).alias("_qv"))
+    # probe selection: nearest coarse cells by cosine (same knob as
+    # ivf_multiprobe_topk)
+    cen = centroids.select(F.col("cell").alias("_cell"), F.col("cvec").alias("_cvec"))
+    csim = F.round(cosine(F.col("_qv"), F.col("_cvec")), 6)
+    wp = Window.partitionBy(query_id).orderBy(F.col("_csim").desc(), F.col("_cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cen))
+        .select(query_id, "_qv", "_cell", csim.alias("_csim"))
+        .withColumn("_pn", F.row_number().over(wp))
+        .filter(F.col("_pn") <= n_probe)
+        .select(query_id, "_qv", "_cell")
+    )
+
+    # per-query ADC lookup table: exact query subvector vs every
+    # codebook entry, folded to array<map<cid -> d2_units>> by subspace
+    qsubs = q.select(
+        query_id,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("sub"), F.slice("_qv", s * d + 1, d).alias("v")
+                ),
+            )
+        ).alias("_sv"),
+    ).select(query_id, F.col("_sv.sub").alias("sub"), F.col("_sv.v").alias("v"))
+    qtab = (
+        qsubs.join(F.broadcast(cbs), "sub")
+        .select(
+            query_id, "sub", "cid", _sq_l2_units(F.col("v"), F.col("cvec_sub")).alias("_d")
+        )
+        .groupBy(query_id, "sub")
+        .agg(F.map_from_entries(F.collect_list(F.struct("cid", "_d"))).alias("_m"))
+        .groupBy(query_id)
+        .agg(F.map_from_entries(F.collect_list(F.struct("sub", "_m"))).alias("tbl"))
+    )
+
+    ptbl = probes.drop("_qv").join(qtab, query_id)  # tiny × tiny
+    cand = codes.join(
+        F.broadcast(ptbl), F.col(cell_col) == F.col("_cell")
+    )
+    units = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(F.element_at("tbl", s), F.element_at("codes", s + 1)),
+    )
+    scored = cand.select(
+        query_id, corpus_id, (units.cast("double") / F.lit(1e6)).alias("approx_dist")
+    )
+    wr = Window.partitionBy(query_id).orderBy(
+        F.col("approx_dist").asc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "approx_dist", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def pq_train_subspace(
+    df: DataFrame,
+    m: int,
+    dim: int,
+    k_sub: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-faithful PQ training: independent k-means per subspace over
+    the corpus's subvectors — unlike `pq_codebooks` (centroid slices,
+    the cheap oracle-parity variant), this resolves structure WITHIN
+    coarse cells, which is what gives PQ its recall.
+
+    Init is deterministic farthest-point (k-means++ without the
+    randomness): seed with the min-id subvector, then repeatedly add
+    the subvector farthest from its nearest chosen seed (integer-unit
+    distances, ties id asc) — all m subspaces advance together, so init
+    costs ``k_sub`` passes, each one broadcast join + two partial-agg
+    shuffles, then ``iters`` Lloyd rounds of the same shape. At corpus
+    scale FAISS trains on a sample; pass a pre-sampled ``df`` for the
+    same effect. Returns (sub, cid, cvec_sub) with cid densely numbered
+    in seed order (empty clusters drop, as in `kmeans_refine`)."""
+    d = dim // m
+    subs = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.alias("sub"), F.slice(_vec(vec_col), s * d + 1, d).alias("v")
+                    ),
+                )
+            ).alias("_sv"),
+        )
+        .select("_id", F.col("_sv.sub").alias("sub"), F.col("_sv.v").alias("v"))
+        .localCheckpoint()  # scanned k_sub + 2*iters times
+    )
+    spark = df.sparkSession
+
+    def _seed_dim(seeds: list[tuple[int, int, list[float]]]) -> DataFrame:
+        return values_dim_vectors(spark, seeds)
+
+    # seed 0: the min-id subvector of every subspace
+    first = (
+        subs.groupBy("sub")
+        .agg(F.min_by(F.struct("_id", "v"), "_id").alias("_b"))
+        .select("sub", F.col("_b.v").alias("cv"))
+        .collect()
+    )
+    seeds: list[tuple[int, int, list[float]]] = [
+        (int(r["sub"]), 0, list(r["cv"])) for r in first
+    ]
+    for j in range(1, k_sub):
+        cb = _seed_dim(seeds)
+        far = (
+            subs.join(F.broadcast(cb), "sub")
+            .select("sub", "_id", "v", _sq_l2_units(F.col("v"), F.col("cvec_sub")).alias("_d"))
+            .groupBy("sub", "_id", "v")
+            .agg(F.min("_d").alias("_mind"))
+            .groupBy("sub")
+            .agg(
+                F.max_by(
+                    F.struct("v"), F.struct(F.col("_mind"), (-F.col("_id")).alias("_ni"))
+                ).alias("_b")
+            )
+            .select("sub", F.col("_b.v").alias("cv"))
+            .collect()
+        )
+        seeds.extend((int(r["sub"]), j, list(r["cv"])) for r in far)
+
+    cb = _seed_dim(seeds)
+    for _ in range(iters):
+        assign = (
+            subs.join(F.broadcast(cb), "sub")
+            .select(
+                "sub", "_id", "v", "cid", _sq_l2_units(F.col("v"), F.col("cvec_sub")).alias("_d")
+            )
+            .groupBy("sub", "_id")
+            .agg(
+                F.min_by(F.struct("v", "cid"), F.struct("_d", "cid")).alias("_b")
+            )
+            .select("sub", F.col("_b.v").alias("v"), F.col("_b.cid").alias("cid"))
+        )
+        flat = assign.select("sub", "cid", F.posexplode("v").alias("pos", "x"))
+        cmeans = flat.groupBy("sub", "cid", "pos").agg(
+            (
+                F.sum(F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("long")).cast("double")
+                / F.lit(1e6)
+                / F.count("*")
+            ).alias("mv")
+        )
+        cb = (
+            cmeans.groupBy("sub", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("_pm"))
+            .select(
+                "sub",
+                "cid",
+                F.transform(F.col("_pm"), lambda s: s.getField("mv")).alias("cvec_sub"),
+            )
+            .localCheckpoint()
+        )
+    return cb
+
+
+def values_dim_vectors(spark, rows: list[tuple[int, int, list[float]]]) -> DataFrame:
+    """(sub, cid, cvec_sub) literal codebook as a LocalRelation (same
+    rationale as session.values_dim; vectors rendered as typed arrays)."""
+    from financedatabase_spark.session import values_dim
+
+    return values_dim(
+        spark,
+        [(s, c, [float(x) for x in v]) for s, c, v in rows],
+        "sub int, cid int, cvec_sub array<double>",
+    )

@@ -91,11 +91,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-training stage of an LLM pipeline. Corpus scanned once
     into a checkpointed (word, freq) table; each round is one vocab-sized
     aggregate + a single-row collect + a map-side canonical-greedy merge
-    (operators/bpe.py). Deterministic: ties break (count DESC, pair ASC)
-    under binary collation in both engines."""
-    from financedatabase_spark.operators.bpe import bpe_train
+    (operators/bpe.py). Runs the BATCHED trainer (bpe_train_batched —
+    provably token-identical to canonical greedy BPE, the production
+    path) against the sequential one-merge-per-round SQL oracle, so the
+    correctness gate covers the batching logic itself. Deterministic:
+    ties break (count DESC, pair ASC) under binary collation in both
+    engines."""
+    from financedatabase_spark.operators.bpe import bpe_train_batched
 
-    rules, _ = bpe_train(load_table(spark, sf_dir, "documents"), merges=N_MERGES)
+    rules, _ = bpe_train_batched(
+        load_table(spark, sf_dir, "documents"), merges=N_MERGES, batch_cap=3
+    )
     return rules
 
 
@@ -122,8 +128,8 @@ def bpe_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     word resolves through the trained vocab's final symbol sequence
     (unseen words fall back to chars + EOW). One explode + one
     broadcastable vocab join — the corpus side never shuffles."""
-    from financedatabase_spark.operators.bpe import bpe_train, tokenize_with
+    from financedatabase_spark.operators.bpe import bpe_train_batched, tokenize_with
 
     docs = load_table(spark, sf_dir, "documents")
-    _, vocab = bpe_train(docs, merges=N_MERGES)
+    _, vocab = bpe_train_batched(docs, merges=N_MERGES, batch_cap=3)
     return tokenize_with(docs, vocab)

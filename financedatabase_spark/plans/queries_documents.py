@@ -1756,3 +1756,218 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tk(docs, k=5, min_df=2)
+
+
+@register(
+    "domain_blocklist_filter",
+    oracle=r"""
+    WITH urls AS (
+      SELECT doc_id, source,
+             'https://' || CASE WHEN doc_id % 11 = 0 THEN 'cdn.' ELSE 'www.' END
+             || source
+             || CASE WHEN doc_id % 7 = 0 THEN '.spamfarm.example' ELSE '.example.org' END
+             || '/d/' || doc_id AS url
+      FROM documents
+    ),
+    hosts AS (
+      SELECT doc_id, source,
+             lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
+      FROM urls
+    ),
+    bl(domain) AS (
+      VALUES ('spamfarm.example'), ('src1.example.org'), ('www.src2.example.org')
+    )
+    SELECT doc_id, host, source
+    FROM hosts h
+    WHERE NOT EXISTS (
+      SELECT 1 FROM bl b
+      WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain
+    )
+    """,
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain quarantine (curation stage): documents whose
+    URL host is a blocked registrable domain — or any subdomain of one —
+    are dropped. URLs are derived deterministically from (source, doc_id)
+    since the synthetic corpus carries no URL column; the blocklist mixes
+    an apex domain (suffix-blocks every subdomain), a source-level apex,
+    and one exact host. Engine side: distinct hosts explode into bounded
+    dot-suffix chains, semi-join the broadcast blocklist, and the blocked
+    set broadcasts back as a map-side anti-join (operators/corrections.py
+    filter_blocked_domains) — the corpus rows themselves never shuffle.
+    The oracle states the same semantics relationally (NOT EXISTS with an
+    exact-or-LIKE suffix probe) for an independent formulation."""
+    from financedatabase_spark.operators.corrections import (
+        domain_blocklist_dim,
+        filter_blocked_domains,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("cdn.")).otherwise(F.lit("www.")),
+            F.col("source"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(".spamfarm.example")).otherwise(
+                F.lit(".example.org")
+            ),
+            F.lit("/d/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    bl = domain_blocklist_dim(
+        spark, ["spamfarm.example", "src1.example.org", "www.src2.example.org"]
+    )
+    from financedatabase_spark.operators.corrections import registrable_host
+
+    kept = filter_blocked_domains(urls, bl, url_col="url")
+    return kept.select(
+        "doc_id", registrable_host(F.col("url")).alias("host"), "source"
+    )
+
+
+@register(
+    "exact_substring_dedup",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, """ + _NORM + r""" AS nt FROM documents
+    ),
+    w AS (SELECT doc_id, nt, string_split(nt, ' ') AS wl FROM norm),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(wl[i : i + 7], ' ')) AS h
+      FROM w, unnest(generate_series(1, greatest(len(wl) - 7, 0))) AS t(i)
+    ),
+    dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    starts AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+    rem AS (
+      SELECT DISTINCT doc_id, pos + j AS rp
+      FROM starts, unnest(generate_series(0, 7)) AS s(j)
+    ),
+    tok AS (
+      SELECT doc_id, i AS p, wl[i] AS word
+      FROM w, unnest(generate_series(1, len(wl))) AS t(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.word
+      FROM tok t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.p = r.rp
+      WHERE r.rp IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS cleaned_text,
+             count(*)::BIGINT AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT n.doc_id,
+           coalesce(a.cleaned_text, '') AS cleaned_text,
+           (len(string_split(n.nt, ' ')) - coalesce(a.n_kept, 0))::BIGINT AS n_removed_tokens,
+           (length(n.nt) - length(coalesce(a.cleaned_text, '')))::BIGINT AS n_removed_chars
+    FROM norm n LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2021 ExactSubstr) over the
+    documents corpus, k=8 tokens: every 8-gram occurring twice anywhere
+    in the corpus marks its span duplicated; spans union per doc and the
+    cleaned text is re-emitted (operators/dedup_docs.py
+    exact_substring_dedup — one gram-hash shuffle, window count, in-row
+    reassembly). The oracle restates the span arithmetic relationally
+    (explode-join-distinct over positions)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.exact_substring_dedup(docs, k=8, min_count=2)
+
+
+@register(
+    "ivf_pq_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, label, u.pos AS pos, u.x AS x
+      FROM v, LATERAL (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS pos) u
+    ),
+    cmeans AS (
+      SELECT label, pos,
+             CAST(CAST(sum(CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 / count(*) AS m
+      FROM flat GROUP BY label, pos
+    ),
+    centroids AS (
+      SELECT label AS cell, list(m ORDER BY pos) AS cvec FROM cmeans GROUP BY label
+    ),
+    subcb AS (
+      SELECT s.sub, cen.cell AS cid, cen.cvec[s.sub*8+1 : s.sub*8+8] AS cv
+      FROM centroids cen, (SELECT unnest(generate_series(0, 7)) AS sub) s
+    ),
+    csubs AS (
+      SELECT v.vec_id AS corpus_id, v.label, s.sub, v.emb[s.sub*8+1 : s.sub*8+8] AS sv
+      FROM v, (SELECT unnest(generate_series(0, 7)) AS sub) s
+    ),
+    enc_scored AS (
+      SELECT c.corpus_id, c.label, c.sub, b.cid,
+             CAST(floor((list_dot_product(c.sv, c.sv) + list_dot_product(b.cv, b.cv)
+                         - 2 * list_dot_product(c.sv, b.cv)) * 1e6 + 0.5e0) AS BIGINT) AS d
+      FROM csubs c JOIN subcb b USING (sub)
+    ),
+    codes AS (
+      SELECT corpus_id, label, sub, cid AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY corpus_id, sub
+                                     ORDER BY d ASC, cid ASC) AS rn
+        FROM enc_scored
+      ) WHERE rn = 1
+    ),
+    qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q
+           FROM embeddings WHERE vec_id % 100 = 0),
+    probe_scored AS (
+      SELECT qv.query_id, cen.cell,
+             round(list_dot_product(qv.q, cen.cvec) /
+                   (sqrt(list_dot_product(qv.q, qv.q))
+                    * sqrt(list_dot_product(cen.cvec, cen.cvec))), 6) AS csim
+      FROM qv CROSS JOIN centroids cen
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY csim DESC, cell ASC) AS pn
+        FROM probe_scored
+      ) WHERE pn <= 2
+    ),
+    qtab AS (
+      SELECT qv.query_id, b.sub, b.cid,
+             CAST(floor((list_dot_product(qv.q[b.sub*8+1 : b.sub*8+8], qv.q[b.sub*8+1 : b.sub*8+8])
+                         + list_dot_product(b.cv, b.cv)
+                         - 2 * list_dot_product(qv.q[b.sub*8+1 : b.sub*8+8], b.cv)) * 1e6 + 0.5e0) AS BIGINT) AS d
+      FROM qv CROSS JOIN subcb b
+    ),
+    scored AS (
+      SELECT p.query_id, c.corpus_id,
+             CAST(sum(t.d) AS DOUBLE) / 1e6 AS approx_dist
+      FROM probes p
+      JOIN codes c ON c.label = p.cell
+      JOIN qtab t ON t.query_id = p.query_id AND t.sub = c.sub AND t.cid = c.code
+      GROUP BY p.query_id, c.corpus_id
+    )
+    SELECT query_id, corpus_id, approx_dist, rank::BIGINT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_dist ASC, corpus_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN search (Jégou et al. 2011) — the 100 TB index layout:
+    coarse IVF cells (in-engine centroids) hold 8-subspace PQ codes; each
+    query probes its 2 nearest cells and ranks candidates by asymmetric
+    distance through a broadcast per-query lookup table, never touching
+    raw corpus floats (operators/similarity.ivf_pq_topk). Exact 1e-6
+    integer-unit distances make ranks engine-portable; the oracle
+    restates the table-lookup fold relationally (join on (sub, code) +
+    group sum)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _codebook(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "label", "embedding")
+    return sim.ivf_pq_topk(queries, corpus, centroids, m=8, dim=64, k=5, n_probe=2)

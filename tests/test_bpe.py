@@ -125,3 +125,52 @@ def test_bpe_train_is_deterministic(bpe_corpus, spark):
     assert [tuple(r) for r in a.orderBy("round").collect()] == [
         tuple(r) for r in b.orderBy("round").collect()
     ]
+
+
+def test_bpe_batched_matches_canonical(bpe_corpus):
+    """The batched trainer must be token-identical to canonical greedy
+    BPE — rules AND final vocab — while actually batching (multiple
+    merges per round) and crossing a checkpoint boundary."""
+    from financedatabase_spark.operators.bpe import bpe_train_batched
+
+    texts, df = bpe_corpus
+    ref_rules, ref_seqs = _ref_bpe(texts, merges=40)
+    rules, vocab = bpe_train_batched(
+        df, merges=40, batch_cap=8, topk=64, checkpoint_every=2
+    )
+    got = [
+        (r.round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in rules.orderBy("round").collect()
+    ]
+    assert got == ref_rules
+    assert {r.w: r.seq.split("  ") for r in vocab.collect()} == ref_seqs
+
+
+def test_bpe_batched_matches_canonical_random_corpus(spark):
+    """Adversarial check on a seeded random corpus: overlapping pairs,
+    ties, within-word runs. Every learned rule and final sequence must
+    match the pure-Python canonical trainer."""
+    import random
+
+    rng = random.Random(20260815)
+    vocab = ["spark", "data", "aaa", "abab", "banana", "ledger", "qqx",
+             "merge", "row", "aa", "bb", "ab", "ba", "rollup", "scan"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    from financedatabase_spark.operators.bpe import bpe_train_batched
+
+    ref_rules, ref_seqs = _ref_bpe(texts, merges=60)
+    rules, vocab_df = bpe_train_batched(
+        df, merges=60, batch_cap=16, topk=64, checkpoint_every=3
+    )
+    got = [
+        (r.round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in rules.orderBy("round").collect()
+    ]
+    assert got == ref_rules
+    assert {r.w: r.seq.split("  ") for r in vocab_df.collect()} == ref_seqs

@@ -1102,3 +1102,78 @@ def test_tfidf_keywords_tie_and_args(spark):
         tfidf_keywords(docs, k=0)
     with pytest.raises(ValueError, match="min_df"):
         tfidf_keywords(docs, min_df=0)
+
+
+def test_filter_blocked_domains_suffix_semantics(spark):
+    from financedatabase_spark.operators.corrections import (
+        domain_blocklist_dim,
+        filter_blocked_domains,
+        host_suffix_chain,
+        registrable_host,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://spamfarm.example/x"),          # exact apex -> blocked
+            (2, "http://cdn.spamfarm.example:8080/y"),  # subdomain + port -> blocked
+            (3, "https://user:pw@ok.example.org/z"),    # userinfo stripped -> kept
+            (4, "https://notspamfarm.example/q"),       # no dot boundary -> kept
+            (5, "HTTPS://WWW.SPAMFARM.EXAMPLE?a=1"),    # case + query -> blocked
+        ],
+        "id int, url string",
+    )
+    bl = domain_blocklist_dim(spark, ["spamfarm.example"])
+    kept = sorted(r.id for r in filter_blocked_domains(df, bl).collect())
+    assert kept == [3, 4]
+    chain = df.select(
+        host_suffix_chain(registrable_host(F.col("url"))).alias("c")
+    ).collect()[1].c
+    assert chain == ["cdn.spamfarm.example", "spamfarm.example", "example"]
+
+
+def test_exact_substring_dedup_planted_passages(spark):
+    """Recall gate (Lee et al. ExactSubstr): a 12-token passage planted in
+    two docs is removed from BOTH; unique filler survives; a doc repeating
+    a k-gram WITHIN itself loses both occurrences; clean docs are
+    identity (normalized)."""
+    from financedatabase_spark.operators.dedup_docs import exact_substring_dedup
+
+    passage = "zebra quark lattice onyx fjord glyph vortex nymph waltz jinx crypt sphinx"
+    fill_a = "alpha one two three four five"
+    fill_b = "beta six seven eight nine ten"
+    rep = "r1 r2 r3 r4 r5 r6 r7 r8"  # one 8-gram, repeated within doc 3
+    rows = [
+        (1, f"{fill_a} {passage}"),
+        (2, f"{passage} {fill_b}"),
+        (3, f"{rep} x1 x2 {rep}"),
+        (4, "lonely unique words that appear nowhere else at all ok"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in exact_substring_dedup(df, k=8).collect()}
+
+    # planted passage gone from both hosts, filler intact
+    assert out[1].cleaned_text == fill_a
+    assert out[2].cleaned_text == fill_b
+    assert out[1].n_removed_tokens == 12 and out[2].n_removed_tokens == 12
+    # within-doc repetition counts toward min_count; both copies removed
+    assert out[3].cleaned_text == "x1 x2"
+    assert out[3].n_removed_tokens == 16
+    # untouched docs come back identity (normalized form), zero removed
+    assert out[4].cleaned_text == rows[3][1]
+    assert out[4].n_removed_tokens == 0 and out[4].n_removed_chars == 0
+    assert out[5].cleaned_text == "" and out[5].n_removed_tokens == 0
+
+
+def test_exact_substring_dedup_xxhash_matches_md5(spark):
+    from financedatabase_spark.operators.dedup_docs import exact_substring_dedup
+
+    texts = [
+        (i, f"shared run t1 t2 t3 t4 t5 t6 t7 t8 t9 tail{i} u{i} v{i}")
+        for i in range(6)
+    ] + [(99, "nothing in common with anything here at all whatsoever")]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    a = exact_substring_dedup(df, k=8, hash_mode="md5").orderBy("doc_id").collect()
+    b = exact_substring_dedup(df, k=8, hash_mode="xxhash64").orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

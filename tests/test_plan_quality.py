@@ -325,3 +325,12 @@ def test_plans_md_digests_current(spark):
     assert set(got) == set(want), "headline list changed: regenerate PLANS.md"
     drift = {n: (want[n], got[n]) for n in got if got[n] != want[n]}
     assert not drift, f"PLANS.md stale (committed vs live): {drift}"
+
+
+def test_domain_blocklist_broadcast_anti_join(spark, sf_dir):
+    # both sides of the decision stay broadcast: blocklist -> semi probe,
+    # blocked-host set -> map-side anti; the corpus never shuffles
+    p = plan_of(spark, sf_dir, "domain_blocklist_filter")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -301,3 +301,66 @@ def test_symbol_correlation_degenerate_pairs_null(spark, tmp_path):
             assert pd.isna(corr), pair
         else:
             assert pd.notna(corr) and abs(corr) <= 1.0, pair
+
+
+def test_ivf_pq_recall_vs_exact(spark):
+    """IVF-PQ recall gate on a per-subspace generative corpus: every
+    vector is a concatenation of per-subspace codewords (8 well-spread
+    codewords per subspace, tiny jitter), so a correctly trained PQ
+    codebook recovers the generative vocabulary and asymmetric distances
+    track exact L2 almost perfectly — recall@5 vs brute force must be
+    high, and every query's rank-1 hit must be itself."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(11)
+    dim, m, k_words, n = 16, 4, 8, 200
+    d = dim // m
+    vocab = rng.uniform(-1, 1, (m, k_words, d))  # well-spread in [-1,1]^4
+    choice = rng.randint(0, k_words, (n, m))
+    X = np.concatenate(
+        [vocab[s][choice[:, s]] for s in range(m)], axis=1
+    ) + rng.uniform(-1e-3, 1e-3, (n, dim))
+    rows = [
+        (i, [float(x) for x in X[i]], int(choice[i, 0]))  # cell = subspace-0 word
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+    queries = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "label", "embedding")
+    centroids = sim.cell_centroids(emb)
+    cbs = sim.pq_train_subspace(emb, m=m, dim=dim, k_sub=k_words, iters=3)
+    qids = [r.query_id for r in queries.collect()]
+
+    def recall_at(n_probe):
+        got = sim.ivf_pq_topk(
+            queries, corpus, centroids, m=m, dim=dim, k=5,
+            n_probe=n_probe, codebooks=cbs,
+        ).collect()
+        hits = tot = 0
+        for q in qids:
+            dists = ((X - X[q]) ** 2).sum(axis=1)
+            order = np.lexsort((np.arange(n), dists))
+            truth = set(order[:5].tolist())
+            pq = {r.corpus_id for r in got if r.query_id == q}
+            assert len(pq) == 5
+            hits += len(truth & pq)
+            tot += 5
+        return hits / tot, got
+
+    # with enough probes the ONLY approximation left is PQ quantization,
+    # which the trained codebooks must resolve to (near-)exact ranking
+    full, got4 = recall_at(4)
+    assert full >= 0.95, f"IVF-PQ recall@5 (n_probe=4) = {full:.2f}"
+    # the nprobe knob trades recall for scan volume, never below this floor
+    low, _ = recall_at(2)
+    assert 0.8 <= low <= full, f"IVF-PQ recall@5 (n_probe=2) = {low:.2f}"
+    # rank-1 hit is the query itself (self approx-distance ~ jitter only)
+    r1 = {r.query_id: r.corpus_id for r in got4 if r.rank == 1}
+    assert all(r1[q] == q for q in qids)
