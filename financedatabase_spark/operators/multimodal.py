@@ -13,10 +13,12 @@ pure-stdlib chunk walker (`avi_decode` — avih/strf header parse, per-
 frame luminance-sum features with row-padding awareness); images
 (8-bit grayscale/RGB PNG) decode for real via a pure-stdlib parser
 (`png_decode` — chunk walk, zlib inflate, full five-filter scanline
-reconstruction), with Pillow as the optional general-format fallback
-(`pil_decode`). Compressed video (mp4/h264) and non-PNG images without
-Pillow stay documented NotImplementedError seams — but every modality's
-container plumbing is exercised by a real codec, not a fake.
+reconstruction); baseline JPEG decodes for real via `operators/jpeg.py`
+(marker parse, Huffman, dequant, IDCT), with Pillow as the optional
+general-format fallback (`pil_decode`). Compressed video (mp4/h264) and
+other formats without Pillow stay documented NotImplementedError seams —
+but every modality's container plumbing is exercised by a real codec,
+not a fake.
 
 Scale notes: binary payloads make wide rows — `maxPartitionBytes` governs
 scan parallelism, and mapInPandas keeps peak memory at one Arrow batch per
@@ -484,14 +486,19 @@ def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8)
             )
         return avi_decode(raw, dim)
     is_png = raw[:8] == b"\x89PNG\r\n\x1a\n"
-    if mt.startswith("image/") or (not mt and is_png):
+    is_jpg = raw[:3] == b"\xff\xd8\xff"
+    if mt.startswith("image/") or (not mt and (is_png or is_jpg)):
         if is_png:
             return png_decode(raw, dim)
+        if is_jpg:
+            from financedatabase_spark.operators.jpeg import jpeg_decode
+
+            return jpeg_decode(raw, dim)
         try:
             return pil_decode(raw, dim)
         except ImportError as exc:
             raise NotImplementedError(
-                "non-PNG image payloads need Pillow, which is not importable here"
+                "non-PNG/JPEG image payloads need Pillow, which is not importable here"
             ) from exc
     raise NotImplementedError(
         f"no codec for media_type {media_type!r} in this environment "

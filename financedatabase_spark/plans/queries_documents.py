@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from financedatabase_spark.operators import dedup_docs as dd
 from financedatabase_spark.operators import similarity as sim
 from financedatabase_spark.operators import text as tx
+from financedatabase_spark.operators.jpeg import synth_jpeg
 from financedatabase_spark.operators.multimodal import (
     attach_media_meta,
     decode_features,
@@ -791,6 +792,70 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id",
         (F.col("doc_id") % 3 * 4 + 8).cast("long").alias("width"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+
+
+@register(
+    "multimodal_jpeg_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w,
+             (((doc_id*17 + (y // 8)*31 + (x // 8)*7) % 251 + 2)
+              + CASE WHEN y >= 8
+                     THEN ((doc_id + (x // 8)) % 5 - 2)
+                          * (CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+                     ELSE 0 END) AS p
+      FROM d,
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, w - 1)) ux(x)
+    ),
+    hist AS (SELECT doc_id, w, (p * 8) // 256 AS bin, count(*) AS c
+             FROM px GROUP BY 1, 2, 3),
+    grid AS (SELECT doc_id, w, unnest(generate_series(0, 7)) AS pos FROM d)
+    SELECT g.doc_id, g.w::BIGINT AS width, g.pos::INT AS pos,
+           coalesce(h.c, 0) / (g.w * 16) AS x
+    FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.pos
+    """,
+)
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction through the REAL pure-stdlib baseline
+    JPEG codec (operators/jpeg.jpeg_decode via dispatch_decode): each
+    doc gets a deterministic spec-valid grayscale baseline JPEG
+    (synth_jpeg — width varying 16/24/32 so geometry must come from
+    SOF0, DC prediction across blocks, a mid-run AC coefficient with
+    negative values, per-position dequantization, and 0xFF byte
+    stuffing in most fixtures). The coefficient patterns are chosen so
+    the lossy pipeline is exactly invertible (constant blocks + the
+    ±1-integral u=4 basis), which lets the oracle recompute the 8-bin
+    luminance histogram from the synthesis formula — a decoder that
+    mis-parses Huffman tables, the zigzag, or the quant table cannot
+    match.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; zero shuffle, one Arrow batch per worker in flight."""
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_jpeg(int(i))),
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    jpgs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(jpgs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 3 * 8 + 16).cast("long").alias("width"),
         F.posexplode("feature").alias("pos", "x"),
     )
 

@@ -301,12 +301,18 @@ def test_dispatch_decode_image_route():
     payload = synth_png(9)
     assert dispatch_decode(payload, "image/png") == png_decode(payload)
     assert dispatch_decode(payload, None) == png_decode(payload)  # magic sniff
-    # non-PNG image bytes without Pillow stay a stated seam
+    # baseline JPEG routes to the pure-stdlib jpeg codec
+    from financedatabase_spark.operators.jpeg import jpeg_decode, synth_jpeg
+
+    jp = synth_jpeg(9)
+    assert dispatch_decode(jp, "image/jpeg") == jpeg_decode(jp)
+    assert dispatch_decode(jp, None) == jpeg_decode(jp)  # magic sniff
+    # non-PNG/JPEG image bytes without Pillow stay a stated seam
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError, match="Pillow"):
-            dispatch_decode(b"\xff\xd8\xff\xe0 jpeg-ish", "image/jpeg")
+            dispatch_decode(b"GIF87a gif-ish", "image/gif")
 
 
 def test_dispatch_decode_video_route():
@@ -392,3 +398,113 @@ def test_codec_seam_both_ways(spark, media_df):
     out = decode_features(media_df, decode_fn=codec).collect()
     assert all(len(r.feature) == 8 for r in out)
     assert all(abs(sum(r.feature) - 1.0) < 1e-9 for r in out)
+
+
+def test_jpeg_codec_round_trip():
+    """jpeg_pixels must parse the real baseline container synth_jpeg
+    writes — marker segments, DHT canonical Huffman tables, DC
+    prediction, the mid-run AC coefficient, per-position dequant,
+    zigzag, IDCT — and reproduce the synthesis formula EXACTLY (the
+    fixture's coefficient patterns are integral under the DCT)."""
+    from financedatabase_spark.operators.jpeg import (
+        _U4_SIGN,
+        jpeg_decode,
+        jpeg_pixels,
+        synth_jpeg,
+    )
+
+    def expected(doc_id):
+        w = 16 + (doc_id % 3) * 8
+        px = []
+        for y in range(16):
+            for x in range(w):
+                v = (doc_id * 17 + (y // 8) * 31 + (x // 8) * 7) % 251 + 2
+                if y >= 8:
+                    v += ((doc_id + x // 8) % 5 - 2) * _U4_SIGN[x % 8]
+                px.append(v)
+        return w, 16, px
+
+    stuffed = 0
+    for doc_id in (0, 1, 2, 7, 63, 256, 12345):
+        payload = synth_jpeg(doc_id)
+        stuffed += b"\xff\x00" in payload
+        assert jpeg_pixels(payload) == expected(doc_id)
+        w, _, px = expected(doc_id)
+        counts = [0] * 8
+        for v in px:
+            counts[v * 8 // 256] += 1
+        assert jpeg_decode(payload) == [c / (w * 16) for c in counts]
+    # the 0xFF byte-stuffing path is live in this sample, not theoretical
+    assert stuffed >= 2
+
+
+def test_jpeg_general_coefficients_and_zrl():
+    """The decoder is a full baseline decoder, not a fixture-shaped
+    shortcut: arbitrary quantized coefficient blocks (negative values,
+    >16-zero runs exercising ZRL, a nonzero final coefficient skipping
+    EOB) must decode to the reference IDCT within rounding."""
+    import numpy as np
+
+    from financedatabase_spark.operators.jpeg import (
+        _C,
+        _COS,
+        ZIGZAG,
+        assemble_jpeg,
+        jpeg_pixels,
+    )
+
+    qt = [1] * 64
+    rng = np.random.RandomState(7)
+    blocks = [list(map(int, rng.randint(-40, 41, 64))) for _ in range(3)]
+    zrl = [0] * 64
+    zrl[0], zrl[40], zrl[63] = 5, -3, 9  # 39-zero run (2x ZRL) + no-EOB tail
+    blocks.append(zrl)
+    w, h, px = jpeg_pixels(assemble_jpeg(32, 8, qt, blocks))
+    assert (w, h) == (32, 8)
+    C, COS = np.array(_C), np.array(_COS)
+    for bi, bz in enumerate(blocks):
+        coef = np.zeros(64)
+        for zi, ri in enumerate(ZIGZAG):
+            coef[ri] = bz[zi]
+        f = np.einsum("u,v,vu,ux,vy->yx", C, C, coef.reshape(8, 8), COS, COS) / 4
+        ref = np.clip(np.round(f) + 128, 0, 255)
+        got = np.array([[px[y * 32 + bi * 8 + x] for x in range(8)] for y in range(8)])
+        assert np.abs(got - ref).max() <= 1
+
+
+def test_jpeg_failure_modes():
+    """The documented seams raise NotImplementedError with the reason;
+    malformed streams raise ValueError."""
+    import struct
+
+    from financedatabase_spark.operators.jpeg import jpeg_pixels, synth_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_pixels(b"\x89PNG not a jpeg")
+
+    good = bytearray(synth_jpeg(3))
+    sof_at = good.find(b"\xff\xc0")
+    progressive = bytes(good[:sof_at + 1]) + b"\xc2" + bytes(good[sof_at + 2:])
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        jpeg_pixels(progressive)
+
+    # 3-component SOF0 (YCbCr) is a stated seam
+    seglen, prec, h, w = struct.unpack_from(">HBHH", good, sof_at + 2)
+    color = (
+        bytes(good[:sof_at + 2])
+        + struct.pack(">HBHHB", 14, prec, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        + bytes(good[sof_at + 2 + seglen:])
+    )
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        jpeg_pixels(color)
+
+    dri = bytes(good[:sof_at]) + b"\xff\xdd\x00\x04\x00\x10" + bytes(good[sof_at:])
+    with pytest.raises(NotImplementedError, match="restart"):
+        jpeg_pixels(dri)
+
+    with pytest.raises(ValueError, match="truncated|ended|no scan"):
+        jpeg_pixels(bytes(good[:-20]))
+    eoi_less = bytes(good[:-2]) + b"\x00" * 1  # scan data ends mid-block
+    with pytest.raises(ValueError):
+        jpeg_pixels(eoi_less[: len(good) - 8])
