@@ -54,21 +54,33 @@ def test_headline_within_recorded_bounds(spark):
 
 
 @pytest.mark.skipif(not _OPT_IN, reason="timing gate is opt-in: SPARK_GRAFT_BENCH_GATE=1")
-def test_gate_catches_debroadcast_join(spark):
-    """Sensitivity check with a REAL plan regression: force the
-    broadcast-reliant segment_revenue join to sort-merge (auto-broadcast
-    off) and assert the gate flags the measured ratio as a violation."""
+def test_gate_catches_shuffle_missize_regression(spark):
+    """Sensitivity check with a REAL plan regression — the class the
+    gate exists for: AQE off + 2000 shuffle partitions + no
+    auto-broadcast (a mis-sized-partitioning change; hint-broadcast
+    dims are untouched, so this is a fair single-query regression).
+    bars_5m_gapfill degrades ~5x measured on this host (its two-stage
+    gap-fill shuffles twice) and must trip its recorded bound even
+    though the same degradation also inflates the calibration
+    denominator."""
     sf_dir = "/root/testdata/sf0.1"
     if not os.path.isdir(sf_dir):
         pytest.skip("sf0.1 dataset not present")
-    keys = ["spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.autoBroadcastJoinThreshold"]
-    saved = {k: spark.conf.get(k) for k in keys}
+    degrade = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "2000",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in degrade}
     try:
-        for k in keys:
-            spark.conf.set(k, "-1")
-        ratios = bench_gate.measure_ratios(spark, sf_dir, ["segment_revenue"], passes=1)
+        for k, v in degrade.items():
+            spark.conf.set(k, v)
+        ratios = bench_gate.measure_ratios(spark, sf_dir, ["bars_5m_gapfill"], passes=1)
     finally:
         for k, v in saved.items():
-            spark.conf.set(k, v)
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     bad = bench_gate.violations(ratios, bench_gate.load_bounds())
-    assert "segment_revenue" in bad, f"de-broadcast not caught: ratio {ratios}"
+    assert "bars_5m_gapfill" in bad, f"shuffle mis-size not caught: ratio {ratios}"
