@@ -230,3 +230,95 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 4096,
+    alpha: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document bigram-LM quality scores — the order-sensitive
+    upgrade of `unigram_lm_scores` (a scrambled document keeps its
+    unigram score but collapses here, which is exactly the CCNet
+    motivation for conditioning on context).
+
+    Model: P(w2 | w1) = (c(w1,w2) + alpha) / (c(w1,·) + alpha·(V + 1)),
+    where the bigram table is capped to the top-``vocab_size`` bigrams
+    by (count DESC, w1, w2) — same TakeOrderedAndProject scale shape as
+    the unigram cap — and V is the distinct-context count. A scored
+    bigram outside the cap takes the c=0 floor (counted in
+    ``oov_bigrams``); its context count c(w1,·) still comes from the
+    FULL context table so frequent-context-rare-continuation reads as
+    unlikely rather than unseen.
+
+    Output: (id_col, n_bigrams, oov_bigrams, avg_logprob) for every doc
+    with >= 2 tokens; avg_logprob = mean log10 P (higher = more
+    in-distribution), rounded for cross-engine sum-order stability.
+
+    Scale shape: bigrams via a guarded array transform (the size-1
+    sequence(1,0)-descends trap — see operators/bpe._pair_counts), one
+    shuffle to count them, TakeOrderedAndProject for the cap, broadcast
+    joins for both count tables when small (contexts are vocabulary-
+    sized; AQE decides), one shuffle on doc id for the per-doc mean.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    staged = df.select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("_w")
+    )
+    pairs = (
+        staged.select(
+            F.col(id_col),
+            F.explode_outer(
+                F.expr(
+                    "CASE WHEN size(_w) >= 2 THEN "
+                    "transform(sequence(1, size(_w) - 1), "
+                    "i -> struct(element_at(_w, i) AS w1, element_at(_w, i + 1) AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("_p"),
+        )
+        .filter(F.col("_p").isNotNull())
+        .select(id_col, "_p.w1", "_p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+
+    bi_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
+    top = bi_counts.orderBy(F.col("_c12").desc(), "w1", "w2").limit(vocab_size)
+    rows = [(r["w1"], r["w2"], r["_c12"]) for r in top.collect()]
+
+    ctx_counts = pairs.groupBy("w1").agg(F.count("*").alias("_c1"))
+    v = ctx_counts.count()  # distinct contexts: bounded by vocabulary size
+
+    if rows:
+        joined = pairs.join(
+            F.broadcast(
+                values_dim(df.sparkSession, rows, "w1 string, w2 string, _c12 bigint")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+    else:
+        joined = pairs.withColumn("_c12", F.lit(None).cast("bigint"))
+    joined = joined.join(ctx_counts, "w1")  # inner: every scored context exists
+
+    logprob = F.log10(
+        (F.coalesce(F.col("_c12"), F.lit(0)) + F.lit(alpha))
+        / (F.col("_c1") + F.lit(alpha) * F.lit(float(v + 1)))
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.col("_c12").isNull().cast("bigint")).alias("oov_bigrams"),
+        F.sum(logprob).alias("_lp"),
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        "oov_bigrams",
+        F.round(F.col("_lp") / F.col("n_bigrams"), round_digits).alias("avg_logprob"),
+    )

@@ -284,3 +284,103 @@ def dataset_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(split_col, expr)
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed-bigram features are under the
+    TARGET distribution (rows matching ``target_filter``) than under
+    the RAW corpus, in log space. Resampling the corpus with
+    probabilities proportional to exp(weight) shifts it toward the
+    target domain — the standard pretraining-mixture move when the
+    target set is too small to train on alone.
+
+    Features: bigrams hashed into ``n_buckets`` buckets via the engine-
+    portable 28-bit md5 prefix (same primitive as the MinHash oracle).
+    Distributions are add-1 smoothed over buckets:
+    p_f = (c_target(f) + 1) / (N_target + B). Per doc:
+    log_weight = sum_f n_f(doc) * (log10 p_f - log10 q_f).
+
+    Output: (id_col, n_feats, log_weight), one row per doc with >= 1
+    bigram; rounded for cross-engine sum-order stability.
+
+    Scale shape: one projection stages word arrays; the guarded bigram
+    transform explodes to (doc, bucket) rows; ONE shuffle counts
+    per-doc-bucket; the global target/raw bucket tables are ≤ B rows —
+    aggregated map-side then broadcast back; one shuffle on doc id for
+    the final sum. The target table never needs to fit in memory —
+    only its B-row histogram does.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from financedatabase_spark.operators.text import normalized_text
+
+    staged = df.select(
+        F.col(id_col),
+        target_filter.alias("_is_target"),
+        F.split(normalized_text(text_col), " ").alias("_w"),
+    )
+    feats = (
+        staged.select(
+            id_col,
+            "_is_target",
+            F.explode_outer(
+                F.expr(
+                    "CASE WHEN size(_w) >= 2 THEN "
+                    "transform(sequence(1, size(_w) - 1), "
+                    "i -> cast(conv(substring(md5(concat(element_at(_w, i), ' ', "
+                    "element_at(_w, i + 1))), 1, 7), 16, 10) as bigint) "
+                    f"% {int(n_buckets)}) "
+                    "ELSE array() END"
+                )
+            ).alias("bucket"),
+        )
+        .filter(F.col("bucket").isNotNull())
+    )
+    # one corpus pass: (doc, bucket) counts, materialized once because
+    # the global histograms AND the score join both read it
+    per_doc = (
+        feats.groupBy(id_col, "_is_target", "bucket")
+        .agg(F.count("*").alias("_nf"))
+        .localCheckpoint()
+    )
+    # global histograms are BOUNDED (≤ n_buckets rows): fold to driver
+    # literals so the score plan joins a LocalRelation, not the subtree
+    hist = (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.sum("_nf").alias("_cq"),
+            F.sum(F.when(F.col("_is_target"), F.col("_nf")).otherwise(F.lit(0))).alias("_cp"),
+        )
+        .collect()
+    )
+    n_raw = sum(r["_cq"] for r in hist)
+    n_tgt = sum(r["_cp"] for r in hist)
+    b = float(n_buckets)
+    from financedatabase_spark.session import values_dim
+
+    dim = values_dim(
+        df.sparkSession,
+        [(r["bucket"], r["_cq"], r["_cp"]) for r in hist],
+        "bucket bigint, _cq bigint, _cp bigint",
+    )
+    scored = per_doc.join(F.broadcast(dim), "bucket").select(
+        id_col,
+        "_nf",
+        (
+            F.log10((F.col("_cp") + F.lit(1)) / F.lit(n_tgt + b))
+            - F.log10((F.col("_cq") + F.lit(1)) / F.lit(n_raw + b))
+        ).alias("_lw"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("_nf").alias("n_feats"),
+        F.round(F.sum(F.col("_nf") * F.col("_lw")), round_digits).alias("log_weight"),
+    )

@@ -608,3 +608,84 @@ def with_document_chunks(
             F.col("_c.chunk_tokens").alias("chunk_tokens"),
         )
     )
+
+
+#: Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+#: ... Gopher", Table A1 quality-filter heuristics). The stop-word list
+#: is the paper's; thresholds are parameters with the published
+#: defaults.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-filter rule bundle: the published heuristics as
+    per-rule flags plus the overall keep/drop verdict, one row per doc.
+
+    Rules (Rae et al. 2021 Table A1): word count in [50, 100k]; mean
+    word length in [3, 10]; symbol-to-word ratio ('#' or '...') <= 0.1;
+    >= 80% of words contain an alphabetic character; >= 2 distinct
+    stop words present. (The paper's line-level bullet/ellipsis rules
+    are omitted: this corpus is single-line by construction, so they
+    are vacuously true and would pad the output.)
+
+    Scale shape: one projection over the scan — every rule is a
+    whole-stage-codegen array expression on the split word array, no
+    shuffle, no UDF. Filters compose downstream as `WHERE pass`.
+
+    Reference parity: no counterpart (reference has no text pipeline);
+    brief's LLM-curation surface.
+    """
+    t = _c(text_col)
+    staged = df.select(
+        id_col,
+        F.split(normalized_text(t), " ").alias("_w"),
+        F.regexp_count(t, F.lit(r"#|\.\.\.")).alias("_sym"),
+    )
+    n = F.size(F.col("_w"))
+    staged = staged.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        F.expr("aggregate(_w, 0L, (a, x) -> a + length(x))").alias("_len_sum"),
+        F.expr("size(filter(_w, x -> x rlike '[A-Za-z]'))").alias("_alpha"),
+        sum(
+            (F.array_contains(F.col("_w"), w).cast("int") for w in GOPHER_STOPWORDS),
+            F.lit(0),
+        ).alias("stopword_hits"),
+        F.col("_sym"),
+    )
+    nw = F.col("n_words")
+    mean_wl = F.when(nw > 0, F.col("_len_sum") / nw).otherwise(F.lit(0.0))
+    sym_ratio = F.when(nw > 0, F.col("_sym") / nw).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(nw > 0, F.col("_alpha") / nw).otherwise(F.lit(0.0))
+    out = staged.select(
+        id_col,
+        "n_words",
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        F.col("stopword_hits").cast("long").alias("stopword_hits"),
+        nw.between(min_words, max_words).alias("ok_n_words"),
+        mean_wl.between(min_mean_word_len, max_mean_word_len).alias("ok_word_len"),
+        (sym_ratio <= max_symbol_ratio).alias("ok_symbols"),
+        (alpha_ratio >= min_alpha_word_ratio).alias("ok_alpha"),
+        (F.col("stopword_hits") >= min_stopword_hits).alias("ok_stopwords"),
+    )
+    return out.withColumn(
+        "pass",
+        F.col("ok_n_words")
+        & F.col("ok_word_len")
+        & F.col("ok_symbols")
+        & F.col("ok_alpha")
+        & F.col("ok_stopwords"),
+    )

@@ -2036,3 +2036,151 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select(F.col("vec_id").alias("corpus_id"), "label", "embedding")
     return sim.ivf_pq_topk(queries, corpus, centroids, m=8, dim=64, k=5, n_probe=2)
+
+
+@register(
+    "gopher_quality_filter",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             string_split(t, ' ') AS w,
+             len(regexp_extract_all(text, '#|\\.\\.\\.'))::BIGINT AS sym
+      FROM norm
+    ),
+    m AS (
+      SELECT doc_id,
+             len(w)::BIGINT AS n_words,
+             list_sum(list_transform(w, x -> len(x)))::BIGINT AS len_sum,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alpha,
+             (list_contains(w, 'the')::INT + list_contains(w, 'be')::INT
+              + list_contains(w, 'to')::INT + list_contains(w, 'of')::INT
+              + list_contains(w, 'and')::INT + list_contains(w, 'that')::INT
+              + list_contains(w, 'have')::INT + list_contains(w, 'with')::INT
+             )::BIGINT AS stopword_hits,
+             sym
+      FROM w
+    ),
+    r AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words > 0 THEN len_sum / n_words ELSE 0e0 END AS mean_word_len,
+             CASE WHEN n_words > 0 THEN sym / n_words ELSE 0e0 END AS symbol_ratio,
+             CASE WHEN n_words > 0 THEN alpha / n_words ELSE 0e0 END AS alpha_word_ratio,
+             stopword_hits
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+           stopword_hits,
+           n_words BETWEEN 50 AND 100000 AS ok_n_words,
+           mean_word_len BETWEEN 3.0e0 AND 10.0e0 AS ok_word_len,
+           symbol_ratio <= 0.1e0 AS ok_symbols,
+           alpha_word_ratio >= 0.8e0 AS ok_alpha,
+           stopword_hits >= 2 AS ok_stopwords,
+           (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0e0 AND 10.0e0)
+             AND symbol_ratio <= 0.1e0 AND alpha_word_ratio >= 0.8e0
+             AND stopword_hits >= 2 AS pass
+    FROM r
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021) as per-rule flags + overall
+    keep/drop verdict — operators/text.gopher_quality. Whole corpus, one
+    codegen projection, no shuffle (tests/test_plan_quality gates it)."""
+    return tx.gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "bigram_lm_quality",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    bi AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM w, UNNEST(generate_series(1, len(w) - 1)) u(i)
+      WHERE w[i] <> '' AND w[i + 1] <> ''
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+    top AS (SELECT w1, w2, c12 FROM bc ORDER BY c12 DESC, w1, w2 LIMIT 4096),
+    ctx AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+    v AS (SELECT count(*) AS n FROM ctx),
+    sc AS (
+      SELECT b.doc_id, (t.c12 IS NULL)::INT AS oov,
+             log10((coalesce(t.c12, 0) + 0.5e0)
+                   / (c.c1 + 0.5e0 * ((SELECT n FROM v) + 1))) AS lp
+      FROM bi b
+      JOIN ctx c USING (w1)
+      LEFT JOIN top t ON b.w1 = t.w1 AND b.w2 = t.w2
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(oov)::BIGINT AS oov_bigrams,
+           round(sum(lp) / count(*), 6) AS avg_logprob
+    FROM sc GROUP BY doc_id
+    """,
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter, bigram upgrade: per-doc mean
+    log10 P(w2|w1) under a corpus-trained add-alpha bigram model with a
+    top-4096 capped bigram table (operators/lm.bigram_lm_scores)."""
+    from financedatabase_spark.operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _v28_of(expr: str) -> str:
+    """DuckDB twin of Spark's conv(substring(md5(x),1,7),16,10): expand
+    the first 7 hex digits positionally (same move as the MinHash
+    oracle's _V28, parametrized on the hashed expression)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (6 - i)}"
+        for i in range(7)
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    w AS (SELECT doc_id, tgt, string_split(t, ' ') AS w FROM norm),
+    f AS (
+      SELECT doc_id, tgt,
+             ({_v28_of("w[i] || ' ' || w[i + 1]")})::BIGINT % 64 AS bucket
+      FROM w, UNNEST(generate_series(1, len(w) - 1)) u(i)
+      WHERE w[i] <> '' AND w[i + 1] <> ''
+    ),
+    pd AS (SELECT doc_id, tgt, bucket, count(*) AS nf FROM f GROUP BY 1, 2, 3),
+    h AS (
+      SELECT bucket, sum(nf)::BIGINT AS cq,
+             sum(CASE WHEN tgt THEN nf ELSE 0 END)::BIGINT AS cp
+      FROM pd GROUP BY 1
+    ),
+    tot AS (SELECT sum(cq)::BIGINT AS nraw, sum(cp)::BIGINT AS ntgt FROM h),
+    sc AS (
+      SELECT pd.doc_id, pd.nf,
+             log10((h.cp + 1) / ((SELECT ntgt FROM tot) + 64e0))
+             - log10((h.cq + 1) / ((SELECT nraw FROM tot) + 64e0)) AS lw
+      FROM pd JOIN h USING (bucket)
+    )
+    SELECT doc_id, sum(nf)::BIGINT AS n_feats,
+           round(sum(nf * lw), 6) AS log_weight
+    FROM sc GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): log-space likelihood
+    ratio of hashed-bigram features under the English target slice vs
+    the raw corpus (operators/sampling.dsir_importance_weights);
+    resampling proportional to exp(weight) shifts the mixture toward
+    the target domain."""
+    return smp.dsir_importance_weights(
+        load_table(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )

@@ -1177,3 +1177,116 @@ def test_exact_substring_dedup_xxhash_matches_md5(spark):
     a = exact_substring_dedup(df, k=8, hash_mode="md5").orderBy("doc_id").collect()
     b = exact_substring_dedup(df, k=8, hash_mode="xxhash64").orderBy("doc_id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_gopher_quality_rules_flip_independently(spark):
+    """Each Gopher rule flags exactly the doc crafted to violate it."""
+    import math
+
+    from financedatabase_spark.operators.text import gopher_quality
+
+    good = "the quick brown words flow and keep that nice rhythm with " * 6  # 60 words, stopwords
+    docs = [
+        (1, good),
+        (2, "too few words that have the with"),            # n_words < 50
+        (3, ("a be " * 30).strip()),                        # mean word len < 3
+        (4, ("###word the of and that have with be to " + "ordinary " * 45)),  # symbols fine? craft below
+        (5, (("12345 " * 20) + "the of and that have be with " + "word " * 30)),  # alpha ratio low
+        (6, "zebra quantum flux " * 20),                    # no stopwords
+    ]
+    # doc 4: make symbol ratio > 0.1 — 54ish words, need > 5.4 symbol hits
+    docs[3] = (4, ("# # # # # # # # # # the of and that have with be to " + "word " * 45))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    r = {x.doc_id: x for x in gopher_quality(df).collect()}
+
+    assert r[1]["pass"]
+    assert not r[2].ok_n_words and not r[2]["pass"]
+    assert not r[3].ok_word_len and r[3].mean_word_len < 3
+    assert not r[4].ok_symbols and r[4].symbol_ratio > 0.1
+    assert not r[5].ok_alpha and r[5].alpha_word_ratio < 0.8
+    assert not r[6].ok_stopwords and r[6].stopword_hits == 0
+    # distinct stopword counting: repeating one stopword counts once
+    one = spark.createDataFrame([(7, "the the the the the " + "w " * 50)], "doc_id int, text string")
+    assert gopher_quality(one).collect()[0].stopword_hits == 1
+    assert math.isclose(sum(len(w) for w in good.split()) / len(good.split()),
+                        r[1].mean_word_len)
+
+
+def test_bigram_lm_scores_hand_computed_and_order_sensitivity(spark):
+    """Exact add-alpha arithmetic on a 2-doc corpus, and the property
+    that motivates bigrams: scrambling word order drops the score while
+    the unigram model can't tell the difference."""
+    import math
+
+    from financedatabase_spark.operators.lm import bigram_lm_scores, unigram_lm_scores
+
+    natural = "a b a b a b a b"
+    scrambled = "a a b b b a a b"
+    df = spark.createDataFrame(
+        [(1, natural), (2, scrambled)], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in bigram_lm_scores(df, alpha=0.5).collect()}
+    # corpus bigrams: doc1: ab x4, ba x3; doc2: aa x2, ab x1, bb x2, ba x1, ab... recompute
+    # doc2 pairs: (a,a)(a,b)(b,b)(b,b)? enumerate precisely below
+    pairs1 = list(zip(natural.split(), natural.split()[1:]))
+    pairs2 = list(zip(scrambled.split(), scrambled.split()[1:]))
+    from collections import Counter
+
+    c12 = Counter(pairs1 + pairs2)
+    c1 = Counter(p[0] for p in pairs1 + pairs2)
+    v = len(c1)
+    def score(pairs):
+        lps = [
+            math.log10((c12[p] + 0.5) / (c1[p[0]] + 0.5 * (v + 1)))
+            for p in pairs
+        ]
+        return round(sum(lps) / len(lps), 6)
+
+    assert out[1].n_bigrams == 7 and out[1].oov_bigrams == 0
+    assert out[1].avg_logprob == pytest.approx(score(pairs1), abs=1e-9)
+    assert out[2].avg_logprob == pytest.approx(score(pairs2), abs=1e-9)
+    # order sensitivity: natural doc scores strictly higher
+    assert out[1].avg_logprob > out[2].avg_logprob
+    uni = {r.doc_id: r for r in unigram_lm_scores(df).collect()}
+    assert uni[1].avg_logprob == uni[2].avg_logprob  # unigram is blind to order
+
+    # single-token doc contributes no bigrams and emits no row
+    tiny = spark.createDataFrame([(1, "solo"), (2, "a pair")], "doc_id int, text string")
+    rows = bigram_lm_scores(tiny).collect()
+    assert [r.doc_id for r in rows] == [2]
+
+    # vocab cap: oov bigrams take the c=0 floor but still score
+    capped = bigram_lm_scores(df, vocab_size=1).collect()
+    assert all(r.oov_bigrams > 0 for r in capped)
+
+    with pytest.raises(ValueError):
+        bigram_lm_scores(df, vocab_size=0)
+    with pytest.raises(ValueError):
+        bigram_lm_scores(df, alpha=0.0)
+
+
+def test_dsir_importance_weights_direction(spark):
+    """Docs made of target-distinctive bigrams must weigh above docs of
+    off-target bigrams: the log likelihood ratio is positive for the
+    former, negative for the latter, and near zero for shared content."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.sampling import dsir_importance_weights
+
+    target_text = "alpha beta alpha beta alpha beta alpha beta"
+    raw_text = "gamma delta gamma delta gamma delta gamma delta"
+    rows = [(i, target_text, "en") for i in range(5)] + [
+        (i + 10, raw_text, "de") for i in range(5)
+    ] + [(99, "alpha beta gamma delta", "de")]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    out = {
+        r.doc_id: r
+        for r in dsir_importance_weights(df, F.col("lang") == "en").collect()
+    }
+    assert out[0].log_weight > 0          # pure target content
+    assert out[10].log_weight < 0         # pure off-target content
+    assert out[0].log_weight > out[99].log_weight > out[10].log_weight
+    assert out[0].n_feats == 7
+
+    with pytest.raises(ValueError):
+        dsir_importance_weights(df, F.col("lang") == "en", n_buckets=0)

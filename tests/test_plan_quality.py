@@ -334,3 +334,24 @@ def test_domain_blocklist_broadcast_anti_join(spark, sf_dir):
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_gopher_quality_is_shuffle_free_projection(spark, sf_dir):
+    # every rule is an array expression over the split word array: the
+    # whole filter must compile to one scan + one codegen projection —
+    # no Exchange, no generator explode, no Python stage
+    p = plan_of(spark, sf_dir, "gopher_quality_filter")
+    assert "Exchange" not in p
+    assert "Generate" not in p
+    assert "Python" not in p and "Arrow" not in p
+    assert p.count("Location: InMemoryFileIndex") == 1
+
+
+def test_dsir_score_joins_literal_histogram(spark, sf_dir):
+    # the bucket histogram folds to a ≤64-row LocalRelation joined
+    # broadcast: the score side must not re-plan the corpus subtree for
+    # the global counts (one corpus scan total; per_doc is checkpointed)
+    p = plan_of(spark, sf_dir, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in p
+    assert "LocalTableScan" in p
+    assert p.count("Scan parquet") == 0  # per_doc checkpoint feeds everything
