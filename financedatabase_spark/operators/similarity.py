@@ -961,3 +961,80 @@ def values_dim_vectors(spark, rows: list[tuple[int, int, list[float]]]) -> DataF
         [(s, c, [float(x) for x in v]) for s, c, v in rows],
         "sub int, cid int, cvec_sub array<double>",
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): semantic-duplicate
+    PRUNING decisions over an embedded corpus. Near-dup pair lists
+    (embedding_near_dups) say what collides; this operator says what to
+    KEEP: assign every vector to its nearest centroid, find duplicate
+    groups within each cluster (cosine >= tau edges -> connected
+    components), and per group keep exactly one representative — the
+    paper's choice, the member with the LOWEST cosine to its centroid
+    (keeping the outlier preserves diversity), ties broken by id.
+
+    Output: (id_col, cluster, cosine_to_centroid, group_rep, keep) for
+    EVERY input vector — singletons keep themselves.
+
+    Scale shape — the clustering exists precisely to bound the
+    quadratic: pairwise cosine runs per-cluster (shuffle on cluster,
+    sort-merge self-join), never corpus x corpus; centroids broadcast;
+    components via iterative min-label propagation over only the
+    edge-touching vectors (operators/dedup_docs.connected_components).
+    At 100 TB the cluster count scales with the corpus so per-cluster
+    membership stays bounded (the paper uses ~100k clusters)."""
+    from financedatabase_spark.operators.dedup_docs import connected_components
+
+    v = _spread(emb).select(F.col(id_col), _vec(vec_col).alias("_e"))
+    cen = centroids.select(F.col("cell").alias("_cl"), F.col("cvec"))
+    from pyspark.sql import Window
+
+    scored = v.crossJoin(F.broadcast(cen)).select(
+        id_col,
+        "_cl",
+        "_e",
+        F.round(cosine(F.col("_e"), F.col("cvec")), round_digits).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("_cl").asc())
+    assign = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("_cl").alias("cluster"), F.col("_sim").alias("csim"), "_e")
+        .localCheckpoint()  # feeds the pair join twice + the final output
+    )
+    a = assign.select(
+        F.col(id_col).alias("_i"), F.col("cluster").alias("_ca"), F.col("_e").alias("_ea")
+    )
+    b = assign.select(
+        F.col(id_col).alias("_j"), F.col("cluster").alias("_cb"), F.col("_e").alias("_eb")
+    )
+    edges = (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_i") < F.col("_j")))
+        .filter(F.round(cosine(F.col("_ea"), F.col("_eb")), round_digits) >= F.lit(tau))
+        .select("_i", "_j")
+    )
+    comp = connected_components(edges, left_col="_i", right_col="_j").select(
+        F.col("doc_id").alias(id_col), F.col("cluster_rep").alias("group_rep")
+    )
+    labeled = assign.join(comp, id_col, "left").select(
+        id_col,
+        "cluster",
+        "csim",
+        F.coalesce("group_rep", F.col(id_col)).alias("group_rep"),
+    )
+    kw = Window.partitionBy("group_rep").orderBy(F.col("csim").asc(), F.col(id_col).asc())
+    return labeled.withColumn("keep", F.row_number().over(kw) == 1).select(
+        id_col,
+        "cluster",
+        F.col("csim").alias("cosine_to_centroid"),
+        "group_rep",
+        "keep",
+    )

@@ -2184,3 +2184,99 @@ def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.dsir_importance_weights(
         load_table(spark, sf_dir, "documents"), F.col("lang") == "en"
     )
+
+
+@register(
+    "semdedup_keep_list",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, label, u.pos AS pos, u.x AS x
+      FROM v, LATERAL (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS pos) u
+    ),
+    cmeans AS (
+      SELECT label, pos,
+             CAST(sum(CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS m
+      FROM flat GROUP BY label, pos
+    ),
+    cen AS (
+      SELECT label AS cl, list(m ORDER BY pos) AS cvec FROM cmeans GROUP BY label
+    ),
+    assign AS (
+      SELECT vec_id, cl AS cluster, sim AS csim FROM (
+        SELECT v.vec_id, c.cl,
+               round(list_cosine_similarity(v.emb, c.cvec), 6) AS sim,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round(list_cosine_similarity(v.emb, c.cvec), 6) DESC,
+                                           c.cl ASC) AS rn
+        FROM v CROSS JOIN cen c
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM assign x
+      JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN v vx ON vx.vec_id = x.vec_id
+      JOIN v vy ON vy.vec_id = y.vec_id
+      WHERE round(list_cosine_similarity(vx.emb, vy.emb), 6) >= 0.4e0
+    ),
+    edges AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b, a FROM p),
+    l0 AS MATERIALIZED (SELECT DISTINCT a AS doc_id, a AS lbl FROM edges),
+    l1 AS MATERIALIZED (
+      SELECT p.doc_id, LEAST(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+      FROM l0 p LEFT JOIN edges e ON e.a = p.doc_id LEFT JOIN l0 q ON q.doc_id = e.b
+      GROUP BY p.doc_id, p.lbl
+    ),
+    l2 AS MATERIALIZED (
+      SELECT p.doc_id, LEAST(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+      FROM l1 p LEFT JOIN edges e ON e.a = p.doc_id LEFT JOIN l1 q ON q.doc_id = e.b
+      GROUP BY p.doc_id, p.lbl
+    ),
+    l3 AS MATERIALIZED (
+      SELECT p.doc_id, LEAST(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+      FROM l2 p LEFT JOIN edges e ON e.a = p.doc_id LEFT JOIN l2 q ON q.doc_id = e.b
+      GROUP BY p.doc_id, p.lbl
+    ),
+    l4 AS MATERIALIZED (
+      SELECT p.doc_id, LEAST(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+      FROM l3 p LEFT JOIN edges e ON e.a = p.doc_id LEFT JOIN l3 q ON q.doc_id = e.b
+      GROUP BY p.doc_id, p.lbl
+    ),
+    l5 AS MATERIALIZED (
+      SELECT p.doc_id, LEAST(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+      FROM l4 p LEFT JOIN edges e ON e.a = p.doc_id LEFT JOIN l4 q ON q.doc_id = e.b
+      GROUP BY p.doc_id, p.lbl
+    ),
+    l6 AS MATERIALIZED (
+      SELECT p.doc_id, LEAST(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+      FROM l5 p LEFT JOIN edges e ON e.a = p.doc_id LEFT JOIN l5 q ON q.doc_id = e.b
+      GROUP BY p.doc_id, p.lbl
+    ),
+    comp AS (
+      SELECT a.doc_id,
+             CASE WHEN bool_and(a.lbl = b.lbl) OVER () THEN a.lbl END AS rep
+      FROM l6 a JOIN l5 b USING (doc_id)
+    ),
+    labeled AS (
+      SELECT a.vec_id, a.cluster, a.csim,
+             coalesce(c.rep, a.vec_id) AS group_rep
+      FROM assign a LEFT JOIN comp c ON c.doc_id = a.vec_id
+    )
+    SELECT vec_id, cluster, csim AS cosine_to_centroid, group_rep,
+           row_number() OVER (PARTITION BY group_rep
+                              ORDER BY csim ASC, vec_id ASC) = 1 AS keep
+    FROM labeled
+    """,
+)
+def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruning decisions (Abbas et al. 2023,
+    operators/similarity.semdedup): nearest-centroid assignment →
+    within-cluster cosine >= 0.4 duplicate groups (connected
+    components) → keep the group member FARTHEST from its centroid.
+    The oracle runs the same min-label propagation as 6 chained SQL
+    rounds with the convergence poison used by dedup_clusters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = sim.cell_centroids(emb)
+    return sim.semdedup(emb, centroids, tau=0.4)

@@ -1290,3 +1290,42 @@ def test_dsir_importance_weights_direction(spark):
 
     with pytest.raises(ValueError):
         dsir_importance_weights(df, F.col("lang") == "en", n_buckets=0)
+
+
+def test_semdedup_keeper_semantics(spark):
+    """SemDeDup on a crafted corpus: two tight dup groups + singletons.
+    Every group keeps EXACTLY one member — the one farthest from its
+    centroid (paper's diversity-preserving choice) — and singletons all
+    keep themselves."""
+    from financedatabase_spark.operators.similarity import cell_centroids, semdedup
+
+    # cluster A around (1,0,...): ids 1,2 identical, 3 slightly off (the
+    # outlier -> keeper); cluster B around (0,1,...): 10,11 dups, 12 far
+    def vec(*xs):
+        v = list(xs) + [0.0] * (8 - len(xs))
+        return v
+
+    rows = [
+        (1, 0, vec(1.0, 0.02)),
+        (2, 0, vec(1.0, 0.02)),
+        (3, 0, vec(1.0, 0.30)),
+        (10, 1, vec(0.02, 1.0)),
+        (11, 1, vec(0.02, 1.0)),
+        (12, 1, vec(-1.0, 1.0)),  # same cluster-ish but dissimilar to 10/11
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    cen = cell_centroids(df)
+    out = {r.vec_id: r for r in semdedup(df, cen, tau=0.95).collect()}
+
+    assert len(out) == 6  # every vector gets a verdict
+    g1 = {i for i in (1, 2, 3) if out[i].group_rep == out[1].group_rep}
+    assert g1 == {1, 2, 3}  # 1~2 identical, 3 within tau of both
+    kept1 = [i for i in g1 if out[i].keep]
+    # keeper = lowest cosine-to-centroid = the off-axis outlier 3
+    assert kept1 == [3]
+    assert out[10].group_rep == out[11].group_rep
+    kept2 = [i for i in (10, 11) if out[i].keep]
+    assert len(kept2) == 1
+    assert out[12].keep and out[12].group_rep == 12  # singleton
+    # identical vectors tie on csim -> id tiebreak keeps the smaller
+    assert sorted(i for i in out if out[i].keep) == [3, 10, 12]
