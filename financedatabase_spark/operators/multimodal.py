@@ -540,3 +540,17 @@ def frame_sample_plan(
     every n-th frame — pure relational filter (the decode of kept frames
     happens in `decode_features`)."""
     return df.filter((F.col(frame_col) % every_n) == 0)
+
+
+def spread_ids(df: DataFrame) -> DataFrame:
+    """Repartition an ID-ONLY frame to the session's default parallelism
+    before a synth/decode mapInPandas stage. A media table staged as few
+    files otherwise serializes the Python codec work onto as many cores
+    as there are input splits (observed: the 50x documents table is one
+    parquet file → one partition → single-core decode). Shuffling 8-byte
+    ids costs nothing; the payloads themselves are SYNTHESIZED after the
+    exchange, so the zero-payload-shuffle property of the decode
+    pipeline is preserved. Real media tables with many files don't need
+    this — it is the id-driven generator stages that do."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)

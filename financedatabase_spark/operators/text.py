@@ -628,6 +628,7 @@ def gopher_quality(
     max_symbol_ratio: float = 0.1,
     min_alpha_word_ratio: float = 0.8,
     min_stopword_hits: int = 2,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gopher quality-filter rule bundle: the published heuristics as
     per-rule flags plus the overall keep/drop verdict, one row per doc.
@@ -647,14 +648,17 @@ def gopher_quality(
     brief's LLM-curation surface.
     """
     t = _c(text_col)
+    extra = list(keep_cols or [])
     staged = df.select(
         id_col,
+        *extra,
         F.split(normalized_text(t), " ").alias("_w"),
         F.regexp_count(t, F.lit(r"#|\.\.\.")).alias("_sym"),
     )
     n = F.size(F.col("_w"))
     staged = staged.select(
         id_col,
+        *extra,
         n.cast("long").alias("n_words"),
         F.expr("aggregate(_w, 0L, (a, x) -> a + length(x))").alias("_len_sum"),
         F.expr("size(filter(_w, x -> x rlike '[A-Za-z]'))").alias("_alpha"),
@@ -670,6 +674,7 @@ def gopher_quality(
     alpha_ratio = F.when(nw > 0, F.col("_alpha") / nw).otherwise(F.lit(0.0))
     out = staged.select(
         id_col,
+        *extra,
         "n_words",
         mean_wl.alias("mean_word_len"),
         sym_ratio.alias("symbol_ratio"),

@@ -17,6 +17,7 @@ from financedatabase_spark.operators import text as tx
 from financedatabase_spark.operators.jpeg import synth_jpeg
 from financedatabase_spark.operators.multimodal import (
     attach_media_meta,
+    spread_ids,
     decode_features,
     dispatch_decode,
     fake_decode,
@@ -661,7 +662,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode; zero shuffle, one Arrow batch per worker in flight."""
     import pandas as _pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -721,7 +722,7 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode; zero shuffle, one Arrow batch per worker in flight."""
     import pandas as _pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -775,7 +776,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode; zero shuffle, one Arrow batch per worker in flight."""
     import pandas as _pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -839,7 +840,7 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode; zero shuffle, one Arrow batch per worker in flight."""
     import pandas as _pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -2280,3 +2281,41 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = sim.cell_centroids(emb)
     return sim.semdedup(emb, centroids, tau=0.4)
+
+
+@register(
+    "ccnet_quality_tertiles",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(words) AS t FROM w),
+    tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    counts AS (SELECT t, count(*)::BIGINT AS c FROM tok2 GROUP BY t),
+    vocab AS (SELECT t, c FROM counts ORDER BY c DESC, t LIMIT 4096),
+    tot AS (SELECT sum(c)::BIGINT AS n_kept, count(*)::BIGINT AS v FROM vocab),
+    sc AS (
+      SELECT k.doc_id,
+             round(sum(log10((coalesce(vb.c, 0) + 0.5)
+                             / (tot.n_kept + 0.5 * (tot.v + 1))))
+                   / count(*), 6) AS avg_logprob
+      FROM tok2 k LEFT JOIN vocab vb ON k.t = vb.t CROSS JOIN tot
+      GROUP BY k.doc_id
+    )
+    SELECT s.doc_id, d.lang, s.avg_logprob,
+           CASE ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY s.avg_logprob DESC, s.doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM sc s JOIN documents d USING (doc_id)
+    """,
+)
+def ccnet_quality_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's published corpus split (Wenzek et al. 2020): per-language
+    head/middle/tail tertiles by unigram-LM score
+    (operators/lm.ccnet_tertiles) — the keep/drop boundary used by the
+    original CommonCrawl curation and its descendants."""
+    from financedatabase_spark.operators.lm import ccnet_tertiles
+
+    return ccnet_tertiles(load_table(spark, sf_dir, "documents"))

@@ -205,3 +205,66 @@ def history_union_today_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         history, drained.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     )
     return merged.dropDuplicates(["event_id"])
+
+
+_CURATION_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, source, text,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id, source,
+         string_split(t, ' ') AS w,
+         len(regexp_extract_all(text, '#|\\.\\.\\.'))::BIGINT AS sym
+  FROM norm
+),
+m AS (
+  SELECT doc_id, source,
+         len(w)::BIGINT AS n_words,
+         list_sum(list_transform(w, x -> len(x)))::BIGINT AS len_sum,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alpha,
+         (list_contains(w, 'the')::INT + list_contains(w, 'be')::INT
+          + list_contains(w, 'to')::INT + list_contains(w, 'of')::INT
+          + list_contains(w, 'and')::INT + list_contains(w, 'that')::INT
+          + list_contains(w, 'have')::INT + list_contains(w, 'with')::INT
+         )::BIGINT AS stopword_hits,
+         sym
+  FROM w
+),
+v AS (
+  SELECT doc_id, source, n_words,
+         (n_words BETWEEN 50 AND 100000)
+         AND (CASE WHEN n_words > 0 THEN len_sum / n_words ELSE 0e0 END BETWEEN 3.0e0 AND 10.0e0)
+         AND (CASE WHEN n_words > 0 THEN sym / n_words ELSE 0e0 END <= 0.1e0)
+         AND (CASE WHEN n_words > 0 THEN alpha / n_words ELSE 0e0 END >= 0.8e0)
+         AND stopword_hits >= 2 AS pass
+  FROM m
+)
+SELECT source, pass, count(*)::BIGINT AS n_docs, sum(n_words)::BIGINT AS n_words
+FROM v GROUP BY source, pass
+"""
+
+
+@register("streaming_corpus_curation", _CURATION_ORACLE)
+def streaming_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation as a LIVE pipeline: the documents table replayed as a
+    stream, the Gopher rule bundle applied as a STATELESS streaming
+    projection (operators/text.gopher_quality runs unchanged on a
+    streaming DataFrame — pure codegen expressions have no batch/stream
+    divide), aggregated per (source, verdict) in complete mode. The
+    production shape for continuous ingest: new crawl shards land in
+    the source directory and the running query keeps per-source
+    keep/drop counts current without a batch rescan. Complete-mode sums
+    are commutative, so the sink equals the batch GROUP BY exactly."""
+    from financedatabase_spark.operators.text import gopher_quality
+
+    batch = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    stage = tempfile.mkdtemp(prefix="fdb_stream_")
+    batch.repartition(1).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    flags = gopher_quality(stream, keep_cols=["source"])
+    agg = flags.groupBy("source", "pass").agg(
+        F.count("*").alias("n_docs"), F.sum("n_words").alias("n_words")
+    )
+    return _run(spark, agg, "complete")

@@ -233,3 +233,29 @@ def test_history_union_today_guards_mixed_legs(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="both be batch"):
         history_union_today(ev, stream)
     assert history_union_today(stream, stream).isStreaming
+
+
+def test_streaming_corpus_curation_matches_batch(spark, sf_dir):
+    """The Gopher rule bundle is stateless, so running it inside a
+    streaming query must produce EXACTLY the batch GROUP BY — and the
+    plan must actually be streaming (the projection crosses the
+    batch/stream divide unchanged)."""
+    from financedatabase_spark.operators.text import gopher_quality
+    from financedatabase_spark.plans.registry import QUERIES
+    from financedatabase_spark.sources.readers import load_table
+
+    got = {
+        (r.source, r["pass"]): (r.n_docs, r.n_words)
+        for r in QUERIES["streaming_corpus_curation"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    import pyspark.sql.functions as F
+
+    want = {
+        (r.source, r["pass"]): (r.n_docs, r.n_words)
+        for r in gopher_quality(docs, keep_cols=["source"])
+        .groupBy("source", "pass")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_words").alias("n_words"))
+        .collect()
+    }
+    assert got == want and got
