@@ -2189,7 +2189,7 @@ def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semdedup_keep_list",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
     ),
@@ -2224,45 +2224,10 @@ def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE round(list_cosine_similarity(vx.emb, vy.emb), 6) >= 0.4e0
     ),
     edges AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b, a FROM p),
-    l0 AS MATERIALIZED (SELECT DISTINCT a AS doc_id, a AS lbl FROM edges),
-    l1 AS MATERIALIZED (
-      SELECT p.doc_id, LEAST(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
-      FROM l0 p LEFT JOIN edges e ON e.a = p.doc_id LEFT JOIN l0 q ON q.doc_id = e.b
-      GROUP BY p.doc_id, p.lbl
-    ),
-    l2 AS MATERIALIZED (
-      SELECT p.doc_id, LEAST(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
-      FROM l1 p LEFT JOIN edges e ON e.a = p.doc_id LEFT JOIN l1 q ON q.doc_id = e.b
-      GROUP BY p.doc_id, p.lbl
-    ),
-    l3 AS MATERIALIZED (
-      SELECT p.doc_id, LEAST(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
-      FROM l2 p LEFT JOIN edges e ON e.a = p.doc_id LEFT JOIN l2 q ON q.doc_id = e.b
-      GROUP BY p.doc_id, p.lbl
-    ),
-    l4 AS MATERIALIZED (
-      SELECT p.doc_id, LEAST(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
-      FROM l3 p LEFT JOIN edges e ON e.a = p.doc_id LEFT JOIN l3 q ON q.doc_id = e.b
-      GROUP BY p.doc_id, p.lbl
-    ),
-    l5 AS MATERIALIZED (
-      SELECT p.doc_id, LEAST(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
-      FROM l4 p LEFT JOIN edges e ON e.a = p.doc_id LEFT JOIN l4 q ON q.doc_id = e.b
-      GROUP BY p.doc_id, p.lbl
-    ),
-    l6 AS MATERIALIZED (
-      SELECT p.doc_id, LEAST(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
-      FROM l5 p LEFT JOIN edges e ON e.a = p.doc_id LEFT JOIN l5 q ON q.doc_id = e.b
-      GROUP BY p.doc_id, p.lbl
-    ),
-    comp AS (
-      SELECT a.doc_id,
-             CASE WHEN bool_and(a.lbl = b.lbl) OVER () THEN a.lbl END AS rep
-      FROM l6 a JOIN l5 b USING (doc_id)
-    ),
+    {_components_sql()},
     labeled AS (
       SELECT a.vec_id, a.cluster, a.csim,
-             coalesce(c.rep, a.vec_id) AS group_rep
+             coalesce(c.cluster_rep, a.vec_id) AS group_rep
       FROM assign a LEFT JOIN comp c ON c.doc_id = a.vec_id
     )
     SELECT vec_id, cluster, csim AS cosine_to_centroid, group_rep,
@@ -2276,8 +2241,10 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.semdedup): nearest-centroid assignment →
     within-cluster cosine >= 0.4 duplicate groups (connected
     components) → keep the group member FARTHEST from its centroid.
-    The oracle runs the same min-label propagation as 6 chained SQL
-    rounds with the convergence poison used by dedup_clusters."""
+    The oracle runs the same min-label propagation via the shared
+    12-round convergence-poisoned _components_sql (6 inline rounds
+    failed at 10x: identical copies chain the groups into longer
+    diameters)."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = sim.cell_centroids(emb)
     return sim.semdedup(emb, centroids, tau=0.4)
