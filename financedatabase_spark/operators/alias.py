@@ -106,3 +106,67 @@ def symbol_on_date(
         .otherwise(F.col("current_symbol"))
         .alias("symbol")
     )
+
+
+def scd2_build(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change/event log:
+    one row per (key, consecutive run of unchanged attributes) with
+    ``valid_from`` / ``valid_to`` / ``version`` / ``is_current``.
+
+    This is the general form of what the reference hand-rolls for ticker
+    changes (v3/utils.py:560-615 splits ranges at change dates): given
+    the raw change log, the SCD2 dimension IS the alias table — a
+    point-in-time join against (valid_from <= ts < valid_to) answers
+    "what was this key's state at t" for any attribute set.
+
+    Shape: two window passes over one shuffle on key — lag() marks run
+    starts (any attribute differing from the previous row), a running
+    sum turns marks into run ids, the run groupBy collapses, and lead()
+    closes each interval with the next run's start (NULL = current).
+    Ties in ``ts_col`` break by ``order_cols`` (default: the key's event
+    order is required to be unique per (key, ts); pass e.g. an event id).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (order_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.lit(False)
+    for a in attr_cols:
+        prev = F.lag(F.col(a)).over(w)
+        changed = changed | ~(
+            (F.col(a) == prev) | (F.col(a).isNull() & prev.isNull())
+        )
+    marked = df.select(
+        *key_cols,
+        ts_col,
+        *(order_cols or []),
+        *attr_cols,
+        F.when(F.lag(F.col(ts_col)).over(w).isNull() | changed, 1)
+        .otherwise(0)
+        .alias("_new_run"),
+    )
+    runs = marked.withColumn(
+        "_run", F.sum("_new_run").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    collapsed = runs.groupBy(*key_cols, "_run", *attr_cols).agg(
+        F.min(ts_col).alias("valid_from")
+    )
+    # version breaks valid_from ties (two runs can share a timestamp when
+    # the state flips within one tick)
+    w2 = Window.partitionBy(*key_cols).orderBy(
+        F.col("valid_from").asc(), F.col("_run").asc()
+    )
+    return collapsed.select(
+        *key_cols,
+        *attr_cols,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.col("_run").cast("long").alias("version"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

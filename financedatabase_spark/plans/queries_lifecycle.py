@@ -230,3 +230,50 @@ def registry_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return registry.filter(F.col("is_active")).select(
         "base_name", "environment", "database_name"
     )
+
+
+@register(
+    "scd2_user_state",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS new_run
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    r AS (
+      SELECT user_id, ts, event_type,
+             sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run
+      FROM m
+    ),
+    c AS (
+      SELECT user_id, run, event_type, min(ts) AS valid_from
+      FROM r GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           run::BIGINT AS version,
+           lead(valid_from) OVER w2 IS NULL AS is_current
+    FROM c
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, run)
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the raw event log
+    (operators/alias.scd2_build): per-user event_type state history with
+    valid_from/valid_to intervals, version numbers, and the is_current
+    flag — the general form of the reference's hand-rolled ticker-change
+    alias table (v3/utils.py:560-615), and the point-in-time-join side
+    of every as-of enrichment. Two window passes over one shuffle on
+    user_id."""
+    from financedatabase_spark.operators.alias import scd2_build
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return scd2_build(
+        ev, ["user_id"], "ts", ["event_type"], order_cols=["event_id"]
+    )

@@ -60,7 +60,10 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
             col = pdf[c]
             if getattr(col.dt, "tz", None) is not None:
                 col = col.dt.tz_localize(None)
-            pdf[c] = col
+            # unify precision (Spark→ns, DuckDB→us): with NaT present the
+            # pandas comparator falls back to raw int64 views, where a
+            # unit mismatch is a spurious x1000 diff
+            pdf[c] = col.astype("datetime64[us]")
         elif pd.api.types.is_object_dtype(pdf[c]):
             import datetime as _dt
 

@@ -1329,3 +1329,49 @@ def test_semdedup_keeper_semantics(spark):
     assert out[12].keep and out[12].group_rep == 12  # singleton
     # identical vectors tie on csim -> id tiebreak keeps the smaller
     assert sorted(i for i in out if out[i].keep) == [3, 10, 12]
+
+
+def test_scd2_build_hand_computed(spark):
+    """SCD2 semantics on a crafted change log: runs collapse, intervals
+    chain (valid_to = next valid_from), versions count runs, exactly one
+    current row per key, and a revisit of an earlier state opens a NEW
+    version instead of merging."""
+    import datetime as dt
+
+    from financedatabase_spark.operators.alias import scd2_build
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    rows = [
+        # user 1: A A B A  -> three runs (A, B, A again)
+        (1, t("2024-01-01 10:00"), 1, "A"),
+        (1, t("2024-01-01 11:00"), 2, "A"),
+        (1, t("2024-01-02 09:00"), 3, "B"),
+        (1, t("2024-01-03 09:00"), 4, "A"),
+        # user 2: single state
+        (2, t("2024-01-01 00:00"), 5, "X"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, state string")
+    out = scd2_build(df, ["user_id"], "ts", ["state"], order_cols=["event_id"]).collect()
+    u1 = sorted([r for r in out if r.user_id == 1], key=lambda r: r.version)
+    assert [(r.state, r.version, r.is_current) for r in u1] == [
+        ("A", 1, False), ("B", 2, False), ("A", 3, True)
+    ]
+    assert u1[0].valid_from == t("2024-01-01 10:00")       # run start, not last row
+    assert u1[0].valid_to == u1[1].valid_from == t("2024-01-02 09:00")
+    assert u1[1].valid_to == u1[2].valid_from
+    assert u1[2].valid_to is None
+    (u2,) = [r for r in out if r.user_id == 2]
+    assert (u2.version, u2.is_current, u2.valid_to) == (1, True, None)
+
+    # same-timestamp flip: event order (order_cols) decides run order and
+    # the version tie-break keeps the interval chain deterministic
+    rows2 = [
+        (3, t("2024-01-01 10:00"), 1, "A"),
+        (3, t("2024-01-01 10:00"), 2, "B"),
+    ]
+    df2 = spark.createDataFrame(rows2, "user_id int, ts timestamp, event_id int, state string")
+    o2 = sorted(
+        scd2_build(df2, ["user_id"], "ts", ["state"], order_cols=["event_id"]).collect(),
+        key=lambda r: r.version,
+    )
+    assert [(r.state, r.is_current) for r in o2] == [("A", False), ("B", True)]
