@@ -1,0 +1,92 @@
+"""Count-min sketch over token streams (Cormode & Muthukrishnan 2005).
+
+The 100 TB primitive for approximate frequency: a d x w counter grid
+where each item increments one bucket per hash row and a point estimate
+is the MIN over its d buckets — never an underestimate, overestimates
+bounded by N/w per row. At corpus scale the sketch (d*w counters) is
+millions of times smaller than the exact vocabulary, mergeable across
+partitions/streams by plain addition, and exactly what a heavy-hitters
+pass consults before paying for exact counts.
+
+Spark-first shape: the counters are built VOCAB-first — one shuffle
+counts tokens exactly per partition-reduced (token, c) pairs, then the
+DISTINCT tokens are hashed d ways and the counters aggregate their
+counts (d * |vocab| intermediate rows, NOT d * corpus occurrences).
+The finished sketch is <= d*w rows — broadcastable anywhere.
+
+Hashes use the engine-portable 28-bit md5 prefix (same primitive as
+MinHash/DSIR), so a SQL oracle rebuilds the identical grid.
+
+Reference parity: no counterpart (the reference has no sketch/aggregate
+layer); brief's "novel sketch" custom-operator surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(col, row: int, width: int):
+    """h_row(token) = 28-bit md5 prefix of 'row:token', mod width."""
+    return F.expr(
+        f"cast(conv(substring(md5(concat('{row}:', {col})), 1, 7), 16, 10) as bigint) % {width}"
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact (token, c) table — the input both the sketch build and the
+    heavy-hitter verification share. One shuffle on token."""
+    from financedatabase_spark.operators.text import normalized_text
+
+    toks = (
+        df.select(F.explode_outer(F.split(normalized_text(text_col), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return toks.groupBy("token").agg(F.count("*").alias("c"))
+
+
+def cms_build(counts: DataFrame, depth: int = 4, width: int = 1024) -> DataFrame:
+    """Build the d x w counter grid from an exact (token, c) table:
+    explode each DISTINCT token to its d (row, bucket) cells, sum c per
+    cell. Output: (row, bucket, counter), <= depth*width rows."""
+    cells = counts.select(
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), _bucket("token", i, width).alias("bucket")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_cell"),
+    ).select("c", "_cell.row", "_cell.bucket")
+    return cells.groupBy("row", "bucket").agg(F.sum("c").alias("counter"))
+
+
+def cms_estimate(
+    sketch: DataFrame, candidates: DataFrame, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-estimate candidate tokens against a built sketch: min over
+    the d bucket counters (0 when a bucket is empty — token never seen).
+    The sketch side broadcasts (<= d*w rows). Output: (token, cms_est)."""
+    probes = candidates.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), _bucket("token", i, width).alias("bucket")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_cell"),
+    ).select("token", "_cell.row", "_cell.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce("counter", F.lit(0))).alias("cms_est"))
+    )

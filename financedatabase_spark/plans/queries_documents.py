@@ -2286,3 +2286,59 @@ def ccnet_quality_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financedatabase_spark.operators.lm import ccnet_tertiles
 
     return ccnet_tertiles(load_table(spark, sf_dir, "documents"))
+
+
+def _cms_bucket_sql(row: int, width: int = 1024, col: str = "token") -> str:
+    v28 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{row}:' || {col}), {i + 1}, 1)) - 1) * {16 ** (6 - i)}"
+        for i in range(7)
+    )
+    return f"({v28})::BIGINT % {width}"
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH norm AS (
+      SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents
+    ),
+    tok AS (
+      SELECT unnest(string_split(t, ' ')) AS token FROM norm
+    ),
+    counts AS (
+      SELECT token, count(*)::BIGINT AS c FROM tok WHERE token <> '' GROUP BY token
+    ),
+    cells AS (
+      {" UNION ALL ".join(f"SELECT {r} AS row, {_cms_bucket_sql(r)} AS bucket, c FROM counts" for r in range(4))}
+    ),
+    sketch AS (
+      SELECT row, bucket, sum(c)::BIGINT AS counter FROM cells GROUP BY 1, 2
+    ),
+    cand AS (SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 50),
+    probes AS (
+      {" UNION ALL ".join(f"SELECT token, {r} AS row, {_cms_bucket_sql(r)} AS bucket FROM cand" for r in range(4))}
+    )
+    SELECT p.token, any_value(cd.c) AS exact_c,
+           min(coalesce(s.counter, 0))::BIGINT AS cms_est
+    FROM probes p
+    JOIN cand cd USING (token)
+    LEFT JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+    GROUP BY p.token
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (operators/sketch.py): build the
+    4x1024 counter grid vocab-first (one token shuffle, d*|vocab| cells,
+    never d*occurrences), then point-estimate the exact top-50 tokens
+    against it. Output carries exact_c beside cms_est, making the
+    sketch's one-sided error auditable row-by-row (cms_est >= exact_c
+    always; equality when no collision). The grid itself is <= 4096
+    rows — broadcastable, mergeable by addition across partitions,
+    streams, or days."""
+    from financedatabase_spark.operators.sketch import cms_build, cms_estimate, token_counts
+
+    counts = token_counts(load_table(spark, sf_dir, "documents")).localCheckpoint()
+    sketch = cms_build(counts, depth=4, width=1024)
+    cand = counts.orderBy(F.col("c").desc(), "token").limit(50)
+    est = cms_estimate(sketch, cand, depth=4, width=1024)
+    return cand.select("token", F.col("c").alias("exact_c")).join(est, "token")

@@ -1375,3 +1375,45 @@ def test_scd2_build_hand_computed(spark):
         key=lambda r: r.version,
     )
     assert [(r.state, r.is_current) for r in o2] == [("A", False), ("B", True)]
+
+
+def test_cms_sketch_properties(spark):
+    """Count-min invariants on a crafted stream: estimates are NEVER
+    below exact counts (one-sided error), unseen tokens estimate 0 only
+    when all their buckets are empty, and a forced collision inflates
+    but never deflates."""
+    from financedatabase_spark.operators.sketch import cms_build, cms_estimate, token_counts
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c"), (2, "a b d d d"), (3, "e")],
+        "doc_id int, text string",
+    )
+    counts = token_counts(docs)
+    exact = {r.token: r.c for r in counts.collect()}
+    assert exact == {"a": 5, "b": 3, "c": 1, "d": 3, "e": 1}
+
+    # tiny width forces collisions; estimates stay one-sided
+    sketch = cms_build(counts, depth=4, width=4)
+    est = {
+        r.token: r.cms_est
+        for r in cms_estimate(sketch, counts.select("token"), depth=4, width=4).collect()
+    }
+    assert all(est[t] >= c for t, c in exact.items()), (est, exact)
+    # total mass per row is conserved: sum of counters in each row = N
+    n = sum(exact.values())
+    rows = sketch.groupBy("row").agg(F.sum("counter").alias("s")).collect()
+    assert all(r.s == n for r in rows)
+
+    # ample width: no collisions among 5 tokens -> estimates exact
+    sketch_w = cms_build(counts, depth=4, width=4096)
+    est_w = {
+        r.token: r.cms_est
+        for r in cms_estimate(sketch_w, counts.select("token"), depth=4, width=4096).collect()
+    }
+    assert est_w == exact
+
+    # a token never inserted estimates 0 against the wide sketch
+    ghost = spark.createDataFrame([("zzz-never-seen",)], "token string")
+    (g,) = cms_estimate(sketch_w, ghost, depth=4, width=4096).collect()
+    assert g.cms_est == 0
