@@ -90,3 +90,56 @@ def cms_estimate(
         .groupBy("token")
         .agg(F.min(F.coalesce("counter", F.lit(0))).alias("cms_est"))
     )
+
+
+#: HLL geometry: m=64 buckets (b=6 bits of the 28-bit portable hash),
+#: 22-bit remainder for the leading-zero rank; alpha_64 per the paper.
+HLL_M = 64
+HLL_ALPHA = 0.709
+
+
+def hll_registers(df: DataFrame, key_cols: list[str], item_col: str) -> DataFrame:
+    """HyperLogLog registers per key group (Flajolet et al. 2007): hash
+    each item with the portable 28-bit md5 prefix, split into a 6-bit
+    bucket and 22-bit remainder, and keep max(rho) per (key, bucket)
+    where rho = leading zeros in the remainder + 1. All integer math —
+    bit length via bin() string length, identical in Spark and the SQL
+    oracle (no float log2 at bucket boundaries). Registers are
+    mergeable by MAX across partitions, streams, or days.
+    Output: (*key_cols, bucket, r)."""
+    h = (
+        f"cast(conv(substring(md5({item_col}), 1, 7), 16, 10) as bigint)"
+    )
+    w = f"({h} % {1 << 22})"
+    rho = f"CASE WHEN {w} = 0 THEN 23 ELSE 23 - length(bin({w})) END"
+    return (
+        df.select(*key_cols, F.expr(f"{h} div {1 << 22}").alias("bucket"), F.expr(rho).alias("_rho"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("_rho").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Raw HLL cardinality estimate from registers: alpha * m^2 /
+    sum(2^-M_j) with empty buckets contributing 2^0. Every term is a
+    dyadic rational >= 2^-23 and there are only m of them, so the double
+    sum is EXACT and the estimate engine-portable bit-for-bit. The
+    paper's small/large-range corrections use ln() — deliberately left
+    out (a boundary ulp would break cross-engine parity); callers get
+    the raw estimate plus the zero-bucket count to apply any correction
+    policy downstream.
+    Output: (*key_cols, hll_est, zero_buckets)."""
+    per_key = registers.groupBy(*key_cols).agg(
+        # 2^-r via an integer shift, not pow(): exact by construction
+        F.sum(F.expr("1.0D / shiftleft(1L, cast(r AS INT))")).alias("_s"),
+        F.count("*").alias("_nb"),
+    )
+    m = HLL_M
+    return per_key.select(
+        *key_cols,
+        F.round(
+            F.lit(HLL_ALPHA * m * m) / (F.col("_s") + (F.lit(m) - F.col("_nb"))),
+            6,
+        ).alias("hll_est"),
+        (F.lit(m) - F.col("_nb")).cast("long").alias("zero_buckets"),
+    )

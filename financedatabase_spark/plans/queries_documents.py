@@ -2342,3 +2342,70 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = counts.orderBy(F.col("c").desc(), "token").limit(50)
     est = cms_estimate(sketch, cand, depth=4, width=1024)
     return cand.select("token", F.col("c").alias("exact_c")).join(est, "token")
+
+
+_HLL_H = "(strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 1048576 * 16 + " + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(token), {i + 1}, 1)) - 1) * {16 ** (6 - i)}"
+    for i in range(1, 7)
+)
+
+
+@register(
+    "hll_token_cardinality",
+    oracle=f"""
+    WITH norm AS (
+      SELECT lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT lang, unnest(string_split(t, ' ')) AS token FROM norm
+    ),
+    tok2 AS (SELECT lang, token FROM tok WHERE token <> ''),
+    hashed AS (
+      SELECT lang,
+             ({_HLL_H})::BIGINT // 4194304 AS bucket,
+             ({_HLL_H})::BIGINT % 4194304 AS w
+      FROM tok2
+    ),
+    regs AS (
+      SELECT lang, bucket,
+             max(CASE WHEN w = 0 THEN 23 ELSE 23 - length(bin(w)) END) AS r
+      FROM hashed GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT lang,
+             sum(1e0 / (1::BIGINT << r)) AS s,
+             count(*)::BIGINT AS nb
+      FROM regs GROUP BY lang
+    ),
+    exact AS (SELECT lang, count(DISTINCT token)::BIGINT AS exact_distinct FROM tok2 GROUP BY lang)
+    SELECT e.lang,
+           round(0.709e0 * 64 * 64 / (s + (64 - nb)), 6) AS hll_est,
+           (64 - nb)::BIGINT AS zero_buckets,
+           x.exact_distinct
+    FROM est e JOIN exact x USING (lang)
+    """,
+)
+def hll_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token cardinality per language
+    (operators/sketch.hll_registers/hll_estimate): 64 integer registers
+    per group — mergeable by MAX across partitions/streams/days — with
+    the raw estimate's dyadic-rational harmonic sum exact in double on
+    both engines. exact_distinct rides along so the sketch's error is
+    auditable per row; at 100 TB the registers replace a
+    count(DISTINCT) whose exact form needs a full shuffle of every
+    token."""
+    from financedatabase_spark.operators.sketch import hll_estimate, hll_registers
+    from financedatabase_spark.operators.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("lang", F.explode_outer(F.split(normalized_text("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    regs = hll_registers(toks, ["lang"], "token")
+    est = hll_estimate(regs, ["lang"])
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("token").alias("exact_distinct")
+    )
+    return est.join(exact, "lang")
