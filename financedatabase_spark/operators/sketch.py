@@ -1,6 +1,7 @@
-"""Count-min sketch over token streams (Cormode & Muthukrishnan 2005).
+"""Mergeable sketches: count-min, HyperLogLog, Bloom filter.
 
-The 100 TB primitive for approximate frequency: a d x w counter grid
+Count-min (Cormode & Muthukrishnan 2005) is the 100 TB primitive for
+approximate frequency: a d x w counter grid
 where each item increments one bucket per hash row and a point estimate
 is the MIN over its d buckets — never an underestimate, overestimates
 bounded by N/w per row. At corpus scale the sketch (d*w counters) is
@@ -142,4 +143,82 @@ def hll_estimate(registers: DataFrame, key_cols: list[str]) -> DataFrame:
             6,
         ).alias("hll_est"),
         (F.lit(m) - F.col("_nb")).cast("long").alias("zero_buckets"),
+    )
+
+
+#: Bloom geometry: m bits packed into m/64 longs; k md5-prefix hashes.
+BLOOM_M = 65536
+BLOOM_K = 3
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Build a Bloom filter as a REAL packed bitmap: each key sets k bit
+    positions (portable md5-prefix hashes mod m); positions aggregate
+    into 32-bit words via bit_or (32, not 64: bit 63 of a signed BIGINT
+    overflows DuckDB's checked shift, so 32-bit packing keeps the oracle
+    portable). Output: (word_idx, bits) — m/32 longs
+    regardless of key count, broadcastable anywhere and mergeable across
+    partitions/shards by another bit_or. The classic join pre-filter at
+    100 TB: probe cheaply map-side, pay the exact join only for
+    'maybe' rows (false positives possible, false negatives never)."""
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.expr(
+                            f"cast(conv(substring(md5(concat('{i}:', {key_col})), 1, 7), 16, 10) as bigint) % {m}"
+                        )
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr("pos div 32").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 32 AS INT))").alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Probe a packed Bloom bitmap: a key 'might' be present iff ALL k
+    of its bit positions are set. The bitmap broadcasts (m/64 rows); a
+    missing word means those bits are zero. Appends `might_contain` to
+    the probe frame."""
+    pk = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"cast(conv(substring(md5(concat('{i}:', {key_col})), 1, 7), 16, 10) as bigint) % {m}"
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        "*",
+        F.expr("pos div 32").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(pos % 32 AS INT))").alias("_bit"),
+    )
+    hit = pk.join(F.broadcast(bloom), "word_idx", "left").select(
+        *probes.columns,
+        ((F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_bit"))) != 0).alias("_set"),
+    )
+    return hit.groupBy(*probes.columns).agg(
+        F.min(F.col("_set").cast("int")).cast("boolean").alias("might_contain")
     )

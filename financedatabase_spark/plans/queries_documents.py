@@ -2409,3 +2409,69 @@ def hll_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("token").alias("exact_distinct")
     )
     return est.join(exact, "lang")
+
+
+def _bloom_pos_sql(i: int, m: int = 65536, col: str = "h") -> str:
+    v28 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{i}:' || {col}), {j + 1}, 1)) - 1) * {16 ** (6 - j)}"
+        for j in range(7)
+    )
+    return f"({v28})::BIGINT % {m}"
+
+
+@register(
+    "bloom_decontamination_prefilter",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+      FROM documents
+    ),
+    bench AS (SELECT h FROM d WHERE doc_id % 97 = 0),
+    bpos AS (
+      {" UNION ALL ".join(f"SELECT {_bloom_pos_sql(i)} AS pos FROM bench" for i in range(3))}
+    ),
+    bloom AS (
+      SELECT pos // 32 AS word_idx, bit_or(1::BIGINT << (pos % 32)::INT) AS bits
+      FROM bpos GROUP BY 1
+    ),
+    ppos AS (
+      {" UNION ALL ".join(f"SELECT doc_id, h, {_bloom_pos_sql(i)} AS pos FROM d" for i in range(3))}
+    ),
+    hit AS (
+      SELECT p.doc_id, p.h,
+             (coalesce(b.bits, 0) & (1::BIGINT << (p.pos % 32)::INT)) <> 0 AS s
+      FROM ppos p LEFT JOIN bloom b ON b.word_idx = p.pos // 32
+    ),
+    verdict AS (
+      SELECT doc_id, h, min(s::INT)::INT = 1 AS might_contain
+      FROM hit GROUP BY doc_id, h
+    )
+    SELECT v.doc_id, v.might_contain,
+           EXISTS (SELECT 1 FROM bench b WHERE b.h = v.h) AS is_member
+    FROM verdict v
+    """,
+)
+def bloom_decontamination_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination PRE-filter (operators/sketch.
+    bloom_build/bloom_might_contain): the benchmark set's content
+    hashes pack into a 65536-bit bitmap (2048 32-bit words, bit_or-merged,
+    broadcast); every corpus doc probes it map-side and only
+    'might_contain' rows would pay the exact membership join. The exact
+    verdict rides along per row, making false positives auditable and
+    false negatives provably absent (the pytest pins both)."""
+    from financedatabase_spark.operators.sketch import bloom_build, bloom_might_contain
+    from financedatabase_spark.operators.text import doc_hash
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", doc_hash("text").alias("h")
+    ).localCheckpoint()
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("h")
+    bloom = bloom_build(bench, "h")
+    probed = bloom_might_contain(d, bloom, "h")
+    return probed.join(
+        F.broadcast(bench.distinct().withColumn("is_member", F.lit(True))), "h", "left"
+    ).select(
+        "doc_id",
+        "might_contain",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )

@@ -1446,3 +1446,34 @@ def test_hll_registers_merge_and_accuracy(spark):
     dup = union.unionByName(union)
     (est_dup,) = hll_estimate(hll_registers(dup, ["g"], "t"), ["g"]).collect()
     assert est_dup.hll_est == est.hll_est
+
+
+def test_bloom_filter_no_false_negatives_and_merge(spark):
+    """Bloom invariants: every inserted key probes 'maybe' (no false
+    negatives — the property that makes it a safe pre-filter), bitmaps
+    from disjoint shards merge by bit_or into exactly the union's
+    bitmap, and a tiny m forces auditable false positives."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.sketch import bloom_build, bloom_might_contain
+
+    keys = spark.range(0, 200).select(F.concat(F.lit("key"), "id").alias("h"))
+    bloom = bloom_build(keys, "h")
+    probed = {r.h: r.might_contain for r in bloom_might_contain(keys, bloom, "h").collect()}
+    assert all(probed.values())  # no false negatives, ever
+
+    # shard merge: bit_or of two half-bitmaps == bitmap of the union
+    a = bloom_build(keys.filter(F.expr("substring(h, 4) < '100'")), "h")
+    b = bloom_build(keys.filter(F.expr("substring(h, 4) >= '100'")), "h")
+    merged = (
+        a.unionByName(b).groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, bloom.collect()))
+
+    # tiny bitmap: false positives appear but stay one-sided
+    small = bloom_build(keys, "h", m=64)
+    ghosts = spark.range(1000, 1100).select(F.concat(F.lit("ghost"), "id").alias("h"))
+    gp = bloom_might_contain(ghosts, small, "h", m=64).collect()
+    assert any(r.might_contain for r in gp)  # 200 keys saturate 64 bits
+    ins = bloom_might_contain(keys, small, "h", m=64).collect()
+    assert all(r.might_contain for r in ins)  # still no false negatives
