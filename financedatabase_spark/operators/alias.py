@@ -138,10 +138,9 @@ def scd2_build(
     w = Window.partitionBy(*key_cols).orderBy(*order)
     changed = F.lit(False)
     for a in attr_cols:
-        prev = F.lag(F.col(a)).over(w)
-        changed = changed | ~(
-            (F.col(a) == prev) | (F.col(a).isNull() & prev.isNull())
-        )
+        # eqNullSafe = IS NOT DISTINCT FROM: a transition to/from NULL is a
+        # run boundary, not a NULL-comparison that silently continues the run
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
     marked = df.select(
         *key_cols,
         ts_col,

@@ -368,6 +368,8 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
         if marker == 0xDD:
             raise NotImplementedError("JPEG restart intervals (DRI) not supported")
         (seglen,) = struct.unpack_from(">H", raw, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > len(raw):
+            raise ValueError("JPEG segment truncated (declared length exceeds stream)")
         body = raw[pos + 4:pos + 2 + seglen]
         if marker == 0xDB:  # DQT
             off = 0
@@ -375,18 +377,26 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
                 pq, tq = body[off] >> 4, body[off] & 0xF
                 if pq != 0:
                     raise NotImplementedError("16-bit JPEG quant tables not supported")
+                if off + 65 > len(body):
+                    raise ValueError("JPEG DQT truncated (needs 64 table entries)")
                 qts[tq] = list(body[off + 1:off + 65])
                 off += 65
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):
+                if off + 17 > len(body):
+                    raise ValueError("JPEG DHT truncated (needs 16 length counts)")
                 tc, th = body[off] >> 4, body[off] & 0xF
                 bits = list(body[off + 1:off + 17])
                 n = sum(bits)
+                if off + 17 + n > len(body):
+                    raise ValueError("JPEG DHT truncated (value list short)")
                 vals = list(body[off + 17:off + 17 + n])
                 (dcs if tc == 0 else acs)[th] = _HuffDec(bits, vals)
                 off += 17 + n
         elif marker == 0xC0:  # SOF0
+            if len(body) < 9:
+                raise ValueError("JPEG SOF0 truncated")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG samples supported")
@@ -398,6 +408,8 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
                 raise NotImplementedError("subsampled JPEG not supported")
             comp_qt = body[8]
         elif marker == 0xDA:  # SOS
+            if len(body) < 6:
+                raise ValueError("JPEG SOS truncated")
             if not (w and h):
                 raise ValueError("JPEG SOS before SOF0")
             dc_id, ac_id = body[2] >> 4, body[2] & 0xF

@@ -292,7 +292,11 @@ def bigram_lm_scores(
     top = bi_counts.orderBy(F.col("_c12").desc(), "w1", "w2").limit(vocab_size)
     rows = [(r["w1"], r["w2"], r["_c12"]) for r in top.collect()]
 
-    ctx_counts = pairs.groupBy("w1").agg(F.count("*").alias("_c1"))
+    # materialize the vocabulary-sized context table ONCE: it feeds both
+    # the V count below and the score join, and without the checkpoint
+    # Spark re-plans the full corpus tokenize+shuffle for each reference
+    # (the same stats-as-literals rationale as the unigram vocab)
+    ctx_counts = pairs.groupBy("w1").agg(F.count("*").alias("_c1")).localCheckpoint()
     v = ctx_counts.count()  # distinct contexts: bounded by vocabulary size
 
     if rows:

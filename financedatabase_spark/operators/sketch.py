@@ -28,11 +28,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def portable_hash28(expr: str, salt: str = "") -> str:
+    """SQL fragment: the 28-bit md5-prefix hash of an expression,
+    optionally salted — the ONE engine-portable hash primitive every
+    sketch here derives from (the DuckDB oracle twins are _v28_of /
+    _cms_bucket_sql / _bloom_pos_sql in plans/queries_documents.py;
+    change them in lockstep)."""
+    inner = f"concat('{salt}', {expr})" if salt else expr
+    return f"cast(conv(substring(md5({inner}), 1, 7), 16, 10) as bigint)"
+
+
 def _bucket(col, row: int, width: int):
     """h_row(token) = 28-bit md5 prefix of 'row:token', mod width."""
-    return F.expr(
-        f"cast(conv(substring(md5(concat('{row}:', {col})), 1, 7), 16, 10) as bigint) % {width}"
-    )
+    return F.expr(f"({portable_hash28(col, f'{row}:')}) % {width}")
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -108,9 +116,7 @@ def hll_registers(df: DataFrame, key_cols: list[str], item_col: str) -> DataFram
     oracle (no float log2 at bucket boundaries). Registers are
     mergeable by MAX across partitions, streams, or days.
     Output: (*key_cols, bucket, r)."""
-    h = (
-        f"cast(conv(substring(md5({item_col}), 1, 7), 16, 10) as bigint)"
-    )
+    h = portable_hash28(item_col)
     w = f"({h} % {1 << 22})"
     rho = f"CASE WHEN {w} = 0 THEN 23 ELSE 23 - length(bin({w})) END"
     return (
@@ -146,7 +152,7 @@ def hll_estimate(registers: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
-#: Bloom geometry: m bits packed into m/64 longs; k md5-prefix hashes.
+#: Bloom geometry: m bits packed into m/32 words; k md5-prefix hashes.
 BLOOM_M = 65536
 BLOOM_K = 3
 
@@ -167,11 +173,7 @@ def bloom_build(
         F.explode(
             F.array(
                 *[
-                    (
-                        F.expr(
-                            f"cast(conv(substring(md5(concat('{i}:', {key_col})), 1, 7), 16, 10) as bigint) % {m}"
-                        )
-                    )
+                    F.expr(f"({portable_hash28(key_col, f'{i}:')}) % {m}")
                     for i in range(k)
                 ]
             )
@@ -195,30 +197,27 @@ def bloom_might_contain(
     k: int = BLOOM_K,
 ) -> DataFrame:
     """Probe a packed Bloom bitmap: a key 'might' be present iff ALL k
-    of its bit positions are set. The bitmap broadcasts (m/64 rows); a
-    missing word means those bits are zero. Appends `might_contain` to
-    the probe frame."""
-    pk = probes.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.expr(
-                        f"cast(conv(substring(md5(concat('{i}:', {key_col})), 1, 7), 16, 10) as bigint) % {m}"
-                    )
-                    for i in range(k)
-                ]
+    of its bit positions are set. APPENDS `might_contain` to the probe
+    frame — row multiplicity and every probe column (groupable or not)
+    are preserved, because the check is k broadcast left joins of the
+    (m/32)-word bitmap, one per hash, never an explode + re-group. A
+    missing word means those bits are zero."""
+    out = probes
+    might = F.lit(True)
+    for i in range(k):
+        out = out.withColumn(f"_p{i}", F.expr(f"({portable_hash28(key_col, f'{i}:')}) % {m}"))
+        words = bloom.select(
+            F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_bits{i}")
+        )
+        out = out.join(
+            F.broadcast(words), F.expr(f"_p{i} div 32") == F.col(f"_w{i}"), "left"
+        )
+        might = might & (
+            F.coalesce(F.col(f"_bits{i}"), F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(1L, cast(_p{i} % 32 AS INT))")
             )
-        ).alias("pos"),
-    ).select(
-        "*",
-        F.expr("pos div 32").alias("word_idx"),
-        F.expr("shiftleft(1L, cast(pos % 32 AS INT))").alias("_bit"),
-    )
-    hit = pk.join(F.broadcast(bloom), "word_idx", "left").select(
-        *probes.columns,
-        ((F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_bit"))) != 0).alias("_set"),
-    )
-    return hit.groupBy(*probes.columns).agg(
-        F.min(F.col("_set").cast("int")).cast("boolean").alias("might_contain")
+            != 0
+        )
+    return out.withColumn("might_contain", might).select(
+        *probes.columns, "might_contain"
     )

@@ -1887,10 +1887,11 @@ def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from financedatabase_spark.operators.corrections import registrable_host
 
-    kept = filter_blocked_domains(urls, bl, url_col="url")
-    return kept.select(
-        "doc_id", registrable_host(F.col("url")).alias("host"), "source"
-    )
+    # extract the host ONCE and hand it to the filter via host_col — the
+    # kept rows then reuse it instead of paying a second regex pass
+    urls = urls.withColumn("host", registrable_host(F.col("url")))
+    kept = filter_blocked_domains(urls, bl, url_col="url", host_col="host")
+    return kept.select("doc_id", "host", "source")
 
 
 @register(

@@ -508,3 +508,25 @@ def test_jpeg_failure_modes():
     eoi_less = bytes(good[:-2]) + b"\x00" * 1  # scan data ends mid-block
     with pytest.raises(ValueError):
         jpeg_pixels(eoi_less[: len(good) - 8])
+
+
+def test_jpeg_truncated_segments_raise_valueerror():
+    """The documented error contract holds for untrusted payloads:
+    truncated segment BODIES (not just a truncated scan) raise
+    ValueError, never struct.error / IndexError."""
+    import struct
+
+    from financedatabase_spark.operators.jpeg import jpeg_pixels
+
+    # SOF0 claiming 20 bytes with only 1 present
+    p = b"\xff\xd8\xff\xc0" + struct.pack(">H", 20) + b"\x08"
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg_pixels(p)
+    # DQT with a short table
+    p = b"\xff\xd8\xff\xdb" + struct.pack(">H", 12) + b"\x00" + b"\x01" * 9
+    with pytest.raises(ValueError, match="truncated|DQT"):
+        jpeg_pixels(p)
+    # DHT with missing value list
+    p = b"\xff\xd8\xff\xc4" + struct.pack(">H", 19) + b"\x00" + bytes([1] + [0] * 15)
+    with pytest.raises(ValueError, match="truncated|DHT"):
+        jpeg_pixels(p)

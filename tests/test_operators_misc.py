@@ -1477,3 +1477,51 @@ def test_bloom_filter_no_false_negatives_and_merge(spark):
     assert any(r.might_contain for r in gp)  # 200 keys saturate 64 bits
     ins = bloom_might_contain(keys, small, "h", m=64).collect()
     assert all(r.might_contain for r in ins)  # still no false negatives
+
+
+def test_scd2_null_attribute_transitions(spark):
+    """A transition to or from NULL is a run boundary (IS DISTINCT FROM
+    semantics, matching the oracle) — the naive null-equality form
+    silently continued the run and collapsed A, NULL, A into one
+    interval with duplicate version numbers."""
+    import datetime as dt
+
+    from financedatabase_spark.operators.alias import scd2_build
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    rows = [
+        (1, t("2024-01-01 10:00"), 1, "A"),
+        (1, t("2024-01-02 10:00"), 2, None),
+        (1, t("2024-01-03 10:00"), 3, "A"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, state string")
+    out = sorted(
+        scd2_build(df, ["user_id"], "ts", ["state"], order_cols=["event_id"]).collect(),
+        key=lambda r: r.version,
+    )
+    assert [(r.state, r.version) for r in out] == [("A", 1), (None, 2), ("A", 3)]
+    assert out[0].valid_to == out[1].valid_from
+    assert out[1].valid_to == out[2].valid_from
+    assert out[2].is_current and out[2].valid_to is None
+
+
+def test_bloom_probe_preserves_row_multiplicity(spark):
+    """bloom_might_contain APPENDS a column: duplicate probe rows stay
+    duplicated (the old explode+regroup silently deduped the frame)."""
+    from pyspark.sql import functions as F
+
+    from financedatabase_spark.operators.sketch import bloom_build, bloom_might_contain
+
+    keys = spark.createDataFrame([("a",), ("b",)], "h string")
+    bloom = bloom_build(keys, "h")
+    probes = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("zz", 2)], "h string, payload int"
+    )
+    out = bloom_might_contain(probes, bloom, "h").collect()
+    assert len(out) == 3  # both identical rows survive
+    assert sorted((r.h, r.payload, r.might_contain) for r in out)[:2] == [
+        ("a", 1, True), ("a", 1, True),
+    ]
+    assert [r.might_contain for r in out if r.h == "zz"] in ([True], [False])  # sketch says maybe/no
+    # appended, not re-derived: original columns intact in order
+    assert out[0].__fields__ == ["h", "payload", "might_contain"]
