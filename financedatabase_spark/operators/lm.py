@@ -369,3 +369,70 @@ def ccnet_tertiles(
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks 1990):
+    adjacent word pairs that co-occur far more than their unigram
+    frequencies predict — the standard phrase-detection pass before
+    tokenizer training (word2vec's phrase step scores exactly this).
+
+    PMI = log10( (c12/B) / ((c1/N) * (c2/N)) ) over corpus-wide counts
+    (B bigrams, N tokens); pairs below ``min_count`` are dropped first
+    (PMI is noise-dominated at tiny counts), and the top-``k`` survive
+    ordered by (rounded PMI DESC, w1, w2) — ordering on the ROUNDED
+    score keeps the cut cross-engine deterministic. Every input to the
+    log is a ratio of exact integers, same parity discipline as the LM
+    scores.
+
+    Scale shape: one shuffle for bigram counts, one for unigram counts
+    (both vocabulary-sized after map-side partials), a broadcastable
+    unigram join, TakeOrderedAndProject for the cut.
+    """
+    staged = df.select(F.split(normalized_text(text_col), " ").alias("_w"))
+    pairs = (
+        staged.select(
+            F.explode_outer(
+                F.expr(
+                    "CASE WHEN size(_w) >= 2 THEN "
+                    "transform(sequence(1, size(_w) - 1), "
+                    "i -> struct(element_at(_w, i) AS w1, element_at(_w, i + 1) AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("_p")
+        )
+        .filter(F.col("_p").isNotNull())
+        .select("_p.w1", "_p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    toks = (
+        staged.select(F.explode_outer("_w").alias("t")).filter(F.col("t") != "")
+    )
+    uni = toks.groupBy("t").agg(F.count("*").alias("_c")).localCheckpoint()
+    n = sum(r["_c"] for r in uni.select(F.sum("_c").alias("_c")).collect())
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    b = bi.select(F.sum("c12")).collect()[0][0] or 0
+    scored = (
+        bi.filter(F.col("c12") >= min_count)
+        .join(F.broadcast(uni.select(F.col("t").alias("w1"), F.col("_c").alias("_c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("t").alias("w2"), F.col("_c").alias("_c2"))), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log10(
+                    (F.col("c12") / F.lit(float(b)))
+                    / ((F.col("_c1") / F.lit(float(n))) * (F.col("_c2") / F.lit(float(n))))
+                ),
+                round_digits,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)

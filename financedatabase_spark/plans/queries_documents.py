@@ -2476,3 +2476,44 @@ def bloom_decontamination_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
         "might_contain",
         F.coalesce("is_member", F.lit(False)).alias("is_member"),
     )
+
+
+@register(
+    "pmi_collocations",
+    oracle=r"""
+    WITH norm AS (
+      SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+    ),
+    w AS (SELECT string_split(t, ' ') AS w FROM norm),
+    bi AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM w, UNNEST(generate_series(1, len(w) - 1)) u(i)
+      WHERE w[i] <> '' AND w[i + 1] <> ''
+    ),
+    tok AS (SELECT unnest(w) AS t FROM w),
+    uni AS (SELECT t, count(*)::BIGINT AS c FROM tok WHERE t <> '' GROUP BY t),
+    n AS (SELECT sum(c)::BIGINT AS n FROM uni),
+    bc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi GROUP BY 1, 2),
+    b AS (SELECT sum(c12)::BIGINT AS b FROM bc),
+    scored AS (
+      SELECT bc.w1, bc.w2, bc.c12,
+             round(log10((bc.c12 / (SELECT b FROM b)::DOUBLE)
+                         / ((u1.c / (SELECT n FROM n)::DOUBLE)
+                            * (u2.c / (SELECT n FROM n)::DOUBLE))), 6) AS pmi
+      FROM bc
+      JOIN uni u1 ON u1.t = bc.w1
+      JOIN uni u2 ON u2.t = bc.w2
+      WHERE bc.c12 >= 5
+    )
+    SELECT w1, w2, c12, pmi FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (operators/lm.pmi_collocations): the top-50
+    adjacent word pairs whose co-occurrence exceeds their unigram
+    expectation — word2vec-style phrase detection ahead of tokenizer
+    training. Rounded-score ordering keeps the cut engine-portable."""
+    from financedatabase_spark.operators.lm import pmi_collocations
+
+    return pmi_collocations(load_table(spark, sf_dir, "documents"))

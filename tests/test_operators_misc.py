@@ -1525,3 +1525,40 @@ def test_bloom_probe_preserves_row_multiplicity(spark):
     assert [r.might_contain for r in out if r.h == "zz"] in ([True], [False])  # sketch says maybe/no
     # appended, not re-derived: original columns intact in order
     assert out[0].__fields__ == ["h", "payload", "might_contain"]
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """PMI arithmetic on a crafted corpus: a fused pair ('new york'
+    always adjacent) scores far above an incidental pair, and the
+    min_count floor drops rare pairs entirely."""
+    import math
+
+    from financedatabase_spark.operators.lm import pmi_collocations
+
+    docs = [(i, "new york " * 5 + "the cat sat on the mat") for i in range(3)]
+    docs.append((99, "rare pair"))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {(r.w1, r.w2): r for r in pmi_collocations(df, min_count=3, k=10).collect()}
+    assert ("rare", "pair") not in out  # below min_count
+    ny = out[("new", "york")]
+    # exact expectation: counts over the whole corpus
+    toks = [t for _, x in docs for t in x.split()]
+    bis = [p for _, x in docs for p in zip(x.split(), x.split()[1:])]
+    c12 = bis.count(("new", "york"))
+    want = round(
+        math.log10(
+            (c12 / len(bis))
+            / ((toks.count("new") / len(toks)) * (toks.count("york") / len(toks)))
+        ),
+        6,
+    )
+    assert ny.c12 == c12 and ny.pmi == pytest.approx(want, abs=1e-9)
+    # output is the deterministic top-k order: (pmi DESC, w1, w2)
+    rows = pmi_collocations(df, min_count=3, k=10).collect()
+    assert [(r.w1, r.w2) for r in rows] == [
+        (r.w1, r.w2)
+        for r in sorted(rows, key=lambda r: (-r.pmi, r.w1, r.w2))
+    ]
+    # 'york new' (the wrap-around within the repeated phrase) co-occurs
+    # less often per unigram mass than 'new york' -> strictly lower PMI
+    assert ("york", "new") in out and out[("york", "new")].pmi < ny.pmi
