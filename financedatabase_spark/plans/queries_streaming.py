@@ -268,3 +268,61 @@ def streaming_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"), F.sum("n_words").alias("n_words")
     )
     return _run(spark, agg, "complete")
+
+
+_CMS_STREAM_ORACLE = f"""
+WITH norm AS (
+  SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents
+),
+tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM norm),
+tok2 AS (SELECT token FROM tok WHERE token <> ''),
+cells AS (
+  {" UNION ALL ".join(
+    "SELECT " + str(r) + " AS row, (" + " + ".join(
+      f"(strpos('0123456789abcdef', substr(md5('{r}:' || token), {i + 1}, 1)) - 1) * {16 ** (6 - i)}"
+      for i in range(7)
+    ) + ")::BIGINT % 1024 AS bucket FROM tok2"
+    for r in range(4)
+  )}
+)
+SELECT row, bucket, count(*)::BIGINT AS counter FROM cells GROUP BY 1, 2
+"""
+
+
+@register("streaming_cms_sketch", _CMS_STREAM_ORACLE)
+def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch built BY the streaming engine: documents
+    replayed as a stream, tokens exploded to their d (row, bucket)
+    cells, counters maintained as a complete-mode streaming aggregation.
+    This is the sketch's production deployment shape — counters advance
+    incrementally as crawl shards arrive, and because CMS merges by
+    plain addition the final grid equals the batch build exactly (the
+    oracle builds it from occurrences; sums are commutative). The grid
+    stays <= d*w rows however large the stream grows — bounded
+    streaming state by construction."""
+    from financedatabase_spark.operators.sketch import portable_hash28
+    from financedatabase_spark.operators.text import normalized_text
+
+    batch = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = tempfile.mkdtemp(prefix="fdb_stream_")
+    batch.repartition(1).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+
+    toks = stream.select(
+        F.explode_outer(F.split(normalized_text("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.expr(f"({portable_hash28('token', f'{r}:')}) % 1024").alias("bucket"),
+                    )
+                    for r in range(4)
+                ]
+            )
+        ).alias("_cell")
+    ).select("_cell.row", "_cell.bucket")
+    grid = cells.groupBy("row", "bucket").agg(F.count("*").alias("counter"))
+    return _run(spark, grid, "complete")
