@@ -438,11 +438,18 @@ def simhash_near_dups(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+#: Shared CC iteration bound: the operator's convergence loop and the
+#: DuckDB oracles' chained-CTE round count both derive from this, so the
+#: two sides can never drift apart (oracle rounds < engine rounds would
+#: let a long-diameter chain converge in the engine but not the oracle).
+CC_MAX_ITERATIONS = 20
+
+
 def connected_components(
     pairs: DataFrame,
     left_col: str = "doc1",
     right_col: str = "doc2",
-    max_iterations: int = 20,
+    max_iterations: int = CC_MAX_ITERATIONS,
 ) -> DataFrame:
     """Cluster near-dup pairs into duplicate groups: (doc_id, cluster_rep)
     where cluster_rep is the minimum doc_id of the connected component —

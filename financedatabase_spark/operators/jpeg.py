@@ -413,6 +413,10 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
             if not (w and h):
                 raise ValueError("JPEG SOS before SOF0")
             dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            if comp_qt not in qts or dc_id not in dcs or ac_id not in acs:
+                raise ValueError(
+                    "JPEG SOS references undefined quant/Huffman table"
+                )
             qt = qts[comp_qt]
             dec_dc, dec_ac = dcs[dc_id], acs[ac_id]
             r = _BitReader(raw, pos + 2 + seglen)

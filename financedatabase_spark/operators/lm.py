@@ -416,7 +416,7 @@ def pmi_collocations(
     )
     uni = toks.groupBy("t").agg(F.count("*").alias("_c")).localCheckpoint()
     n = sum(r["_c"] for r in uni.select(F.sum("_c").alias("_c")).collect())
-    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint()
     b = bi.select(F.sum("c12")).collect()[0][0] or 0
     scored = (
         bi.filter(F.col("c12") >= min_count)

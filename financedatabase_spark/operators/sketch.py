@@ -201,7 +201,16 @@ def bloom_might_contain(
     frame — row multiplicity and every probe column (groupable or not)
     are preserved, because the check is k broadcast left joins of the
     (m/32)-word bitmap, one per hash, never an explode + re-group. A
-    missing word means those bits are zero."""
+    missing word means those bits are zero. Raises ValueError if the probe
+    frame already uses one of the reserved internal column names."""
+    reserved = {"might_contain"} | {
+        f"_{p}{i}" for i in range(k) for p in ("p", "w", "bits")
+    }
+    clash = reserved & set(probes.columns)
+    if clash:
+        raise ValueError(
+            f"probe frame columns collide with bloom_might_contain internals: {sorted(clash)}"
+        )
     out = probes
     might = F.lit(True)
     for i in range(k):

@@ -659,7 +659,8 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bytes = 44-byte header + 2·n_samples.
 
     Scale shape: scan → mapInPandas synth → mapInPandas decode →
-    posexplode; zero shuffle, one Arrow batch per worker in flight."""
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
     import pandas as _pd
 
     docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
@@ -719,7 +720,8 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bytes = 224 fixed header bytes + 776 per frame.
 
     Scale shape: scan → mapInPandas synth → mapInPandas decode →
-    posexplode; zero shuffle, one Arrow batch per worker in flight."""
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
     import pandas as _pd
 
     docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
@@ -773,7 +775,8 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mis-parses geometry or shortcuts the un-filter step cannot match.
 
     Scale shape: scan → mapInPandas synth → mapInPandas decode →
-    posexplode; zero shuffle, one Arrow batch per worker in flight."""
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
     import pandas as _pd
 
     docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
@@ -837,7 +840,8 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     match.
 
     Scale shape: scan → mapInPandas synth → mapInPandas decode →
-    posexplode; zero shuffle, one Arrow batch per worker in flight."""
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
     import pandas as _pd
 
     docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
@@ -1007,14 +1011,15 @@ def ivf_multiprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_multiprobe_topk(queries, corpus, centroids, k=5, n_probe=2)
 
 
-def _components_sql(rounds: int = 12) -> str:
+def _components_sql(rounds: int = dd.CC_MAX_ITERATIONS) -> str:
     """Connected components as ``rounds`` chained min-label propagation
     CTEs over the mh_pairs edge list (expects the `edges` CTE). A
     recursive-CTE transitive closure enumerates every reachable PAIR —
     quadratic per clique, and 50x replication makes ~500-member cliques
     (timed out at scale verification). Label propagation is one
-    aggregation join per round; star-capped LSH graphs have diameter
-    ~2-4, so 12 rounds carry margin — and the final round is
+    aggregation join per round; the round count is the SAME
+    CC_MAX_ITERATIONS constant the Spark operator iterates to (so the
+    two sides cannot drift), and the final round is
     convergence-POISONED: if labels still moved on the last round every
     rep comes back NULL, which can never silently match the engine."""
     # AS MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
@@ -1059,7 +1064,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     into duplicate groups via iterative min-label propagation
     (operators/dedup_docs.connected_components) — (doc_id, cluster_rep)
     where the rep (component-min id) is what a keep-list retains. The
-    oracle runs the SAME propagation as 12 chained SQL rounds with a
+    oracle runs the SAME propagation as CC_MAX_ITERATIONS chained SQL rounds with a
     convergence poison (non-converged labels surface as NULL reps and
     fail the comparison); the Spark loop is the distributed formulation
     (rounds = graph diameter, star-capped pairs keep it 2-3)."""
@@ -2243,7 +2248,8 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster cosine >= 0.4 duplicate groups (connected
     components) → keep the group member FARTHEST from its centroid.
     The oracle runs the same min-label propagation via the shared
-    12-round convergence-poisoned _components_sql (6 inline rounds
+    convergence-poisoned _components_sql, whose round count is the
+    operator's own CC_MAX_ITERATIONS (6 inline rounds
     failed at 10x: identical copies chain the groups into longer
     diameters)."""
     emb = load_table(spark, sf_dir, "embeddings")
