@@ -579,8 +579,6 @@ def exact_substring_dedup(
     pass ``"xxhash64"`` at corpus scale for 8-byte shuffle keys (same
     spans unless a 64-bit collision, ~n²/2⁶⁵).
     """
-    from financedatabase_spark.operators.text import with_word_ngrams
-
     if hash_mode == "md5":
         hfn = F.md5
     elif hash_mode == "xxhash64":
@@ -588,10 +586,33 @@ def exact_substring_dedup(
     else:
         raise ValueError(f"hash_mode must be 'md5' or 'xxhash64', got {hash_mode!r}")
 
-    g = with_word_ngrams(df.select(id_col, text_col), text_col, k, "_grams")
-    occ = g.select(
-        id_col, F.posexplode("_grams").alias("_pos0", "_gram")
-    ).select(id_col, (F.col("_pos0") + 1).alias("pos"), hfn(F.col("_gram")).alias("_h"))
+    # _spread: the gram build multiplies rows ~doc-length× with a hash
+    # per gram — a single-split source (small staging file, checkpointed
+    # stage boundary) would serialize it on one core (the 50x "18-min
+    # tokenize" artifact); many-file real tables skip the shuffle.
+    # Explode POSITIONS, not a pre-built gram array: Generate re-evaluates
+    # an inlined array expression per output element, turning an O(m·k)
+    # gram build into O(m²·k) (measured 23.7s -> 0.4s at sf0.1). The
+    # per-row slice+join after the explode runs exactly once per gram.
+    w = _spread(df.select(id_col, text_col)).withColumn(
+        "_w", F.split(normalized_text(text_col), " ")
+    )
+    occ = w.select(
+        id_col,
+        "_w",
+        # size < k guard: Spark's sequence(1, 0) is DESCENDING [1, 0],
+        # which would emit pos=0 and crash slice — short docs get no grams
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(_w) >= {k} THEN sequence(1, size(_w) - {k - 1}) "
+                f"ELSE CAST(array() AS array<int>) END"
+            )
+        ).alias("_i", "pos"),
+    ).select(
+        id_col,
+        "pos",
+        hfn(F.expr(f"array_join(slice(_w, pos, {k}), ' ')")).alias("_h"),
+    )
     # one shuffle: window count over the gram hash replaces the usual
     # groupBy + self-join (which would re-scan the gram table)
     dup_starts = occ.withColumn(

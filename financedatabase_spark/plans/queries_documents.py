@@ -2523,3 +2523,284 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financedatabase_spark.operators.lm import pmi_collocations
 
     return pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# end-to-end curation composite v2 (r10)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_curation_pipeline_v2",
+    oracle=rf"""
+    WITH hosts AS (
+      SELECT doc_id,
+             lower(CASE WHEN doc_id % 11 = 0 THEN 'cdn.' ELSE 'www.' END
+                   || source
+                   || CASE WHEN doc_id % 7 = 0 THEN '.spamfarm.example'
+                           ELSE '.example.org' END) AS host
+      FROM documents
+    ),
+    bl(domain) AS (
+      VALUES ('spamfarm.example'), ('src1.example.org'), ('www.src2.example.org')
+    ),
+    s1 AS (
+      SELECT d.doc_id, d.text, d.lang
+      FROM documents d JOIN hosts h USING (doc_id)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM bl b
+        WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain
+      )
+    ),
+    gn AS (
+      SELECT doc_id, text, lang,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM s1
+    ),
+    gw AS (
+      SELECT doc_id, text, lang, string_split(t, ' ') AS w,
+             len(regexp_extract_all(text, '#|\.\.\.'))::BIGINT AS sym
+      FROM gn
+    ),
+    gm AS (
+      SELECT doc_id, text, lang,
+             len(w)::BIGINT AS n_words,
+             list_sum(list_transform(w, x -> len(x)))::BIGINT AS len_sum,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alpha,
+             sym
+      FROM gw
+    ),
+    s2 AS (
+      SELECT doc_id, text, lang FROM gm
+      WHERE (n_words BETWEEN 50 AND 100000)
+        AND (CASE WHEN n_words > 0 THEN len_sum / n_words ELSE 0e0 END
+             BETWEEN 3.0e0 AND 10.0e0)
+        AND (CASE WHEN n_words > 0 THEN sym / n_words ELSE 0e0 END <= 0.1e0)
+        AND (CASE WHEN n_words > 0 THEN alpha / n_words ELSE 0e0 END >= 0.8e0)
+    ),
+    cw AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+      FROM s2
+    ),
+    ctok AS (SELECT doc_id, unnest(words) AS t FROM cw),
+    ctok2 AS (SELECT doc_id, t FROM ctok WHERE t <> ''),
+    ccounts AS (SELECT t, count(*)::BIGINT AS c FROM ctok2 GROUP BY t),
+    cvocab AS (SELECT t, c FROM ccounts ORDER BY c DESC, t LIMIT 4096),
+    ctot AS (SELECT sum(c)::BIGINT AS n_kept, count(*)::BIGINT AS v FROM cvocab),
+    csc AS (
+      SELECT k.doc_id,
+             round(sum(log10((coalesce(vb.c, 0) + 0.5)
+                             / (ctot.n_kept + 0.5 * (ctot.v + 1))))
+                   / count(*), 6) AS avg_logprob
+      FROM ctok2 k LEFT JOIN cvocab vb ON k.t = vb.t CROSS JOIN ctot
+      GROUP BY k.doc_id
+    ),
+    cbuck AS (
+      SELECT s.doc_id,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.avg_logprob DESC, s.doc_id ASC) AS nt
+      FROM csc s JOIN s2 d USING (doc_id)
+    ),
+    s3 AS (
+      SELECT s2.doc_id, s2.text, s2.lang
+      FROM s2 JOIN cbuck USING (doc_id) WHERE nt <> 3
+    ),
+    dn AS (SELECT doc_id, {_NORM} AS nt FROM s3),
+    dw AS (SELECT doc_id, nt, string_split(nt, ' ') AS wl FROM dn),
+    dg AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(wl[i : i + 7], ' ')) AS h
+      FROM dw, unnest(generate_series(1, greatest(len(wl) - 7, 0))) AS t(i)
+    ),
+    ddup AS (SELECT h FROM dg GROUP BY h HAVING count(*) >= 2),
+    dstarts AS (SELECT dg.doc_id, dg.pos FROM dg JOIN ddup USING (h)),
+    drem AS (
+      SELECT DISTINCT doc_id, pos + j AS rp
+      FROM dstarts, unnest(generate_series(0, 7)) AS s(j)
+    ),
+    dtok AS (
+      SELECT doc_id, i AS p, wl[i] AS word
+      FROM dw, unnest(generate_series(1, len(wl))) AS t(i)
+    ),
+    dkept AS (
+      SELECT t.doc_id, t.p, t.word
+      FROM dtok t LEFT JOIN drem r ON t.doc_id = r.doc_id AND t.p = r.rp
+      WHERE r.rp IS NULL
+    ),
+    dagg AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS cleaned_text
+      FROM dkept GROUP BY doc_id
+    ),
+    cleaned AS (
+      SELECT n.doc_id, coalesce(a.cleaned_text, '') AS cleaned_text
+      FROM dn n LEFT JOIN dagg a USING (doc_id)
+    ),
+    v AS (
+      SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS emb
+      FROM embeddings e JOIN s3 ON e.vec_id = s3.doc_id
+    ),
+    vflat AS (
+      SELECT vec_id, label, u.pos AS pos, u.x AS x
+      FROM v, LATERAL (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS pos) u
+    ),
+    cmeans AS (
+      SELECT label, pos,
+             CAST(sum(CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS m
+      FROM vflat GROUP BY label, pos
+    ),
+    cen AS (
+      SELECT label AS cl, list(m ORDER BY pos) AS cvec FROM cmeans GROUP BY label
+    ),
+    assign AS (
+      SELECT vec_id, cl AS cluster, sim AS csim FROM (
+        SELECT v.vec_id, c.cl,
+               round(list_cosine_similarity(v.emb, c.cvec), 6) AS sim,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round(list_cosine_similarity(v.emb, c.cvec), 6) DESC,
+                                           c.cl ASC) AS rn
+        FROM v CROSS JOIN cen c
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM assign x
+      JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN v vx ON vx.vec_id = x.vec_id
+      JOIN v vy ON vy.vec_id = y.vec_id
+      WHERE round(list_cosine_similarity(vx.emb, vy.emb), 6) >= 0.4e0
+    ),
+    edges AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b, a FROM p),
+    {_components_sql()},
+    slab AS (
+      SELECT a.vec_id, a.csim,
+             coalesce(c.cluster_rep, a.vec_id) AS group_rep
+      FROM assign a LEFT JOIN comp c ON c.doc_id = a.vec_id
+    ),
+    s5 AS (
+      SELECT vec_id AS doc_id FROM (
+        SELECT vec_id,
+               row_number() OVER (PARTITION BY group_rep
+                                  ORDER BY csim ASC, vec_id ASC) AS krn
+        FROM slab
+      ) WHERE krn = 1
+    ),
+    ftok AS (
+      SELECT s3.lang, cl.doc_id,
+             len(regexp_extract_all(cl.cleaned_text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS tok
+      FROM cleaned cl JOIN s5 USING (doc_id) JOIN s3 USING (doc_id)
+    ),
+    fcum AS (
+      SELECT lang, doc_id, tok,
+             sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM ftok
+    )
+    SELECT lang, CAST(floor((cum - tok) / 4096.0) AS BIGINT) AS shard_idx,
+           count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM fcum GROUP BY 1, 2
+    """,
+)
+def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production curation pass in ONE DAG — every r9 stage
+    chained the way a real corpus run composes them, so cross-stage
+    contracts (normalized-vs-raw text, id propagation, survivor-trained
+    models) are exercised end to end:
+
+      domain blocklist (operators/corrections.filter_blocked_domains)
+      → Gopher rules, the 4 language-agnostic ones (text.gopher_quality;
+        the English-stopword rule is deliberately excluded — this is a
+        5-language corpus)
+      → CCNet head/middle keep (lm.ccnet_tertiles — the unigram LM is
+        trained on the SURVIVORS, the composition effect per-stage
+        oracles cannot see)
+      → exact substring dedup over the surviving corpus
+        (dedup_docs.exact_substring_dedup, k=8)
+      → SemDeDup keep-one-per-group over the survivors' embeddings
+        (similarity.semdedup, centroids recomputed on the subset)
+      → 4096-token shard packing of the CLEANED text per language
+        (sampling.token_shard_packing).
+
+    Scale shape: stages 1-2 are map-side (broadcast blocked-host set,
+    codegen rule projection); CCNet adds the capped-vocab LM (bounded
+    collect → broadcast) + one ntile window per language; substring
+    dedup one gram-hash shuffle; SemDeDup bounds its quadratic per
+    cluster; packing reuses one range exchange. Survivor joins are
+    doc-id equi-joins that AQE sizes. The oracle restates all six
+    stages as one CTE chain over the same parquet."""
+    from financedatabase_spark.operators.corrections import (
+        domain_blocklist_dim,
+        filter_blocked_domains,
+        registrable_host,
+    )
+    from financedatabase_spark.operators.lm import ccnet_tertiles
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("cdn.")).otherwise(F.lit("www.")),
+            F.col("source"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(".spamfarm.example")).otherwise(
+                F.lit(".example.org")
+            ),
+            F.lit("/d/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).withColumn("host", registrable_host(F.col("url")))
+    bl = domain_blocklist_dim(
+        spark, ["spamfarm.example", "src1.example.org", "www.src2.example.org"]
+    )
+    s1 = filter_blocked_domains(urls, bl, url_col="url", host_col="host").select(
+        "doc_id", "text", "lang"
+    )
+
+    flags = tx.gopher_quality(s1, keep_cols=["text", "lang"])
+    s2 = flags.filter(
+        F.col("ok_n_words")
+        & F.col("ok_word_len")
+        & F.col("ok_symbols")
+        & F.col("ok_alpha")
+    ).select("doc_id", "text", "lang")
+
+    keep3 = (
+        ccnet_tertiles(s2)
+        .filter(F.col("bucket") != "tail")
+        .select(F.col("doc_id").alias("_k3"))
+    )
+    # Stage-boundary materialization: s3 (the admitted corpus) feeds three
+    # downstream consumers (substring dedup, the embeddings join, the final
+    # lang join); checkpointing here is the production move — pay the
+    # blocklist+Gopher+CCNet subtree once, not per consumer.
+    s3 = s2.join(keep3, F.col("doc_id") == F.col("_k3")).drop("_k3").localCheckpoint()
+
+    cleaned = dd.exact_substring_dedup(
+        s3.select("doc_id", "text"), k=8, min_count=2
+    ).select("doc_id", "cleaned_text")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_s = emb.join(
+        s3.select(F.col("doc_id").alias("_k5")), F.col("vec_id") == F.col("_k5")
+    ).drop("_k5")
+    sd = sim.semdedup(emb_s, sim.cell_centroids(emb_s), tau=0.4)
+    keep5 = sd.filter("keep").select(F.col("vec_id").alias("_kid"))
+
+    final = (
+        cleaned.join(keep5, F.col("doc_id") == F.col("_kid"))
+        .drop("_kid")
+        .join(
+            s3.select(F.col("doc_id").alias("_kl"), "lang"),
+            F.col("doc_id") == F.col("_kl"),
+        )
+        .drop("_kl")
+    )
+    with_tok = final.select(
+        "lang", "doc_id", tx.bpe_token_count("cleaned_text").alias("tok")
+    )
+    return smp.token_shard_packing(
+        with_tok, "tok", budget=4096, order_col="doc_id", key_cols=["lang"]
+    )

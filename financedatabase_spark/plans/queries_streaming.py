@@ -326,3 +326,121 @@ def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("_cell.row", "_cell.bucket")
     grid = cells.groupBy("row", "bucket").agg(F.count("*").alias("counter"))
     return _run(spark, grid, "complete")
+
+
+_CURATION_V2_ORACLE = r"""
+WITH hosts AS (
+  SELECT doc_id,
+         lower(CASE WHEN doc_id % 11 = 0 THEN 'cdn.' ELSE 'www.' END
+               || source
+               || CASE WHEN doc_id % 7 = 0 THEN '.spamfarm.example'
+                       ELSE '.example.org' END) AS host
+  FROM documents
+),
+bl(domain) AS (
+  VALUES ('spamfarm.example'), ('src1.example.org'), ('www.src2.example.org')
+),
+s1 AS (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d JOIN hosts h USING (doc_id)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bl b
+    WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain
+  )
+),
+gn AS (
+  SELECT doc_id, text, lang,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM s1
+),
+gw AS (
+  SELECT doc_id, lang, string_split(t, ' ') AS w,
+         len(regexp_extract_all(text, '#|\.\.\.'))::BIGINT AS sym
+  FROM gn
+),
+gm AS (
+  SELECT doc_id, lang,
+         len(w)::BIGINT AS n_words,
+         list_sum(list_transform(w, x -> len(x)))::BIGINT AS len_sum,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alpha,
+         sym
+  FROM gw
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_words)::BIGINT AS n_words
+FROM gm
+WHERE (n_words BETWEEN 50 AND 100000)
+  AND (CASE WHEN n_words > 0 THEN len_sum / n_words ELSE 0e0 END
+       BETWEEN 3.0e0 AND 10.0e0)
+  AND (CASE WHEN n_words > 0 THEN sym / n_words ELSE 0e0 END <= 0.1e0)
+  AND (CASE WHEN n_words > 0 THEN alpha / n_words ELSE 0e0 END >= 0.8e0)
+GROUP BY lang
+"""
+
+
+@register("streaming_curation_v2", _CURATION_V2_ORACLE)
+def streaming_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus_curation_pipeline_v2 front half as a LIVE stream — the
+    continuous-ingest deployment of the composite's map-side stages:
+    documents replayed as a file stream, per-row URL/host derivation,
+    the blocked-domain check as a stream-static BROADCAST left-anti join
+    against the blocklist dimension (array_contains over the bounded
+    dot-suffix chain — the static side is tiny, so the join is a
+    broadcast nested loop with zero stream state), then the 4
+    language-agnostic Gopher rules as a stateless codegen projection,
+    aggregated per language in complete mode. The cross-document stages
+    (CCNet LM, substring dedup, SemDeDup, packing) are batch passes by
+    design — a production deployment runs this stream as the admission
+    filter and the batch composite behind it on the admitted shard.
+
+    The oracle is the identical two-stage filter + GROUP BY over the
+    same parquet; complete-mode sums are commutative so the final sink
+    state equals the batch aggregate exactly."""
+    import tempfile as _tf
+
+    from financedatabase_spark.operators.corrections import (
+        domain_blocklist_dim,
+        host_suffix_chain,
+        registrable_host,
+    )
+    from financedatabase_spark.operators.text import gopher_quality
+
+    batch = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    stage = _tf.mkdtemp(prefix="fdb_stream_")
+    batch.repartition(1).sortWithinPartitions("doc_id").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+
+    urls = stream.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("cdn.")).otherwise(F.lit("www.")),
+            F.col("source"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(".spamfarm.example")).otherwise(
+                F.lit(".example.org")
+            ),
+            F.lit("/d/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).withColumn("_chain", host_suffix_chain(registrable_host(F.col("url"))))
+    bl = domain_blocklist_dim(
+        spark, ["spamfarm.example", "src1.example.org", "www.src2.example.org"]
+    )
+    kept = urls.join(
+        F.broadcast(bl), F.expr("array_contains(_chain, domain)"), "left_anti"
+    ).select("doc_id", "text", "lang")
+
+    flags = gopher_quality(kept, keep_cols=["lang"])
+    passed = flags.filter(
+        F.col("ok_n_words")
+        & F.col("ok_word_len")
+        & F.col("ok_symbols")
+        & F.col("ok_alpha")
+    )
+    agg = passed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_words").alias("n_words")
+    )
+    return _run(spark, agg, "complete")

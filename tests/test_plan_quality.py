@@ -360,3 +360,18 @@ def test_dsir_score_joins_literal_histogram(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "LocalTableScan" in p
     assert p.count("Scan parquet") == 0  # per_doc checkpoint feeds everything
+
+
+def test_curation_v2_composite_shuffle_bound(spark, sf_dir):
+    # the six-stage composite materializes the admitted corpus (s3) at
+    # the stage boundary, so the final DAG is bounded: the substring
+    # dedup + SemDeDup + packing stages own every remaining shuffle.
+    # A regression that re-plans the blocklist/Gopher/CCNet subtree per
+    # consumer (the bug the checkpoint prevents) triples the count.
+    p = plan_of(spark, sf_dir, "corpus_curation_pipeline_v2")
+    shuffles = p.count("Exchange hashpartitioning") + p.count(
+        "Exchange rangepartitioning"
+    )
+    assert shuffles <= 24, f"composite shuffle count regressed: {shuffles}"
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p  # no row-wise Python anywhere
