@@ -197,19 +197,33 @@ def _select_batch(
     candidate list. A pair joins the batch only while the batch provably
     equals sequential training:
 
-    - **disjointness**: it shares no symbol with any accepted pair or
-      merged output, so its own count is invariant under the earlier
-      merges (and the chained replaces cannot interact);
-    - **stop at the first conflict**: a skipped conflicted pair may
+    - **non-interaction** (r10 refinement of the r9 symbol-disjointness):
+      a candidate (a, b)'s count is invariant under an accepted merge
+      (c, d) -> cd unless their occurrences can overlap (d == a consumes
+      a's token; c == b consumes b's) or the merged STRING cd equals a or
+      b (string-identified symbols would conflate, creating/absorbing
+      occurrences). Merely sharing a left symbol (a == c) or a right
+      symbol (b == d) cannot overlap — token i has exactly one successor —
+      so e.g. every (x, '</w>') pair with distinct x batches together.
+      This is what lets batches track the candidate ladder instead of
+      stalling at the first shared letter (measured: 540 -> ~100 rounds
+      for 1024 merges on a shared-vocabulary corpus);
+    - **stop at the first interaction**: a skipped interacting pair may
       still outrank everything below it after the merges, so nothing
       past it can be accepted this round;
     - **new-pair bound**: its count strictly exceeds B = max maxext of
       the accepted pairs — an upper bound on the count of any pair the
       accepted merges create — so no created pair (or tie-break against
       one) can win an intermediate sequential round.
+
+    Parity evidence: token-identical rules/vocab vs the canonical
+    trainer on every gated corpus (tests/test_bpe.py — structured,
+    seeded-random with ties, and the 1024-merge high-entropy corpus).
     """
     accepted: list[tuple[str, str, str, int]] = []
-    used: set[str] = set()
+    lefts: set[str] = set()
+    rights: set[str] = set()
+    merged_strs: set[str] = set()
     bound = -1
     for pair, cnt in top:
         left, right = pair.split(" ")
@@ -217,10 +231,17 @@ def _select_batch(
         if accepted:
             if cnt <= bound:
                 break
-            if left in used or right in used:
+            if (
+                left in rights        # overlap: accepted d == this a
+                or right in lefts     # overlap: accepted c == this b
+                or left in merged_strs   # string identity with a batch output
+                or right in merged_strs
+            ):
                 break
         accepted.append((left, right, merged, cnt))
-        used.update((left, right, merged))
+        lefts.add(left)
+        rights.add(right)
+        merged_strs.add(merged)
         bound = max(bound, maxext.get(pair, 0))
         if len(accepted) >= batch_cap:
             break
@@ -234,6 +255,7 @@ def bpe_train_batched(
     batch_cap: int = 48,
     topk: int = 256,
     checkpoint_every: int = 8,
+    stats: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """`bpe_train` semantics (token-identical rules and vocab — gated in
     tests/test_bpe.py against the pure-Python canonical trainer) at
@@ -257,7 +279,9 @@ def bpe_train_batched(
     )
     rules: list[tuple] = []
     rounds_since_ckpt = 0
+    n_rounds = 0
     while len(rules) < merges:
+        n_rounds += 1
         top = [
             (r["pair"], int(r["cnt"]))
             for r in _pair_counts(wf)
@@ -281,6 +305,9 @@ def bpe_train_batched(
         if rounds_since_ckpt >= checkpoint_every:
             wf = wf.localCheckpoint()
             rounds_since_ckpt = 0
+    if stats is not None:
+        stats["rounds"] = n_rounds
+        stats["merges_learned"] = len(rules)
     rules_df = values_dim(
         spark,
         rules,

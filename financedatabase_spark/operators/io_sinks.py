@@ -44,6 +44,12 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer holds the table's rewrite lease."""
 
 
+class UnsupportedFilesystemError(RuntimeError):
+    """The table path's filesystem cannot provide the atomic namespace
+    operation the single-writer lease depends on (remote object stores:
+    use a conditional-put / catalog-service lease instead)."""
+
+
 class ParquetTable:
     """Minimal path-backed table for the sink operators (S7).
 
@@ -67,8 +73,10 @@ class ParquetTable:
     Tables created by plain `write` keep the flat layout and remain
     readable; the first `rewrite` migrates them to the versioned layout.
 
-    **Concurrency contract.** Rewrites are single-writer, enforced by an
-    O_EXCL lock-file lease (`_LOCK`): a second concurrent rewrite raises
+    **Concurrency contract.** Rewrites are single-writer, enforced by a
+    mkdir/rename lock-directory lease (`_LOCK` — atomic on POSIX and NFS;
+    remote object-store URIs raise `UnsupportedFilesystemError`, see
+    `_acquire_lock`): a second concurrent rewrite raises
     `ConcurrentWriteError` before writing anything. Readers need no lock —
     they only ever follow the committed pointer. Plain `write(mode=
     'append')` is append-only file creation and safe alongside readers,
@@ -109,39 +117,81 @@ class ParquetTable:
         )
 
     # -- single-writer lease ------------------------------------------
-    def _acquire_lock(self, stale_after: float = 3600.0) -> str:
-        """Take the table's rewrite lease via O_EXCL lock-file creation
-        (atomic on POSIX and most object-store FUSE layers). Rewrites are
-        single-writer: a second concurrent rewrite fails fast with
-        `ConcurrentWriteError` instead of racing the pointer swap — the
-        loser's data is never partially visible because it never reaches
-        the commit point. A lease older than ``stale_after`` seconds is
-        presumed orphaned by a crashed writer and broken (best-effort;
-        the narrow break/recreate race is accepted and documented — two
-        writers would need to break the SAME stale lock in the same
-        instant, and even then the pointer swap itself stays atomic)."""
+    def _acquire_lock(self, stale_after: float = 3600.0, _attempts: int = 8) -> str:
+        """Take the table's rewrite lease. Rewrites are single-writer: a
+        second concurrent rewrite fails fast with `ConcurrentWriteError`
+        instead of racing the pointer swap — the loser's data is never
+        partially visible because it never reaches the commit point.
+
+        **Filesystem contract.** The lease is a lock DIRECTORY created
+        with ``os.mkdir`` — atomic on POSIX and, unlike ``O_EXCL``
+        creation, also reliable on NFS (where O_EXCL is advisory under
+        NFSv2 and historically racy). Remote object-store URIs (s3://,
+        gs://, abfs://, hdfs://, ...) have NO atomic namespace operation
+        this lease could use, so they raise `UnsupportedFilesystemError`
+        up front rather than silently degrading to last-write-wins — a
+        real deployment there needs a conditional-put / catalog-service
+        lease (what Delta's LogStore or an Iceberg catalog provides).
+
+        **Stale break is an atomic takeover.** A lease older than
+        ``stale_after`` seconds is presumed orphaned by a crashed writer.
+        Breaking it renames the lock directory to a unique tombstone —
+        ``os.rename`` succeeds for exactly ONE breaker, so two writers
+        racing to break the same stale lease can never both proceed (the
+        double-break race the old unlink-based protocol accepted); the
+        loser's rename fails and it retries against the winner's fresh
+        lease. The tombstone is removed best-effort after the takeover.
+        """
+        if "://" in self.path and not self.path.startswith("file://"):
+            raise UnsupportedFilesystemError(
+                f"rewrite lease requires an atomic-rename filesystem (local "
+                f"or NFS); {self.path!r} is a remote URI — use a conditional-"
+                f"put or catalog-service lease there"
+            )
+        if _attempts <= 0:
+            raise ConcurrentWriteError(
+                f"rewrite lease on {self.path}: acquire retries exhausted "
+                f"(persistent contention or clock skew)"
+            )
         lock = os.path.join(self.path, self.LOCK)
         os.makedirs(self.path, exist_ok=True)
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.mkdir(lock)
         except FileExistsError:
             try:
                 age = time.time() - os.path.getmtime(lock)
             except OSError:  # lock vanished between check and stat: retry
-                return self._acquire_lock(stale_after)
+                return self._acquire_lock(stale_after, _attempts - 1)
             if age > stale_after:
+                tombstone = f"{lock}.broken.{os.getpid()}.{int(time.time() * 1e6)}"
                 try:
-                    os.unlink(lock)
+                    os.rename(lock, tombstone)  # atomic: one breaker wins
                 except OSError:
-                    pass
-                return self._acquire_lock(stale_after)
+                    # another writer broke (or the holder released) first
+                    return self._acquire_lock(stale_after, _attempts - 1)
+                import shutil as _sh
+
+                _sh.rmtree(tombstone, ignore_errors=True)
+                return self._acquire_lock(stale_after, _attempts - 1)
             raise ConcurrentWriteError(
                 f"rewrite lease on {self.path} held by another writer "
                 f"(lock {lock}, age {age:.0f}s)"
             ) from None
-        with os.fdopen(fd, "w") as f:
+        with open(os.path.join(lock, "owner"), "w") as f:
             f.write(f"{os.getpid()} {time.time():.0f}")
         return lock
+
+    @staticmethod
+    def _release_lock(lock: str) -> None:
+        """Release the lease directory (owner file + dir; best-effort —
+        an already-broken lease or a failing filesystem is not an error
+        for the releaser, the stale-break protocol covers leftovers)."""
+        import shutil as _sh
+
+        try:
+            _sh.rmtree(lock, ignore_errors=True)
+        except OSError:
+            pass
 
     def exists(self) -> bool:
         if not os.path.isdir(self.path):
@@ -249,10 +299,7 @@ class ParquetTable:
             except OSError:
                 pass
         finally:
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+            self._release_lock(lock)
 
 
 def eq_predicate(filters: dict[str, object]) -> Column:

@@ -6,9 +6,14 @@ format: a spec-valid baseline-DCT JPEG (ITU-T T.81) encoder for
 deterministic fixtures and a full decoder — marker parse (SOI/APP/DQT/
 DHT/SOF0/SOS/EOI), canonical Huffman decode with 0xFF00 byte
 un-stuffing, per-position dequantization, de-zigzag, separable 8x8
-IDCT, level shift and clamp. Grayscale (one component) only; 3-component
-YCbCr, progressive (SOF2) and restart intervals stay documented
-NotImplementedError seams, mirroring the PNG codec's depth gates.
+IDCT, level shift and clamp. Supported layouts: grayscale (1x1) and
+3-component YCbCr 4:2:0 (Y 2x2 / Cb,Cr 1x1 — the dominant camera/web
+layout) with interleaved-MCU scan decode, per-component DC predictors,
+separate luma/chroma quant tables, and 2x2 replication chroma
+upsampling. Progressive (SOF2), restart intervals, 16-bit quant tables,
+non-4:2:0 color samplings, and non-interleaved multi-scan streams stay
+documented NotImplementedError seams, mirroring the PNG codec's depth
+gates.
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
 from coefficient patterns whose IDCT is integral — constant blocks
@@ -175,6 +180,46 @@ def _encode_scan(blocks_zz: list[list[int]]) -> bytes:
     return w.flush()
 
 
+def _encode_scan_tagged(tagged: list[tuple[int, list[int]]]) -> bytes:
+    """Entropy-encode an interleaved scan: ``tagged`` is the MCU-order
+    sequence of (component index, zigzag quantized block). DC prediction
+    is per component (T.81 F.1.1.5.1); all components use the Annex K
+    luminance Huffman tables (the SOS below declares exactly that)."""
+    w = _BitWriter()
+    preds: dict[int, int] = {}
+    for comp, bz in tagged:
+        pred = preds.get(comp, 0)
+        size, bits = _mag_bits(bz[0] - pred)
+        preds[comp] = bz[0]
+        code, length = _DC_ENC[size]
+        w.put(code, length)
+        if size:
+            w.put(bits, size)
+        last_nz = 0
+        for i in range(63, 0, -1):
+            if bz[i]:
+                last_nz = i
+                break
+        run = 0
+        for i in range(1, last_nz + 1):
+            if bz[i] == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = _AC_ENC[0xF0]
+                w.put(code, length)
+                run -= 16
+            size, bits = _mag_bits(bz[i])
+            code, length = _AC_ENC[(run << 4) | size]
+            w.put(code, length)
+            w.put(bits, size)
+            run = 0
+        if last_nz != 63:
+            code, length = _AC_ENC[0x00]
+            w.put(code, length)
+    return w.flush()
+
+
 def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
@@ -209,17 +254,89 @@ _FIXTURE_QT = [10 + (i * 7) % 50 for i in range(64)]
 _FIXTURE_QT[0] = 8
 _FIXTURE_QT[14] = 8
 
+#: Chroma fixture quant table: 8 at DC (the only coefficient the chroma
+#: fixtures use), a DIFFERENT variation elsewhere than the luma table so a
+#: decoder that maps either component to the wrong table cannot round-trip.
+_FIXTURE_QT_C = [12 + (i * 11) % 40 for i in range(64)]
+_FIXTURE_QT_C[0] = 8
+
 #: ±1 per-pixel sign of the u=4 horizontal basis: cos((2x+1)π/4) signs.
 _U4_SIGN = [1, -1, -1, 1, 1, -1, -1, 1]
 
 JPEG_H = 16
 
 
+def assemble_jpeg_420(
+    w: int,
+    h: int,
+    qt_y_zz: list[int],
+    qt_c_zz: list[int],
+    y_blocks: list[list[list[int]]],
+    cb_blocks: list[list[list[int]]],
+    cr_blocks: list[list[list[int]]],
+) -> bytes:
+    """Assemble a spec-valid 4:2:0 YCbCr baseline JPEG: 3-component SOF0
+    (Y sampling 2x2 against Cb/Cr 1x1 — the dominant real-world layout),
+    two quant tables (0 = luma, 1 = chroma), the Annex K luminance
+    Huffman pair shared by every component, and one interleaved scan
+    whose MCUs carry 4 Y blocks (2x2, left-to-right then top-to-bottom)
+    followed by 1 Cb and 1 Cr block (T.81 A.2.3 interleave order).
+
+    ``y_blocks`` is indexed [block_row][block_col] over the PADDED
+    16-aligned grid (2*mcu rows x 2*mcu cols); ``cb_blocks``/``cr_blocks``
+    are [mcu_row][mcu_col]. All blocks are zigzag quantized coefficients.
+    """
+    mcu_w, mcu_h = len(cb_blocks[0]), len(cb_blocks)
+    app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
+    dqt = bytes([0x00]) + bytes(qt_y_zz) + bytes([0x01]) + bytes(qt_c_zz)
+    sof0 = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    tagged: list[tuple[int, list[int]]] = []
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for byy in range(2):
+                for bxx in range(2):
+                    tagged.append((0, y_blocks[my * 2 + byy][mx * 2 + bxx]))
+            tagged.append((1, cb_blocks[my][mx]))
+            tagged.append((2, cr_blocks[my][mx]))
+    return (
+        b"\xff\xd8"
+        + _seg(0xFFE0, app0)
+        + _seg(0xFFDB, dqt)
+        + _seg(0xFFC0, sof0)
+        + _seg(0xFFC4, dht_dc)
+        + _seg(0xFFC4, dht_ac)
+        + _seg(0xFFDA, sos)
+        + _encode_scan_tagged(tagged)
+        + b"\xff\xd9"
+    )
+
+
+def _y_block_zz(doc_id: int, bx: int, by: int) -> list[int]:
+    """Shared luma fixture block: base value v = (doc_id*17 + by*31 +
+    bx*7) % 251 + 2 (DC-only), plus an exact ±d u=4 ripple in the second
+    block-row (d = (doc_id + bx) % 5 - 2), both quantized by 8 so decode
+    is bit-exact. Identical in the grayscale and 4:2:0 fixtures, so the
+    oracle's luminance formula covers both."""
+    v = (doc_id * 17 + by * 31 + bx * 7) % 251 + 2
+    bz = [0] * 64
+    bz[0] = v - 128  # DC quantized by 8: 8*(v-128)/8
+    if by == 1:
+        bz[14] = (doc_id + bx) % 5 - 2  # dequantizes to 8d
+    return bz
+
+
 def synth_jpeg(doc_id: int) -> bytes:
-    """Deterministic JPEG fixture: real baseline grayscale JPEG, width
-    16/24/32 by doc (geometry must come from SOF0), height 16. Block
-    (bx, by) has base value v = (doc_id*17 + by*31 + bx*7) % 251 + 2;
-    blocks in the second block-row add an exact ±d ripple (d =
+    """Deterministic JPEG fixture mix — EVEN doc_ids get a grayscale
+    baseline JPEG, ODD doc_ids a 4:2:0 YCbCr one (synth_jpeg_420), so
+    a corpus built from this exercises both decoder paths. Width is
+    16/24/32 by doc (geometry must come from SOF0), height 16. Luma
+    block (bx, by) has base value v = (doc_id*17 + by*31 + bx*7) % 251
+    + 2; blocks in the second block-row add an exact ±d ripple (d =
     (doc_id + bx) % 5 - 2) through the u=4 AC basis, so every fixture
     exercises DC prediction across blocks, mid-run AC coding (13 zeros
     before zigzag 14), negative-coefficient bit encoding, and
@@ -230,17 +347,51 @@ def synth_jpeg(doc_id: int) -> bytes:
         v + d*s(x % 8)  for y >= 8, s = [+,-,-,+,+,-,-,+]
     """
     doc_id = int(doc_id)
+    if doc_id % 2 == 1:
+        return synth_jpeg_420(doc_id)
     w, h = 16 + (doc_id % 3) * 8, JPEG_H
     blocks = []
     for by in range(h // 8):
         for bx in range(w // 8):
-            v = (doc_id * 17 + by * 31 + bx * 7) % 251 + 2
-            bz = [0] * 64
-            bz[0] = v - 128  # DC quantized by 8: 8*(v-128)/8
-            if by == 1:
-                bz[14] = (doc_id + bx) % 5 - 2  # dequantizes to 8d
-            blocks.append(bz)
+            blocks.append(_y_block_zz(doc_id, bx, by))
     return assemble_jpeg(w, h, _FIXTURE_QT, blocks)
+
+
+def synth_jpeg_420(doc_id: int) -> bytes:
+    """Deterministic 4:2:0 color JPEG fixture: same luma pattern as the
+    grayscale fixture (so the oracle's Y histogram formula is shared),
+    plus DC-only constant chroma blocks per MCU:
+
+        Cb(mcu mx, my) = (doc_id*29 + mx*13 + my*11) % 251 + 2
+        Cr(mcu mx, my) = (doc_id*23 + mx*7  + my*19) % 251 + 2
+
+    Chroma upsampling by 2x2 replication makes the full-resolution
+    chroma at pixel (x, y) exactly Cb(x//16, y//16) / Cr(x//16, y//16)
+    — integers the oracle recomputes. Widths 24 (odd doc_ids with
+    doc_id%3==1) force a PADDED MCU column: the encoder emits the
+    16-aligned grid, the decoder must crop to the SOF0 geometry."""
+    doc_id = int(doc_id)
+    w, h = 16 + (doc_id % 3) * 8, JPEG_H
+    mcu_w, mcu_h = (w + 15) // 16, (h + 15) // 16
+    y_blocks = [
+        [_y_block_zz(doc_id, bx, by) for bx in range(mcu_w * 2)]
+        for by in range(mcu_h * 2)
+    ]
+
+    def chroma(val: int) -> list[int]:
+        bz = [0] * 64
+        bz[0] = val - 128
+        return bz
+
+    cb = [
+        [chroma((doc_id * 29 + mx * 13 + my * 11) % 251 + 2) for mx in range(mcu_w)]
+        for my in range(mcu_h)
+    ]
+    cr = [
+        [chroma((doc_id * 23 + mx * 7 + my * 19) % 251 + 2) for mx in range(mcu_w)]
+        for my in range(mcu_h)
+    ]
+    return assemble_jpeg_420(w, h, _FIXTURE_QT, _FIXTURE_QT_C, y_blocks, cb, cr)
 
 
 # -- decoder -----------------------------------------------------------------
@@ -343,11 +494,47 @@ def _idct_block(coef: list[int]) -> list[int]:
     return out
 
 
-def jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
-    """Decode a grayscale baseline JPEG to (width, height, row-major
-    pixels). Raises NotImplementedError on the documented seams
-    (progressive, multi-component, 16-bit quant, restart intervals) and
-    ValueError on malformed streams."""
+def _decode_block(
+    r: _BitReader, dec_dc: _HuffDec, dec_ac: _HuffDec, qt: list[int], pred: int
+) -> tuple[list[int], int]:
+    """Decode one entropy-coded block: DC diff + AC run-lengths, dequant,
+    de-zigzag, IDCT. Returns (64 pixels, new DC predictor)."""
+    size = dec_dc.decode(r)
+    pred += _extend(r.bits(size), size)
+    zz = [0] * 64
+    zz[0] = pred * qt[0]
+    k = 1
+    while k < 64:
+        rs = dec_ac.decode(r)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        if k > 63:
+            raise ValueError("JPEG AC coefficient overrun")
+        zz[k] = _extend(r.bits(rs & 0xF), rs & 0xF) * qt[k]
+        k += 1
+    coef = [0] * 64
+    for zi, ri in enumerate(ZIGZAG):
+        coef[ri] = zz[zi]
+    return _idct_block(coef), pred
+
+
+def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Decode a baseline JPEG to (width, height, planes): one full-
+    resolution row-major plane per component — [Y] for grayscale,
+    [Y, Cb, Cr] for 4:2:0 color (chroma upsampled by 2x2 replication,
+    the standard nearest-neighbor reconstruction). Handles the
+    interleaved-MCU scan layout with per-component DC predictors and
+    crops the padded MCU grid to the SOF0 geometry.
+
+    Raises NotImplementedError on the documented seams (progressive,
+    restart intervals, 16-bit quant, sampling layouts other than
+    grayscale 1x1 and YCbCr 4:2:0) and ValueError on malformed streams
+    (including a SOS that references an undefined quant/Huffman table).
+    """
     raw = bytes(payload)
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -356,7 +543,7 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
     dcs: dict[int, _HuffDec] = {}
     acs: dict[int, _HuffDec] = {}
     w = h = 0
-    comp_qt = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -395,76 +582,120 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
                 (dcs if tc == 0 else acs)[th] = _HuffDec(bits, vals)
                 off += 17 + n
         elif marker == 0xC0:  # SOF0
-            if len(body) < 9:
+            if len(body) < 6:
                 raise ValueError("JPEG SOF0 truncated")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG samples supported")
-            if ncomp != 1:
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("JPEG SOF0 truncated (component specs short)")
+            comps = []
+            for ci in range(ncomp):
+                cid = body[6 + 3 * ci]
+                hv = body[7 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, body[8 + 3 * ci]))
+            samplings = [(hs, vs) for _, hs, vs, _ in comps]
+            if ncomp == 1:
+                if samplings != [(1, 1)]:
+                    raise NotImplementedError(
+                        "grayscale JPEG with non-1x1 sampling not supported"
+                    )
+            elif ncomp == 3:
+                if samplings != [(2, 2), (1, 1), (1, 1)]:
+                    raise NotImplementedError(
+                        f"only 4:2:0 chroma subsampling supported for color JPEG, got {samplings}"
+                    )
+            else:
                 raise NotImplementedError(
-                    f"only grayscale (1-component) JPEG supported, got {ncomp} components"
+                    f"only 1- or 3-component JPEG supported, got {ncomp} components"
                 )
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled JPEG not supported")
-            comp_qt = body[8]
         elif marker == 0xDA:  # SOS
-            if len(body) < 6:
+            if len(body) < 4:
                 raise ValueError("JPEG SOS truncated")
-            if not (w and h):
+            if not (w and h) or not comps:
                 raise ValueError("JPEG SOS before SOF0")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
-            if comp_qt not in qts or dc_id not in dcs or ac_id not in acs:
-                raise ValueError(
-                    "JPEG SOS references undefined quant/Huffman table"
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) JPEG not supported"
                 )
-            qt = qts[comp_qt]
-            dec_dc, dec_ac = dcs[dc_id], acs[ac_id]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("JPEG SOS truncated (component specs short)")
+            scan: list[tuple[int, int, int, list[int]]] = []
+            for si in range(ns):
+                cs = body[1 + 2 * si]
+                td, ta = body[2 + 2 * si] >> 4, body[2 + 2 * si] & 0xF
+                match = [c for c in comps if c[0] == cs]
+                if not match:
+                    raise ValueError("JPEG SOS references unknown component id")
+                _, hs, vs, tq = match[0]
+                if tq not in qts or td not in dcs or ta not in acs:
+                    raise ValueError(
+                        "JPEG SOS references undefined quant/Huffman table"
+                    )
+                scan.append((hs, vs, tq, [td, ta]))
+            hmax = max(hs for hs, _, _, _ in scan)
+            vmax = max(vs for _, vs, _, _ in scan)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            planes_raw = [
+                [[0] * (mcus_x * hs * 8) for _ in range(mcus_y * vs * 8)]
+                for hs, vs, _, _ in scan
+            ]
+            preds = [0] * ns
             r = _BitReader(raw, pos + 2 + seglen)
-            bw, bh = (w + 7) // 8, (h + 7) // 8
-            pred = 0
-            img = [[0] * (bw * 8) for _ in range(bh * 8)]
-            for by in range(bh):
-                for bx in range(bw):
-                    size = dec_dc.decode(r)
-                    pred += _extend(r.bits(size), size)
-                    zz = [0] * 64
-                    zz[0] = pred * qt[0]
-                    k = 1
-                    while k < 64:
-                        rs = dec_ac.decode(r)
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += rs >> 4
-                        if k > 63:
-                            raise ValueError("JPEG AC coefficient overrun")
-                        zz[k] = _extend(r.bits(rs & 0xF), rs & 0xF) * qt[k]
-                        k += 1
-                    coef = [0] * 64
-                    for zi, ri in enumerate(ZIGZAG):
-                        coef[ri] = zz[zi]
-                    px = _idct_block(coef)
-                    for y in range(8):
-                        row = img[by * 8 + y]
-                        row[bx * 8:bx * 8 + 8] = px[y * 8:y * 8 + 8]
-            flat: list[int] = []
-            for y in range(h):
-                flat.extend(img[y][:w])
-            return w, h, flat
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, (hs, vs, tq, (td, ta)) in enumerate(scan):
+                        for byy in range(vs):
+                            for bxx in range(hs):
+                                px, preds[ci] = _decode_block(
+                                    r, dcs[td], acs[ta], qts[tq], preds[ci]
+                                )
+                                plane = planes_raw[ci]
+                                py0 = (my * vs + byy) * 8
+                                px0 = (mx * hs + bxx) * 8
+                                for y in range(8):
+                                    row = plane[py0 + y]
+                                    row[px0:px0 + 8] = px[y * 8:y * 8 + 8]
+            out: list[list[int]] = []
+            for ci, (hs, vs, _, _) in enumerate(scan):
+                plane = planes_raw[ci]
+                fx, fy = hmax // hs, vmax // vs  # replication factors
+                flat: list[int] = []
+                for y in range(h):
+                    src = plane[y // fy]
+                    flat.extend(src[x // fx] for x in range(w))
+                out.append(flat)
+            return w, h, out
         pos += 2 + seglen
     raise ValueError("JPEG has no scan (missing SOS)")
 
 
+def jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode a baseline JPEG to (width, height, row-major LUMA pixels)
+    — the single-plane compatibility surface (grayscale JPEGs decode to
+    their only plane; color JPEGs to their Y plane). Error contract as
+    `jpeg_planes`."""
+    w, h, planes = jpeg_planes(payload)
+    return w, h, planes[0]
+
+
 def jpeg_decode(payload: bytes, dim: int = 8) -> list[float]:
-    """Image codec for the `decode_features` seam: decode a grayscale
-    baseline JPEG and emit the same normalized ``dim``-bin luminance
-    histogram as `png_decode`/`pil_decode` (integer bin math, int/int
-    division — bit-stable across engines)."""
-    w, h, px = jpeg_pixels(payload)
+    """Image codec for the `decode_features` seam: decode a baseline
+    JPEG and emit the normalized ``dim``-bin LUMA histogram (same shape
+    as `png_decode`/`pil_decode`; integer bin math, int/int division —
+    bit-stable across engines). 4:2:0 color JPEGs append two more
+    features: mean Cb and mean Cr of the upsampled chroma planes
+    (exact-integer sums over the replicated values, so the oracle can
+    recompute them from the fixture formula)."""
+    w, h, planes = jpeg_planes(payload)
     counts = [0] * dim
-    for v in px:
+    for v in planes[0]:
         counts[v * dim // 256] += 1
-    n = max(len(px), 1)
-    return [c / n for c in counts]
+    n = max(len(planes[0]), 1)
+    feats = [c / n for c in counts]
+    if len(planes) == 3:
+        feats.append(sum(planes[1]) / n)
+        feats.append(sum(planes[2]) / n)
+    return feats

@@ -742,6 +742,26 @@ def pq_encode(
     )
 
 
+def residual_vectors(
+    df: DataFrame,
+    centroids: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Replace ``vec_col`` with the residual against the row's cell
+    centroid (x - centroid(cell)) — the vectors FAISS IVF-PQ actually
+    quantizes. Train subspace codebooks on THIS frame's output when
+    using ``ivf_pq_topk(residuals=True)``. Broadcast centroid join,
+    map-side zip_with subtraction."""
+    cen = centroids.select(
+        F.col("cell").alias("_rc_cell"), F.col("cvec").alias("_rc_cvec")
+    )
+    out = df.join(F.broadcast(cen), F.col(cell_col) == F.col("_rc_cell")).withColumn(
+        vec_col, F.zip_with(_vec(vec_col), F.col("_rc_cvec"), lambda a, b: a - b)
+    )
+    return out.drop("_rc_cell", "_rc_cvec")
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -755,6 +775,8 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     cell_col: str = "label",
     codebooks: DataFrame | None = None,
+    residuals: bool = False,
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate nearest neighbors — the standard 100 TB ANN
     layout (Jégou et al. 2011): the corpus is stored as m-subspace PQ
@@ -772,15 +794,30 @@ def ivf_pq_topk(
     order-independent, so the SQL oracle reproduces ranks bit-for-bit.
 
     Returns (query_id, corpus_id, approx_dist, rank) — rank by approx
-    L2² ascending, ties corpus_id asc.
+    L2² ascending, ties corpus_id asc. ``residuals=True`` quantizes
+    x - centroid(cell) (FAISS IVFPQ proper — raw-vector codes collapse
+    inside well-separated cells); train the codebooks on
+    `residual_vectors(...)` output. ``rerank=R`` adds the FAISS refine
+    stage: ADC nominates top-R per query, exact cosine on the fetched
+    raw vectors re-ranks to the final k — output columns become
+    (query_id, corpus_id, score, rank).
     """
     d = dim // m
     # default: the cheap sliced-centroid codebooks (fully SQL-expressible,
     # oracle-parity); pass pq_train_subspace(...) output for FAISS-grade
     # recall (resolves structure WITHIN coarse cells)
     cbs = codebooks if codebooks is not None else pq_codebooks(centroids, m, dim)
+    if residuals:
+        # FAISS IVFPQ proper: quantize x - centroid(cell). Raw-vector PQ
+        # collapses inside well-separated cells (every member shares the
+        # cell's code); residual codes resolve the within-cell geometry
+        # that top-k actually ranks on. Codebooks must be trained on
+        # residual_vectors(...) output.
+        enc_corpus = residual_vectors(corpus, centroids, cell_col, vec_col)
+    else:
+        enc_corpus = corpus
     codes = pq_encode(
-        corpus, cbs, m, dim, id_col=corpus_id, vec_col=vec_col, keep_cols=(cell_col,)
+        enc_corpus, cbs, m, dim, id_col=corpus_id, vec_col=vec_col, keep_cols=(cell_col,)
     )
 
     q = queries.select(F.col(query_id), _vec(vec_col).alias("_qv"))
@@ -791,37 +828,54 @@ def ivf_pq_topk(
     wp = Window.partitionBy(query_id).orderBy(F.col("_csim").desc(), F.col("_cell").asc())
     probes = (
         q.crossJoin(F.broadcast(cen))
-        .select(query_id, "_qv", "_cell", csim.alias("_csim"))
+        .select(query_id, "_qv", "_cell", "_cvec", csim.alias("_csim"))
         .withColumn("_pn", F.row_number().over(wp))
         .filter(F.col("_pn") <= n_probe)
-        .select(query_id, "_qv", "_cell")
+        .select(query_id, "_qv", "_cell", "_cvec")
     )
 
-    # per-query ADC lookup table: exact query subvector vs every
-    # codebook entry, folded to array<map<cid -> d2_units>> by subspace
-    qsubs = q.select(
-        query_id,
+    # ADC lookup table: exact query subvector vs every codebook entry,
+    # folded to array<map<cid -> d2_units>> by subspace. Residual mode
+    # builds one table per (query, probed cell) — the query residual
+    # differs per cell — still tiny (queries × n_probe × m × k_sub).
+    if residuals:
+        qbase = probes.select(
+            query_id,
+            "_cell",
+            F.zip_with(F.col("_qv"), F.col("_cvec"), lambda a, b: a - b).alias("_rv"),
+        )
+        tab_keys = [query_id, "_cell"]
+        vec_src = "_rv"
+    else:
+        qbase = q.withColumn("_rv", F.col("_qv"))
+        tab_keys = [query_id]
+        vec_src = "_rv"
+    qsubs = qbase.select(
+        *tab_keys,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 lambda s: F.struct(
-                    s.alias("sub"), F.slice("_qv", s * d + 1, d).alias("v")
+                    s.alias("sub"), F.slice(vec_src, s * d + 1, d).alias("v")
                 ),
             )
         ).alias("_sv"),
-    ).select(query_id, F.col("_sv.sub").alias("sub"), F.col("_sv.v").alias("v"))
+    ).select(*tab_keys, F.col("_sv.sub").alias("sub"), F.col("_sv.v").alias("v"))
     qtab = (
         qsubs.join(F.broadcast(cbs), "sub")
         .select(
-            query_id, "sub", "cid", _sq_l2_units(F.col("v"), F.col("cvec_sub")).alias("_d")
+            *tab_keys, "sub", "cid", _sq_l2_units(F.col("v"), F.col("cvec_sub")).alias("_d")
         )
-        .groupBy(query_id, "sub")
+        .groupBy(*tab_keys, "sub")
         .agg(F.map_from_entries(F.collect_list(F.struct("cid", "_d"))).alias("_m"))
-        .groupBy(query_id)
+        .groupBy(*tab_keys)
         .agg(F.map_from_entries(F.collect_list(F.struct("sub", "_m"))).alias("tbl"))
     )
 
-    ptbl = probes.drop("_qv").join(qtab, query_id)  # tiny × tiny
+    if residuals:
+        ptbl = qtab  # already keyed (query, cell)
+    else:
+        ptbl = probes.select(query_id, "_cell").join(qtab, query_id)  # tiny × tiny
     cand = codes.join(
         F.broadcast(ptbl), F.col(cell_col) == F.col("_cell")
     )
@@ -837,10 +891,34 @@ def ivf_pq_topk(
     wr = Window.partitionBy(query_id).orderBy(
         F.col("approx_dist").asc(), F.col(corpus_id).asc()
     )
+    ranked = scored.withColumn("rank", F.row_number().over(wr))
+    if rerank is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            query_id, corpus_id, "approx_dist", F.col("rank").cast("long").alias("rank")
+        )
+    # FAISS refine stage: codes nominate top-``rerank`` candidates per
+    # query, EXACT cosine on the raw vectors re-ranks them to the final
+    # top-k. The candidate set (queries × rerank) is tiny relative to
+    # the corpus, so it broadcasts into the raw-vector fetch — the big
+    # table is touched with a map-side semi-probe, never re-scanned per
+    # query. This is the standard two-stage 100 TB retrieval: quantized
+    # codes bound the work, one small exact pass restores recall.
+    cands = ranked.filter(F.col("rank") <= rerank).select(query_id, corpus_id)
+    raw = corpus.select(F.col(corpus_id), _vec(vec_col).alias("_cv"))
+    fetched = raw.join(F.broadcast(cands), corpus_id)
+    qv = queries.select(F.col(query_id), _vec(vec_col).alias("_qv2"))
+    exact = fetched.join(F.broadcast(qv), query_id).select(
+        query_id,
+        corpus_id,
+        F.round(cosine(F.col("_qv2"), F.col("_cv")), 6).alias("score"),
+    )
+    wf = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(wr))
+        exact.withColumn("rank", F.row_number().over(wf))
         .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "approx_dist", F.col("rank").cast("long").alias("rank"))
+        .select(query_id, corpus_id, "score", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -970,6 +1048,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_cluster_size: int = 50_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): semantic-duplicate
@@ -990,7 +1069,13 @@ def semdedup(
     components via iterative min-label propagation over only the
     edge-touching vectors (operators/dedup_docs.connected_components).
     At 100 TB the cluster count scales with the corpus so per-cluster
-    membership stays bounded (the paper uses ~100k clusters)."""
+    membership stays bounded (the paper uses ~100k clusters).
+    ``max_cluster_size`` enforces that assumption LOUDLY: an adversarial
+    or degenerate assignment that routes a mega-cluster into the
+    per-cluster self-join would silently go quadratic, so the operator
+    checks the largest cluster (one scalar agg over the already-
+    materialized assignment) and raises ValueError naming the cluster —
+    the remedy is re-clustering with more centroids, not a bigger cap."""
     from financedatabase_spark.operators.dedup_docs import connected_components
 
     v = _spread(emb).select(F.col(id_col), _vec(vec_col).alias("_e"))
@@ -1010,6 +1095,20 @@ def semdedup(
         .select(id_col, F.col("_cl").alias("cluster"), F.col("_sim").alias("csim"), "_e")
         .localCheckpoint()  # feeds the pair join twice + the final output
     )
+    if max_cluster_size is not None:
+        top = (
+            assign.groupBy("cluster")
+            .count()
+            .orderBy(F.col("count").desc(), F.col("cluster").asc())
+            .first()
+        )
+        if top is not None and top["count"] > max_cluster_size:
+            raise ValueError(
+                f"semdedup: cluster {top['cluster']} has {top['count']} members "
+                f"(> max_cluster_size={max_cluster_size}); the per-cluster "
+                f"self-join would go quadratic — re-cluster with more centroids "
+                f"(SemDeDup assumes cluster count scales with the corpus)"
+            )
     a = assign.select(
         F.col(id_col).alias("_i"), F.col("cluster").alias("_ca"), F.col("_e").alias("_ea")
     )

@@ -819,25 +819,47 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hist AS (SELECT doc_id, w, (p * 8) // 256 AS bin, count(*) AS c
              FROM px GROUP BY 1, 2, 3),
-    grid AS (SELECT doc_id, w, unnest(generate_series(0, 7)) AS pos FROM d)
-    SELECT g.doc_id, g.w::BIGINT AS width, g.pos::INT AS pos,
-           coalesce(h.c, 0) / (g.w * 16) AS x
-    FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.pos
+    grid AS (SELECT doc_id, w, unnest(generate_series(0, 7)) AS pos FROM d),
+    lum AS (
+      SELECT g.doc_id, g.w::BIGINT AS width, g.pos::INT AS pos,
+             coalesce(h.c, 0) / (g.w * 16) AS x
+      FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.pos
+    ),
+    cpx AS (
+      SELECT doc_id, w, xi
+      FROM d, UNNEST(generate_series(0, w - 1)) ux(xi)
+      WHERE doc_id % 2 = 1
+    ),
+    chroma AS (
+      SELECT doc_id, w::BIGINT AS width, 8 AS pos,
+             (16 * sum((doc_id*29 + (xi // 16)*13) % 251 + 2))::DOUBLE / (w * 16) AS x
+      FROM cpx GROUP BY doc_id, w
+      UNION ALL
+      SELECT doc_id, w::BIGINT AS width, 9 AS pos,
+             (16 * sum((doc_id*23 + (xi // 16)*7) % 251 + 2))::DOUBLE / (w * 16) AS x
+      FROM cpx GROUP BY doc_id, w
+    )
+    SELECT doc_id, width, pos, x FROM lum
+    UNION ALL
+    SELECT doc_id, width, pos::INT AS pos, x FROM chroma
     """,
 )
 def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image feature extraction through the REAL pure-stdlib baseline
-    JPEG codec (operators/jpeg.jpeg_decode via dispatch_decode): each
-    doc gets a deterministic spec-valid grayscale baseline JPEG
-    (synth_jpeg — width varying 16/24/32 so geometry must come from
-    SOF0, DC prediction across blocks, a mid-run AC coefficient with
-    negative values, per-position dequantization, and 0xFF byte
+    JPEG codec (operators/jpeg.jpeg_decode via dispatch_decode) over a
+    MIXED corpus: even doc_ids get a grayscale baseline JPEG, odd ones
+    a 4:2:0 YCbCr JPEG (synth_jpeg — width varying 16/24/32 so geometry
+    must come from SOF0, DC prediction across blocks and components, a
+    mid-run AC coefficient with negative values, per-position and
+    per-table dequantization, interleaved-MCU deinterleave with a padded
+    MCU column at width 24, 2x2 chroma upsampling, and 0xFF byte
     stuffing in most fixtures). The coefficient patterns are chosen so
     the lossy pipeline is exactly invertible (constant blocks + the
     ±1-integral u=4 basis), which lets the oracle recompute the 8-bin
-    luminance histogram from the synthesis formula — a decoder that
-    mis-parses Huffman tables, the zigzag, or the quant table cannot
-    match.
+    luminance histogram — and, for the color docs, the mean-Cb/mean-Cr
+    features at pos 8/9 — from the synthesis formula. A decoder that
+    mis-parses Huffman tables, the zigzag, the MCU interleave, or either
+    quant table cannot match.
 
     Scale shape: scan → mapInPandas synth → mapInPandas decode →
     posexplode; one id-only shuffle (spread_ids) before synth so decode
@@ -2211,23 +2233,34 @@ def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cen AS (
       SELECT label AS cl, list(m ORDER BY pos) AS cvec FROM cmeans GROUP BY label
     ),
-    assign AS (
-      SELECT vec_id, cl AS cluster, sim AS csim FROM (
-        SELECT v.vec_id, c.cl,
-               round(list_cosine_similarity(v.emb, c.cvec), 6) AS sim,
-               row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY round(list_cosine_similarity(v.emb, c.cvec), 6) DESC,
-                                           c.cl ASC) AS rn
-        FROM v CROSS JOIN cen c
-      ) WHERE rn = 1
+    scored AS MATERIALIZED (
+      -- slim (vec_id, cl, sim) projection, materialized: a window over
+      -- the raw cross product carries both 64-double lists into the
+      -- sort and cannot spill in DuckDB 1.0 (observed: 22 GB+ at 50x);
+      -- the max-agg reformulation below streams in O(groups) state
+      SELECT v.vec_id, c.cl,
+             round(list_cosine_similarity(v.emb, c.cvec), 6) AS sim
+      FROM v CROSS JOIN cen c
+    ),
+    best AS (SELECT vec_id, max(sim) AS msim FROM scored GROUP BY vec_id),
+    assign AS MATERIALIZED (
+      SELECT s.vec_id, min(s.cl) AS cluster, b.msim AS csim
+      FROM scored s JOIN best b ON s.vec_id = b.vec_id AND s.sim = b.msim
+      GROUP BY s.vec_id, b.msim
+    ),
+    assign_e AS MATERIALIZED (
+      -- vectors attached ONCE per row before the per-cluster self-join:
+      -- joining v twice onto the pair table puts a pairs-count-sized
+      -- list-carrying intermediate on a hash-join build side (observed
+      -- 55 GB+ spill at 50x); this keeps every build side corpus-sized
+      SELECT a.vec_id, a.cluster, v.emb
+      FROM assign a JOIN v ON v.vec_id = a.vec_id
     ),
     p AS (
       SELECT x.vec_id AS a, y.vec_id AS b
-      FROM assign x
-      JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-      JOIN v vx ON vx.vec_id = x.vec_id
-      JOIN v vy ON vy.vec_id = y.vec_id
-      WHERE round(list_cosine_similarity(vx.emb, vy.emb), 6) >= 0.4e0
+      FROM assign_e x
+      JOIN assign_e y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.4e0
     ),
     edges AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b, a FROM p),
     {_components_sql()},
@@ -2652,23 +2685,29 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cen AS (
       SELECT label AS cl, list(m ORDER BY pos) AS cvec FROM cmeans GROUP BY label
     ),
-    assign AS (
-      SELECT vec_id, cl AS cluster, sim AS csim FROM (
-        SELECT v.vec_id, c.cl,
-               round(list_cosine_similarity(v.emb, c.cvec), 6) AS sim,
-               row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY round(list_cosine_similarity(v.emb, c.cvec), 6) DESC,
-                                           c.cl ASC) AS rn
-        FROM v CROSS JOIN cen c
-      ) WHERE rn = 1
+    vscored AS MATERIALIZED (
+      -- slim projection + max-agg assignment (same reformulation as the
+      -- semdedup_keep_list oracle: a window over the cross product
+      -- cannot spill its list payloads in DuckDB 1.0)
+      SELECT v.vec_id, c.cl,
+             round(list_cosine_similarity(v.emb, c.cvec), 6) AS sim
+      FROM v CROSS JOIN cen c
+    ),
+    vbest AS (SELECT vec_id, max(sim) AS msim FROM vscored GROUP BY vec_id),
+    assign AS MATERIALIZED (
+      SELECT s.vec_id, min(s.cl) AS cluster, b.msim AS csim
+      FROM vscored s JOIN vbest b ON s.vec_id = b.vec_id AND s.sim = b.msim
+      GROUP BY s.vec_id, b.msim
+    ),
+    assign_e AS MATERIALIZED (
+      SELECT a.vec_id, a.cluster, v.emb
+      FROM assign a JOIN v ON v.vec_id = a.vec_id
     ),
     p AS (
       SELECT x.vec_id AS a, y.vec_id AS b
-      FROM assign x
-      JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-      JOIN v vx ON vx.vec_id = x.vec_id
-      JOIN v vy ON vy.vec_id = y.vec_id
-      WHERE round(list_cosine_similarity(vx.emb, vy.emb), 6) >= 0.4e0
+      FROM assign_e x
+      JOIN assign_e y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.4e0
     ),
     edges AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b, a FROM p),
     {_components_sql()},

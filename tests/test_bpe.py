@@ -174,3 +174,50 @@ def test_bpe_batched_matches_canonical_random_corpus(spark):
     ]
     assert got == ref_rules
     assert {r.w: r.seq.split("  ") for r in vocab_df.collect()} == ref_seqs
+
+
+def test_bpe_batched_large_merge_space(spark):
+    """The regime the batched trainer exists for: a high-entropy corpus
+    whose merge space exceeds 1024. Gates — merges=1024 completes, the
+    aggregation-round count amortizes (rounds <= merges/8), and the
+    learned rules are PREFIX-IDENTICAL to the canonical pure-Python
+    trainer on the first 256 (batching must not reorder greedy BPE)."""
+    import random
+
+    from financedatabase_spark.operators.bpe import bpe_train_batched
+
+    rng = random.Random(20260815)
+    # ~2400 distinct high-entropy words over a 94-symbol alphabet (latin +
+    # digits + greek + cyrillic, all lowercase-stable): merge space well
+    # beyond 1024, and wide enough that symbol-disjoint batches can form —
+    # a 26-letter alphabet makes every top pair share symbols, which
+    # degenerates batching to ~2 merges/round by construction
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyz0123456789"
+        + "αβγδεζηθικλμνξοπρστυφχψω"
+        + "абвгдежзийклмнопрстуфхцчшщыэюя"
+    )
+    words = list({
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(5, 12)))
+        for _ in range(2600)
+    })
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(5, 20)))
+        for _ in range(1600)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    stats: dict = {}
+    rules, _ = bpe_train_batched(
+        df, merges=1024, batch_cap=64, topk=512, checkpoint_every=8, stats=stats
+    )
+    got = [
+        (r.left_sym, r.right_sym, r.merged)
+        for r in rules.orderBy("round").collect()
+    ]
+    assert stats["merges_learned"] == 1024, stats  # space NOT exhausted early
+    assert stats["rounds"] <= 1024 // 8, stats     # batching actually amortizes
+
+    ref_rules, _ = _ref_bpe(texts, merges=256)
+    want = [(l, r, m) for _, l, r, m, _ in ref_rules]
+    assert got[:256] == want                        # greedy order preserved

@@ -428,14 +428,49 @@ def test_jpeg_codec_round_trip():
     for doc_id in (0, 1, 2, 7, 63, 256, 12345):
         payload = synth_jpeg(doc_id)
         stuffed += b"\xff\x00" in payload
+        # odd docs are 4:2:0 color; jpeg_pixels returns their Y plane,
+        # which shares the grayscale fixtures' formula exactly
         assert jpeg_pixels(payload) == expected(doc_id)
         w, _, px = expected(doc_id)
         counts = [0] * 8
         for v in px:
             counts[v * 8 // 256] += 1
-        assert jpeg_decode(payload) == [c / (w * 16) for c in counts]
+        want = [c / (w * 16) for c in counts]
+        if doc_id % 2 == 1:  # color: mean-Cb / mean-Cr features appended
+            n = w * 16
+            cb = 16 * sum((doc_id * 29 + (x // 16) * 13) % 251 + 2 for x in range(w))
+            cr = 16 * sum((doc_id * 23 + (x // 16) * 7) % 251 + 2 for x in range(w))
+            want += [cb / n, cr / n]
+        assert jpeg_decode(payload) == want
     # the 0xFF byte-stuffing path is live in this sample, not theoretical
     assert stuffed >= 2
+
+
+def test_jpeg_420_planes_round_trip():
+    """The 4:2:0 decoder path end to end: interleaved-MCU deinterleave
+    (4 Y + Cb + Cr per MCU, per-component DC predictors), separate luma
+    /chroma quant tables, 2x2 replication upsampling, and the padded
+    MCU column at width 24 cropped to the SOF0 geometry — all planes
+    bit-exact against the synthesis formulas."""
+    from financedatabase_spark.operators.jpeg import (
+        _U4_SIGN,
+        JPEG_H,
+        jpeg_planes,
+        synth_jpeg_420,
+    )
+
+    for doc_id in (1, 3, 5, 7, 25, 1001):  # widths 24, 16, 32 mixed
+        w = 16 + (doc_id % 3) * 8
+        dw, dh, planes = jpeg_planes(synth_jpeg_420(doc_id))
+        assert (dw, dh) == (w, JPEG_H) and len(planes) == 3
+        for y in range(dh):
+            for x in range(dw):
+                v = (doc_id * 17 + (y // 8) * 31 + (x // 8) * 7) % 251 + 2
+                if y >= 8:
+                    v += ((doc_id + x // 8) % 5 - 2) * _U4_SIGN[x % 8]
+                assert planes[0][y * dw + x] == v
+                assert planes[1][y * dw + x] == (doc_id * 29 + (x // 16) * 13) % 251 + 2
+                assert planes[2][y * dw + x] == (doc_id * 23 + (x // 16) * 7) % 251 + 2
 
 
 def test_jpeg_general_coefficients_and_zrl():
@@ -482,22 +517,44 @@ def test_jpeg_failure_modes():
     with pytest.raises(ValueError, match="SOI"):
         jpeg_pixels(b"\x89PNG not a jpeg")
 
-    good = bytearray(synth_jpeg(3))
+    good = bytearray(synth_jpeg(4))  # even -> grayscale base stream
     sof_at = good.find(b"\xff\xc0")
     progressive = bytes(good[:sof_at + 1]) + b"\xc2" + bytes(good[sof_at + 2:])
     with pytest.raises(NotImplementedError, match="SOF0"):
         jpeg_pixels(progressive)
 
-    # 3-component SOF0 (YCbCr) is a stated seam
+    # 3-component 4:2:0 is now SUPPORTED — but a 4:2:0 SOF0 followed by
+    # the grayscale single-component scan is a component-count mismatch
+    # (non-interleaved multi-scan), a stated seam
     seglen, prec, h, w = struct.unpack_from(">HBHH", good, sof_at + 2)
     color = (
         bytes(good[:sof_at + 2])
-        + struct.pack(">HBHHB", 14, prec, h, w, 3)
+        + struct.pack(">HBHHB", 17, prec, h, w, 3)
         + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
         + bytes(good[sof_at + 2 + seglen:])
     )
-    with pytest.raises(NotImplementedError, match="grayscale"):
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
         jpeg_pixels(color)
+
+    # 4:2:2 (and any non-4:2:0 color layout) stays a stated seam
+    c422 = (
+        bytes(good[:sof_at + 2])
+        + struct.pack(">HBHHB", 17, prec, h, w, 3)
+        + bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1])
+        + bytes(good[sof_at + 2 + seglen:])
+    )
+    with pytest.raises(NotImplementedError, match="4:2:0"):
+        jpeg_pixels(c422)
+
+    # 2-component streams stay a stated seam
+    c2 = (
+        bytes(good[:sof_at + 2])
+        + struct.pack(">HBHHB", 14, prec, h, w, 2)
+        + bytes([1, 0x11, 0, 2, 0x11, 1])
+        + bytes(good[sof_at + 2 + seglen:])
+    )
+    with pytest.raises(NotImplementedError, match="1- or 3-component"):
+        jpeg_pixels(c2)
 
     dri = bytes(good[:sof_at]) + b"\xff\xdd\x00\x04\x00\x10" + bytes(good[sof_at:])
     with pytest.raises(NotImplementedError, match="restart"):

@@ -1562,3 +1562,24 @@ def test_pmi_collocations_hand_computed(spark):
     # 'york new' (the wrap-around within the repeated phrase) co-occurs
     # less often per unigram mass than 'new york' -> strictly lower PMI
     assert ("york", "new") in out and out[("york", "new")].pmi < ny.pmi
+
+
+def test_semdedup_mega_cluster_guard(spark):
+    """An adversarial/degenerate assignment that routes everything into
+    one cluster must fail LOUDLY before the per-cluster self-join goes
+    quadratic — ValueError naming the cluster and the remedy — while the
+    same corpus passes when the cap accommodates it."""
+    import pytest as _pytest
+
+    from financedatabase_spark.operators.similarity import cell_centroids, semdedup
+
+    rows = [
+        (i, 0, [1.0 - i * 1e-4] + [float(i % 7) * 0.1] + [0.0] * 6)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    cen = cell_centroids(df)  # single centroid -> every vector lands in it
+    with _pytest.raises(ValueError, match="max_cluster_size"):
+        semdedup(df, cen, tau=0.99, max_cluster_size=10)
+    out = semdedup(df, cen, tau=0.99, max_cluster_size=40).collect()
+    assert len(out) == 40  # same data passes under an adequate cap

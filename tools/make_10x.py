@@ -3,7 +3,17 @@
 Ten key/time-shifted copies: surrogate keys offset per copy so key
 cardinality scales 10x (new users, orders, docs, vectors), timestamps
 offset 30 days per copy so the time axis grows instead of densifying.
-This is the dataset behind SCALE.md's 10x ratio table.
+Embedding cluster LABELS are offset per copy too (stride 1000 > the
+base label domain), so cluster count scales with the corpus — the
+SemDeDup/IVF regime the papers assume (~100k clusters at web scale);
+a fixed label set would make every per-cluster pass quadratic in the
+copy count by construction. Each copy's vectors also get a small
+first-component shift (i * 0.01): byte-identical replicas would give
+every base cluster 50 IDENTICAL centroids, and the deterministic
+min-label tie-break would collapse the whole corpus back onto copy
+0's 10 clusters — the shift keeps every copy's centroid distinct at
+the 1e-6 assignment rounding. This is the dataset behind SCALE.md's
+10x/50x ratio tables.
 
 Usage: python tools/make_10x.py [src_dir] [dst_dir] [copies]
        (defaults: /root/testdata/sf0.1 -> /tmp/sf1x, 10 copies;
@@ -27,7 +37,10 @@ SHIFTS = {
     "documents": """
       SELECT doc_id + {i}*1000000 AS doc_id, text, lang, source, n_chars FROM {src}""",
     "embeddings": """
-      SELECT vec_id + {i}*1000000 AS vec_id, embedding, label FROM {src}""",
+      SELECT vec_id + {i}*1000000 AS vec_id,
+             list_prepend(embedding[1] + {i} * 0.01e0,
+                          embedding[2:])::FLOAT[] AS embedding,
+             label + {i}*1000 AS label FROM {src}""",
     "customer": """
       SELECT c_custkey + {i}*1000000 AS c_custkey, c_name, c_nationkey,
              c_acctbal, c_mktsegment FROM {src}""",
