@@ -10,10 +10,11 @@ IDCT, level shift and clamp. Supported layouts: grayscale (1x1) and
 3-component YCbCr 4:2:0 (Y 2x2 / Cb,Cr 1x1 — the dominant camera/web
 layout) with interleaved-MCU scan decode, per-component DC predictors,
 separate luma/chroma quant tables, and 2x2 replication chroma
-upsampling. Progressive (SOF2), restart intervals, 16-bit quant tables,
-non-4:2:0 color samplings, and non-interleaved multi-scan streams stay
-documented NotImplementedError seams, mirroring the PNG codec's depth
-gates.
+upsampling, plus restart intervals (DRI/RSTn — byte-aligned predictor
+resets, the segmentation every hardware encoder emits). Progressive
+(SOF2), 16-bit quant tables, non-4:2:0 color samplings, and
+non-interleaved multi-scan streams stay documented NotImplementedError
+seams, mirroring the PNG codec's depth gates.
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
 from coefficient patterns whose IDCT is integral — constant blocks
@@ -142,107 +143,100 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return size, v if v > 0 else v + (1 << size) - 1
 
 
-def _encode_scan(blocks_zz: list[list[int]]) -> bytes:
-    """Entropy-encode quantized coefficient blocks (zigzag order) with
-    the Annex K luminance tables: DC prediction + category/bits, AC
-    run-length with ZRL and EOB."""
-    w = _BitWriter()
-    pred = 0
-    for bz in blocks_zz:
-        size, bits = _mag_bits(bz[0] - pred)
-        pred = bz[0]
-        code, length = _DC_ENC[size]
+def _encode_block(w: _BitWriter, bz: list[int], pred: int) -> int:
+    """Entropy-encode one quantized block (DC diff + AC run-lengths with
+    ZRL/EOB) into ``w``; returns the new DC predictor."""
+    size, bits = _mag_bits(bz[0] - pred)
+    code, length = _DC_ENC[size]
+    w.put(code, length)
+    if size:
+        w.put(bits, size)
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if bz[i]:
+            last_nz = i
+            break
+    run = 0
+    for i in range(1, last_nz + 1):
+        if bz[i] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = _AC_ENC[0xF0]
+            w.put(code, length)
+            run -= 16
+        size, bits = _mag_bits(bz[i])
+        code, length = _AC_ENC[(run << 4) | size]
         w.put(code, length)
-        if size:
-            w.put(bits, size)
-        last_nz = 0
-        for i in range(63, 0, -1):
-            if bz[i]:
-                last_nz = i
-                break
+        w.put(bits, size)
         run = 0
-        for i in range(1, last_nz + 1):
-            if bz[i] == 0:
-                run += 1
-                continue
-            while run >= 16:
-                code, length = _AC_ENC[0xF0]  # ZRL
-                w.put(code, length)
-                run -= 16
-            size, bits = _mag_bits(bz[i])
-            code, length = _AC_ENC[(run << 4) | size]
-            w.put(code, length)
-            w.put(bits, size)
-            run = 0
-        if last_nz != 63:
-            code, length = _AC_ENC[0x00]  # EOB
-            w.put(code, length)
-    return w.flush()
+    if last_nz != 63:
+        code, length = _AC_ENC[0x00]
+        w.put(code, length)
+    return bz[0]
 
 
-def _encode_scan_tagged(tagged: list[tuple[int, list[int]]]) -> bytes:
-    """Entropy-encode an interleaved scan: ``tagged`` is the MCU-order
-    sequence of (component index, zigzag quantized block). DC prediction
-    is per component (T.81 F.1.1.5.1); all components use the Annex K
-    luminance Huffman tables (the SOS below declares exactly that)."""
+def _encode_scan_mcus(
+    mcus: list[list[tuple[int, list[int]]]], restart_interval: int = 0
+) -> bytes:
+    """Entropy-encode a scan MCU by MCU: each MCU is its component-order
+    list of (component index, zigzag quantized block). DC prediction is
+    per component (T.81 F.1.1.5.1); all components use the Annex K
+    luminance Huffman tables (the SOS declares exactly that). With
+    ``restart_interval`` = Ri > 0, an RSTn marker (n cycling 0-7) is
+    emitted after every Ri MCUs (byte-aligned, predictors reset —
+    T.81 F.1.2.3 / E.2.4), matching an emitted DRI segment."""
+    out = bytearray()
     w = _BitWriter()
     preds: dict[int, int] = {}
-    for comp, bz in tagged:
-        pred = preds.get(comp, 0)
-        size, bits = _mag_bits(bz[0] - pred)
-        preds[comp] = bz[0]
-        code, length = _DC_ENC[size]
-        w.put(code, length)
-        if size:
-            w.put(bits, size)
-        last_nz = 0
-        for i in range(63, 0, -1):
-            if bz[i]:
-                last_nz = i
-                break
-        run = 0
-        for i in range(1, last_nz + 1):
-            if bz[i] == 0:
-                run += 1
-                continue
-            while run >= 16:
-                code, length = _AC_ENC[0xF0]
-                w.put(code, length)
-                run -= 16
-            size, bits = _mag_bits(bz[i])
-            code, length = _AC_ENC[(run << 4) | size]
-            w.put(code, length)
-            w.put(bits, size)
-            run = 0
-        if last_nz != 63:
-            code, length = _AC_ENC[0x00]
-            w.put(code, length)
-    return w.flush()
+    rst = 0
+    for idx, mcu in enumerate(mcus):
+        if restart_interval and idx and idx % restart_interval == 0:
+            out += w.flush()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            w = _BitWriter()
+            preds = {}
+        for comp, bz in mcu:
+            preds[comp] = _encode_block(w, bz, preds.get(comp, 0))
+    out += w.flush()
+    return bytes(out)
 
 
 def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def assemble_jpeg(w: int, h: int, qt_zz: list[int], blocks_zz: list[list[int]]) -> bytes:
+def assemble_jpeg(
+    w: int,
+    h: int,
+    qt_zz: list[int],
+    blocks_zz: list[list[int]],
+    restart_interval: int = 0,
+) -> bytes:
     """Assemble a complete spec-valid grayscale baseline JPEG from a
     zigzag quant table and per-block quantized coefficients (blocks in
-    raster MCU order, ceil(w/8)*ceil(h/8) of them)."""
+    raster MCU order, ceil(w/8)*ceil(h/8) of them — each block is its
+    own MCU in a non-subsampled single-component scan).
+    ``restart_interval`` > 0 additionally emits a DRI segment and RSTn
+    markers every that-many MCUs."""
     app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
     dqt = bytes([0x00]) + bytes(qt_zz)  # Pq=0 (8-bit), Tq=0
     sof0 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
     dht_ac = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
         + _seg(0xFFE0, app0)
         + _seg(0xFFDB, dqt)
+        + dri
         + _seg(0xFFC0, sof0)
         + _seg(0xFFC4, dht_dc)
         + _seg(0xFFC4, dht_ac)
         + _seg(0xFFDA, sos)
-        + _encode_scan(blocks_zz)
+        + _encode_scan_mcus([[(0, bz)] for bz in blocks_zz], restart_interval)
         + b"\xff\xd9"
     )
 
@@ -274,6 +268,7 @@ def assemble_jpeg_420(
     y_blocks: list[list[list[int]]],
     cb_blocks: list[list[list[int]]],
     cr_blocks: list[list[list[int]]],
+    restart_interval: int = 0,
 ) -> bytes:
     """Assemble a spec-valid 4:2:0 YCbCr baseline JPEG: 3-component SOF0
     (Y sampling 2x2 against Cb/Cr 1x1 — the dominant real-world layout),
@@ -285,6 +280,8 @@ def assemble_jpeg_420(
     ``y_blocks`` is indexed [block_row][block_col] over the PADDED
     16-aligned grid (2*mcu rows x 2*mcu cols); ``cb_blocks``/``cr_blocks``
     are [mcu_row][mcu_col]. All blocks are zigzag quantized coefficients.
+    ``restart_interval`` > 0 additionally emits a DRI segment and RSTn
+    markers every that-many MCUs (predictors of ALL components reset).
     """
     mcu_w, mcu_h = len(cb_blocks[0]), len(cb_blocks)
     app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
@@ -295,23 +292,27 @@ def assemble_jpeg_420(
     dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
     dht_ac = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
     sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
-    tagged: list[tuple[int, list[int]]] = []
+    mcus: list[list[tuple[int, list[int]]]] = []
     for my in range(mcu_h):
         for mx in range(mcu_w):
+            mcu: list[tuple[int, list[int]]] = []
             for byy in range(2):
                 for bxx in range(2):
-                    tagged.append((0, y_blocks[my * 2 + byy][mx * 2 + bxx]))
-            tagged.append((1, cb_blocks[my][mx]))
-            tagged.append((2, cr_blocks[my][mx]))
+                    mcu.append((0, y_blocks[my * 2 + byy][mx * 2 + bxx]))
+            mcu.append((1, cb_blocks[my][mx]))
+            mcu.append((2, cr_blocks[my][mx]))
+            mcus.append(mcu)
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
         + _seg(0xFFE0, app0)
         + _seg(0xFFDB, dqt)
+        + dri
         + _seg(0xFFC0, sof0)
         + _seg(0xFFC4, dht_dc)
         + _seg(0xFFC4, dht_ac)
         + _seg(0xFFDA, sos)
-        + _encode_scan_tagged(tagged)
+        + _encode_scan_mcus(mcus, restart_interval)
         + b"\xff\xd9"
     )
 
@@ -354,7 +355,11 @@ def synth_jpeg(doc_id: int) -> bytes:
     for by in range(h // 8):
         for bx in range(w // 8):
             blocks.append(_y_block_zz(doc_id, bx, by))
-    return assemble_jpeg(w, h, _FIXTURE_QT, blocks)
+    # every third grayscale doc carries a restart interval (DRI + RSTn
+    # every 3 MCUs): same pixel values, so the oracle is unchanged, but
+    # the decoder must byte-align and reset predictors mid-scan
+    ri = 3 if doc_id % 6 == 0 else 0
+    return assemble_jpeg(w, h, _FIXTURE_QT, blocks, restart_interval=ri)
 
 
 def synth_jpeg_420(doc_id: int) -> bytes:
@@ -391,7 +396,13 @@ def synth_jpeg_420(doc_id: int) -> bytes:
         [chroma((doc_id * 23 + mx * 7 + my * 19) % 251 + 2) for mx in range(mcu_w)]
         for my in range(mcu_h)
     ]
-    return assemble_jpeg_420(w, h, _FIXTURE_QT, _FIXTURE_QT_C, y_blocks, cb, cr)
+    # color docs with doc_id % 6 == 5 are width 32 (two MCUs) and restart
+    # every MCU (the tightest legal DRI): all six per-MCU predictors
+    # reset at the boundary
+    ri = 1 if doc_id % 6 == 5 else 0
+    return assemble_jpeg_420(
+        w, h, _FIXTURE_QT, _FIXTURE_QT_C, y_blocks, cb, cr, restart_interval=ri
+    )
 
 
 # -- decoder -----------------------------------------------------------------
@@ -418,7 +429,10 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 1
                 elif 0xD0 <= nxt <= 0xD7:
-                    raise NotImplementedError("JPEG restart markers not supported")
+                    raise ValueError(
+                        "JPEG restart marker inside an entropy segment "
+                        "(corrupt stream or wrong DRI interval)"
+                    )
                 else:
                     raise ValueError("JPEG scan ended before all blocks decoded")
             self._acc = b
@@ -431,6 +445,22 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, expected: int) -> None:
+        """Consume an RSTn marker at a restart boundary (T.81 E.2.4):
+        discard the pad bits of the current byte, then require the
+        byte-aligned 0xFFD0+expected marker."""
+        self._n = 0  # drop pad bits (encoder pads with 1s to the byte)
+        if (
+            self.pos + 1 >= len(self.raw)
+            or self.raw[self.pos] != 0xFF
+            or self.raw[self.pos + 1] != 0xD0 + expected
+        ):
+            raise ValueError(
+                f"JPEG expected restart marker RST{expected} at a restart "
+                f"boundary (corrupt stream or interleave mismatch)"
+            )
+        self.pos += 2
 
 
 class _HuffDec:
@@ -543,6 +573,7 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
     dcs: dict[int, _HuffDec] = {}
     acs: dict[int, _HuffDec] = {}
     w = h = 0
+    restart_interval = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
@@ -552,13 +583,15 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
             raise NotImplementedError(
                 f"only baseline sequential DCT (SOF0) supported, got SOF marker 0xFF{marker:02X}"
             )
-        if marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals (DRI) not supported")
         (seglen,) = struct.unpack_from(">H", raw, pos + 2)
         if seglen < 2 or pos + 2 + seglen > len(raw):
             raise ValueError("JPEG segment truncated (declared length exceeds stream)")
         body = raw[pos + 4:pos + 2 + seglen]
-        if marker == 0xDB:  # DQT
+        if marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("JPEG DRI truncated")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDB:  # DQT
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0xF
@@ -644,8 +677,15 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
             ]
             preds = [0] * ns
             r = _BitReader(raw, pos + 2 + seglen)
+            mcu_idx = 0
+            rst = 0
             for my in range(mcus_y):
                 for mx in range(mcus_x):
+                    if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                        r.restart(rst)
+                        rst = (rst + 1) % 8
+                        preds = [0] * ns
+                    mcu_idx += 1
                     for ci, (hs, vs, tq, (td, ta)) in enumerate(scan):
                         for byy in range(vs):
                             for bxx in range(hs):

@@ -852,8 +852,10 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     must come from SOF0, DC prediction across blocks and components, a
     mid-run AC coefficient with negative values, per-position and
     per-table dequantization, interleaved-MCU deinterleave with a padded
-    MCU column at width 24, 2x2 chroma upsampling, and 0xFF byte
-    stuffing in most fixtures). The coefficient patterns are chosen so
+    MCU column at width 24, 2x2 chroma upsampling, restart intervals on
+    a third of each parity — DRI + byte-aligned RSTn markers with
+    per-component predictor resets — and 0xFF byte stuffing in most
+    fixtures). The coefficient patterns are chosen so
     the lossy pipeline is exactly invertible (constant blocks + the
     ±1-integral u=4 basis), which lets the oracle recompute the 8-bin
     luminance histogram — and, for the color docs, the mean-Cb/mean-Cr
@@ -2842,4 +2844,147 @@ def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return smp.token_shard_packing(
         with_tok, "tok", budget=4096, order_col="doc_id", key_cols=["lang"]
+    )
+
+
+@register(
+    "ivf_pq_residual_rerank_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, label, u.pos AS pos, u.x AS x
+      FROM v, LATERAL (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS pos) u
+    ),
+    cmeans AS (
+      SELECT label, pos,
+             CAST(CAST(sum(CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 / count(*) AS m
+      FROM flat GROUP BY label, pos
+    ),
+    centroids AS (
+      SELECT label AS cell, list(m ORDER BY pos) AS cvec FROM cmeans GROUP BY label
+    ),
+    res AS (
+      SELECT f.vec_id, f.label, list(f.x - c.m ORDER BY f.pos) AS remb
+      FROM flat f JOIN cmeans c ON c.label = f.label AND c.pos = f.pos
+      GROUP BY f.vec_id, f.label
+    ),
+    subcb AS (
+      SELECT s.sub, a.vec_id AS cid, a.remb[s.sub*8+1 : s.sub*8+8] AS cv
+      FROM res a, (SELECT unnest(generate_series(0, 7)) AS sub) s
+      WHERE a.vec_id < 8
+    ),
+    csubs AS (
+      SELECT r.vec_id AS corpus_id, r.label, s.sub,
+             r.remb[s.sub*8+1 : s.sub*8+8] AS sv
+      FROM res r, (SELECT unnest(generate_series(0, 7)) AS sub) s
+    ),
+    enc_scored AS (
+      SELECT c.corpus_id, c.label, c.sub, b.cid,
+             CAST(floor((list_dot_product(c.sv, c.sv) + list_dot_product(b.cv, b.cv)
+                         - 2 * list_dot_product(c.sv, b.cv)) * 1e6 + 0.5e0) AS BIGINT) AS d
+      FROM csubs c JOIN subcb b USING (sub)
+    ),
+    codes AS (
+      SELECT corpus_id, label, sub, cid AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY corpus_id, sub
+                                     ORDER BY d ASC, cid ASC) AS rn
+        FROM enc_scored
+      ) WHERE rn = 1
+    ),
+    qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q
+           FROM embeddings WHERE vec_id % 100 = 0),
+    probe_scored AS (
+      SELECT qv.query_id, cen.cell,
+             round(list_dot_product(qv.q, cen.cvec) /
+                   (sqrt(list_dot_product(qv.q, qv.q))
+                    * sqrt(list_dot_product(cen.cvec, cen.cvec))), 6) AS csim
+      FROM qv CROSS JOIN centroids cen
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY csim DESC, cell ASC) AS pn
+        FROM probe_scored
+      ) WHERE pn <= 2
+    ),
+    qflat AS (
+      SELECT query_id, u.pos AS pos, u.x AS x
+      FROM qv, LATERAL (SELECT unnest(q) AS x, generate_subscripts(q, 1) AS pos) u
+    ),
+    qres AS (
+      SELECT p.query_id, p.cell, list(f.x - c.m ORDER BY f.pos) AS rq
+      FROM probes p
+      JOIN qflat f ON f.query_id = p.query_id
+      JOIN cmeans c ON c.label = p.cell AND c.pos = f.pos
+      GROUP BY p.query_id, p.cell
+    ),
+    qtab AS (
+      SELECT r.query_id, r.cell, b.sub, b.cid,
+             CAST(floor((list_dot_product(r.rq[b.sub*8+1 : b.sub*8+8], r.rq[b.sub*8+1 : b.sub*8+8])
+                         + list_dot_product(b.cv, b.cv)
+                         - 2 * list_dot_product(r.rq[b.sub*8+1 : b.sub*8+8], b.cv)) * 1e6 + 0.5e0) AS BIGINT) AS d
+      FROM qres r CROSS JOIN subcb b
+    ),
+    adc AS (
+      SELECT t.query_id, c.corpus_id, sum(t.d) AS units
+      FROM qtab t
+      JOIN codes c ON c.label = t.cell AND c.sub = t.sub AND t.cid = c.code
+      GROUP BY t.query_id, c.corpus_id
+    ),
+    cand AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY units ASC, corpus_id ASC) AS rn
+        FROM adc
+      ) WHERE rn <= 20
+    ),
+    exact AS (
+      SELECT d.query_id, d.corpus_id,
+             round(list_dot_product(q.q, c.emb) /
+                   (sqrt(list_dot_product(q.q, q.q))
+                    * sqrt(list_dot_product(c.emb, c.emb))), 6) AS score
+      FROM cand d
+      JOIN qv q ON q.query_id = d.query_id
+      JOIN v c ON c.vec_id = d.corpus_id
+    )
+    SELECT query_id, corpus_id, score, rank::BIGINT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, corpus_id ASC) AS rank
+      FROM exact
+    ) WHERE rank <= 5
+    """,
+)
+def ivf_pq_residual_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL codes + exact top-R re-rank — the full FAISS
+    IVFPQ+refine retrieval stack (operators/similarity.ivf_pq_topk with
+    residuals=True, rerank=20): corpus residuals (x - centroid(cell))
+    are PQ-encoded, queries probe their 2 nearest cells with per-cell
+    residual ADC tables, the codes nominate top-20 candidates, and one
+    exact cosine pass over the fetched raw vectors re-ranks to the final
+    top-5. Codebooks here are deterministic sampled anchors (the
+    residuals of vec_id 0-7, sliced per subspace — the standard
+    random-sample PQ baseline, chosen because every stage of the
+    machinery then has an exact SQL twin); tests/test_ann_recall.py
+    separately gates recall >= 0.9 with k-means-trained codebooks at
+    100k vectors. Scale shape: codebooks/ADC tables broadcast, the
+    encoded corpus joins probes on its cell key, the rerank fetch
+    broadcasts the (queries x 20) candidate list into a map-side probe
+    of the raw corpus — nothing rescans per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cen = sim.cell_centroids(emb)
+    anchors = sim.residual_vectors(emb.filter(F.col("vec_id") < 8), cen)
+    cbs = sim.pq_codebooks(
+        anchors.select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")),
+        m=8,
+        dim=64,
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "label", "embedding")
+    return sim.ivf_pq_topk(
+        queries, corpus, cen, m=8, dim=64, k=5, n_probe=2,
+        codebooks=cbs, residuals=True, rerank=20,
     )

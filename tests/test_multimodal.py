@@ -425,7 +425,7 @@ def test_jpeg_codec_round_trip():
         return w, 16, px
 
     stuffed = 0
-    for doc_id in (0, 1, 2, 7, 63, 256, 12345):
+    for doc_id in (0, 1, 2, 6, 7, 11, 63, 256, 12345):  # 6/11 carry DRI
         payload = synth_jpeg(doc_id)
         stuffed += b"\xff\x00" in payload
         # odd docs are 4:2:0 color; jpeg_pixels returns their Y plane,
@@ -459,7 +459,7 @@ def test_jpeg_420_planes_round_trip():
         synth_jpeg_420,
     )
 
-    for doc_id in (1, 3, 5, 7, 25, 1001):  # widths 24, 16, 32 mixed
+    for doc_id in (1, 3, 5, 7, 11, 17, 25, 1001):  # widths mixed; 11/17 carry DRI
         w = 16 + (doc_id % 3) * 8
         dw, dh, planes = jpeg_planes(synth_jpeg_420(doc_id))
         assert (dw, dh) == (w, JPEG_H) and len(planes) == 3
@@ -556,9 +556,21 @@ def test_jpeg_failure_modes():
     with pytest.raises(NotImplementedError, match="1- or 3-component"):
         jpeg_pixels(c2)
 
-    dri = bytes(good[:sof_at]) + b"\xff\xdd\x00\x04\x00\x10" + bytes(good[sof_at:])
-    with pytest.raises(NotImplementedError, match="restart"):
+    # DRI is SUPPORTED now — but a declared interval whose RST markers are
+    # missing from the entropy stream must fail loudly at the boundary
+    dri = bytes(good[:sof_at]) + b"\xff\xdd\x00\x04\x00\x02" + bytes(good[sof_at:])
+    with pytest.raises(ValueError, match="restart"):
         jpeg_pixels(dri)
+
+    # a corrupted RSTn index (RST0 stream, first marker flipped to RST5)
+    from financedatabase_spark.operators.jpeg import synth_jpeg as _sj
+
+    rst_stream = bytearray(_sj(6))  # grayscale with DRI=3 and live RST markers
+    at = rst_stream.find(b"\xff\xd0")
+    assert at > 0
+    rst_stream[at + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart"):
+        jpeg_pixels(bytes(rst_stream))
 
     with pytest.raises(ValueError, match="truncated|ended|no scan"):
         jpeg_pixels(bytes(good[:-20]))
