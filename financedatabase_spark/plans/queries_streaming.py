@@ -444,3 +444,105 @@ def streaming_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"), F.sum("n_words").alias("n_words")
     )
     return _run(spark, agg, "complete")
+
+
+def _bloom_pos_stream_sql(i: int, m: int = 65536, col: str = "h") -> str:
+    v28 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{i}:' || {col}), {j + 1}, 1)) - 1) * {16 ** (6 - j)}"
+        for j in range(7)
+    )
+    return f"({v28})::BIGINT % {m}"
+
+
+_BLOOM_STREAM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+bench AS (SELECT h FROM d WHERE doc_id % 97 = 0),
+bpos AS (
+  {" UNION ALL ".join(f"SELECT {_bloom_pos_stream_sql(i)} AS pos FROM bench" for i in range(3))}
+)
+SELECT pos // 32 AS word_idx, bit_or(1::BIGINT << (pos % 32)::INT) AS bits
+FROM bpos GROUP BY 1
+"""
+
+
+@register("streaming_bloom_build", _BLOOM_STREAM_ORACLE)
+def streaming_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom pre-filter bitmap maintained BY the streaming engine:
+    benchmark docs (the decontamination holdout, doc_id % 97 = 0) arrive
+    as a stream and their k=3 bit positions fold into the packed 32-bit
+    words via a complete-mode bit_or aggregation. Bloom state is
+    mergeable by bit_or BY CONSTRUCTION, so the streaming grid equals
+    the batch `sketch.bloom_build` bitmap exactly however the stream is
+    chunked — and stays <= m/32 rows (2048 longs) forever. Production
+    shape: the decontamination filter keeps itself current as new
+    benchmark releases land, with downstream probes broadcasting the
+    latest sink state."""
+    from financedatabase_spark.operators.sketch import bloom_build
+    from financedatabase_spark.operators.text import normalized_text
+
+    batch = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = tempfile.mkdtemp(prefix="fdb_stream_")
+    batch.repartition(1).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+
+    bench = stream.filter(F.col("doc_id") % 97 == 0).select(
+        F.md5(normalized_text("text")).alias("h")
+    )
+    grid = bloom_build(bench, "h")  # stateless explode + complete-mode bit_or
+    return _run(spark, grid, "complete")
+
+
+_HLL_STREAM_H = "(strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 1048576 * 16 + " + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(token), {i + 1}, 1)) - 1) * {16 ** (6 - i)}"
+    for i in range(1, 7)
+)
+
+_HLL_STREAM_ORACLE = f"""
+WITH norm AS (
+  SELECT lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tok AS (SELECT lang, unnest(string_split(t, ' ')) AS token FROM norm),
+tok2 AS (SELECT lang, token FROM tok WHERE token <> ''),
+hashed AS (
+  SELECT lang,
+         ({_HLL_STREAM_H})::BIGINT // 4194304 AS bucket,
+         ({_HLL_STREAM_H})::BIGINT % 4194304 AS w
+  FROM tok2
+)
+SELECT lang, bucket,
+       max(CASE WHEN w = 0 THEN 23 ELSE 23 - length(bin(w)) END)::INT AS r
+FROM hashed GROUP BY 1, 2
+"""
+
+
+@register("streaming_hll_registers", _HLL_STREAM_ORACLE)
+def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HyperLogLog registers maintained BY the streaming
+    engine: documents stream in, tokens hash to (bucket, rho), and the
+    complete-mode MAX aggregation IS the HLL merge law — registers only
+    ever grow, so the final sink equals the batch
+    `sketch.hll_registers` build exactly regardless of chunking, and
+    state stays <= langs x 64 rows forever. With streaming_cms_sketch
+    and streaming_bloom_build this closes the trio: all three classic
+    100 TB pre-filter sketches maintained incrementally by the engine
+    (sum-merge, bit_or-merge, max-merge). `hll_estimate` reads the sink
+    batch-side for the cardinality number."""
+    from financedatabase_spark.operators.sketch import hll_registers
+    from financedatabase_spark.operators.text import normalized_text
+
+    batch = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    stage = tempfile.mkdtemp(prefix="fdb_stream_")
+    batch.repartition(1).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+
+    toks = stream.select(
+        "lang", F.explode_outer(F.split(normalized_text("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    regs = hll_registers(toks, ["lang"], "token").select(
+        "lang", "bucket", F.col("r").cast("int").alias("r")
+    )
+    return _run(spark, regs, "complete")
