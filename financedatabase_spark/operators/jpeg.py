@@ -560,9 +560,11 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
     interleaved-MCU scan layout with per-component DC predictors and
     crops the padded MCU grid to the SOF0 geometry.
 
-    Raises NotImplementedError on the documented seams (progressive,
-    restart intervals, 16-bit quant, sampling layouts other than
-    grayscale 1x1 and YCbCr 4:2:0) and ValueError on malformed streams
+    Restart intervals (DRI/RSTn) are fully supported: predictors reset
+    and the bit reader re-aligns at every marker. Raises
+    NotImplementedError on the documented seams (progressive, 16-bit
+    quant, sampling layouts other than grayscale 1x1 and YCbCr 4:2:0)
+    and ValueError on malformed streams
     (including a SOS that references an undefined quant/Huffman table).
     """
     raw = bytes(payload)

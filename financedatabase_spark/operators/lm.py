@@ -415,9 +415,9 @@ def pmi_collocations(
         staged.select(F.explode_outer("_w").alias("t")).filter(F.col("t") != "")
     )
     uni = toks.groupBy("t").agg(F.count("*").alias("_c")).localCheckpoint()
-    n = sum(r["_c"] for r in uni.select(F.sum("_c").alias("_c")).collect())
+    n = uni.select(F.sum("_c")).first()[0] or 0
     bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint()
-    b = bi.select(F.sum("c12")).collect()[0][0] or 0
+    b = bi.select(F.sum("c12")).first()[0] or 0
     scored = (
         bi.filter(F.col("c12") >= min_count)
         .join(F.broadcast(uni.select(F.col("t").alias("w1"), F.col("_c").alias("_c1"))), "w1")

@@ -752,12 +752,31 @@ def residual_vectors(
     centroid (x - centroid(cell)) — the vectors FAISS IVF-PQ actually
     quantizes. Train subspace codebooks on THIS frame's output when
     using ``ivf_pq_topk(residuals=True)``. Broadcast centroid join,
-    map-side zip_with subtraction."""
+    map-side zip_with subtraction.
+
+    A row whose cell has no centroid is a centroid/assignment mismatch
+    (stale codebook, truncated centroid frame): the left join keeps the
+    row and ``raise_error`` fails the job loudly instead of silently
+    shrinking the residual-mode corpus."""
     cen = centroids.select(
         F.col("cell").alias("_rc_cell"), F.col("cvec").alias("_rc_cvec")
     )
-    out = df.join(F.broadcast(cen), F.col(cell_col) == F.col("_rc_cell")).withColumn(
-        vec_col, F.zip_with(_vec(vec_col), F.col("_rc_cvec"), lambda a, b: a - b)
+    out = df.join(
+        F.broadcast(cen), F.col(cell_col) == F.col("_rc_cell"), "left"
+    ).withColumn(
+        vec_col,
+        F.when(
+            F.col("_rc_cell").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("residual_vectors: no centroid for cell "),
+                    F.col(cell_col).cast("string"),
+                    F.lit(" — centroid frame does not cover the assignment"),
+                )
+            ),
+        ).otherwise(
+            F.zip_with(_vec(vec_col), F.col("_rc_cvec"), lambda a, b: a - b)
+        ),
     )
     return out.drop("_rc_cell", "_rc_cvec")
 
@@ -803,6 +822,15 @@ def ivf_pq_topk(
     (query_id, corpus_id, score, rank).
     """
     d = dim // m
+    if residuals and codebooks is None:
+        # sliced-RAW-centroid codebooks quantizing RESIDUAL vectors is a
+        # space mismatch — recall silently collapses. Fail loudly.
+        raise ValueError(
+            "ivf_pq_topk(residuals=True) requires codebooks trained on "
+            "residual vectors: pass pq_codebooks/pq_train_subspace output "
+            "over residual_vectors(corpus, centroids, ...) — the default "
+            "raw-centroid slices live in the wrong space"
+        )
     # default: the cheap sliced-centroid codebooks (fully SQL-expressible,
     # oracle-parity); pass pq_train_subspace(...) output for FAISS-grade
     # recall (resolves structure WITHIN coarse cells)

@@ -28,6 +28,9 @@ makes the availableNow replay honor it deterministically.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
 import uuid
 
@@ -38,12 +41,29 @@ from financedatabase_spark.sources.readers import load_table
 from financedatabase_spark.streaming.snapshots import latest_state_stream, streaming_bars
 from financedatabase_spark.plans.registry import register
 
+_STAGING_ROOT: list[str] = []
+
+
+def _stage_dir() -> str:
+    """A fresh staging subdirectory under ONE process-scoped root that is
+    rmtree'd at interpreter exit — repeated registry sweeps no longer
+    accumulate staged parquet copies in /tmp (each process cleans up its
+    own root; subdirs stay distinct so concurrent queries in one session
+    never collide)."""
+    if not _STAGING_ROOT:
+        root = tempfile.mkdtemp(prefix="fdb_stream_root_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _STAGING_ROOT.append(root)
+    d = os.path.join(_STAGING_ROOT[0], uuid.uuid4().hex[:12])
+    os.makedirs(d)
+    return d
+
 
 def _staged_stream(spark: SparkSession, sf_dir: str, cols: list[str] | None = None):
     batch = load_table(spark, sf_dir, "events").select(
         *(cols or ["event_id", "ts", "user_id", "event_type", "value"])
     )
-    stage = tempfile.mkdtemp(prefix="fdb_stream_")
+    stage = _stage_dir()
     # One time-sorted file: the replay honors the stateful operators'
     # in-event-time-order micro-batch contract.
     batch.repartition(1).sortWithinPartitions("ts").write.mode("overwrite").parquet(stage)
@@ -194,7 +214,7 @@ def history_union_today_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep-last (v3/utils.py:694-697)
     today_batch = ev2.filter(F.col("ts") > cut - F.expr("INTERVAL 2 HOURS")).drop("_mx")
 
-    stage = tempfile.mkdtemp(prefix="fdb_stream_")
+    stage = _stage_dir()
     today_batch.repartition(1).sortWithinPartitions("ts").write.mode(
         "overwrite"
     ).parquet(stage)
@@ -260,7 +280,7 @@ def streaming_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financedatabase_spark.operators.text import gopher_quality
 
     batch = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    stage = tempfile.mkdtemp(prefix="fdb_stream_")
+    stage = _stage_dir()
     batch.repartition(1).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(batch.schema).parquet(stage)
     flags = gopher_quality(stream, keep_cols=["source"])
@@ -304,7 +324,7 @@ def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financedatabase_spark.operators.text import normalized_text
 
     batch = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    stage = tempfile.mkdtemp(prefix="fdb_stream_")
+    stage = _stage_dir()
     batch.repartition(1).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(batch.schema).parquet(stage)
 
@@ -395,8 +415,6 @@ def streaming_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the identical two-stage filter + GROUP BY over the
     same parquet; complete-mode sums are commutative so the final sink
     state equals the batch aggregate exactly."""
-    import tempfile as _tf
-
     from financedatabase_spark.operators.corrections import (
         domain_blocklist_dim,
         host_suffix_chain,
@@ -407,7 +425,7 @@ def streaming_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    stage = _tf.mkdtemp(prefix="fdb_stream_")
+    stage = _stage_dir()
     batch.repartition(1).sortWithinPartitions("doc_id").write.mode(
         "overwrite"
     ).parquet(stage)
@@ -484,7 +502,7 @@ def streaming_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financedatabase_spark.operators.text import normalized_text
 
     batch = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    stage = tempfile.mkdtemp(prefix="fdb_stream_")
+    stage = _stage_dir()
     batch.repartition(1).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(batch.schema).parquet(stage)
 
@@ -535,7 +553,7 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financedatabase_spark.operators.text import normalized_text
 
     batch = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    stage = tempfile.mkdtemp(prefix="fdb_stream_")
+    stage = _stage_dir()
     batch.repartition(1).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(batch.schema).parquet(stage)
 

@@ -197,7 +197,10 @@ def test_bpe_batched_large_merge_space(spark):
         + "αβγδεζηθικλμνξοπρστυφχψω"
         + "абвгдежзийклмнопрстуфхцчшщыэюя"
     )
-    words = list({
+    # sorted() so the word list is independent of PYTHONHASHSEED (set
+    # iteration order over strings is hash-randomized); the seeded rng
+    # then makes the corpus fully deterministic run-to-run
+    words = sorted({
         "".join(rng.choice(alphabet) for _ in range(rng.randint(5, 12)))
         for _ in range(2600)
     })

@@ -1583,3 +1583,41 @@ def test_semdedup_mega_cluster_guard(spark):
         semdedup(df, cen, tau=0.99, max_cluster_size=10)
     out = semdedup(df, cen, tau=0.99, max_cluster_size=40).collect()
     assert len(out) == 40  # same data passes under an adequate cap
+
+
+def test_residual_vectors_missing_centroid_raises(spark):
+    """A row whose cell is absent from the centroid frame is a
+    centroid/assignment mismatch: residual_vectors must fail loudly
+    (raise_error through the left join), never silently drop the row the
+    way an inner join would shrink the residual-mode corpus."""
+    from py4j.protocol import Py4JJavaError
+
+    from financedatabase_spark.operators.similarity import residual_vectors
+
+    df = spark.createDataFrame(
+        [(0, 0, [1.0, 2.0]), (1, 9, [3.0, 4.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    cen = spark.createDataFrame([(0, [0.5, 0.5])], "cell int, cvec array<double>")
+    with pytest.raises(Exception, match="no centroid for cell 9"):
+        residual_vectors(df, cen).collect()
+    # full coverage: exact residual, no rows lost
+    ok = residual_vectors(df.filter(F.col("label") == 0), cen).collect()
+    assert len(ok) == 1 and ok[0].embedding == [0.5, 1.5]
+
+
+def test_ivf_pq_residuals_require_codebooks(spark):
+    """residuals=True with the default raw-centroid-slice codebooks is a
+    quantization-space mismatch — guard rejects it up front."""
+    from financedatabase_spark.operators.similarity import ivf_pq_topk
+
+    df = spark.createDataFrame(
+        [(0, 0, [1.0, 2.0])], "vec_id long, label int, embedding array<double>"
+    )
+    cen = spark.createDataFrame([(0, [0.5, 0.5])], "cell int, cvec array<double>")
+    with pytest.raises(ValueError, match="residual"):
+        ivf_pq_topk(
+            df.selectExpr("vec_id as query_id", "label", "embedding"),
+            df.selectExpr("vec_id as corpus_id", "label", "embedding"),
+            cen, m=1, dim=2, residuals=True,
+        )
