@@ -11,10 +11,23 @@ IDCT, level shift and clamp. Supported layouts: grayscale (1x1) and
 layout) with interleaved-MCU scan decode, per-component DC predictors,
 separate luma/chroma quant tables, and 2x2 replication chroma
 upsampling, plus restart intervals (DRI/RSTn — byte-aligned predictor
-resets, the segmentation every hardware encoder emits). Progressive
-(SOF2), 16-bit quant tables, non-4:2:0 color samplings, and
-non-interleaved multi-scan streams stay documented NotImplementedError
-seams, mirroring the PNG codec's depth gates.
+resets, the segmentation every hardware encoder emits).
+
+Progressive DCT (SOF2) decodes for real too — a large share of web
+JPEGs are progressive, so a crawl-facing multimodal stage cannot stop
+at baseline. Supported per T.81 Annex G: spectral selection (per-band
+single-component AC scans), successive approximation (DC point
+transform + AC magnitude-plane ladders), DC first/refinement scans
+(interleaved or single-component), AC first scans with cross-block
+EOBRUN (EOBn) coding, AC refinement scans with correction bits, and
+restart markers inside progressive scans (predictors AND EOB run
+reset). Coefficients accumulate across scans in quantized form and are
+dequantized + IDCT'd once at EOI.
+
+16-bit quant tables, non-4:2:0 color samplings, non-interleaved
+SEQUENTIAL multi-scan streams, and the other SOF processes
+(extended sequential, lossless, arithmetic) stay documented
+NotImplementedError seams, mirroring the PNG codec's depth gates.
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
 from coefficient patterns whose IDCT is integral — constant blocks
@@ -333,21 +346,26 @@ def _y_block_zz(doc_id: int, bx: int, by: int) -> list[int]:
 
 def synth_jpeg(doc_id: int) -> bytes:
     """Deterministic JPEG fixture mix — EVEN doc_ids get a grayscale
-    baseline JPEG, ODD doc_ids a 4:2:0 YCbCr one (synth_jpeg_420), so
-    a corpus built from this exercises both decoder paths. Width is
-    16/24/32 by doc (geometry must come from SOF0), height 16. Luma
-    block (bx, by) has base value v = (doc_id*17 + by*31 + bx*7) % 251
-    + 2; blocks in the second block-row add an exact ±d ripple (d =
-    (doc_id + bx) % 5 - 2) through the u=4 AC basis, so every fixture
-    exercises DC prediction across blocks, mid-run AC coding (13 zeros
-    before zigzag 14), negative-coefficient bit encoding, and
-    dequantization — while pixel(x, y) stays an integer formula the
-    oracle can recompute:
+    JPEG, ODD doc_ids a 4:2:0 YCbCr one, and within each parity every
+    other doc (doc_id % 4 in (2, 3)) ships as a PROGRESSIVE (SOF2)
+    container of the exact same pixel content (synth_jpeg_progressive),
+    so a corpus built from this exercises the baseline, color, restart
+    AND progressive decoder paths while every oracle formula stays
+    container-independent. Width is 16/24/32 by doc (geometry must come
+    from SOF0), height 16. Luma block (bx, by) has base value v =
+    (doc_id*17 + by*31 + bx*7) % 251 + 2; blocks in the second
+    block-row add an exact ±d ripple (d = (doc_id + bx) % 5 - 2)
+    through the u=4 AC basis, so every fixture exercises DC prediction
+    across blocks, mid-run AC coding (13 zeros before zigzag 14),
+    negative-coefficient bit encoding, and dequantization — while
+    pixel(x, y) stays an integer formula the oracle can recompute:
 
         v               for y < 8
         v + d*s(x % 8)  for y >= 8, s = [+,-,-,+,+,-,-,+]
     """
     doc_id = int(doc_id)
+    if doc_id % 4 in (2, 3):
+        return synth_jpeg_progressive(doc_id)
     if doc_id % 2 == 1:
         return synth_jpeg_420(doc_id)
     w, h = 16 + (doc_id % 3) * 8, JPEG_H
@@ -360,6 +378,64 @@ def synth_jpeg(doc_id: int) -> bytes:
     # the decoder must byte-align and reset predictors mid-scan
     ri = 3 if doc_id % 6 == 0 else 0
     return assemble_jpeg(w, h, _FIXTURE_QT, blocks, restart_interval=ri)
+
+
+def _chroma_blocks(
+    doc_id: int, mcu_w: int, mcu_h: int
+) -> tuple[list[list[list[int]]], list[list[list[int]]]]:
+    """The shared DC-only chroma fixture blocks (see synth_jpeg_420)."""
+
+    def chroma(val: int) -> list[int]:
+        bz = [0] * 64
+        bz[0] = val - 128
+        return bz
+
+    cb = [
+        [chroma((doc_id * 29 + mx * 13 + my * 11) % 251 + 2) for mx in range(mcu_w)]
+        for my in range(mcu_h)
+    ]
+    cr = [
+        [chroma((doc_id * 23 + mx * 7 + my * 19) % 251 + 2) for mx in range(mcu_w)]
+        for my in range(mcu_h)
+    ]
+    return cb, cr
+
+
+def synth_jpeg_progressive(doc_id: int) -> bytes:
+    """Deterministic PROGRESSIVE (SOF2) fixture with the exact same
+    pixel content as the baseline fixture of the same doc_id parity —
+    grayscale for even ids, 4:2:0 YCbCr for odd — so every oracle
+    formula holds unchanged while the container exercises the full
+    Annex G scan script: spectral selection (bands 1-5 / 6-63),
+    successive approximation on DC (Al=1 first pass + raw-bit
+    refinement) and AC (magnitude-plane first pass + correction-bit
+    refinement), cross-block EOBn runs, and the padded-MCU /
+    non-interleaved-grid mismatch at width 24. The same restart cadence
+    as the baseline mix (doc_id%6==0 gray / %6==5 color) puts DRI+RSTn
+    on the DC first scan, then rebinds DRI to 0 — T.81 E.2.4 — so the
+    decoder must track mid-stream DRI changes."""
+    doc_id = int(doc_id)
+    w, h = 16 + (doc_id % 3) * 8, JPEG_H
+    if doc_id % 2 == 1:
+        mcu_w, mcu_h = (w + 15) // 16, (h + 15) // 16
+        y_blocks = [
+            [_y_block_zz(doc_id, bx, by) for bx in range(mcu_w * 2)]
+            for by in range(mcu_h * 2)
+        ]
+        cb, cr = _chroma_blocks(doc_id, mcu_w, mcu_h)
+        dc_ri = 1 if doc_id % 6 == 5 else 0
+        return assemble_jpeg_progressive(
+            w, h, _FIXTURE_QT, y_blocks, qt_c_zz=_FIXTURE_QT_C,
+            cb_blocks=cb, cr_blocks=cr, dc_restart_interval=dc_ri,
+        )
+    blocks = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blocks.append(_y_block_zz(doc_id, bx, by))
+    dc_ri = 2 if doc_id % 6 == 0 else 0
+    return assemble_jpeg_progressive(
+        w, h, _FIXTURE_QT, blocks, dc_restart_interval=dc_ri
+    )
 
 
 def synth_jpeg_420(doc_id: int) -> bytes:
@@ -382,20 +458,7 @@ def synth_jpeg_420(doc_id: int) -> bytes:
         [_y_block_zz(doc_id, bx, by) for bx in range(mcu_w * 2)]
         for by in range(mcu_h * 2)
     ]
-
-    def chroma(val: int) -> list[int]:
-        bz = [0] * 64
-        bz[0] = val - 128
-        return bz
-
-    cb = [
-        [chroma((doc_id * 29 + mx * 13 + my * 11) % 251 + 2) for mx in range(mcu_w)]
-        for my in range(mcu_h)
-    ]
-    cr = [
-        [chroma((doc_id * 23 + mx * 7 + my * 19) % 251 + 2) for mx in range(mcu_w)]
-        for my in range(mcu_h)
-    ]
+    cb, cr = _chroma_blocks(doc_id, mcu_w, mcu_h)
     # color docs with doc_id % 6 == 5 are width 32 (two MCUs) and restart
     # every MCU (the tightest legal DRI): all six per-MCU predictors
     # reset at the boundary
@@ -403,6 +466,298 @@ def synth_jpeg_420(doc_id: int) -> bytes:
     return assemble_jpeg_420(
         w, h, _FIXTURE_QT, _FIXTURE_QT_C, y_blocks, cb, cr, restart_interval=ri
     )
+
+
+# -- progressive encoder (fixture synthesis, T.81 Annex G) -------------------
+
+#: Compact AC Huffman table for the progressive scans: EOBn run symbols
+#: (n = 0..4 → EOB runs up to 31 blocks — the Annex K baseline table has
+#: only EOB0, so progressive streams carry their own DHT, exactly like
+#: real encoders), ZRL, and (run, size) symbols for sizes 1..3. All 54
+#: symbols sit at code length 6 (2^6 = 64 > 54; the all-ones code stays
+#: unused), a spec-valid canonical DHT.
+PROG_AC_VALS = [0x00, 0x10, 0x20, 0x30, 0x40, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 4)
+]
+PROG_AC_BITS = [0, 0, 0, 0, 0, len(PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_ENC = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+
+class _ProgACState:
+    """Cross-block EOBRUN + buffered-correction-bit state for one
+    progressive AC scan (T.81 G.1.2.2-3; the EOBRUN/BE discipline every
+    progressive encoder implements): an end-of-band run accumulates over
+    blocks and is emitted as one EOBn symbol, with the correction bits
+    owed by refinement blocks inside the run appended right after it."""
+
+    def __init__(self, w: _BitWriter) -> None:
+        self.w = w
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def emit_sym(self, rs: int) -> None:
+        code, length = _PROG_AC_ENC[rs]
+        self.w.put(code, length)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self.emit_sym(r << 4)
+            if r:
+                self.w.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.w.put(b, 1)
+        self.pending = []
+
+
+def _prog_ac_first_block(st: _ProgACState, bz: list[int], ss: int, se: int, al: int) -> None:
+    """AC first scan for one block (T.81 G.1.2.2): code sign * (|coef|
+    >> Al) over the spectral band with run-length + EOBn coding."""
+    vals = []
+    last = -1
+    for k in range(ss, se + 1):
+        v = bz[k]
+        mag = (v if v >= 0 else -v) >> al
+        vals.append(0 if mag == 0 else (mag if v > 0 else -mag))
+        if mag:
+            last = k - ss
+    if last < 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+        return
+    st.flush_eobrun()
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            st.emit_sym(0xF0)
+            run -= 16
+        size, bits = _mag_bits(v)
+        st.emit_sym((run << 4) | size)
+        st.w.put(bits, size)
+        run = 0
+    if last < se - ss:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _prog_ac_refine_block(st: _ProgACState, bz: list[int], ss: int, se: int, al: int) -> None:
+    """AC refinement scan for one block (T.81 G.1.2.3): newly-nonzero
+    coefficients (|coef| >> Al == 1) get a run symbol + sign bit;
+    previously-nonzero ones get one buffered correction bit, emitted
+    after the next symbol (or after the EOBn covering their block)."""
+    absvals = []
+    eobpos = -1
+    for k in range(ss, se + 1):
+        t = bz[k]
+        t = (t if t >= 0 else -t) >> al
+        absvals.append(t)
+        if t == 1:
+            eobpos = k - ss
+    run = 0
+    br: list[int] = []
+    for i, t in enumerate(absvals):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eobpos:
+            st.flush_eobrun()
+            st.emit_sym(0xF0)
+            run -= 16
+            for b in br:
+                st.w.put(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        st.flush_eobrun()
+        st.emit_sym((run << 4) | 1)
+        st.w.put(1 if bz[ss + i] >= 0 else 0, 1)
+        for b in br:
+            st.w.put(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _encode_dc_first_scan(
+    mcus: list[list[tuple[int, int]]], al: int, restart_interval: int = 0
+) -> bytes:
+    """Progressive DC first scan: per-component predictive coding of the
+    point-transformed DC (arithmetic shift right by Al — T.81 G.1.2.1),
+    MCU-interleaved, with optional RSTn restarts."""
+    out = bytearray()
+    w = _BitWriter()
+    preds: dict[int, int] = {}
+    rst = 0
+    for idx, mcu in enumerate(mcus):
+        if restart_interval and idx and idx % restart_interval == 0:
+            out += w.flush()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            w = _BitWriter()
+            preds = {}
+        for comp, dc in mcu:
+            v = dc >> al
+            size, bits = _mag_bits(v - preds.get(comp, 0))
+            code, length = _DC_ENC[size]
+            w.put(code, length)
+            if size:
+                w.put(bits, size)
+            preds[comp] = v
+    out += w.flush()
+    return bytes(out)
+
+
+def _encode_dc_refine_scan(mcus: list[list[tuple[int, int]]], al: int) -> bytes:
+    """Progressive DC refinement scan: one raw bit per block — bit Al of
+    the DC coefficient (no Huffman coding — T.81 G.1.2.1)."""
+    w = _BitWriter()
+    for mcu in mcus:
+        for _comp, dc in mcu:
+            w.put((dc >> al) & 1, 1)
+    return w.flush()
+
+
+def _encode_ac_scan(
+    blocks: list[list[int]], ss: int, se: int, al: int, refine: bool
+) -> bytes:
+    w = _BitWriter()
+    st = _ProgACState(w)
+    for bz in blocks:
+        if refine:
+            _prog_ac_refine_block(st, bz, ss, se, al)
+        else:
+            _prog_ac_first_block(st, bz, ss, se, al)
+    st.flush_eobrun()
+    return w.flush()
+
+
+def _sos_seg(comps_spec: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(comps_spec)])
+    for cs, td, ta in comps_spec:
+        body += bytes([cs, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xFFDA, body)
+
+
+def assemble_jpeg_progressive(
+    w: int,
+    h: int,
+    qt_y_zz: list[int],
+    y_blocks,
+    qt_c_zz: list[int] | None = None,
+    cb_blocks: list[list[list[int]]] | None = None,
+    cr_blocks: list[list[list[int]]] | None = None,
+    dc_restart_interval: int = 0,
+) -> bytes:
+    """Assemble a spec-valid PROGRESSIVE (SOF2) JPEG carrying the same
+    quantized coefficients as the baseline assemblers — grayscale when
+    ``cb_blocks`` is None (``y_blocks`` a flat raster list, like
+    `assemble_jpeg`), 4:2:0 YCbCr otherwise (``y_blocks`` the padded
+    [block_row][block_col] grid, like `assemble_jpeg_420`).
+
+    Scan script (the shape real encoders emit — spectral selection AND
+    successive approximation on both DC and AC):
+
+    1. DC first scan, all components interleaved, Al=1
+       (optionally restart-segmented: ``dc_restart_interval`` emits a
+       DRI before it and a DRI=0 after, so later scans are restart-free
+       — exercising the DRI-rebinding rule of T.81 E.2.4)
+    2. per component: AC first scan, band 1..5, Al=1
+    3. per component: AC first scan, band 6..63, Al=1
+    4. DC refinement scan, interleaved, raw bits (Ah=1, Al=0)
+    5. per component: AC refinement scan, band 1..5 (Ah=1, Al=0)
+    6. per component: AC refinement scan, band 6..63 (Ah=1, Al=0)
+
+    AC scans are single-component over the component's NON-interleaved
+    block grid (ceil(comp_size/8) — T.81 A.2.2), which for a padded-MCU
+    geometry is SMALLER than the interleaved grid, so a decoder that
+    iterates the wrong grid desyncs. DC scans use the Annex K DC table;
+    AC scans use the module's compact progressive table (id 1) whose
+    EOBn symbols the baseline table lacks."""
+    color = cb_blocks is not None
+    mcu_w = len(cb_blocks[0]) if color else None
+    mcu_h = len(cb_blocks) if color else None
+    app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
+    if color:
+        dqt = bytes([0x00]) + bytes(qt_y_zz) + bytes([0x01]) + bytes(qt_c_zz)
+        sof2 = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+            [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+    else:
+        dqt = bytes([0x00]) + bytes(qt_y_zz)
+        sof2 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    dht_ac_prog = bytes([0x11]) + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS)
+
+    # interleaved MCU list of (component, DC value) for the DC scans, and
+    # per-component NON-interleaved block lists for the AC scans
+    if color:
+        dc_mcus: list[list[tuple[int, int]]] = []
+        for my in range(mcu_h):
+            for mx in range(mcu_w):
+                mcu = [
+                    (0, y_blocks[my * 2 + byy][mx * 2 + bxx][0])
+                    for byy in range(2)
+                    for bxx in range(2)
+                ]
+                mcu.append((1, cb_blocks[my][mx][0]))
+                mcu.append((2, cr_blocks[my][mx][0]))
+                dc_mcus.append(mcu)
+        ybw, ybh = (w + 7) // 8, (h + 7) // 8
+        y_list = [y_blocks[by][bx] for by in range(ybh) for bx in range(ybw)]
+        cbw, cbh = ((w + 1) // 2 + 7) // 8, ((h + 1) // 2 + 7) // 8
+        cb_list = [cb_blocks[by][bx] for by in range(cbh) for bx in range(cbw)]
+        cr_list = [cr_blocks[by][bx] for by in range(cbh) for bx in range(cbw)]
+        comp_blocks = [y_list, cb_list, cr_list]
+        comp_ids = [1, 2, 3]
+        dc_sos_comps = [(1, 0, 0), (2, 0, 0), (3, 0, 0)]
+    else:
+        dc_mcus = [[(0, bz[0])] for bz in y_blocks]
+        comp_blocks = [list(y_blocks)]
+        comp_ids = [1]
+        dc_sos_comps = [(1, 0, 0)]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xFFE0, app0)
+    out += _seg(0xFFDB, dqt)
+    if dc_restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", dc_restart_interval))
+    out += _seg(0xFFC2, sof2)
+    out += _seg(0xFFC4, dht_dc)
+    out += _seg(0xFFC4, dht_ac_prog)
+    # 1. DC first (Al=1), interleaved, optionally restart-segmented
+    out += _sos_seg(dc_sos_comps, 0, 0, 0, 1)
+    out += _encode_dc_first_scan(dc_mcus, 1, dc_restart_interval)
+    if dc_restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", 0))  # later scans restart-free
+    # 2./3. AC first scans (Al=1) per component, split spectral bands
+    for ss, se in ((1, 5), (6, 63)):
+        for ci, blocks in enumerate(comp_blocks):
+            out += _sos_seg([(comp_ids[ci], 0, 1)], ss, se, 0, 1)
+            out += _encode_ac_scan(blocks, ss, se, 1, refine=False)
+    # 4. DC refinement (raw bits), interleaved
+    out += _sos_seg(dc_sos_comps, 0, 0, 1, 0)
+    out += _encode_dc_refine_scan(dc_mcus, 0)
+    # 5./6. AC refinement scans (Ah=1 → Al=0) per component
+    for ss, se in ((1, 5), (6, 63)):
+        for ci, blocks in enumerate(comp_blocks):
+            out += _sos_seg([(comp_ids[ci], 0, 1)], ss, se, 1, 0)
+            out += _encode_ac_scan(blocks, ss, se, 0, refine=True)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # -- decoder -----------------------------------------------------------------
@@ -552,20 +907,274 @@ def _decode_block(
     return _idct_block(coef), pred
 
 
-def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
-    """Decode a baseline JPEG to (width, height, planes): one full-
-    resolution row-major plane per component — [Y] for grayscale,
-    [Y, Cb, Cr] for 4:2:0 color (chroma upsampled by 2x2 replication,
-    the standard nearest-neighbor reconstruction). Handles the
-    interleaved-MCU scan layout with per-component DC predictors and
-    crops the padded MCU grid to the SOF0 geometry.
+def _ac_first_decode(
+    r: _BitReader, ac: _HuffDec, blk: list[int], ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC first-scan decode for one block (T.81 G.2 / the
+    standard decode_mcu_AC_first): run-length + EOBn band decode into
+    the quantized-coefficient store (values << Al). Returns the EOB run
+    remaining for subsequent blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(r)
+        rr, s = rs >> 4, rs & 0xF
+        if s:
+            k += rr
+            if k > se:
+                raise ValueError("JPEG progressive AC coefficient overrun")
+            blk[k] = _extend(r.bits(s), s) << al
+            k += 1
+        else:
+            if rr != 15:
+                eobrun = 1 << rr
+                if rr:
+                    eobrun += r.bits(rr)
+                return eobrun - 1
+            k += 16
+    return 0
 
-    Restart intervals (DRI/RSTn) are fully supported: predictors reset
-    and the bit reader re-aligns at every marker. Raises
-    NotImplementedError on the documented seams (progressive, 16-bit
-    quant, sampling layouts other than grayscale 1x1 and YCbCr 4:2:0)
-    and ValueError on malformed streams
-    (including a SOS that references an undefined quant/Huffman table).
+
+def _ac_refine_decode(
+    r: _BitReader, ac: _HuffDec, blk: list[int], ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC refinement decode for one block (T.81 G.2 /
+    decode_mcu_AC_refine): newly-nonzero coefficients arrive as ±1<<Al;
+    every already-nonzero coefficient in the band consumes one
+    correction bit (added toward larger magnitude when set). Blocks
+    inside an EOB run still consume their correction bits."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac.decode(r)
+            rr, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG progressive AC refinement symbol with size != 1"
+                    )
+                newval = p1 if r.bit() else m1
+            else:
+                if rr != 15:
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.bits(rr)
+                    break
+            while k <= se:
+                c = blk[k]
+                if c != 0:
+                    if r.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("JPEG progressive AC refinement overrun")
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = blk[k]
+            if c != 0:
+                if r.bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _crop_planes(
+    planes_raw: list[list[list[int]]],
+    samplings: list[tuple[int, int]],
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+) -> list[list[int]]:
+    """Crop each component's padded block grid to the SOF geometry and
+    upsample subsampled components by pixel replication (the standard
+    nearest-neighbor chroma reconstruction)."""
+    out: list[list[int]] = []
+    for ci, (hs, vs) in enumerate(samplings):
+        plane = planes_raw[ci]
+        fx, fy = hmax // hs, vmax // vs
+        flat: list[int] = []
+        for y in range(h):
+            src = plane[y // fy]
+            flat.extend(src[x // fx] for x in range(w))
+        out.append(flat)
+    return out
+
+
+def _nonint_grid(
+    w: int, h: int, hs: int, vs: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """Block columns/rows of a component in a NON-interleaved scan:
+    ceil(ceil(dim * sampling / max_sampling) / 8) — T.81 A.2.2. Smaller
+    than the interleaved padded grid when the geometry pads an MCU."""
+    cw = (w * hs + hmax - 1) // hmax
+    ch = (h * vs + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _decode_progressive_scan(
+    raw: bytes,
+    pos: int,
+    seglen: int,
+    body: bytes,
+    w: int,
+    h: int,
+    comps: list[tuple[int, int, int, int]],
+    dcs: dict[int, _HuffDec],
+    acs: dict[int, _HuffDec],
+    restart_interval: int,
+    prog_grid: tuple[int, int, int, int],
+    prog_coefs: list[list[list[int]]],
+) -> int:
+    """Decode ONE progressive scan (T.81 Annex G) into the quantized-
+    coefficient store and return the stream position of the next marker.
+    DC scans (Ss=0) may be interleaved over the MCU grid or single-
+    component; AC scans are single-component over the component's
+    NON-interleaved ceil(comp_size/8) block grid — strictly smaller than
+    the interleaved padded grid when the geometry pads an MCU column.
+    Restart markers reset the DC predictors and the EOB run."""
+    hmax, vmax, mcus_x, mcus_y = prog_grid
+    ns = body[0]
+    if len(body) < 1 + 2 * ns + 3:
+        raise ValueError("JPEG SOS truncated (component specs short)")
+    scan: list[tuple[int, int, int]] = []  # (comp index, td, ta)
+    for si in range(ns):
+        cs = body[1 + 2 * si]
+        td, ta = body[2 + 2 * si] >> 4, body[2 + 2 * si] & 0xF
+        match = [i for i, c in enumerate(comps) if c[0] == cs]
+        if not match:
+            raise ValueError("JPEG SOS references unknown component id")
+        scan.append((match[0], td, ta))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ahal = body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    r = _BitReader(raw, pos + 2 + seglen)
+    if ss == 0:
+        # DC scan (first pass when Ah=0, refinement bits when Ah>0)
+        if se != 0:
+            raise ValueError("JPEG progressive DC scan must have Se=0")
+        if ah == 0 and any(td not in dcs for _, td, _ in scan):
+            raise ValueError("JPEG SOS references undefined quant/Huffman table")
+        if ns == len(comps):
+            preds = [0] * ns
+            rst = 0
+            mcu_idx = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                        r.restart(rst)
+                        rst = (rst + 1) % 8
+                        preds = [0] * ns
+                    mcu_idx += 1
+                    for si, (ci, td, _ta) in enumerate(scan):
+                        _, hs, vs, _ = comps[ci]
+                        stride = mcus_x * hs
+                        for byy in range(vs):
+                            for bxx in range(hs):
+                                blk = prog_coefs[ci][
+                                    (my * vs + byy) * stride + (mx * hs + bxx)
+                                ]
+                                if ah == 0:
+                                    s = dcs[td].decode(r)
+                                    preds[si] += _extend(r.bits(s), s)
+                                    blk[0] = preds[si] << al
+                                else:
+                                    blk[0] |= r.bit() << al
+        elif ns == 1:
+            ci, td, _ta = scan[0]
+            _, hs, vs, _ = comps[ci]
+            bw_n, bh_n = _nonint_grid(w, h, hs, vs, hmax, vmax)
+            stride = mcus_x * hs
+            pred = 0
+            rst = 0
+            idx = 0
+            for by in range(bh_n):
+                for bx in range(bw_n):
+                    if restart_interval and idx and idx % restart_interval == 0:
+                        r.restart(rst)
+                        rst = (rst + 1) % 8
+                        pred = 0
+                    idx += 1
+                    blk = prog_coefs[ci][by * stride + bx]
+                    if ah == 0:
+                        s = dcs[td].decode(r)
+                        pred += _extend(r.bits(s), s)
+                        blk[0] = pred << al
+                    else:
+                        blk[0] |= r.bit() << al
+        else:
+            raise NotImplementedError(
+                "partially interleaved progressive DC scan not supported"
+            )
+    else:
+        # AC scan: spec mandates a single component
+        if ns != 1:
+            raise ValueError("JPEG progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError("JPEG progressive scan has invalid spectral band")
+        ci, _td, ta = scan[0]
+        if ta not in acs:
+            raise ValueError("JPEG SOS references undefined quant/Huffman table")
+        ac = acs[ta]
+        _, hs, vs, _ = comps[ci]
+        bw_n, bh_n = _nonint_grid(w, h, hs, vs, hmax, vmax)
+        stride = mcus_x * hs
+        eobrun = 0
+        rst = 0
+        idx = 0
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                if restart_interval and idx and idx % restart_interval == 0:
+                    r.restart(rst)
+                    rst = (rst + 1) % 8
+                    eobrun = 0
+                idx += 1
+                blk = prog_coefs[ci][by * stride + bx]
+                if ah == 0:
+                    eobrun = _ac_first_decode(r, ac, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_decode(r, ac, blk, ss, se, al, eobrun)
+    # resync: skip any pad bits / stuffed bytes to the next true marker
+    p = r.pos
+    while p + 1 < len(raw) and not (
+        raw[p] == 0xFF and raw[p + 1] != 0x00 and not (0xD0 <= raw[p + 1] <= 0xD7)
+    ):
+        p += 1
+    return p
+
+
+def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG to (width,
+    height, planes): one full-resolution row-major plane per component —
+    [Y] for grayscale, [Y, Cb, Cr] for 4:2:0 color (chroma upsampled by
+    2x2 replication, the standard nearest-neighbor reconstruction).
+    Baseline streams decode the interleaved-MCU scan with per-component
+    DC predictors; progressive streams accumulate quantized coefficients
+    across their scan script — DC first/refinement (interleaved or
+    single-component, point transform Al), single-component AC first
+    scans per spectral band with cross-block EOBn runs, AC refinement
+    scans with correction bits — and dequantize + IDCT once at EOI.
+    Both paths crop the padded MCU grid to the SOF geometry.
+
+    Restart intervals (DRI/RSTn) are fully supported in both modes:
+    predictors (and the progressive EOB run) reset and the bit reader
+    re-aligns at every marker, honoring mid-stream DRI rebinding.
+    Raises NotImplementedError on the documented seams (16-bit quant,
+    sampling layouts other than grayscale 1x1 and YCbCr 4:2:0,
+    non-interleaved SEQUENTIAL scans, other SOF processes) and
+    ValueError on malformed streams (including a SOS that references an
+    undefined quant/Huffman table).
     """
     raw = bytes(payload)
     if raw[:2] != b"\xff\xd8":
@@ -576,15 +1185,23 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
     acs: dict[int, _HuffDec] = {}
     w = h = 0
     restart_interval = 0
+    progressive = False
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
-    while pos + 4 <= len(raw):
+    prog_coefs: list[list[list[int]]] | None = None  # [comp][block][64] zigzag
+    prog_grid: tuple[int, int, int, int] | None = None  # hmax, vmax, mcus_x, mcus_y
+    while pos + 2 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = raw[pos + 1]
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential DCT (SOF0) supported, got SOF marker 0xFF{marker:02X}"
+                f"only baseline (SOF0) and progressive (SOF2) DCT supported, "
+                f"got SOF marker 0xFF{marker:02X}"
             )
+        if pos + 4 > len(raw):
+            raise ValueError("JPEG segment truncated (declared length exceeds stream)")
         (seglen,) = struct.unpack_from(">H", raw, pos + 2)
         if seglen < 2 or pos + 2 + seglen > len(raw):
             raise ValueError("JPEG segment truncated (declared length exceeds stream)")
@@ -616,9 +1233,10 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
                 vals = list(body[off + 17:off + 17 + n])
                 (dcs if tc == 0 else acs)[th] = _HuffDec(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            progressive = marker == 0xC2
             if len(body) < 6:
-                raise ValueError("JPEG SOF0 truncated")
+                raise ValueError("JPEG SOF truncated")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG samples supported")
@@ -650,9 +1268,25 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
             if not (w and h) or not comps:
                 raise ValueError("JPEG SOS before SOF0")
             ns = body[0]
+            if progressive:
+                if prog_coefs is None:
+                    hmax = max(hs for _, hs, _, _ in comps)
+                    vmax = max(vs for _, _, vs, _ in comps)
+                    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                    prog_grid = (hmax, vmax, mcus_x, mcus_y)
+                    prog_coefs = [
+                        [[0] * 64 for _ in range(mcus_x * hs * mcus_y * vs)]
+                        for _, hs, vs, _ in comps
+                    ]
+                pos = _decode_progressive_scan(
+                    raw, pos, seglen, body, w, h, comps, dcs, acs,
+                    restart_interval, prog_grid, prog_coefs,
+                )
+                continue
             if ns != len(comps):
                 raise NotImplementedError(
-                    "non-interleaved (multi-scan) JPEG not supported"
+                    "non-interleaved (multi-scan) sequential JPEG not supported"
                 )
             if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("JPEG SOS truncated (component specs short)")
@@ -700,17 +1334,37 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
                                 for y in range(8):
                                     row = plane[py0 + y]
                                     row[px0:px0 + 8] = px[y * 8:y * 8 + 8]
-            out: list[list[int]] = []
-            for ci, (hs, vs, _, _) in enumerate(scan):
-                plane = planes_raw[ci]
-                fx, fy = hmax // hs, vmax // vs  # replication factors
-                flat: list[int] = []
-                for y in range(h):
-                    src = plane[y // fy]
-                    flat.extend(src[x // fx] for x in range(w))
-                out.append(flat)
-            return w, h, out
+            return w, h, _crop_planes(
+                planes_raw, [(hs, vs) for hs, vs, _, _ in scan], w, h, hmax, vmax
+            )
         pos += 2 + seglen
+    if progressive and prog_coefs is not None:
+        # EOI: dequantize the accumulated coefficients, IDCT every block,
+        # then the same crop/upsample as the sequential path
+        hmax, vmax, mcus_x, mcus_y = prog_grid
+        planes_raw = [
+            [[0] * (mcus_x * hs * 8) for _ in range(mcus_y * vs * 8)]
+            for _, hs, vs, _ in comps
+        ]
+        for ci, (_cid, hs, vs, tq) in enumerate(comps):
+            if tq not in qts:
+                raise ValueError("JPEG SOF references undefined quant table")
+            qt = qts[tq]
+            stride = mcus_x * hs
+            plane = planes_raw[ci]
+            for bi, zzblk in enumerate(prog_coefs[ci]):
+                by, bx = divmod(bi, stride)
+                coef = [0] * 64
+                for zi, ri in enumerate(ZIGZAG):
+                    coef[ri] = zzblk[zi] * qt[zi]
+                px = _idct_block(coef)
+                py0, px0 = by * 8, bx * 8
+                for y in range(8):
+                    row = plane[py0 + y]
+                    row[px0:px0 + 8] = px[y * 8:y * 8 + 8]
+        return w, h, _crop_planes(
+            planes_raw, [(hs, vs) for _, hs, vs, _ in comps], w, h, hmax, vmax
+        )
     raise ValueError("JPEG has no scan (missing SOS)")
 
 

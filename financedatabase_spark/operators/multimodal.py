@@ -13,8 +13,9 @@ pure-stdlib chunk walker (`avi_decode` — avih/strf header parse, per-
 frame luminance-sum features with row-padding awareness); images
 (8-bit grayscale/RGB PNG) decode for real via a pure-stdlib parser
 (`png_decode` — chunk walk, zlib inflate, full five-filter scanline
-reconstruction); baseline JPEG decodes for real via `operators/jpeg.py`
-(marker parse, Huffman, dequant, IDCT), with Pillow as the optional
+reconstruction); baseline AND progressive JPEG decode for real via
+`operators/jpeg.py` (marker parse, Huffman, dequant, IDCT; SOF2
+multi-scan coefficient accumulation), with Pillow as the optional
 general-format fallback (`pil_decode`). Compressed video (mp4/h264) and
 other formats without Pillow stay documented NotImplementedError seams —
 but every modality's container plumbing is exercised by a real codec,

@@ -845,17 +845,24 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image feature extraction through the REAL pure-stdlib baseline
-    JPEG codec (operators/jpeg.jpeg_decode via dispatch_decode) over a
-    MIXED corpus: even doc_ids get a grayscale baseline JPEG, odd ones
-    a 4:2:0 YCbCr JPEG (synth_jpeg — width varying 16/24/32 so geometry
-    must come from SOF0, DC prediction across blocks and components, a
-    mid-run AC coefficient with negative values, per-position and
-    per-table dequantization, interleaved-MCU deinterleave with a padded
-    MCU column at width 24, 2x2 chroma upsampling, restart intervals on
-    a third of each parity — DRI + byte-aligned RSTn markers with
-    per-component predictor resets — and 0xFF byte stuffing in most
-    fixtures). The coefficient patterns are chosen so
+    """Image feature extraction through the REAL pure-stdlib JPEG codec
+    (operators/jpeg.jpeg_decode via dispatch_decode) over a MIXED
+    corpus: even doc_ids get a grayscale JPEG, odd ones a 4:2:0 YCbCr
+    JPEG, and within each parity every other doc (doc_id % 4 in (2, 3))
+    ships as a PROGRESSIVE (SOF2) container of the same pixel content —
+    spectral-selection band scans, successive approximation on DC and
+    AC, AC refinement correction bits, cross-block EOBn runs
+    (synth_jpeg — width varying 16/24/32 so geometry must come from the
+    SOF, DC prediction across blocks and components, a mid-run AC
+    coefficient with negative values, per-position and per-table
+    dequantization, interleaved-MCU deinterleave with a padded MCU
+    column at width 24 — whose progressive AC scans use the SMALLER
+    non-interleaved grid, 2x2 chroma upsampling, restart intervals on a
+    third of each parity — DRI + byte-aligned RSTn markers with
+    per-component predictor resets, rebound mid-stream to 0 after the
+    progressive DC scan per T.81 E.2.4 — and 0xFF byte stuffing in most
+    fixtures). The container mix changes NO pixel: the oracle formula is
+    identical for all four variants. The coefficient patterns are chosen so
     the lossy pipeline is exactly invertible (constant blocks + the
     ±1-integral u=4 basis), which lets the oracle recompute the 8-bin
     luminance histogram — and, for the color docs, the mean-Cb/mean-Cr

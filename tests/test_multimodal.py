@@ -519,9 +519,18 @@ def test_jpeg_failure_modes():
 
     good = bytearray(synth_jpeg(4))  # even -> grayscale base stream
     sof_at = good.find(b"\xff\xc0")
-    progressive = bytes(good[:sof_at + 1]) + b"\xc2" + bytes(good[sof_at + 2:])
-    with pytest.raises(NotImplementedError, match="SOF0"):
-        jpeg_pixels(progressive)
+    # progressive (SOF2) is SUPPORTED now — but flipping a BASELINE
+    # stream's SOF marker to SOF2 yields a malformed progressive scan
+    # script (a full-band Ss=0..Se=63 scan is illegal under Annex G):
+    # must fail loudly as a corrupt stream, not decode garbage
+    sof2_flip = bytes(good[:sof_at + 1]) + b"\xc2" + bytes(good[sof_at + 2:])
+    with pytest.raises(ValueError, match="Se=0"):
+        jpeg_pixels(sof2_flip)
+
+    # the OTHER SOF processes stay stated seams (extended sequential here)
+    sof1_flip = bytes(good[:sof_at + 1]) + b"\xc1" + bytes(good[sof_at + 2:])
+    with pytest.raises(NotImplementedError, match="SOF"):
+        jpeg_pixels(sof1_flip)
 
     # 3-component 4:2:0 is now SUPPORTED — but a 4:2:0 SOF0 followed by
     # the grayscale single-component scan is a component-count mismatch
@@ -599,3 +608,55 @@ def test_jpeg_truncated_segments_raise_valueerror():
     p = b"\xff\xd8\xff\xc4" + struct.pack(">H", 19) + b"\x00" + bytes([1] + [0] * 15)
     with pytest.raises(ValueError, match="truncated|DHT"):
         jpeg_pixels(p)
+
+
+def test_jpeg_progressive_round_trip():
+    """Progressive (SOF2) fixtures must decode to EXACTLY the pixels of
+    the baseline container carrying the same quantized coefficients —
+    across grayscale/color, all three widths (including the padded-MCU
+    width 24, where the non-interleaved AC grid is smaller than the
+    interleaved one), and the DRI-on-DC-scan variants (doc%6 in (0,5))
+    that rebind DRI to 0 between scans. Width 32 docs make every AC
+    band-1..5 scan a multi-block EOB run, so EOBn (n>0) symbols and the
+    cross-block run decode are exercised, not just EOB0."""
+    from financedatabase_spark.operators.jpeg import (
+        JPEG_H,
+        _FIXTURE_QT,
+        _y_block_zz,
+        assemble_jpeg,
+        jpeg_planes,
+        synth_jpeg_420,
+        synth_jpeg_progressive,
+    )
+
+    for d in range(48):
+        prog = synth_jpeg_progressive(d)
+        if d % 2 == 1:
+            base = synth_jpeg_420(d)
+        else:
+            w, h = 16 + (d % 3) * 8, JPEG_H
+            blocks = [
+                _y_block_zz(d, bx, by)
+                for by in range(h // 8)
+                for bx in range(w // 8)
+            ]
+            base = assemble_jpeg(
+                w, h, _FIXTURE_QT, blocks, restart_interval=3 if d % 6 == 0 else 0
+            )
+        assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+        assert jpeg_planes(prog) == jpeg_planes(base), f"doc {d}"
+
+    # scan script shape: 1 DC first + per-comp band first scans + DC
+    # refine + per-comp band refines = 6 scans grayscale, 14 color
+    import re
+
+    def scan_count(p):
+        # count SOS segment HEADERS (marker followed by a plausible
+        # ns in 1..3), not entropy-data coincidences
+        return len(re.findall(b"\xff\xda\x00.[\x01-\x03]", p, re.DOTALL))
+
+    assert scan_count(synth_jpeg_progressive(2)) == 6
+    assert scan_count(synth_jpeg_progressive(3)) == 14
+    # DRI rebinding: the restart variant emits DRI twice (Ri, then 0)
+    ri_doc = synth_jpeg_progressive(6)
+    assert ri_doc.count(b"\xff\xdd") == 2 and b"\xff\xd0" in ri_doc
