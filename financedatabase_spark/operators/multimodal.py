@@ -391,14 +391,86 @@ def synth_avi(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
 
 
+#: MJPEG fixture frame-chunk size: every JPEG frame is zero-padded to
+#: this many bytes (measured fixture max is 353; decoders stop at EOI, and
+#: real MJPEG muxers pad frames too), so the container's total size stays
+#: a pure integer function of doc_id that a SQL oracle can recompute.
+MJPEG_FRAME_CAP = 512
+
+#: BITMAPINFOHEADER biCompression fourcc 'MJPG' as the little-endian u32
+#: it is stored as.
+_MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
+def synth_avi_mjpeg(doc_id: int) -> bytes:
+    """Deterministic MJPEG AVI fixture: the same RIFF/AVI layout as
+    `synth_avi` but with fccHandler/biCompression 'MJPG' and ``00dc``
+    frame chunks each carrying a REAL 16x16 grayscale JPEG
+    (operators/jpeg.synth_jpeg at e = 6*(doc_id*13 + f) — always even
+    and ≡ 0 mod 6, so frames ALTERNATE baseline-with-restart-markers and
+    progressive-with-DC-scan-restarts containers as f advances),
+    zero-padded to MJPEG_FRAME_CAP bytes. n_frames = 6 + doc_id % 4;
+    total size = 224 + (8 + MJPEG_FRAME_CAP)·n_frames — the header
+    layout is byte-compatible with `synth_avi`, so the 224-byte constant
+    is shared and the oracle's n_bytes check proves the mux."""
+    from financedatabase_spark.operators.jpeg import synth_jpeg
+
+    doc_id = int(doc_id)
+    n = 6 + doc_id % 4
+    w = h = AVI_W
+    fb = MJPEG_FRAME_CAP
+
+    def frame(f: int) -> bytes:
+        jp = synth_jpeg(6 * (doc_id * 13 + f))
+        if len(jp) > fb:
+            raise ValueError(
+                f"MJPEG fixture frame exceeds MJPEG_FRAME_CAP ({len(jp)} > {fb})"
+            )
+        return jp + b"\x00" * (fb - len(jp))
+
+    avih = struct.pack(
+        "<10I", 40000, fb * 25, 0, 0, n, 0, 1, fb, w, h
+    ) + b"\x00" * 16
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, n, fb, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, _MJPG_FOURCC, fb, 0, 0, 0, 0
+    )
+    strl = (
+        b"LIST" + struct.pack("<I", 4 + 8 + 56 + 8 + 40) + b"strl"
+        + b"strh" + struct.pack("<I", 56) + strh
+        + b"strf" + struct.pack("<I", 40) + strf
+    )
+    hdrl = (
+        b"LIST" + struct.pack("<I", 4 + 8 + 56 + len(strl)) + b"hdrl"
+        + b"avih" + struct.pack("<I", 56) + avih + strl
+    )
+    frames = b"".join(
+        b"00dc" + struct.pack("<I", fb) + frame(f) for f in range(n)
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(frames)) + b"movi" + frames
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+
+
 def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Real video codec for the `decode_features` seam — pure stdlib, no
     ffmpeg. Walks the RIFF chunk tree (hdrl → avih geometry + strf
-    BITMAPINFOHEADER pixel format; movi → ``00db``/``00dc`` frames),
-    requires uncompressed 24-bit BI_RGB DIB frames, and emits ``dim``
-    windowed features: feats[w] = sum of per-frame pixel-byte sums for
-    frames f with f*dim//n_frames == w, skipping each row's 4-byte
-    alignment padding. Integer sums keep the output bit-stable across
+    BITMAPINFOHEADER pixel format; movi → ``00db``/``00dc`` frames) and
+    emits ``dim`` windowed features: feats[w] = sum of per-frame
+    pixel-value sums for frames f with f*dim//n_frames == w.
+
+    Two pixel formats decode: uncompressed 24-bit BI_RGB DIB (per-frame
+    sum of the raw pixel bytes, skipping each row's 4-byte alignment
+    padding) and MJPEG (biCompression 'MJPG': each frame chunk is a
+    complete baseline-or-progressive JPEG — decoded through
+    operators/jpeg.jpeg_planes, per-frame sum over every sample of every
+    decoded plane, with the SOF geometry validated against the container
+    geometry). Anything else (cvid, xvid, h264...) raises
+    NotImplementedError naming the fourcc — compressed video beyond
+    MJPEG needs ffmpeg. Integer sums keep the output bit-stable across
     engines.
 
     Reference parity: the reference has no video path at all (media are
@@ -441,19 +513,37 @@ def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
                     frame_spans.append((o2, s2))
     if width is None or not frame_spans:
         raise ValueError("AVI missing avih header or movi frames")
-    if bitcount != 24 or compression != 0:
-        raise NotImplementedError(
-            f"only uncompressed 24-bit DIB frames supported "
-            f"(got bitcount={bitcount}, compression={compression})"
-        )
-    stride = (width * 3 + 3) // 4 * 4
     sums = []
-    for o, sz in frame_spans:
-        data = raw[o:o + sz]
-        total = 0
-        for r in range(height):
-            total += sum(data[r * stride:r * stride + width * 3])
-        sums.append(total)
+    if compression == _MJPG_FOURCC:
+        from financedatabase_spark.operators.jpeg import jpeg_planes
+
+        for o, sz in frame_spans:
+            fw, fh, planes = jpeg_planes(raw[o:o + sz])
+            if (fw, fh) != (width, height):
+                raise ValueError(
+                    f"MJPEG frame geometry {fw}x{fh} does not match the "
+                    f"container's {width}x{height}"
+                )
+            sums.append(sum(sum(p) for p in planes))
+    elif compression == 0:
+        if bitcount != 24:
+            raise NotImplementedError(
+                f"only 24-bit uncompressed DIB frames supported "
+                f"(got bitcount={bitcount})"
+            )
+        stride = (width * 3 + 3) // 4 * 4
+        for o, sz in frame_spans:
+            data = raw[o:o + sz]
+            total = 0
+            for r in range(height):
+                total += sum(data[r * stride:r * stride + width * 3])
+            sums.append(total)
+    else:
+        fourcc = compression.to_bytes(4, "little")
+        raise NotImplementedError(
+            f"only uncompressed DIB and MJPEG AVI frames supported "
+            f"(got biCompression {fourcc!r}) — other codecs need ffmpeg"
+        )
     if total_frames is not None and len(sums) != total_frames:
         raise ValueError(
             f"frame count mismatch: avih says {total_frames}, movi has {len(sums)}"

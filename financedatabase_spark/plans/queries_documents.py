@@ -686,7 +686,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_video_features",
     oracle="""
     WITH d AS (
-      SELECT doc_id, 8 + doc_id % 5 AS n FROM documents
+      SELECT doc_id, 8 + doc_id % 5 AS n FROM documents WHERE doc_id % 2 = 0
     ),
     fr AS (
       SELECT doc_id, n, f
@@ -700,29 +700,67 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            UNNEST(generate_series(0, 15)) ux(x),
            UNNEST(generate_series(0, 2)) uc(c)
       GROUP BY doc_id, n, f
+    ),
+    dib AS (
+      SELECT doc_id,
+             (224 + 776 * n)::BIGINT AS n_bytes,
+             ((f * 8) // n)::INT AS win,
+             sum(fsum)::DOUBLE AS lum_sum
+      FROM fs GROUP BY doc_id, n, (f * 8) // n
+    ),
+    md AS (
+      SELECT doc_id, 6 + doc_id % 4 AS n FROM documents WHERE doc_id % 2 = 1
+    ),
+    mfs AS (
+      SELECT doc_id, n, f,
+             64 * sum((6*(doc_id*13 + f)*17 + by*31 + bx*7) % 251 + 2)::BIGINT AS fsum
+      FROM md,
+           UNNEST(generate_series(0, n - 1)) uf(f),
+           UNNEST(generate_series(0, 1)) uby(by),
+           UNNEST(generate_series(0, 1)) ubx(bx)
+      GROUP BY doc_id, n, f
+    ),
+    mgrid AS (
+      SELECT doc_id, n, unnest(generate_series(0, 7)) AS win FROM md
+    ),
+    mjpg AS (
+      -- 6/7-frame docs leave trailing windows EMPTY: the decoder emits
+      -- zeros there, so the oracle builds the full window grid
+      SELECT g.doc_id,
+             (224 + 520 * g.n)::BIGINT AS n_bytes,
+             g.win::INT AS win,
+             coalesce(s.lum, 0)::DOUBLE AS lum_sum
+      FROM mgrid g LEFT JOIN (
+        SELECT doc_id, (f * 8) // n AS win, sum(fsum) AS lum
+        FROM mfs GROUP BY 1, 2
+      ) s ON s.doc_id = g.doc_id AND s.win = g.win
     )
-    SELECT doc_id,
-           (224 + 776 * n)::BIGINT AS n_bytes,
-           ((f * 8) // n)::INT AS win,
-           sum(fsum)::DOUBLE AS lum_sum
-    FROM fs GROUP BY doc_id, n, (f * 8) // n
+    SELECT * FROM dib UNION ALL SELECT * FROM mjpg
     """,
 )
 def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video feature extraction through the REAL pure-stdlib AVI codec
-    (operators/multimodal.avi_decode via dispatch_decode): each doc gets
-    a deterministic RIFF/AVI container (synth_avi — hdrl/avih/strh/strf
-    headers + 8..12 uncompressed 24-bit DIB frames whose pixel bytes are
-    a pure integer function of doc_id), and the codec must walk the
-    chunk tree, validate the pixel format, and emit 8 windowed per-frame
-    luminance sums. The oracle recomputes the features from doc_id by
-    the same integer formula — and checks the container round-trip via
-    n_bytes = 224 fixed header bytes + 776 per frame.
+    (operators/multimodal.avi_decode via dispatch_decode) over a MIXED
+    corpus: EVEN doc_ids get an uncompressed 24-bit DIB AVI (synth_avi,
+    ``00db`` chunks, 8..12 frames of raw pixel bytes), ODD doc_ids an
+    MJPEG AVI (synth_avi_mjpeg, fccHandler/biCompression 'MJPG',
+    ``00dc`` chunks, 6..9 frames — each a complete 16x16 grayscale JPEG
+    that ALTERNATES baseline-with-restart-markers and progressive (SOF2)
+    containers, decoded through operators/jpeg.jpeg_planes with the SOF
+    geometry validated against the container geometry). The codec must
+    walk the chunk tree, route on the strf compression fourcc, and emit
+    8 windowed per-frame pixel-sum features. The oracle recomputes both
+    variants from doc_id by integer formula (the MJPEG fixtures' u=4
+    ripple sums to zero per block row, leaving the DC base values) — and
+    checks both container round-trips via n_bytes: 224 + 776/frame for
+    DIB, 224 + 520/frame for MJPEG (frames padded to MJPEG_FRAME_CAP).
 
     Scale shape: scan → mapInPandas synth → mapInPandas decode →
     posexplode; one id-only shuffle (spread_ids) before synth so decode
     parallelizes — payloads themselves never shuffle."""
     import pandas as _pd
+
+    from financedatabase_spark.operators.multimodal import synth_avi_mjpeg
 
     docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
 
@@ -731,7 +769,11 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": pdf["doc_id"].map(lambda i: synth_avi(int(i))),
+                    "payload": pdf["doc_id"].map(
+                        lambda i: synth_avi(int(i))
+                        if int(i) % 2 == 0
+                        else synth_avi_mjpeg(int(i))
+                    ),
                     "media_type": "video/avi",
                 }
             )

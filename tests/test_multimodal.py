@@ -660,3 +660,47 @@ def test_jpeg_progressive_round_trip():
     # DRI rebinding: the restart variant emits DRI twice (Ri, then 0)
     ri_doc = synth_jpeg_progressive(6)
     assert ri_doc.count(b"\xff\xdd") == 2 and b"\xff\xd0" in ri_doc
+
+
+def test_avi_mjpeg_codec_round_trip():
+    """avi_decode must route on the strf compression fourcc: MJPG
+    containers decode each 00dc chunk as a complete JPEG (alternating
+    baseline/progressive fixtures), sum all decoded plane samples, and
+    validate frame geometry against the container; unknown fourccs stay
+    a stated NotImplementedError seam naming the codec."""
+    import struct
+
+    from financedatabase_spark.operators.jpeg import jpeg_planes, synth_jpeg
+    from financedatabase_spark.operators.multimodal import (
+        MJPEG_FRAME_CAP,
+        avi_decode,
+        synth_avi_mjpeg,
+    )
+
+    for doc_id in (1, 3, 9, 257, 12345):
+        payload = synth_avi_mjpeg(doc_id)
+        n = 6 + doc_id % 4
+        assert len(payload) == 224 + (8 + MJPEG_FRAME_CAP) * n
+        # independent recomputation straight through jpeg_planes
+        want = [0] * 8
+        for f in range(n):
+            _, _, planes = jpeg_planes(synth_jpeg(6 * (doc_id * 13 + f)))
+            want[f * 8 // n] += sum(sum(p) for p in planes)
+        assert avi_decode(payload) == [float(v) for v in want]
+        # the frame mix really alternates containers
+        assert b"\xff\xc2" in synth_jpeg(6 * (doc_id * 13 + (doc_id + 1) % 2))
+        assert b"\xff\xc2" not in synth_jpeg(6 * (doc_id * 13 + doc_id % 2))
+
+    # a frame whose SOF geometry disagrees with the container must fail
+    p = bytearray(synth_avi_mjpeg(1))
+    at = p.find(b"00dc") + 8
+    wide = synth_jpeg(8)  # width 32
+    bad = bytes(p[:at]) + wide + bytes(MJPEG_FRAME_CAP - len(wide)) + bytes(p[at + MJPEG_FRAME_CAP:])
+    with pytest.raises(ValueError, match="geometry"):
+        avi_decode(bad)
+
+    # unknown compression fourcc: loud seam naming the codec
+    strf_at = p.find(b"strf") + 8  # chunk id + size -> BITMAPINFOHEADER
+    struct.pack_into("<I", p, strf_at + 16, int.from_bytes(b"cvid", "little"))
+    with pytest.raises(NotImplementedError, match="cvid"):
+        avi_decode(bytes(p))
