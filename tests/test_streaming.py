@@ -331,3 +331,187 @@ def test_forward_fill_checkpoint_restart_carries_state(spark, tmp_path):
     assert filled[(1, "2024-01-01 10:00:00")] == 1.0
     assert filled[(2, "2024-01-01 10:01:00")] == 2.0
     assert filled[(2, "2024-01-01 10:02:00")] == 5.0
+
+
+def _restart_complete(spark, src, schema, build, ckpt, out):
+    """Run one availableNow drain of a COMPLETE-mode aggregation through
+    a restartable sink: foreachBatch overwrites `out` with each complete
+    snapshot, the state store lives at `ckpt`. Returns the final sink."""
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        build(stream)
+        .writeStream.foreachBatch(
+            lambda df, _eid: df.write.mode("overwrite").parquet(out)
+        )
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.read.parquet(out)
+
+
+_SHARD1 = [
+    (1, "en", "alpha beta gamma alpha"),
+    (2, "en", "beta delta"),
+    (3, "de", "eins zwei drei"),
+]
+_SHARD2 = [
+    (4, "en", "alpha epsilon beta"),
+    (5, "de", "zwei vier"),
+    (6, "fr", "un deux"),
+]
+
+
+def _sketch_restart_case(spark, tmp_path, build):
+    """Shared drive: drain shard 1, STOP, append shard 2, restart on the
+    same checkpoint — the final complete-mode sink must equal the batch
+    build over shard1 ∪ shard2 (state survived the restart; losing it
+    would leave only shard-2 contributions)."""
+    schema = "doc_id long, lang string, text string"
+    full = spark.createDataFrame(_SHARD1 + _SHARD2, schema)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(_SHARD1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    first = _restart_complete(spark, src, full.schema, build, ckpt, out).collect()
+    assert first  # shard 1 produced a snapshot
+    import time
+
+    time.sleep(1.1)  # distinct mtime so the file source sees a new file
+    spark.createDataFrame(_SHARD2, schema).coalesce(1).write.mode("append").parquet(src)
+    got = _restart_complete(spark, src, full.schema, build, ckpt, out).toPandas()
+    want = build(full).toPandas()
+    cols = sorted(want.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    assert got.equals(want), f"restarted sink != batch build\n{got}\nvs\n{want}"
+    # and the batch build genuinely mixes both shards (state carried)
+    only2 = build(spark.createDataFrame(_SHARD2, schema)).toPandas()
+    assert not got.equals(
+        only2[cols].sort_values(cols).reset_index(drop=True)
+    ), "test is vacuous: shard 2 alone reproduces the full build"
+
+
+def test_streaming_cms_checkpoint_restart(spark, tmp_path):
+    """CMS counters maintained across a query RESTART equal the batch
+    grid over the full corpus — sum-merge state survives the stop."""
+    from financedatabase_spark.operators.sketch import portable_hash28
+    from financedatabase_spark.operators.text import normalized_text
+
+    def build(df):
+        toks = df.select(
+            F.explode_outer(F.split(normalized_text("text"), " ")).alias("token")
+        ).filter(F.col("token") != "")
+        cells = toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            F.expr(
+                                f"({portable_hash28('token', f'{r}:')}) % 1024"
+                            ).alias("bucket"),
+                        )
+                        for r in range(4)
+                    ]
+                )
+            ).alias("_cell")
+        ).select("_cell.row", "_cell.bucket")
+        return cells.groupBy("row", "bucket").agg(F.count("*").alias("counter"))
+
+    _sketch_restart_case(spark, tmp_path, build)
+
+
+def test_streaming_bloom_checkpoint_restart(spark, tmp_path):
+    """Bloom bitmap maintained across a restart equals the batch build —
+    bit_or-merge state survives the stop (a lost word would flip
+    shard-1-only bits back to 0 and admit contaminated docs)."""
+    from financedatabase_spark.operators.sketch import bloom_build
+    from financedatabase_spark.operators.text import normalized_text
+
+    def build(df):
+        keys = df.select(F.md5(normalized_text("text")).alias("h"))
+        return bloom_build(keys, "h")
+
+    _sketch_restart_case(spark, tmp_path, build)
+
+
+def test_streaming_hll_checkpoint_restart(spark, tmp_path):
+    """Per-language HLL registers maintained across a restart equal the
+    batch build — max-merge state survives the stop."""
+    from financedatabase_spark.operators.sketch import hll_registers
+    from financedatabase_spark.operators.text import normalized_text
+
+    def build(df):
+        toks = df.select(
+            "lang",
+            F.explode_outer(F.split(normalized_text("text"), " ")).alias("token"),
+        ).filter(F.col("token") != "")
+        return hll_registers(toks, ["lang"], "token").select(
+            "lang", "bucket", F.col("r").cast("int").alias("r")
+        )
+
+    _sketch_restart_case(spark, tmp_path, build)
+
+
+def test_sessionize_checkpoint_restart_carries_state(spark, tmp_path):
+    """Stateful gap sessionization survives a query RESTART: a session
+    OPENED in batch 1 must close from batch-2 evidence after the stop —
+    if the state store were lost, the session would vanish (its events
+    were already consumed) rather than emit with its batch-1 rows."""
+    from financedatabase_spark.streaming.sessions import sessionize_stream
+
+    schema = "event_type string, ts string, value double"
+    b1 = spark.createDataFrame(
+        [("a", "2024-01-01 09:00:00", 1.0), ("a", "2024-01-01 09:00:30", 2.0)],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 09:10:00", 3.0),  # proves session-1's gap
+            ("a", "2024-01-01 09:10:30", 4.0),
+            ("a", "2024-01-01 09:30:00", 5.0),  # closes session 2 by proof+timeout
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        sdf = sessionize_stream(stream, 120.0, ["event_type"], "ts", "value")
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return spark.read.parquet(out).toPandas()
+
+    first = run()
+    assert len(first) == 0  # session 1 still open: nothing to emit yet
+
+    import time
+
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    second = run()  # RESTART on the same checkpoint
+
+    sess = {
+        str(r.session_start): (str(r.session_end), r.n_events, r.sum_value)
+        for r in second.itertuples()
+    }
+    assert sess == {
+        "2024-01-01 09:00:00": ("2024-01-01 09:00:30", 2, 3.0),
+        "2024-01-01 09:10:00": ("2024-01-01 09:10:30", 2, 7.0),
+    }, second.to_string()
