@@ -1,0 +1,117 @@
+"""Continuous-curation back half: the stream-static-refresh pattern.
+
+`streaming_curation_v2` (plans/queries_streaming.py) covers the
+MAP-SIDE front of the curation composite — blocklist + Gopher rules are
+stateless, so they ride inside the streaming query itself. The stages a
+production continuous-ingest deployment still needs are the ones whose
+"static" side is TRAINED ON THE CORPUS: the CCNet unigram LM (trained
+on the survivors it then scores), the decontamination Bloom bitmap (fed
+by benchmark shards that keep landing), SemDeDup centroids. Those
+cannot live inside one streaming DAG — Spark's stream-static join
+plans the static side ONCE at query start, so a model retrained later
+would never be picked up.
+
+The production pattern (stream-static refresh) is a foreachBatch loop:
+
+  micro-batch  → map-side front (blocklist + Gopher) → APPEND to the
+                 accumulating front sink
+  every k-th   → REFIT the corpus-trained artifact over the
+  batch          accumulation (bounded vocab collect → broadcast
+                 LocalRelation, exactly like the batch operator) and
+                 republish the admitted snapshot
+
+Because each refit re-scores the FULL accumulation with a model trained
+on that same accumulation, the snapshot after the final micro-batch is
+EXACTLY the batch composite's admitted corpus — not an approximation —
+which is what `tests/test_streaming.py::
+test_curation_stream_static_refresh_matches_batch` pins. Intermediate
+snapshots differ (the composition effect: the LM keeps learning), which
+the same test asserts to prove the refresh is live.
+
+Scale shape: foreachBatch bodies are ordinary batch plans — the front
+stays codegen map-side per micro-batch; the refit pays one bounded
+vocab collect + one ntile window per language over the accumulation,
+amortized over `refresh_every` batches. The sinks are plain parquet
+directories, so the accumulation survives driver restarts with the
+stream's checkpoint (see the checkpoint-restart tests).
+
+Reference parity: the reference's ingest loop is poll → filter → upsert
+(FinanceDatabase v2.py polling endpoints); this is its LLM-pipeline
+generalization with corpus-trained admission, per the build brief.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_admission_with_refresh(
+    spark: SparkSession,
+    stream: DataFrame,
+    front_fn: Callable[[DataFrame], DataFrame],
+    refit_fn: Callable[[DataFrame], DataFrame],
+    work_dir: str,
+    refresh_every: int = 1,
+    checkpoint: str | None = None,
+    timeout_sec: int = 300,
+) -> dict:
+    """Drive one availableNow drain of ``stream`` through the admission
+    loop. ``front_fn`` maps a micro-batch to its map-side survivors
+    (appended to ``<work_dir>/front``); every ``refresh_every`` batches
+    ``refit_fn`` maps the ACCUMULATED survivors to the refreshed
+    admitted snapshot, republished at ``<work_dir>/admitted`` (versioned
+    subdirectory + atomic pointer rewrite, so a concurrent reader never
+    sees a half-written snapshot). Returns
+    {"batches": n, "refreshes": m, "front": path, "admitted": path}.
+
+    A trailing refit always runs if the last micro-batch was not a
+    refresh boundary, so the returned snapshot covers the full drain.
+    """
+    front = os.path.join(work_dir, "front")
+    admitted_root = os.path.join(work_dir, "admitted")
+    pointer = os.path.join(work_dir, "ADMITTED_CURRENT")
+    os.makedirs(admitted_root, exist_ok=True)
+    state = {"batches": 0, "refreshes": 0}
+
+    def _refit() -> None:
+        state["refreshes"] += 1
+        acc = spark.read.parquet(front)
+        snap = os.path.join(admitted_root, f"v{state['refreshes']:05d}")
+        refit_fn(acc).write.mode("overwrite").parquet(snap)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(snap)
+        os.replace(tmp, pointer)  # atomic publish
+
+    def _process(batch_df: DataFrame, _epoch_id: int) -> None:
+        front_fn(batch_df).write.mode("append").parquet(front)
+        state["batches"] += 1
+        if state["batches"] % refresh_every == 0:
+            _refit()
+
+    writer = stream.writeStream.foreachBatch(_process).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination(timeout_sec)
+    q.stop()
+    if state["batches"] % refresh_every != 0:
+        _refit()
+    with open(pointer) as fh:
+        current = fh.read().strip()
+    return {
+        "batches": state["batches"],
+        "refreshes": state["refreshes"],
+        "front": front,
+        "admitted": current,
+    }
+
+
+def current_admitted(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Read the snapshot the pointer currently publishes — what a
+    downstream consumer broadcasts between refreshes."""
+    with open(os.path.join(work_dir, "ADMITTED_CURRENT")) as fh:
+        return spark.read.parquet(fh.read().strip())

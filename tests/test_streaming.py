@@ -515,3 +515,104 @@ def test_sessionize_checkpoint_restart_carries_state(spark, tmp_path):
         "2024-01-01 09:00:00": ("2024-01-01 09:00:30", 2, 3.0),
         "2024-01-01 09:10:00": ("2024-01-01 09:10:30", 2, 7.0),
     }, second.to_string()
+
+
+def test_curation_stream_static_refresh_matches_batch(spark, sf_dir, tmp_path):
+    """The continuous-curation BACK half (stream-static refresh): a
+    foreachBatch loop appends each micro-batch's map-side survivors
+    (blocklist + Gopher) to an accumulating sink and, per batch,
+    RETRAINS the CCNet LM on the accumulation and republishes the
+    admitted (head+middle) snapshot. After 3 micro-batches the final
+    snapshot must equal the batch composite's admitted corpus EXACTLY —
+    the refit re-scores the full accumulation with a model trained on
+    it, so this is equality, not approximation. Intermediate snapshots
+    are smaller (partial corpus, partial LM): the refresh is live, not
+    one final pass."""
+    import time
+
+    from financedatabase_spark.operators.corrections import (
+        domain_blocklist_dim,
+        filter_blocked_domains,
+        registrable_host,
+    )
+    from financedatabase_spark.operators.lm import ccnet_tertiles
+    from financedatabase_spark.operators.text import gopher_quality
+    from financedatabase_spark.sources.readers import load_table
+    from financedatabase_spark.streaming.curation import (
+        current_admitted,
+        run_admission_with_refresh,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    bl = domain_blocklist_dim(
+        spark, ["spamfarm.example", "src1.example.org", "www.src2.example.org"]
+    )
+
+    def front(df):
+        # the composite's map-side stages 1-2 (same URL fixture derivation)
+        urls = df.withColumn(
+            "url",
+            F.concat(
+                F.lit("https://"),
+                F.when(F.col("doc_id") % 11 == 0, F.lit("cdn.")).otherwise(F.lit("www.")),
+                F.col("source"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit(".spamfarm.example")).otherwise(
+                    F.lit(".example.org")
+                ),
+                F.lit("/d/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).withColumn("host", registrable_host(F.col("url")))
+        s1 = filter_blocked_domains(urls, bl, url_col="url", host_col="host").select(
+            "doc_id", "text", "lang"
+        )
+        flags = gopher_quality(s1, keep_cols=["text", "lang"])
+        return flags.filter(
+            F.col("ok_n_words")
+            & F.col("ok_word_len")
+            & F.col("ok_symbols")
+            & F.col("ok_alpha")
+        ).select("doc_id", "text", "lang")
+
+    def refit(acc):
+        keep = ccnet_tertiles(acc).filter(F.col("bucket") != "tail").select("doc_id")
+        return acc.join(keep, "doc_id")
+
+    work = str(tmp_path / "work")
+    stats = run_admission_with_refresh(
+        spark, stream, front, refit, work,
+        refresh_every=1, checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert stats["batches"] == 3 and stats["refreshes"] == 3
+
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(stats["admitted"]).select("doc_id").collect()
+    )
+    # batch twin: the composite's stages 1-3 over the full corpus
+    want_front = front(docs)
+    want = sorted(r.doc_id for r in refit(want_front).select("doc_id").collect())
+    assert got == want and got
+
+    # composition effect: the first snapshot saw 1/3 of the corpus
+    import os
+
+    v1 = spark.read.parquet(os.path.join(work, "admitted", "v00001"))
+    assert 0 < v1.count() < len(got)
+    # the pointer reads back the final snapshot
+    assert sorted(
+        r.doc_id for r in current_admitted(spark, work).select("doc_id").collect()
+    ) == got
