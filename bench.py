@@ -40,6 +40,9 @@ HEADLINE = [
     "doc_stats",
     "risk_pipeline",
     "tick_imbalance_bars",
+    # r10 flagships (r11: benched, not just plan-digest-gated)
+    "corpus_curation_pipeline_v2",
+    "ivf_pq_residual_rerank_topk",
 ]
 
 

@@ -25,6 +25,7 @@ import os
 import time
 from dataclasses import dataclass
 from functools import reduce
+from typing import Protocol
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +49,102 @@ class UnsupportedFilesystemError(RuntimeError):
     """The table path's filesystem cannot provide the atomic namespace
     operation the single-writer lease depends on (remote object stores:
     use a conditional-put / catalog-service lease instead)."""
+
+
+class TableLease(Protocol):
+    """Single-writer lease a table rewrite holds across its
+    write→commit window.
+
+    Contract: `acquire` returns an opaque token on success and raises
+    `ConcurrentWriteError` when another writer holds the lease (after
+    transparently recovering leases orphaned longer than
+    ``stale_after`` seconds); `release` surrenders the token
+    best-effort — releasing an already-broken lease is not an error,
+    the stale-recovery path covers leftovers. Mutual exclusion is per
+    TABLE: two writers of the same table must contend on the same
+    underlying resource however they were constructed.
+
+    `DirectoryLease` is the built-in filesystem implementation. An
+    object-store deployment drops in an implementation backed by a
+    conditional put (S3 If-None-Match, GCS x-goog-if-generation-match:0)
+    or a catalog service (what Delta's LogStore / an Iceberg catalog
+    provide) by passing it to ``ParquetTable(..., lease=...)`` — the
+    rewrite protocol itself never touches the lock, only
+    acquire/release."""
+
+    def acquire(self, stale_after: float = 3600.0) -> object: ...
+
+    def release(self, token: object) -> None: ...
+
+
+class DirectoryLease:
+    """Filesystem `TableLease`: a lock DIRECTORY created with
+    ``os.mkdir`` — atomic on POSIX and, unlike ``O_EXCL`` creation, also
+    reliable on NFS (where O_EXCL is advisory under NFSv2 and
+    historically racy). Remote object-store URIs (s3://, gs://, abfs://,
+    hdfs://, ...) have NO atomic namespace operation this lease could
+    use, so they raise `UnsupportedFilesystemError` up front rather than
+    silently degrading to last-write-wins.
+
+    **Stale break is an atomic takeover.** A lease older than
+    ``stale_after`` seconds is presumed orphaned by a crashed writer.
+    Breaking it renames the lock directory to a unique tombstone —
+    ``os.rename`` succeeds for exactly ONE breaker, so two writers
+    racing to break the same stale lease can never both proceed; the
+    loser's rename fails and it retries against the winner's fresh
+    lease. The tombstone is removed best-effort after the takeover."""
+
+    def __init__(self, table_path: str, lock_name: str = "_LOCK") -> None:
+        self.table_path = table_path
+        self.lock_name = lock_name
+
+    def acquire(self, stale_after: float = 3600.0, _attempts: int = 8) -> str:
+        if "://" in self.table_path and not self.table_path.startswith("file://"):
+            raise UnsupportedFilesystemError(
+                f"rewrite lease requires an atomic-rename filesystem (local "
+                f"or NFS); {self.table_path!r} is a remote URI — use a "
+                f"conditional-put or catalog-service TableLease there"
+            )
+        if _attempts <= 0:
+            raise ConcurrentWriteError(
+                f"rewrite lease on {self.table_path}: acquire retries "
+                f"exhausted (persistent contention or clock skew)"
+            )
+        lock = os.path.join(self.table_path, self.lock_name)
+        os.makedirs(self.table_path, exist_ok=True)
+        try:
+            os.mkdir(lock)
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:  # lock vanished between check and stat: retry
+                return self.acquire(stale_after, _attempts - 1)
+            if age > stale_after:
+                tombstone = f"{lock}.broken.{os.getpid()}.{int(time.time() * 1e6)}"
+                try:
+                    os.rename(lock, tombstone)  # atomic: one breaker wins
+                except OSError:
+                    # another writer broke (or the holder released) first
+                    return self.acquire(stale_after, _attempts - 1)
+                import shutil as _sh
+
+                _sh.rmtree(tombstone, ignore_errors=True)
+                return self.acquire(stale_after, _attempts - 1)
+            raise ConcurrentWriteError(
+                f"rewrite lease on {self.table_path} held by another writer "
+                f"(lock {lock}, age {age:.0f}s)"
+            ) from None
+        with open(os.path.join(lock, "owner"), "w") as f:
+            f.write(f"{os.getpid()} {time.time():.0f}")
+        return lock
+
+    def release(self, token: object) -> None:
+        import shutil as _sh
+
+        try:
+            _sh.rmtree(str(token), ignore_errors=True)
+        except OSError:
+            pass
 
 
 class ParquetTable:
@@ -87,10 +184,20 @@ class ParquetTable:
     POINTER = "_CURRENT"
     LOCK = "_LOCK"
 
-    def __init__(self, spark: SparkSession, path: str, partition_by: list[str] | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_by: list[str] | None = None,
+        lease: TableLease | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.partition_by = partition_by or []
+        # pluggable single-writer lease: the default DirectoryLease covers
+        # local/NFS paths; object-store deployments inject a conditional-
+        # put / catalog-service implementation (see TableLease)
+        self.lease: TableLease = lease or DirectoryLease(path, self.LOCK)
 
     # -- versioned-layout plumbing ------------------------------------
     def _pointer(self) -> str:
@@ -117,81 +224,20 @@ class ParquetTable:
         )
 
     # -- single-writer lease ------------------------------------------
-    def _acquire_lock(self, stale_after: float = 3600.0, _attempts: int = 8) -> str:
-        """Take the table's rewrite lease. Rewrites are single-writer: a
-        second concurrent rewrite fails fast with `ConcurrentWriteError`
-        instead of racing the pointer swap — the loser's data is never
-        partially visible because it never reaches the commit point.
+    def _acquire_lock(self, stale_after: float = 3600.0) -> object:
+        """Take the table's rewrite lease via the pluggable `TableLease`.
+        Rewrites are single-writer: a second concurrent rewrite fails
+        fast with `ConcurrentWriteError` instead of racing the pointer
+        swap — the loser's data is never partially visible because it
+        never reaches the commit point. See `DirectoryLease` for the
+        default filesystem protocol and its stale-break semantics."""
+        return self.lease.acquire(stale_after)
 
-        **Filesystem contract.** The lease is a lock DIRECTORY created
-        with ``os.mkdir`` — atomic on POSIX and, unlike ``O_EXCL``
-        creation, also reliable on NFS (where O_EXCL is advisory under
-        NFSv2 and historically racy). Remote object-store URIs (s3://,
-        gs://, abfs://, hdfs://, ...) have NO atomic namespace operation
-        this lease could use, so they raise `UnsupportedFilesystemError`
-        up front rather than silently degrading to last-write-wins — a
-        real deployment there needs a conditional-put / catalog-service
-        lease (what Delta's LogStore or an Iceberg catalog provides).
-
-        **Stale break is an atomic takeover.** A lease older than
-        ``stale_after`` seconds is presumed orphaned by a crashed writer.
-        Breaking it renames the lock directory to a unique tombstone —
-        ``os.rename`` succeeds for exactly ONE breaker, so two writers
-        racing to break the same stale lease can never both proceed (the
-        double-break race the old unlink-based protocol accepted); the
-        loser's rename fails and it retries against the winner's fresh
-        lease. The tombstone is removed best-effort after the takeover.
-        """
-        if "://" in self.path and not self.path.startswith("file://"):
-            raise UnsupportedFilesystemError(
-                f"rewrite lease requires an atomic-rename filesystem (local "
-                f"or NFS); {self.path!r} is a remote URI — use a conditional-"
-                f"put or catalog-service lease there"
-            )
-        if _attempts <= 0:
-            raise ConcurrentWriteError(
-                f"rewrite lease on {self.path}: acquire retries exhausted "
-                f"(persistent contention or clock skew)"
-            )
-        lock = os.path.join(self.path, self.LOCK)
-        os.makedirs(self.path, exist_ok=True)
-        try:
-            os.mkdir(lock)
-        except FileExistsError:
-            try:
-                age = time.time() - os.path.getmtime(lock)
-            except OSError:  # lock vanished between check and stat: retry
-                return self._acquire_lock(stale_after, _attempts - 1)
-            if age > stale_after:
-                tombstone = f"{lock}.broken.{os.getpid()}.{int(time.time() * 1e6)}"
-                try:
-                    os.rename(lock, tombstone)  # atomic: one breaker wins
-                except OSError:
-                    # another writer broke (or the holder released) first
-                    return self._acquire_lock(stale_after, _attempts - 1)
-                import shutil as _sh
-
-                _sh.rmtree(tombstone, ignore_errors=True)
-                return self._acquire_lock(stale_after, _attempts - 1)
-            raise ConcurrentWriteError(
-                f"rewrite lease on {self.path} held by another writer "
-                f"(lock {lock}, age {age:.0f}s)"
-            ) from None
-        with open(os.path.join(lock, "owner"), "w") as f:
-            f.write(f"{os.getpid()} {time.time():.0f}")
-        return lock
-
-    @staticmethod
-    def _release_lock(lock: str) -> None:
-        """Release the lease directory (owner file + dir; best-effort —
-        an already-broken lease or a failing filesystem is not an error
-        for the releaser, the stale-break protocol covers leftovers)."""
-        import shutil as _sh
-
-        try:
-            _sh.rmtree(lock, ignore_errors=True)
-        except OSError:
-            pass
+    def _release_lock(self, lock: object) -> None:
+        """Release the lease (best-effort — an already-broken lease or a
+        failing filesystem is not an error for the releaser, the
+        stale-recovery protocol covers leftovers)."""
+        self.lease.release(lock)
 
     def exists(self) -> bool:
         if not os.path.isdir(self.path):

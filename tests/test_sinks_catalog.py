@@ -426,3 +426,51 @@ except ConcurrentWriteError:
     assert not any(
         e.startswith("_LOCK") for e in os.listdir(table_dir)
     ), os.listdir(table_dir)
+
+
+def test_pluggable_table_lease(spark, tmp_path):
+    """The rewrite protocol is lease-agnostic: a custom TableLease (the
+    shape an object-store conditional-put implementation takes) drops in
+    via the constructor — rewrite acquires before writing, releases
+    after commit, and a lease that reports contention blocks the rewrite
+    before any data is written."""
+    from financedatabase_spark.operators.io_sinks import (
+        ConcurrentWriteError,
+        ParquetTable,
+    )
+
+    calls = {"acquire": 0, "release": 0}
+
+    class RecordingLease:
+        def acquire(self, stale_after: float = 3600.0) -> object:
+            calls["acquire"] += 1
+            return "token-1"
+
+        def release(self, token: object) -> None:
+            assert token == "token-1"
+            calls["release"] += 1
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t = ParquetTable(spark, path, lease=RecordingLease())
+    t.write(df)
+    t.rewrite(t.read().filter("id = 1"))
+    assert calls == {"acquire": 1, "release": 1}
+    assert [r.id for r in t.read().collect()] == [1]
+    # no DirectoryLease artifacts: the custom lease fully replaced it
+    import os
+
+    assert not os.path.exists(os.path.join(path, "_LOCK"))
+
+    class HeldLease:
+        def acquire(self, stale_after: float = 3600.0) -> object:
+            raise ConcurrentWriteError("held elsewhere (conditional put failed)")
+
+        def release(self, token: object) -> None:  # pragma: no cover
+            raise AssertionError("release without acquire")
+
+    t2 = ParquetTable(spark, path, lease=HeldLease())
+    before = sorted(r.id for r in t2.read().collect())
+    with pytest.raises(ConcurrentWriteError):
+        t2.rewrite(t2.read().limit(0))
+    assert sorted(r.id for r in t2.read().collect()) == before  # untouched
