@@ -703,43 +703,37 @@ def pq_encode(
     one row per vector: (id, *keep_cols, codes array<int> by subspace) —
     the 4-byte-per-subspace compressed corpus an IVF-PQ index stores.
 
-    Scale shape: the corpus explodes only m-fold (not m×k): the
-    broadcast codebook join scores candidates map-side and ``min_by``
-    partial-aggregates them back to one row per (vector, subspace)
-    before the shuffle; the second fold to one row per vector shuffles
-    N rows."""
+    Scale shape: the codebook (m × k rows) packs into ONE broadcast row
+    of map<sub → sorted entries>, and every vector computes its m codes
+    IN-ROW — an argmin by (d², cid) over the subspace's entries — so
+    the corpus is touched strictly map-side with ZERO shuffles, the same
+    reason FAISS encodes map-side. (The pre-r11 shape exploded the
+    corpus m-fold and shuffled it twice; at 100 TB those are two corpus
+    shuffles this broadcast removes — measured 15.6 s → 10.3 s on the
+    50x encode, SCALE.md "r11: map-side PQ encode".)"""
     d = dim // m
-    subs = _spread(df).select(
-        F.col(id_col),
-        *keep_cols,
-        F.explode(
+    packed = (
+        codebooks.groupBy("sub")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cvec_sub"))).alias("_ents"))
+        .groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("sub", "_ents"))).alias("_cb"))
+    )
+    enc = _spread(df).crossJoin(F.broadcast(packed)).withColumn("_pv", _vec(vec_col))
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_min(
             F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.alias("sub"), F.slice(_vec(vec_col), s * d + 1, d).alias("v")
+                F.element_at(F.col("_cb"), s),
+                lambda e: F.struct(
+                    _sq_l2_units(
+                        F.slice(F.col("_pv"), s * d + 1, d), e.getField("cvec_sub")
+                    ).alias("_d"),
+                    e.getField("cid").alias("cid"),
                 ),
             )
-        ).alias("_sv"),
-    ).select(id_col, *keep_cols, F.col("_sv.sub").alias("sub"), F.col("_sv.v").alias("v"))
-    scored = subs.join(F.broadcast(codebooks), "sub").select(
-        id_col,
-        *keep_cols,
-        "sub",
-        "cid",
-        _sq_l2_units(F.col("v"), F.col("cvec_sub")).alias("_d"),
+        ).getField("cid"),
     )
-    per_sub = scored.groupBy(id_col, *keep_cols, "sub").agg(
-        F.min_by("cid", F.struct("_d", "cid")).alias("code")
-    )
-    return (
-        per_sub.groupBy(id_col, *keep_cols)
-        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("_sc"))
-        .select(
-            id_col,
-            *keep_cols,
-            F.transform(F.col("_sc"), lambda s: s.getField("code")).alias("codes"),
-        )
-    )
+    return enc.select(F.col(id_col), *keep_cols, codes.alias("codes"))
 
 
 def residual_vectors(
@@ -850,22 +844,52 @@ def ivf_pq_topk(
 
     q = queries.select(F.col(query_id), _vec(vec_col).alias("_qv"))
     # probe selection: nearest coarse cells by cosine (same knob as
-    # ivf_multiprobe_topk)
-    cen = centroids.select(F.col("cell").alias("_cell"), F.col("cvec").alias("_cvec"))
-    csim = F.round(cosine(F.col("_qv"), F.col("_cvec")), 6)
-    wp = Window.partitionBy(query_id).orderBy(F.col("_csim").desc(), F.col("_cell").asc())
+    # ivf_multiprobe_topk), computed IN-ROW against one packed broadcast
+    # centroid row — per query, sort (−sim, cell) and slice n_probe.
+    # This replaces the r10 crossJoin + row_number window: no shuffle of
+    # the query set, and the tie-break (sim desc, cell asc) is identical.
+    cen_packed = centroids.select(
+        F.struct(F.col("cell"), F.col("cvec")).alias("_e")
+    ).groupBy().agg(F.collect_list("_e").alias("_cens"))
     probes = (
-        q.crossJoin(F.broadcast(cen))
-        .select(query_id, "_qv", "_cell", "_cvec", csim.alias("_csim"))
-        .withColumn("_pn", F.row_number().over(wp))
-        .filter(F.col("_pn") <= n_probe)
-        .select(query_id, "_qv", "_cell", "_cvec")
+        q.crossJoin(F.broadcast(cen_packed))
+        .select(
+            query_id,
+            "_qv",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("_cens"),
+                            lambda e: F.struct(
+                                (-F.round(
+                                    cosine(F.col("_qv"), e.getField("cvec")), 6
+                                )).alias("_negsim"),
+                                e.getField("cell").alias("_cell"),
+                                e.getField("cvec").alias("_cvec"),
+                            ),
+                        )
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("_p"),
+        )
+        .select(query_id, "_qv", F.col("_p._cell").alias("_cell"), F.col("_p._cvec").alias("_cvec"))
     )
 
     # ADC lookup table: exact query subvector vs every codebook entry,
-    # folded to array<map<cid -> d2_units>> by subspace. Residual mode
-    # builds one table per (query, probed cell) — the query residual
-    # differs per cell — still tiny (queries × n_probe × m × k_sub).
+    # folded to map<sub -> map<cid -> d2_units>>. Residual mode builds
+    # one table per (query, probed cell) — the query residual differs
+    # per cell — still tiny (queries × n_probe × m × k_sub). Built
+    # IN-ROW against the packed broadcast codebook (no explode, no
+    # groupBy — the r10 shape shuffled the exploded query set twice).
+    cb_packed = (
+        cbs.groupBy("sub")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cvec_sub"))).alias("_ents"))
+        .groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("sub", "_ents"))).alias("_cbm"))
+    )
     if residuals:
         qbase = probes.select(
             query_id,
@@ -873,31 +897,31 @@ def ivf_pq_topk(
             F.zip_with(F.col("_qv"), F.col("_cvec"), lambda a, b: a - b).alias("_rv"),
         )
         tab_keys = [query_id, "_cell"]
-        vec_src = "_rv"
     else:
-        qbase = q.withColumn("_rv", F.col("_qv"))
+        qbase = q.select(query_id, F.col("_qv").alias("_rv"))
         tab_keys = [query_id]
-        vec_src = "_rv"
-    qsubs = qbase.select(
-        *tab_keys,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.alias("sub"), F.slice(vec_src, s * d + 1, d).alias("v")
-                ),
-            )
-        ).alias("_sv"),
-    ).select(*tab_keys, F.col("_sv.sub").alias("sub"), F.col("_sv.v").alias("v"))
-    qtab = (
-        qsubs.join(F.broadcast(cbs), "sub")
-        .select(
-            *tab_keys, "sub", "cid", _sq_l2_units(F.col("v"), F.col("cvec_sub")).alias("_d")
+    tbl_expr = F.map_from_entries(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(
+                s.alias("sub"),
+                F.map_from_entries(
+                    F.transform(
+                        F.element_at(F.col("_cbm"), s),
+                        lambda e: F.struct(
+                            e.getField("cid").alias("cid"),
+                            _sq_l2_units(
+                                F.slice(F.col("_rv"), s * d + 1, d),
+                                e.getField("cvec_sub"),
+                            ).alias("_d"),
+                        ),
+                    )
+                ).alias("_m"),
+            ),
         )
-        .groupBy(*tab_keys, "sub")
-        .agg(F.map_from_entries(F.collect_list(F.struct("cid", "_d"))).alias("_m"))
-        .groupBy(*tab_keys)
-        .agg(F.map_from_entries(F.collect_list(F.struct("sub", "_m"))).alias("tbl"))
+    )
+    qtab = qbase.crossJoin(F.broadcast(cb_packed)).select(
+        *tab_keys, tbl_expr.alias("tbl")
     )
 
     if residuals:

@@ -3022,13 +3022,19 @@ def ivf_pq_residual_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the (queries x 20) candidate list into a map-side probe
     of the raw corpus — nothing rescans per query."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cen = sim.cell_centroids(emb)
+    # the centroid and codebook frames are tiny (n_cells / m*k rows) but
+    # feed MANY broadcast subtrees (anchor residuals, corpus residuals,
+    # probe selection, ADC tables): localCheckpoint truncates the
+    # repeated aggregation lineage so each broadcast job starts from the
+    # 64-row result, not the corpus scan — at scale these are exactly
+    # the artifacts an index build persists anyway
+    cen = sim.cell_centroids(emb).localCheckpoint()
     anchors = sim.residual_vectors(emb.filter(F.col("vec_id") < 8), cen)
     cbs = sim.pq_codebooks(
         anchors.select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")),
         m=8,
         dim=64,
-    )
+    ).localCheckpoint()
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
