@@ -24,10 +24,16 @@ restart markers inside progressive scans (predictors AND EOB run
 reset). Coefficients accumulate across scans in quantized form and are
 dequantized + IDCT'd once at EOI.
 
-16-bit quant tables, non-4:2:0 color samplings, non-interleaved
-SEQUENTIAL multi-scan streams, and the other SOF processes
-(extended sequential, lossless, arithmetic) stay documented
-NotImplementedError seams, mirroring the PNG codec's depth gates.
+Color layouts: all standard YCbCr chroma samplings decode — 4:4:4,
+4:2:2, 4:4:0, and 4:2:0 (Y sampling in {1,2}x{1,2} against 1x1 chroma;
+the MCU walk, plane allocation, and replication upsampler are
+sampling-generic). Quant tables parse in both DQT precisions (8-bit
+Pq=0 and 16-bit big-endian Pq=1).
+
+Non-interleaved SEQUENTIAL multi-scan streams, exotic sampling factors
+(3x1, 4x1, non-1x1 chroma), and the other SOF processes (extended
+sequential, lossless, arithmetic) stay documented NotImplementedError
+seams, mirroring the PNG codec's depth gates.
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
 from coefficient patterns whose IDCT is integral — constant blocks
@@ -226,15 +232,22 @@ def assemble_jpeg(
     qt_zz: list[int],
     blocks_zz: list[list[int]],
     restart_interval: int = 0,
+    qt_16bit: bool = False,
 ) -> bytes:
     """Assemble a complete spec-valid grayscale baseline JPEG from a
     zigzag quant table and per-block quantized coefficients (blocks in
     raster MCU order, ceil(w/8)*ceil(h/8) of them — each block is its
     own MCU in a non-subsampled single-component scan).
     ``restart_interval`` > 0 additionally emits a DRI segment and RSTn
-    markers every that-many MCUs."""
+    markers every that-many MCUs. ``qt_16bit`` stores the quant table
+    with 16-bit big-endian entries (DQT Pq=1 — T.81 B.2.4.1): the same
+    values in the wider encoding, so decode is unchanged but a decoder
+    that assumes 1-byte entries desyncs on the segment."""
     app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
-    dqt = bytes([0x00]) + bytes(qt_zz)  # Pq=0 (8-bit), Tq=0
+    if qt_16bit:
+        dqt = bytes([0x10]) + b"".join(struct.pack(">H", v) for v in qt_zz)
+    else:
+        dqt = bytes([0x00]) + bytes(qt_zz)  # Pq=0 (8-bit), Tq=0
     sof0 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
     dht_ac = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
@@ -296,11 +309,37 @@ def assemble_jpeg_420(
     ``restart_interval`` > 0 additionally emits a DRI segment and RSTn
     markers every that-many MCUs (predictors of ALL components reset).
     """
+    return assemble_jpeg_color(
+        w, h, qt_y_zz, qt_c_zz, y_blocks, cb_blocks, cr_blocks,
+        sampling=(2, 2), restart_interval=restart_interval,
+    )
+
+
+def assemble_jpeg_color(
+    w: int,
+    h: int,
+    qt_y_zz: list[int],
+    qt_c_zz: list[int],
+    y_blocks: list[list[list[int]]],
+    cb_blocks: list[list[list[int]]],
+    cr_blocks: list[list[list[int]]],
+    sampling: tuple[int, int] = (2, 2),
+    restart_interval: int = 0,
+) -> bytes:
+    """Assemble a spec-valid 3-component YCbCr baseline JPEG for ANY of
+    the standard chroma layouts — ``sampling`` is Y's (hs, vs) against
+    1x1 chroma: (2,2) = 4:2:0, (2,1) = 4:2:2, (1,2) = 4:4:0, (1,1) =
+    4:4:4. The MCU is hs*vs Y blocks (left-to-right then top-to-bottom)
+    followed by 1 Cb and 1 Cr block (T.81 A.2.3 interleave order).
+    ``y_blocks`` is [block_row][block_col] over the PADDED
+    (8*vs)-/(8*hs)-aligned grid; ``cb_blocks``/``cr_blocks`` are
+    [mcu_row][mcu_col]."""
+    hs, vs = sampling
     mcu_w, mcu_h = len(cb_blocks[0]), len(cb_blocks)
     app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
     dqt = bytes([0x00]) + bytes(qt_y_zz) + bytes([0x01]) + bytes(qt_c_zz)
     sof0 = struct.pack(">BHHB", 8, h, w, 3) + bytes(
-        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+        [1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
     dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
     dht_ac = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
@@ -309,9 +348,9 @@ def assemble_jpeg_420(
     for my in range(mcu_h):
         for mx in range(mcu_w):
             mcu: list[tuple[int, list[int]]] = []
-            for byy in range(2):
-                for bxx in range(2):
-                    mcu.append((0, y_blocks[my * 2 + byy][mx * 2 + bxx]))
+            for byy in range(vs):
+                for bxx in range(hs):
+                    mcu.append((0, y_blocks[my * vs + byy][mx * hs + bxx]))
             mcu.append((1, cb_blocks[my][mx]))
             mcu.append((2, cr_blocks[my][mx]))
             mcus.append(mcu)
@@ -345,14 +384,17 @@ def _y_block_zz(doc_id: int, bx: int, by: int) -> list[int]:
 
 
 def synth_jpeg(doc_id: int) -> bytes:
-    """Deterministic JPEG fixture mix — EVEN doc_ids get a grayscale
-    JPEG, ODD doc_ids a 4:2:0 YCbCr one, and within each parity every
-    other doc (doc_id % 4 in (2, 3)) ships as a PROGRESSIVE (SOF2)
-    container of the exact same pixel content (synth_jpeg_progressive),
-    so a corpus built from this exercises the baseline, color, restart
-    AND progressive decoder paths while every oracle formula stays
-    container-independent. Width is 16/24/32 by doc (geometry must come
-    from SOF0), height 16. Luma block (bx, by) has base value v =
+    """Deterministic JPEG fixture mix keyed by doc_id % 8 — EVEN
+    doc_ids grayscale, ODD color, cycling every container/layout the
+    decoder supports: 0 = gray baseline (+DRI/RSTn on doc%6==0), 2/6 =
+    gray PROGRESSIVE (SOF2), 4 = gray baseline with a 16-BIT (Pq=1)
+    quant table, 1 = 4:2:0 baseline (+DRI on doc%6==5), 3 = 4:2:0
+    progressive, 5 = 4:2:2, 7 = 4:4:4. Every variant carries the SAME
+    pixel content for its doc_id, so the luminance oracle formula is
+    container-independent; only the chroma-mean features (pos 8/9)
+    depend on the chroma cell geometry, which the oracle selects on
+    doc%8. Width is 16/24/32 by doc (geometry must come
+    from the SOF), height 16. Luma block (bx, by) has base value v =
     (doc_id*17 + by*31 + bx*7) % 251 + 2; blocks in the second
     block-row add an exact ±d ripple (d = (doc_id + bx) % 5 - 2)
     through the u=4 AC basis, so every fixture exercises DC prediction
@@ -364,10 +406,20 @@ def synth_jpeg(doc_id: int) -> bytes:
         v + d*s(x % 8)  for y >= 8, s = [+,-,-,+,+,-,-,+]
     """
     doc_id = int(doc_id)
-    if doc_id % 4 in (2, 3):
-        return synth_jpeg_progressive(doc_id)
+    r8 = doc_id % 8
     if doc_id % 2 == 1:
+        # color variants cycle by doc%8: 1 = 4:2:0 baseline, 3 = 4:2:0
+        # progressive, 5 = 4:2:2, 7 = 4:4:4 (chroma cell geometry differs
+        # per variant; the oracle's pos-8/9 formulas select on doc%8)
+        if r8 == 3:
+            return synth_jpeg_progressive(doc_id)
+        if r8 == 5:
+            return synth_jpeg_color(doc_id, (2, 1))
+        if r8 == 7:
+            return synth_jpeg_color(doc_id, (1, 1))
         return synth_jpeg_420(doc_id)
+    if r8 in (2, 6):
+        return synth_jpeg_progressive(doc_id)
     w, h = 16 + (doc_id % 3) * 8, JPEG_H
     blocks = []
     for by in range(h // 8):
@@ -375,9 +427,13 @@ def synth_jpeg(doc_id: int) -> bytes:
             blocks.append(_y_block_zz(doc_id, bx, by))
     # every third grayscale doc carries a restart interval (DRI + RSTn
     # every 3 MCUs): same pixel values, so the oracle is unchanged, but
-    # the decoder must byte-align and reset predictors mid-scan
+    # the decoder must byte-align and reset predictors mid-scan; docs
+    # with doc%8 == 4 store the SAME quant values as 16-bit DQT entries
+    # (Pq=1), again pixel-identical but container-proving
     ri = 3 if doc_id % 6 == 0 else 0
-    return assemble_jpeg(w, h, _FIXTURE_QT, blocks, restart_interval=ri)
+    return assemble_jpeg(
+        w, h, _FIXTURE_QT, blocks, restart_interval=ri, qt_16bit=(r8 == 4)
+    )
 
 
 def _chroma_blocks(
@@ -399,6 +455,31 @@ def _chroma_blocks(
         for my in range(mcu_h)
     ]
     return cb, cr
+
+
+def synth_jpeg_color(doc_id: int, sampling: tuple[int, int]) -> bytes:
+    """Deterministic color fixture at ANY standard chroma layout: the
+    same luma pattern as every other fixture (shared oracle formula) and
+    the same per-MCU DC-only chroma values — but the chroma MCU grid
+    geometry follows ``sampling``, so the upsampled chroma at pixel
+    (x, y) is val(x // (8*hs), y // (8*vs)): the oracle proves the
+    decoder walked the right grid. Same restart cadence as 4:2:0
+    (doc%6 == 5)."""
+    doc_id = int(doc_id)
+    hs, vs = sampling
+    w, h = 16 + (doc_id % 3) * 8, JPEG_H
+    mcu_w = (w + 8 * hs - 1) // (8 * hs)
+    mcu_h = (h + 8 * vs - 1) // (8 * vs)
+    y_blocks = [
+        [_y_block_zz(doc_id, bx, by) for bx in range(mcu_w * hs)]
+        for by in range(mcu_h * vs)
+    ]
+    cb, cr = _chroma_blocks(doc_id, mcu_w, mcu_h)
+    ri = 1 if doc_id % 6 == 5 else 0
+    return assemble_jpeg_color(
+        w, h, _FIXTURE_QT, _FIXTURE_QT_C, y_blocks, cb, cr,
+        sampling=sampling, restart_interval=ri,
+    )
 
 
 def synth_jpeg_progressive(doc_id: int) -> bytes:
@@ -1169,9 +1250,11 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
 
     Restart intervals (DRI/RSTn) are fully supported in both modes:
     predictors (and the progressive EOB run) reset and the bit reader
-    re-aligns at every marker, honoring mid-stream DRI rebinding.
-    Raises NotImplementedError on the documented seams (16-bit quant,
-    sampling layouts other than grayscale 1x1 and YCbCr 4:2:0,
+    re-aligns at every marker, honoring mid-stream DRI rebinding. Both
+    DQT precisions parse (8-bit and 16-bit entries), and color streams
+    decode at every standard chroma layout (4:4:4 / 4:2:2 / 4:4:0 /
+    4:2:0). Raises NotImplementedError on the documented seams
+    (sampling factors outside {1,2}x{1,2}, non-1x1 chroma,
     non-interleaved SEQUENTIAL scans, other SOF processes) and
     ValueError on malformed streams (including a SOS that references an
     undefined quant/Huffman table).
@@ -1214,12 +1297,23 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables not supported")
-                if off + 65 > len(body):
-                    raise ValueError("JPEG DQT truncated (needs 64 table entries)")
-                qts[tq] = list(body[off + 1:off + 65])
-                off += 65
+                if pq == 0:
+                    if off + 65 > len(body):
+                        raise ValueError("JPEG DQT truncated (needs 64 table entries)")
+                    qts[tq] = list(body[off + 1:off + 65])
+                    off += 65
+                elif pq == 1:  # 16-bit entries (big-endian, T.81 B.2.4.1)
+                    if off + 129 > len(body):
+                        raise ValueError(
+                            "JPEG DQT truncated (needs 64 16-bit table entries)"
+                        )
+                    qts[tq] = [
+                        (body[off + 1 + 2 * i] << 8) | body[off + 2 + 2 * i]
+                        for i in range(64)
+                    ]
+                    off += 129
+                else:
+                    raise ValueError(f"JPEG DQT has invalid precision Pq={pq}")
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):
@@ -1254,9 +1348,16 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
                         "grayscale JPEG with non-1x1 sampling not supported"
                     )
             elif ncomp == 3:
-                if samplings != [(2, 2), (1, 1), (1, 1)]:
+                # 4:4:4 (1,1), 4:2:2 (2,1), 4:4:0 (1,2), 4:2:0 (2,2) —
+                # every standard YCbCr layout with full-resolution-or-
+                # halved chroma; the MCU walk, plane allocation, and
+                # replication upsampler are sampling-generic
+                if samplings[1:] != [(1, 1), (1, 1)] or samplings[0] not in (
+                    (1, 1), (2, 1), (1, 2), (2, 2),
+                ):
                     raise NotImplementedError(
-                        f"only 4:2:0 chroma subsampling supported for color JPEG, got {samplings}"
+                        f"color JPEG supports Y sampling 1x1/2x1/1x2/2x2 "
+                        f"with 1x1 chroma, got {samplings}"
                     )
             else:
                 raise NotImplementedError(

@@ -873,12 +873,31 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE doc_id % 2 = 1
     ),
     chroma AS (
+      -- chroma cell geometry by variant (doc_id % 8): 1/3 = 4:2:0 (cell
+      -- 16x16 -> one cy row at h=16), 5 = 4:2:2 (16x8 -> cy in {0,1}),
+      -- 7 = 4:4:4 (8x8 -> cy in {0,1})
       SELECT doc_id, w::BIGINT AS width, 8 AS pos,
-             (16 * sum((doc_id*29 + (xi // 16)*13) % 251 + 2))::DOUBLE / (w * 16) AS x
+             (sum(CASE
+               WHEN doc_id % 8 = 5 THEN
+                 8 * (((doc_id*29 + (xi // 16)*13) % 251 + 2)
+                    + ((doc_id*29 + (xi // 16)*13 + 11) % 251 + 2))
+               WHEN doc_id % 8 = 7 THEN
+                 8 * (((doc_id*29 + (xi // 8)*13) % 251 + 2)
+                    + ((doc_id*29 + (xi // 8)*13 + 11) % 251 + 2))
+               ELSE 16 * ((doc_id*29 + (xi // 16)*13) % 251 + 2)
+             END))::DOUBLE / (w * 16) AS x
       FROM cpx GROUP BY doc_id, w
       UNION ALL
       SELECT doc_id, w::BIGINT AS width, 9 AS pos,
-             (16 * sum((doc_id*23 + (xi // 16)*7) % 251 + 2))::DOUBLE / (w * 16) AS x
+             (sum(CASE
+               WHEN doc_id % 8 = 5 THEN
+                 8 * (((doc_id*23 + (xi // 16)*7) % 251 + 2)
+                    + ((doc_id*23 + (xi // 16)*7 + 19) % 251 + 2))
+               WHEN doc_id % 8 = 7 THEN
+                 8 * (((doc_id*23 + (xi // 8)*7) % 251 + 2)
+                    + ((doc_id*23 + (xi // 8)*7 + 19) % 251 + 2))
+               ELSE 16 * ((doc_id*23 + (xi // 16)*7) % 251 + 2)
+             END))::DOUBLE / (w * 16) AS x
       FROM cpx GROUP BY doc_id, w
     )
     SELECT doc_id, width, pos, x FROM lum

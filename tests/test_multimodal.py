@@ -437,9 +437,21 @@ def test_jpeg_codec_round_trip():
             counts[v * 8 // 256] += 1
         want = [c / (w * 16) for c in counts]
         if doc_id % 2 == 1:  # color: mean-Cb / mean-Cr features appended
+            # chroma cell geometry by variant: 420 (doc%8 in 1,3) cells
+            # 16x16, 422 (5) 16x8, 444 (7) 8x8 — h=16 throughout
             n = w * 16
-            cb = 16 * sum((doc_id * 29 + (x // 16) * 13) % 251 + 2 for x in range(w))
-            cr = 16 * sum((doc_id * 23 + (x // 16) * 7) % 251 + 2 for x in range(w))
+            dx = 8 if doc_id % 8 == 7 else 16
+            dy = 16 if doc_id % 8 in (1, 3) else 8
+            cb = sum(
+                (doc_id * 29 + (x // dx) * 13 + (y // dy) * 11) % 251 + 2
+                for y in range(16)
+                for x in range(w)
+            )
+            cr = sum(
+                (doc_id * 23 + (x // dx) * 7 + (y // dy) * 19) % 251 + 2
+                for y in range(16)
+                for x in range(w)
+            )
             want += [cb / n, cr / n]
         assert jpeg_decode(payload) == want
     # the 0xFF byte-stuffing path is live in this sample, not theoretical
@@ -545,15 +557,27 @@ def test_jpeg_failure_modes():
     with pytest.raises(NotImplementedError, match="non-interleaved"):
         jpeg_pixels(color)
 
-    # 4:2:2 (and any non-4:2:0 color layout) stays a stated seam
+    # 4:2:2 is SUPPORTED now — this frankenstream (a 4:2:2 SOF over the
+    # grayscale single-component scan) instead trips the non-interleaved
+    # sequential seam like the 4:2:0 case above
     c422 = (
         bytes(good[:sof_at + 2])
         + struct.pack(">HBHHB", 17, prec, h, w, 3)
         + bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1])
         + bytes(good[sof_at + 2 + seglen:])
     )
-    with pytest.raises(NotImplementedError, match="4:2:0"):
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
         jpeg_pixels(c422)
+
+    # exotic sampling factors (3x1 luma) stay a stated seam
+    c31 = (
+        bytes(good[:sof_at + 2])
+        + struct.pack(">HBHHB", 17, prec, h, w, 3)
+        + bytes([1, 0x31, 0, 2, 0x11, 1, 3, 0x11, 1])
+        + bytes(good[sof_at + 2 + seglen:])
+    )
+    with pytest.raises(NotImplementedError, match="1x1/2x1/1x2/2x2"):
+        jpeg_pixels(c31)
 
     # 2-component streams stay a stated seam
     c2 = (
@@ -704,3 +728,52 @@ def test_avi_mjpeg_codec_round_trip():
     struct.pack_into("<I", p, strf_at + 16, int.from_bytes(b"cvid", "little"))
     with pytest.raises(NotImplementedError, match="cvid"):
         avi_decode(bytes(p))
+
+
+def test_jpeg_sampling_variants_round_trip():
+    """4:2:2 and 4:4:4 fixtures (and 4:4:0, exercised directly) decode
+    to exactly the formula pixels — the chroma plane geometry follows
+    the SOF sampling factors, including the padded-MCU 4:2:2 width-24
+    case and restart markers at doc%6==5. The 16-bit-DQT grayscale
+    variant (doc%8==4) decodes identically to its 8-bit twin."""
+    from financedatabase_spark.operators.jpeg import (
+        JPEG_H,
+        _FIXTURE_QT,
+        _y_block_zz,
+        assemble_jpeg,
+        jpeg_planes,
+        synth_jpeg,
+        synth_jpeg_color,
+    )
+
+    def lum(d, x, y):
+        v = (d * 17 + (y // 8) * 31 + (x // 8) * 7) % 251 + 2
+        if y >= 8:
+            v += ((d + x // 8) % 5 - 2) * [1, -1, -1, 1, 1, -1, -1, 1][x % 8]
+        return v
+
+    for d, sampling in [(5, (2, 1)), (7, (1, 1)), (23, (2, 1)), (9, (1, 2)),
+                        (13, (2, 1)), (15, (1, 1))]:
+        hs, vs = sampling
+        w, h = 16 + (d % 3) * 8, JPEG_H
+        pw, ph, planes = jpeg_planes(synth_jpeg_color(d, sampling))
+        assert (pw, ph) == (w, h) and len(planes) == 3
+        dx, dy = 8 * hs, 8 * vs
+        for y in range(h):
+            for x in range(w):
+                assert planes[0][y * w + x] == lum(d, x, y), (d, sampling, x, y)
+                assert planes[1][y * w + x] == (d * 29 + (x // dx) * 13 + (y // dy) * 11) % 251 + 2
+                assert planes[2][y * w + x] == (d * 23 + (x // dx) * 7 + (y // dy) * 19) % 251 + 2
+
+    # 16-bit DQT: same values, wider encoding, identical decode
+    for d in (4, 12, 28):
+        w, h = 16 + (d % 3) * 8, JPEG_H
+        blocks = [
+            _y_block_zz(d, bx, by) for by in range(h // 8) for bx in range(w // 8)
+        ]
+        ri = 3 if d % 6 == 0 else 0
+        p8 = assemble_jpeg(w, h, _FIXTURE_QT, blocks, restart_interval=ri)
+        p16 = assemble_jpeg(w, h, _FIXTURE_QT, blocks, restart_interval=ri, qt_16bit=True)
+        assert len(p16) == len(p8) + 64  # 64 extra table bytes
+        assert jpeg_planes(p16) == jpeg_planes(p8)
+        assert synth_jpeg(d) == p16  # the doc%8==4 mix slot IS the 16-bit twin
