@@ -30,10 +30,13 @@ the MCU walk, plane allocation, and replication upsampler are
 sampling-generic). Quant tables parse in both DQT precisions (8-bit
 Pq=0 and 16-bit big-endian Pq=1).
 
-Non-interleaved SEQUENTIAL multi-scan streams, exotic sampling factors
-(3x1, 4x1, non-1x1 chroma), and the other SOF processes (extended
-sequential, lossless, arithmetic) stay documented NotImplementedError
-seams, mirroring the PNG codec's depth gates.
+Non-interleaved SEQUENTIAL multi-scan streams decode too (one
+full-band scan per component over its ceil(comp_size/8) grid, pixels
+accumulated to EOI, a missing component scan failing loudly). Exotic
+sampling factors (3x1, 4x1, non-1x1 chroma), partially interleaved
+scans, and the other SOF processes (extended sequential, lossless,
+arithmetic) stay documented NotImplementedError seams, mirroring the
+PNG codec's depth gates.
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
 from coefficient patterns whose IDCT is integral — constant blocks
@@ -325,6 +328,7 @@ def assemble_jpeg_color(
     cr_blocks: list[list[list[int]]],
     sampling: tuple[int, int] = (2, 2),
     restart_interval: int = 0,
+    multiscan: bool = False,
 ) -> bytes:
     """Assemble a spec-valid 3-component YCbCr baseline JPEG for ANY of
     the standard chroma layouts — ``sampling`` is Y's (hs, vs) against
@@ -333,7 +337,15 @@ def assemble_jpeg_color(
     followed by 1 Cb and 1 Cr block (T.81 A.2.3 interleave order).
     ``y_blocks`` is [block_row][block_col] over the PADDED
     (8*vs)-/(8*hs)-aligned grid; ``cb_blocks``/``cr_blocks`` are
-    [mcu_row][mcu_col]."""
+    [mcu_row][mcu_col].
+
+    ``multiscan=True`` emits the NON-interleaved layout instead: three
+    sequential scans, one full-band scan per component, each over the
+    component's ceil(comp_size/8) grid (T.81 A.2.2 — for a padded-MCU
+    geometry this grid is SMALLER than the interleaved one, so a decoder
+    iterating the wrong grid desyncs). Per-scan DC predictors; the same
+    ``restart_interval`` applies within each scan (RSTn index restarts
+    at 0 per scan)."""
     hs, vs = sampling
     mcu_w, mcu_h = len(cb_blocks[0]), len(cb_blocks)
     app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
@@ -343,6 +355,28 @@ def assemble_jpeg_color(
     )
     dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
     dht_ac = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    head = (
+        b"\xff\xd8"
+        + _seg(0xFFE0, app0)
+        + _seg(0xFFDB, dqt)
+        + (_seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b"")
+        + _seg(0xFFC0, sof0)
+        + _seg(0xFFC4, dht_dc)
+        + _seg(0xFFC4, dht_ac)
+    )
+    if multiscan:
+        ybw, ybh = (w + 7) // 8, (h + 7) // 8
+        cbw = ((w + hs - 1) // hs + 7) // 8
+        cbh = ((h + vs - 1) // vs + 7) // 8
+        scans = b""
+        for cid, grid in (
+            (1, [y_blocks[by][bx] for by in range(ybh) for bx in range(ybw)]),
+            (2, [cb_blocks[by][bx] for by in range(cbh) for bx in range(cbw)]),
+            (3, [cr_blocks[by][bx] for by in range(cbh) for bx in range(cbw)]),
+        ):
+            scans += _seg(0xFFDA, bytes([1, cid, 0x00, 0, 63, 0]))
+            scans += _encode_scan_mcus([[(0, bz)] for bz in grid], restart_interval)
+        return head + scans + b"\xff\xd9"
     sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
     mcus: list[list[tuple[int, list[int]]]] = []
     for my in range(mcu_h):
@@ -354,15 +388,8 @@ def assemble_jpeg_color(
             mcu.append((1, cb_blocks[my][mx]))
             mcu.append((2, cr_blocks[my][mx]))
             mcus.append(mcu)
-    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
-        b"\xff\xd8"
-        + _seg(0xFFE0, app0)
-        + _seg(0xFFDB, dqt)
-        + dri
-        + _seg(0xFFC0, sof0)
-        + _seg(0xFFC4, dht_dc)
-        + _seg(0xFFC4, dht_ac)
+        head
         + _seg(0xFFDA, sos)
         + _encode_scan_mcus(mcus, restart_interval)
         + b"\xff\xd9"
@@ -416,7 +443,9 @@ def synth_jpeg(doc_id: int) -> bytes:
         if r8 == 5:
             return synth_jpeg_color(doc_id, (2, 1))
         if r8 == 7:
-            return synth_jpeg_color(doc_id, (1, 1))
+            # half the 4:4:4 docs use the NON-interleaved layout (one
+            # sequential scan per component) — same pixels, same oracle
+            return synth_jpeg_color(doc_id, (1, 1), multiscan=(doc_id % 16 == 15))
         return synth_jpeg_420(doc_id)
     if r8 in (2, 6):
         return synth_jpeg_progressive(doc_id)
@@ -457,7 +486,9 @@ def _chroma_blocks(
     return cb, cr
 
 
-def synth_jpeg_color(doc_id: int, sampling: tuple[int, int]) -> bytes:
+def synth_jpeg_color(
+    doc_id: int, sampling: tuple[int, int], multiscan: bool = False
+) -> bytes:
     """Deterministic color fixture at ANY standard chroma layout: the
     same luma pattern as every other fixture (shared oracle formula) and
     the same per-MCU DC-only chroma values — but the chroma MCU grid
@@ -478,7 +509,7 @@ def synth_jpeg_color(doc_id: int, sampling: tuple[int, int]) -> bytes:
     ri = 1 if doc_id % 6 == 5 else 0
     return assemble_jpeg_color(
         w, h, _FIXTURE_QT, _FIXTURE_QT_C, y_blocks, cb, cr,
-        sampling=sampling, restart_interval=ri,
+        sampling=sampling, restart_interval=ri, multiscan=multiscan,
     )
 
 
@@ -1253,9 +1284,10 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
     re-aligns at every marker, honoring mid-stream DRI rebinding. Both
     DQT precisions parse (8-bit and 16-bit entries), and color streams
     decode at every standard chroma layout (4:4:4 / 4:2:2 / 4:4:0 /
-    4:2:0). Raises NotImplementedError on the documented seams
-    (sampling factors outside {1,2}x{1,2}, non-1x1 chroma,
-    non-interleaved SEQUENTIAL scans, other SOF processes) and
+    4:2:0), in interleaved or non-interleaved (scan-per-component)
+    layouts. Raises NotImplementedError on the documented seams
+    (sampling factors outside {1,2}x{1,2}, non-1x1 chroma, partially
+    interleaved scans, other SOF processes) and
     ValueError on malformed streams (including a SOS that references an
     undefined quant/Huffman table).
     """
@@ -1272,6 +1304,7 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     prog_coefs: list[list[list[int]]] | None = None  # [comp][block][64] zigzag
     prog_grid: tuple[int, int, int, int] | None = None  # hmax, vmax, mcus_x, mcus_y
+    seq_state: tuple[int, int, list, set] | None = None  # hmax, vmax, planes, seen
     while pos + 2 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -1386,9 +1419,71 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
                 )
                 continue
             if ns != len(comps):
-                raise NotImplementedError(
-                    "non-interleaved (multi-scan) sequential JPEG not supported"
-                )
+                if ns != 1:
+                    raise NotImplementedError(
+                        "partially interleaved sequential JPEG not supported"
+                    )
+                # non-interleaved sequential scan: ONE component, full
+                # band, over the component's ceil(comp_size/8) grid
+                # (T.81 A.2.2) — one such scan per component, pixels
+                # accumulate until EOI
+                if len(body) < 1 + 2 + 3:
+                    raise ValueError("JPEG SOS truncated (component specs short)")
+                if seq_state is None:
+                    hmax = max(hs for _, hs, _, _ in comps)
+                    vmax = max(vs for _, _, vs, _ in comps)
+                    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                    seq_state = (
+                        hmax,
+                        vmax,
+                        [
+                            [[0] * (mcus_x * hs * 8) for _ in range(mcus_y * vs * 8)]
+                            for _, hs, vs, _ in comps
+                        ],
+                        set(),
+                    )
+                hmax, vmax, seq_planes, seq_seen = seq_state
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                cs = body[1]
+                td, ta = body[2] >> 4, body[2] & 0xF
+                match = [i for i, c in enumerate(comps) if c[0] == cs]
+                if not match:
+                    raise ValueError("JPEG SOS references unknown component id")
+                ci = match[0]
+                seq_seen.add(ci)
+                _, hs, vs, tq = comps[ci]
+                if tq not in qts or td not in dcs or ta not in acs:
+                    raise ValueError(
+                        "JPEG SOS references undefined quant/Huffman table"
+                    )
+                bw_n, bh_n = _nonint_grid(w, h, hs, vs, hmax, vmax)
+                plane = seq_planes[ci]
+                pred = 0
+                r = _BitReader(raw, pos + 2 + seglen)
+                rst = 0
+                idx = 0
+                for by in range(bh_n):
+                    for bx in range(bw_n):
+                        if restart_interval and idx and idx % restart_interval == 0:
+                            r.restart(rst)
+                            rst = (rst + 1) % 8
+                            pred = 0
+                        idx += 1
+                        px, pred = _decode_block(r, dcs[td], acs[ta], qts[tq], pred)
+                        py0, px0 = by * 8, bx * 8
+                        for y in range(8):
+                            row = plane[py0 + y]
+                            row[px0:px0 + 8] = px[y * 8:y * 8 + 8]
+                p = r.pos
+                while p + 1 < len(raw) and not (
+                    raw[p] == 0xFF
+                    and raw[p + 1] != 0x00
+                    and not (0xD0 <= raw[p + 1] <= 0xD7)
+                ):
+                    p += 1
+                pos = p
+                continue
             if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("JPEG SOS truncated (component specs short)")
             scan: list[tuple[int, int, int, list[int]]] = []
@@ -1439,6 +1534,20 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
                 planes_raw, [(hs, vs) for hs, vs, _, _ in scan], w, h, hmax, vmax
             )
         pos += 2 + seglen
+    if seq_state is not None:
+        # EOI after non-interleaved sequential scans: every component
+        # must have been scanned (T.81 — a missing scan is a truncated/
+        # malformed stream, not an all-zero plane)
+        hmax, vmax, seq_planes, seq_seen = seq_state
+        if seq_seen != set(range(len(comps))):
+            missing = sorted(set(range(len(comps))) - seq_seen)
+            raise ValueError(
+                f"JPEG non-interleaved stream is missing scans for "
+                f"component index(es) {missing}"
+            )
+        return w, h, _crop_planes(
+            seq_planes, [(hs, vs) for _, hs, vs, _ in comps], w, h, hmax, vmax
+        )
     if progressive and prog_coefs is not None:
         # EOI: dequantize the accumulated coefficients, IDCT every block,
         # then the same crop/upsample as the sequential path

@@ -544,9 +544,10 @@ def test_jpeg_failure_modes():
     with pytest.raises(NotImplementedError, match="SOF"):
         jpeg_pixels(sof1_flip)
 
-    # 3-component 4:2:0 is now SUPPORTED — but a 4:2:0 SOF0 followed by
-    # the grayscale single-component scan is a component-count mismatch
-    # (non-interleaved multi-scan), a stated seam
+    # non-interleaved sequential scans are SUPPORTED now — but a 4:2:0
+    # SOF0 followed by ONLY the grayscale single-component scan is a
+    # stream missing its chroma scans: loud ValueError at EOI, never an
+    # all-zero chroma plane
     seglen, prec, h, w = struct.unpack_from(">HBHH", good, sof_at + 2)
     color = (
         bytes(good[:sof_at + 2])
@@ -554,19 +555,19 @@ def test_jpeg_failure_modes():
         + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
         + bytes(good[sof_at + 2 + seglen:])
     )
-    with pytest.raises(NotImplementedError, match="non-interleaved"):
+    with pytest.raises(ValueError, match="missing scans"):
         jpeg_pixels(color)
 
-    # 4:2:2 is SUPPORTED now — this frankenstream (a 4:2:2 SOF over the
-    # grayscale single-component scan) instead trips the non-interleaved
-    # sequential seam like the 4:2:0 case above
+    # 4:2:2 is SUPPORTED now — this frankenstream (a 4:2:2 SOF over
+    # only the grayscale single-component scan) decodes Y then fails
+    # loudly at EOI for the missing chroma scans
     c422 = (
         bytes(good[:sof_at + 2])
         + struct.pack(">HBHHB", 17, prec, h, w, 3)
         + bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1])
         + bytes(good[sof_at + 2 + seglen:])
     )
-    with pytest.raises(NotImplementedError, match="non-interleaved"):
+    with pytest.raises(ValueError, match="missing scans"):
         jpeg_pixels(c422)
 
     # exotic sampling factors (3x1 luma) stay a stated seam
@@ -777,3 +778,25 @@ def test_jpeg_sampling_variants_round_trip():
         assert len(p16) == len(p8) + 64  # 64 extra table bytes
         assert jpeg_planes(p16) == jpeg_planes(p8)
         assert synth_jpeg(d) == p16  # the doc%8==4 mix slot IS the 16-bit twin
+
+
+def test_jpeg_noninterleaved_multiscan_round_trip():
+    """Non-interleaved sequential JPEG (one full-band scan per
+    component) decodes to exactly the interleaved twin's pixels — across
+    samplings, the padded-MCU 4:2:2 width-24 case (where the
+    non-interleaved grid is SMALLER than the interleaved one), and
+    per-scan restart markers. A stream missing a component's scan fails
+    loudly at EOI."""
+    from financedatabase_spark.operators.jpeg import jpeg_planes, synth_jpeg_color
+
+    for d, sampling in [(7, (1, 1)), (5, (2, 1)), (1, (2, 2)), (9, (1, 2)),
+                        (23, (2, 1)), (47, (1, 1))]:  # 23/47: restarts live
+        ms = synth_jpeg_color(d, sampling, multiscan=True)
+        il = synth_jpeg_color(d, sampling, multiscan=False)
+        assert ms.count(b"\xff\xda") >= 3 and il.count(b"\xff\xda") >= 1
+        assert jpeg_planes(ms) == jpeg_planes(il), (d, sampling)
+
+    p = synth_jpeg_color(7, (1, 1), multiscan=True)
+    second_sos = p.find(b"\xff\xda", p.find(b"\xff\xda") + 2)
+    with pytest.raises(ValueError, match="missing scans"):
+        jpeg_planes(p[:second_sos] + b"\xff\xd9")
