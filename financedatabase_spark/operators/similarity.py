@@ -712,22 +712,54 @@ def pq_encode(
     shuffles this broadcast removes — measured 15.6 s → 10.3 s on the
     50x encode, SCALE.md "r11: map-side PQ encode".)"""
     d = dim // m
+    # entries carry their precomputed self-dot (bb): inside the per-row
+    # argmin only the cross term 2<a,b> remains per entry — <a,a> is
+    # hoisted to one evaluation per (row, subspace) below. The combined
+    # (aa + bb) - 2.0*ab reproduces _sq_l2_units' exact float op order,
+    # so the integer-unit distances (and the oracle) stay bit-identical.
     packed = (
-        codebooks.groupBy("sub")
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "cvec_sub"))).alias("_ents"))
+        codebooks.select(
+            "sub",
+            F.struct(
+                F.col("cid"),
+                F.col("cvec_sub"),
+                dot(F.col("cvec_sub"), F.col("cvec_sub")).alias("bb"),
+            ).alias("_ent"),
+        )
+        .groupBy("sub")
+        .agg(F.array_sort(F.collect_list("_ent")).alias("_ents"))
         .groupBy()
         .agg(F.map_from_entries(F.collect_list(F.struct("sub", "_ents"))).alias("_cb"))
     )
-    enc = _spread(df).crossJoin(F.broadcast(packed)).withColumn("_pv", _vec(vec_col))
+    enc = (
+        _spread(df)
+        .crossJoin(F.broadcast(packed))
+        .withColumn("_pv", _vec(vec_col))
+        .withColumn(
+            "_slices",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col("_pv"), s * d + 1, d),
+            ),
+        )
+        .withColumn("_aas", F.transform(F.col("_slices"), lambda sl: dot(sl, sl)))
+    )
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: F.array_min(
             F.transform(
                 F.element_at(F.col("_cb"), s),
                 lambda e: F.struct(
-                    _sq_l2_units(
-                        F.slice(F.col("_pv"), s * d + 1, d), e.getField("cvec_sub")
-                    ).alias("_d"),
+                    F.floor(
+                        (
+                            F.element_at(F.col("_aas"), s + 1)
+                            + e.getField("bb")
+                            - F.lit(2.0)
+                            * dot(F.element_at(F.col("_slices"), s + 1), e.getField("cvec_sub"))
+                        )
+                        * F.lit(1e6)
+                        + F.lit(0.5)
+                    ).cast("long").alias("_d"),
                     e.getField("cid").alias("cid"),
                 ),
             )
@@ -900,25 +932,23 @@ def ivf_pq_topk(
     else:
         qbase = q.select(query_id, F.col("_qv").alias("_rv"))
         tab_keys = [query_id]
-    tbl_expr = F.map_from_entries(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: F.struct(
-                s.alias("sub"),
-                F.map_from_entries(
-                    F.transform(
-                        F.element_at(F.col("_cbm"), s),
-                        lambda e: F.struct(
-                            e.getField("cid").alias("cid"),
-                            _sq_l2_units(
-                                F.slice(F.col("_rv"), s * d + 1, d),
-                                e.getField("cvec_sub"),
-                            ).alias("_d"),
-                        ),
-                    )
-                ).alias("_m"),
-            ),
-        )
+    # array ordered by sub (outer), map keyed by cid (inner): the hot
+    # per-candidate fold does one O(1) array index + one map lookup per
+    # subspace instead of two map lookups
+    tbl_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.map_from_entries(
+            F.transform(
+                F.element_at(F.col("_cbm"), s),
+                lambda e: F.struct(
+                    e.getField("cid").alias("cid"),
+                    _sq_l2_units(
+                        F.slice(F.col("_rv"), s * d + 1, d),
+                        e.getField("cvec_sub"),
+                    ).alias("_d"),
+                ),
+            )
+        ),
     )
     qtab = qbase.crossJoin(F.broadcast(cb_packed)).select(
         *tab_keys, tbl_expr.alias("tbl")
@@ -935,7 +965,7 @@ def ivf_pq_topk(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0).cast("long"),
         lambda acc, s: acc
-        + F.element_at(F.element_at("tbl", s), F.element_at("codes", s + 1)),
+        + F.element_at(F.element_at("tbl", s + 1), F.element_at("codes", s + 1)),
     )
     scored = cand.select(
         query_id, corpus_id, (units.cast("double") / F.lit(1e6)).alias("approx_dist")
