@@ -142,35 +142,55 @@ def pil_decode(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def synth_wav(doc_id: int) -> bytes:
-    """Deterministic WAV fixture: a real RIFF/WAVE container (stdlib
-    `wave` writer, 16-bit mono PCM) whose samples derive from ``doc_id``
-    by pure integer arithmetic — so a SQL oracle can recompute the
-    decoded features from the id alone, while the Spark path must
-    round-trip the actual container (44-byte header + LE int16 frames).
+    """Deterministic WAV fixture mix keyed by doc_id % 4 — every PCM
+    layout the codec decodes: 0/3 = 16-bit MONO, 1 = 16-bit STEREO
+    (the decoder must mono-mix, truncating toward zero), 2 = unsigned
+    8-BIT mono (centered at 128). Samples derive from ``doc_id`` by pure
+    integer arithmetic — so a SQL oracle can recompute the decoded
+    features (selecting the per-variant formula on doc%4) while the
+    Spark path must round-trip the actual container.
 
     n_samples = 400 + doc_id % 257; rate = 8000 + (doc_id % 3) * 4000;
-    sample[t] = (doc_id*7919 + t*104729) % 65536 - 32768.
+    mono16: sample[t] = (doc_id*7919 + t*104729) % 65536 - 32768
+    stereo: L[t] as mono16, R[t] = (doc_id*104729 + t*7919) % 65536 - 32768
+    u8:     sample[t] = (doc_id*7919 + t*104729) % 256 - 128.
     """
     doc_id = int(doc_id)
     n = 400 + doc_id % 257
     rate = 8000 + (doc_id % 3) * 4000
-    samples = [((doc_id * 7919 + t * 104729) % 65536) - 32768 for t in range(n)]
+    variant = doc_id % 4
     buf = BytesIO()
     with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
         w.setframerate(rate)
-        w.writeframes(struct.pack(f"<{n}h", *samples))
+        if variant == 2:  # unsigned 8-bit mono
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.writeframes(bytes((doc_id * 7919 + t * 104729) % 256 for t in range(n)))
+        elif variant == 1:  # 16-bit stereo
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            inter = []
+            for t in range(n):
+                inter.append(((doc_id * 7919 + t * 104729) % 65536) - 32768)
+                inter.append(((doc_id * 104729 + t * 7919) % 65536) - 32768)
+            w.writeframes(struct.pack(f"<{2 * n}h", *inter))
+        else:  # 16-bit mono
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            samples = [((doc_id * 7919 + t * 104729) % 65536) - 32768 for t in range(n)]
+            w.writeframes(struct.pack(f"<{n}h", *samples))
     return buf.getvalue()
 
 
 def wav_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Real audio codec for the `decode_features` seam — stdlib `wave`,
     no external dependency. Parses the RIFF/WAVE header (channels, sample
-    width, frame count), decodes little-endian int16 PCM, mono-mixes
+    width, frame count), decodes little-endian int16 PCM or unsigned
+    8-bit PCM (centered at 128, the WAV convention), mono-mixes
     multi-channel input, and emits ``dim`` windowed energy features:
     feats[w] = sum(abs(sample[t]) for t with t*dim//n == w). Integer
     sums (exact in double) keep the output bit-stable across engines.
+    24/32-bit PCM stays a documented NotImplementedError seam.
 
     Reference parity: the reference treats media as opaque payloads with
     no audio path at all; this is the brief's LLM-pipeline audio
@@ -179,9 +199,12 @@ def wav_decode(payload: bytes, dim: int = 8) -> list[float]:
     with wave.open(BytesIO(bytes(payload)), "rb") as w:
         n, ch, sw = w.getnframes(), w.getnchannels(), w.getsampwidth()
         frames = w.readframes(n)
-    if sw != 2:
-        raise NotImplementedError(f"only 16-bit PCM supported, got {8 * sw}-bit")
-    samples = struct.unpack(f"<{n * ch}h", frames)
+    if sw == 1:  # unsigned 8-bit PCM, silence at 0x80
+        samples = tuple(b - 128 for b in frames)
+    elif sw == 2:
+        samples = struct.unpack(f"<{n * ch}h", frames)
+    else:
+        raise NotImplementedError(f"only 8/16-bit PCM supported, got {8 * sw}-bit")
     if ch > 1:  # mono-mix, truncating toward zero like int division
         samples = [int(sum(samples[i * ch:(i + 1) * ch]) / ch) for i in range(n)]
     feats = [0] * dim

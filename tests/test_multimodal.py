@@ -74,17 +74,28 @@ def test_wav_codec_round_trip():
 
     from financedatabase_spark.operators.multimodal import synth_wav, wav_decode
 
-    for doc_id in (0, 1, 7, 256, 12345):
+    for doc_id in (0, 1, 2, 7, 256, 12345):
         payload = synth_wav(doc_id)
         n = 400 + doc_id % 257
-        assert len(payload) == 44 + 2 * n  # 44-byte RIFF/fmt/data header
+        variant = doc_id % 4  # 0/3 mono16, 1 stereo16, 2 u8
+        ch = 2 if variant == 1 else 1
+        sw = 1 if variant == 2 else 2
+        assert len(payload) == 44 + sw * ch * n  # 44-byte RIFF/fmt/data header
         with wave.open(BytesIO(payload)) as w:
             assert w.getnframes() == n
-            assert w.getnchannels() == 1 and w.getsampwidth() == 2
+            assert w.getnchannels() == ch and w.getsampwidth() == sw
             assert w.getframerate() == 8000 + (doc_id % 3) * 4000
         want = [0] * 8
         for t in range(n):
-            want[t * 8 // n] += abs(((doc_id * 7919 + t * 104729) % 65536) - 32768)
+            if variant == 1:
+                left = ((doc_id * 7919 + t * 104729) % 65536) - 32768
+                right = ((doc_id * 104729 + t * 7919) % 65536) - 32768
+                a = abs(int((left + right) / 2))
+            elif variant == 2:
+                a = abs(((doc_id * 7919 + t * 104729) % 256) - 128)
+            else:
+                a = abs(((doc_id * 7919 + t * 104729) % 65536) - 32768)
+            want[t * 8 // n] += a
         assert wav_decode(payload) == [float(v) for v in want]
 
     # stereo mono-mix: L/R averaged (truncating), 2 frames -> 2 samples
@@ -97,15 +108,24 @@ def test_wav_codec_round_trip():
     feats = wav_decode(buf.getvalue(), dim=2)
     assert feats == [150.0, 200.0]  # |avg(100,200)|, |avg(-300,-100)|
 
-    # 8-bit PCM is out of contract
+    # 8-bit PCM is SUPPORTED: unsigned bytes centered at 128
     buf8 = BytesIO()
     with wave.open(buf8, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(1)
         w.setframerate(8000)
         w.writeframes(b"\x00\x80\xff")
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        wav_decode(buf8.getvalue())
+    assert wav_decode(buf8.getvalue(), dim=3) == [128.0, 0.0, 127.0]
+
+    # 32-bit PCM stays a stated seam
+    buf32 = BytesIO()
+    with wave.open(buf32, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<2i", 100000, -100000))
+    with pytest.raises(NotImplementedError, match="8/16-bit"):
+        wav_decode(buf32.getvalue())
 
 
 def test_dispatch_decode_routes_by_media_type():
