@@ -647,6 +647,31 @@ def fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     return [c / total for c in counts]
 
 
+def grid_resize(
+    plane: list[int], w: int, h: int, gw: int = 8, gh: int = 8
+) -> list[int]:
+    """Box-average downsample of one row-major plane to a gw x gh grid —
+    the pure-stdlib `resize` stage of the multimodal pipeline (the
+    PIL-free path; `pil_decode` uses Pillow's resampler when that
+    library exists). Box (bx, by) covers x in [bx*w//gw, (bx+1)*w//gw)
+    and y likewise; the cell value is the INTEGER mean (floor) of its
+    pixels, so a SQL oracle reproduces it exactly. Requires gw <= w and
+    gh <= h (upsampling is a different contract)."""
+    if gw > w or gh > h:
+        raise ValueError(f"grid_resize: grid {gw}x{gh} exceeds image {w}x{h}")
+    out = []
+    for by in range(gh):
+        y0, y1 = by * h // gh, (by + 1) * h // gh
+        for bx in range(gw):
+            x0, x1 = bx * w // gw, (bx + 1) * w // gw
+            total = 0
+            for y in range(y0, y1):
+                row = plane[y * w:(y + 1) * w]
+                total += sum(row[x0:x1])
+            out.append(total // ((x1 - x0) * (y1 - y0)))
+    return out
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 10, id_col: str = "doc_id", frame_col: str = "frame_idx"
 ) -> DataFrame:

@@ -971,6 +971,70 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, x, y,
+             (((doc_id*17 + (y // 8)*31 + (x // 8)*7) % 251 + 2)
+              + CASE WHEN y >= 8
+                     THEN ((doc_id + (x // 8)) % 5 - 2)
+                          * (CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+                     ELSE 0 END) AS p
+      FROM d,
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, w - 1)) ux(x)
+    )
+    SELECT doc_id,
+           (y // 2)::INT AS by,
+           (x // (w // 8))::INT AS bx,
+           (sum(p) // ((w // 8) * 2))::BIGINT AS px_mean
+    FROM px GROUP BY doc_id, w, y // 2, x // (w // 8)
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's RESIZE stage, pure stdlib: decode each doc's JPEG
+    (all eight container variants of the synth_jpeg mix) and box-average
+    the luma plane down to an 8x8 grid (multimodal.grid_resize — integer
+    floor means over [bx*w//8, (bx+1)*w//8) x [by*2, by*2+2) boxes, so
+    the oracle recomputes every cell exactly from the pixel formula).
+    The standard thumbnail/patch-embedding preprocessing shape: decode +
+    resize fused in ONE mapInPandas pass so full-resolution pixels never
+    leave the worker.
+
+    Scale shape: scan → mapInPandas synth+decode+resize → posexplode;
+    one id-only shuffle (spread_ids) before the Python stage; payloads
+    and raw pixels never shuffle — only the 64-cell grids do."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.jpeg import jpeg_planes, synth_jpeg
+    from financedatabase_spark.operators.multimodal import grid_resize
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, planes = jpeg_planes(synth_jpeg(i))
+                rows.append({"doc_id": i, "cells": grid_resize(planes[0], w, h)})
+            yield _pd.DataFrame(rows)
+
+    grids = docs.mapInPandas(gen, "doc_id long, cells array<long>")
+    return grids.select(
+        "doc_id", F.posexplode("cells").alias("_pos", "px_mean")
+    ).select(
+        "doc_id",
+        F.expr("_pos div 8").cast("int").alias("by"),
+        (F.col("_pos") % 8).cast("int").alias("bx"),
+        "px_mean",
+    )
+
+
+@register(
     "ivf_build_assign",
     oracle="""
     WITH v AS (

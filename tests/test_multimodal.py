@@ -820,3 +820,19 @@ def test_jpeg_noninterleaved_multiscan_round_trip():
     second_sos = p.find(b"\xff\xda", p.find(b"\xff\xda") + 2)
     with pytest.raises(ValueError, match="missing scans"):
         jpeg_planes(p[:second_sos] + b"\xff\xd9")
+
+
+def test_grid_resize_hand_example():
+    """grid_resize box means: exact floor-integer means over the floor-
+    boundary boxes, including non-uniform boxes when the grid does not
+    divide the image."""
+    from financedatabase_spark.operators.multimodal import grid_resize
+
+    # 4x2 image -> 2x2 grid: boxes are 2x1 pixels
+    plane = [10, 20, 30, 40,
+             50, 61, 70, 81]
+    assert grid_resize(plane, 4, 2, 2, 2) == [15, 35, 55, 75]
+    # 3x1 -> 2x1: boxes [0,1) and [1,3) (floor boundaries), means floor
+    assert grid_resize([10, 20, 31], 3, 1, 2, 1) == [10, 25]
+    with pytest.raises(ValueError, match="exceeds"):
+        grid_resize([1], 1, 1, 2, 2)
