@@ -13,7 +13,8 @@ pure-stdlib chunk walker (`avi_decode` — avih/strf header parse, per-
 frame luminance-sum features with row-padding awareness); images
 (8-bit grayscale/RGB PNG) decode for real via a pure-stdlib parser
 (`png_decode` — chunk walk, zlib inflate, full five-filter scanline
-reconstruction); baseline AND progressive JPEG decode for real via
+reconstruction, PALETTE color at packed depths 1/2/4/8, and ADAM7
+interlace with per-pass filtering); baseline AND progressive JPEG decode for real via
 `operators/jpeg.py` (marker parse, Huffman, dequant, IDCT; SOF2
 multi-scan coefficient accumulation), with Pillow as the optional
 general-format fallback (`pil_decode`). Compressed video (mp4/h264) and
@@ -234,30 +235,28 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 PNG_H = 16
 
 
-def synth_png(doc_id: int) -> bytes:
-    """Deterministic PNG fixture: a real, spec-valid PNG (signature,
-    IHDR, one zlib IDAT, IEND, correct CRCs) in 8-bit grayscale,
-    non-interlaced. Pixel (x, y) = (doc_id*17 + y*31 + x*7) % 256;
-    width = 8 + (doc_id % 3)*4 (8/12/16), height = 16.
+#: Adam7 interlace passes: (x_origin, y_origin, x_stride, y_stride).
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Each scanline is written with filter type y % 5 — all five PNG
-    filters (None/Sub/Up/Average/Paeth) appear in every fixture, so a
-    decoder that shortcuts the un-filter step cannot round-trip it."""
-    doc_id = int(doc_id)
-    w, h = 8 + (doc_id % 3) * 4, PNG_H
-    rows = [
-        [(doc_id * 17 + y * 31 + x * 7) % 256 for x in range(w)]
-        for y in range(h)
-    ]
+
+def _filter_encode(sample_rows: list[list[int]], bpp: int) -> bytearray:
+    """Filter-encode scanlines of raw sample bytes with filter type
+    y % 5 — all five PNG filters appear, so a decoder that shortcuts the
+    un-filter step cannot round-trip any fixture. ``bpp`` is the
+    filter's byte distance to the 'left' sample (1 gray/palette,
+    3 RGB)."""
     raw = bytearray()
-    for y, row in enumerate(rows):
+    for y, row in enumerate(sample_rows):
         ft = y % 5
         raw.append(ft)
-        prior = rows[y - 1] if y > 0 else [0] * w
+        prior = sample_rows[y - 1] if y > 0 else [0] * len(row)
         for x, v in enumerate(row):
-            left = row[x - 1] if x > 0 else 0
+            left = row[x - bpp] if x >= bpp else 0
             up = prior[x]
-            ul = prior[x - 1] if x > 0 else 0
+            ul = prior[x - bpp] if x >= bpp else 0
             if ft == 0:
                 f = v
             elif ft == 1:
@@ -269,10 +268,54 @@ def synth_png(doc_id: int) -> bytes:
             else:
                 f = v - _paeth(left, up, ul)
             raw.append(f % 256)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return raw
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Deterministic PNG fixture mix keyed by doc_id % 4 — every layout
+    the codec decodes, all with the SAME luma so the oracle formula is
+    layout-independent: 0 = 8-bit grayscale non-interlaced, 1 = 8-bit
+    PALETTE (ctype 3, 256 gray PLTE entries (i,i,i), so luma == index),
+    2 = ADAM7-interlaced grayscale (seven per-pass-filtered sub-images),
+    3 = 8-bit RGB with DISTINCT channels (v+1, v, v-1 clamped — the
+    integer-average luma recovers v exactly). Pixel luma (x, y) =
+    (doc_id*17 + y*31 + x*7) % 256; width = 8 + (doc_id % 3)*4, height
+    16. Every scanline (or pass scanline) cycles all five filters."""
+    doc_id = int(doc_id)
+    w, h = 8 + (doc_id % 3) * 4, PNG_H
+    variant = doc_id % 4
+    vals = [
+        [(doc_id * 17 + y * 31 + x * 7) % 256 for x in range(w)]
+        for y in range(h)
+    ]
+    plte = b""
+    if variant == 1:  # palette: indices ARE the luma values
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        plte = bytes(v for i in range(256) for v in (i, i, i))
+        raw = _filter_encode(vals, 1)
+    elif variant == 2:  # Adam7 grayscale
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pass_rows = [
+                [vals[y][x] for x in range(x0, w, dx)] for y in range(y0, h, dy)
+            ]
+            if pass_rows and pass_rows[0]:
+                raw += _filter_encode(pass_rows, 1)
+    elif variant == 3:  # RGB, distinct channels, integer-average luma == v
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        rgb_rows = [
+            [c for v in row for c in ((v + 1, v, v - 1) if 1 <= v <= 254 else (v, v, v))]
+            for row in vals
+        ]
+        raw = _filter_encode(rgb_rows, 3)
+    else:  # plain grayscale
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        raw = _filter_encode(vals, 1)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
+        + (_png_chunk(b"PLTE", plte) if plte else b"")
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
@@ -281,13 +324,20 @@ def synth_png(doc_id: int) -> bytes:
 def png_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Real image codec for the `decode_features` seam — pure stdlib
     (`zlib`), no Pillow. Parses the PNG signature and chunk stream,
-    validates IHDR (8-bit grayscale or RGB, non-interlaced), inflates
-    the concatenated IDAT stream, inverts the per-scanline filter
-    (all five types: None/Sub/Up/Average/Paeth), and emits the same
-    normalized ``dim``-bin luminance histogram `pil_decode` produces:
-    feats[k] = count(pixels with luma*dim//256 == k) / n_pixels, where
-    RGB luma is the integer average (r+g+b)//3. Integer bin math and
-    int/int division keep the output bit-stable across engines.
+    inflates the concatenated IDAT stream, inverts the per-scanline
+    filter (all five types: None/Sub/Up/Average/Paeth), and emits the
+    same normalized ``dim``-bin luminance histogram `pil_decode`
+    produces: feats[k] = count(pixels with luma*dim//256 == k) /
+    n_pixels, where RGB luma is the integer average (r+g+b)//3.
+
+    Supported layouts: 8-bit grayscale (ctype 0), 8-bit RGB (ctype 2),
+    and PALETTE (ctype 3 at depths 1/2/4/8 — packed indices unpacked
+    MSB-first, PLTE triples averaged to luma), each in BOTH interlace
+    modes (non-interlaced and ADAM7 — seven independently filtered
+    passes scattered back to the full grid). 16-bit samples and the
+    alpha color types (4/6) stay documented NotImplementedError seams.
+    Integer bin math and int/int division keep the output bit-stable
+    across engines.
 
     Reference parity: the reference has no image path (media are opaque
     payloads); this is the brief's LLM-pipeline image decode stage, not
@@ -297,12 +347,15 @@ def png_decode(payload: bytes, dim: int = 8) -> list[float]:
     if raw[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG (bad signature)")
     off, ihdr, idat = 8, None, bytearray()
+    plte: bytes | None = None
     while off + 8 <= len(raw):
         (clen,) = struct.unpack_from(">I", raw, off)
         ctype = raw[off + 4:off + 8]
         data = raw[off + 8:off + 8 + clen]
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = bytes(data)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -311,47 +364,84 @@ def png_decode(payload: bytes, dim: int = 8) -> list[float]:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, depth, ctype_v, comp, filt, interlace = ihdr
-    if depth != 8 or ctype_v not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
-        raise NotImplementedError(
-            f"only 8-bit grayscale/RGB non-interlaced PNG supported "
-            f"(depth={depth}, color_type={ctype_v}, interlace={interlace})"
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError(
+            f"bad PNG IHDR (compression={comp}, filter={filt}, interlace={interlace})"
         )
-    bpp = 1 if ctype_v == 0 else 3
-    stride = w * bpp
-    flat = zlib.decompress(bytes(idat))
-    if len(flat) != h * (1 + stride):
-        raise ValueError("PNG pixel data length mismatch")
-    prior = bytearray(stride)
-    pixels: list[int] = []
-    for y in range(h):
-        ft = flat[y * (1 + stride)]
-        line = bytearray(flat[y * (1 + stride) + 1:(y + 1) * (1 + stride)])
-        if ft > 4:
-            raise ValueError(f"bad PNG filter type {ft}")
-        for x in range(stride):
-            left = line[x - bpp] if x >= bpp else 0
-            up = prior[x]
-            ul = prior[x - bpp] if x >= bpp else 0
-            if ft == 1:
-                line[x] = (line[x] + left) % 256
-            elif ft == 2:
-                line[x] = (line[x] + up) % 256
-            elif ft == 3:
-                line[x] = (line[x] + (left + up) // 2) % 256
-            elif ft == 4:
-                line[x] = (line[x] + _paeth(left, up, ul)) % 256
-        if bpp == 1:
-            pixels.extend(line)
-        else:
-            pixels.extend(
-                (line[i] + line[i + 1] + line[i + 2]) // 3
-                for i in range(0, stride, 3)
+    if ctype_v in (0, 2):
+        if depth != 8:
+            raise NotImplementedError(
+                f"only 8-bit grayscale/RGB PNG supported (depth={depth})"
             )
-        prior = line
+        bits_pp = 8 * (1 if ctype_v == 0 else 3)
+    elif ctype_v == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"bad PNG palette depth {depth}")
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG missing or malformed PLTE")
+        bits_pp = depth
+    else:
+        raise NotImplementedError(
+            f"PNG color type {ctype_v} (alpha/16-bit layouts) not supported"
+        )
+    flat = zlib.decompress(bytes(idat))
+    passes = _ADAM7 if interlace == 1 else [(0, 0, 1, 1)]
+    lum = [[0] * w for _ in range(h)]
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx if x0 < w else 0
+        ph = (h - y0 + dy - 1) // dy if y0 < h else 0
+        if pw == 0 or ph == 0:
+            continue
+        stride = (pw * bits_pp + 7) // 8
+        fbpp = max(1, bits_pp // 8)
+        prior = bytearray(stride)
+        for py in range(ph):
+            if pos + 1 + stride > len(flat):
+                raise ValueError("PNG pixel data length mismatch")
+            ft = flat[pos]
+            line = bytearray(flat[pos + 1:pos + 1 + stride])
+            pos += 1 + stride
+            if ft > 4:
+                raise ValueError(f"bad PNG filter type {ft}")
+            for x in range(stride):
+                left = line[x - fbpp] if x >= fbpp else 0
+                up = prior[x]
+                ul = prior[x - fbpp] if x >= fbpp else 0
+                if ft == 1:
+                    line[x] = (line[x] + left) % 256
+                elif ft == 2:
+                    line[x] = (line[x] + up) % 256
+                elif ft == 3:
+                    line[x] = (line[x] + (left + up) // 2) % 256
+                elif ft == 4:
+                    line[x] = (line[x] + _paeth(left, up, ul)) % 256
+            out_row = lum[y0 + py * dy]
+            for i in range(pw):
+                if ctype_v == 0:
+                    v = line[i]
+                elif ctype_v == 2:
+                    v = (line[3 * i] + line[3 * i + 1] + line[3 * i + 2]) // 3
+                else:  # palette
+                    if depth == 8:
+                        s = line[i]
+                    else:
+                        bit = i * depth
+                        s = (line[bit // 8] >> (8 - depth - bit % 8)) & ((1 << depth) - 1)
+                    if 3 * s + 2 >= len(plte):
+                        raise ValueError(
+                            f"PNG palette index {s} out of range for PLTE"
+                        )
+                    v = (plte[3 * s] + plte[3 * s + 1] + plte[3 * s + 2]) // 3
+                out_row[x0 + i * dx] = v
+            prior = line
+    if pos != len(flat):
+        raise ValueError("PNG pixel data length mismatch")
     counts = [0] * dim
-    for v in pixels:
-        counts[v * dim // 256] += 1
-    n = max(len(pixels), 1)
+    for row in lum:
+        for v in row:
+            counts[v * dim // 256] += 1
+    n = max(w * h, 1)
     return [c / n for c in counts]
 
 

@@ -836,3 +836,78 @@ def test_grid_resize_hand_example():
     assert grid_resize([10, 20, 31], 3, 1, 2, 1) == [10, 25]
     with pytest.raises(ValueError, match="exceeds"):
         grid_resize([1], 1, 1, 2, 2)
+
+
+def test_png_palette_and_adam7_variants():
+    """The PNG mix now cycles gray / PALETTE / ADAM7 / distinct-channel
+    RGB (doc%4) with layout-invariant luma; packed palette depths
+    (1/2/4 bits, MSB-first) and tiny Adam7 images with EMPTY passes
+    decode exactly; out-of-range palette indices fail loudly."""
+    import struct
+    import zlib
+
+    from financedatabase_spark.operators.multimodal import (
+        _ADAM7,
+        _filter_encode,
+        _png_chunk,
+        png_decode,
+        synth_png,
+    )
+
+    # every corpus variant reproduces the layout-invariant luma formula
+    for doc_id in (0, 1, 2, 3, 13, 14, 15, 256, 257, 258, 259):
+        w = 8 + (doc_id % 3) * 4
+        counts = [0] * 8
+        for y in range(16):
+            for x in range(w):
+                counts[((doc_id * 17 + y * 31 + x * 7) % 256) * 8 // 256] += 1
+        assert png_decode(synth_png(doc_id)) == [c / (w * 16) for c in counts], doc_id
+
+    # structural: the variants really differ in layout
+    assert b"PLTE" in synth_png(1) and b"PLTE" not in synth_png(0)
+    assert synth_png(2)[28] == 1  # IHDR interlace byte = Adam7
+    assert struct.unpack_from(">IIBBBBB", synth_png(3), 16)[3] == 2  # RGB
+
+    # packed 2-bit palette, 3x2 image, hand-checked: indices 0..3 map to
+    # PLTE lumas 10/20/30/40
+    plte = bytes([10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40])
+    rows = [[0b00_01_10_00], [0b11_11_00_00]]  # (0,1,2), (3,3,0)
+    png2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 2, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(_filter_encode(rows, 1))))
+        + _png_chunk(b"IEND", b"")
+    )
+    # lumas: 10,20,30 / 40,40,10 -> bins v*8//256: 0,0,0 / 1,1,0
+    assert png_decode(png2) == [4 / 6, 2 / 6, 0, 0, 0, 0, 0, 0]
+
+    # 1x1 Adam7: only pass 1 is non-empty (passes 2-7 have zero pixels)
+    png1 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 200])))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert png_decode(png1, dim=2) == [0.0, 1.0]
+
+    # out-of-range palette index: loud ValueError
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", bytes([1, 1, 1]))
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 7])))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        png_decode(bad)
+
+    # alpha color types stay stated seams
+    alpha = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(5)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="color type"):
+        png_decode(alpha)
