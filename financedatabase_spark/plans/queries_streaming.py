@@ -564,3 +564,159 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "bucket", F.col("r").cast("int").alias("r")
     )
     return _run(spark, regs, "complete")
+
+
+_CURATION_REFRESH_ORACLE = r"""
+WITH hosts AS (
+  SELECT doc_id,
+         lower(CASE WHEN doc_id % 11 = 0 THEN 'cdn.' ELSE 'www.' END
+               || source
+               || CASE WHEN doc_id % 7 = 0 THEN '.spamfarm.example'
+                       ELSE '.example.org' END) AS host
+  FROM documents
+),
+bl(domain) AS (
+  VALUES ('spamfarm.example'), ('src1.example.org'), ('www.src2.example.org')
+),
+s1 AS (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d JOIN hosts h USING (doc_id)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bl b
+    WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain
+  )
+),
+gn AS (
+  SELECT doc_id, text, lang,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM s1
+),
+gw AS (
+  SELECT doc_id, text, lang, string_split(t, ' ') AS w,
+         len(regexp_extract_all(text, '#|\.\.\.'))::BIGINT AS sym
+  FROM gn
+),
+gm AS (
+  SELECT doc_id, text, lang,
+         len(w)::BIGINT AS n_words,
+         list_sum(list_transform(w, x -> len(x)))::BIGINT AS len_sum,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alpha,
+         sym
+  FROM gw
+),
+s2 AS (
+  SELECT doc_id, text, lang FROM gm
+  WHERE (n_words BETWEEN 50 AND 100000)
+    AND (CASE WHEN n_words > 0 THEN len_sum / n_words ELSE 0e0 END
+         BETWEEN 3.0e0 AND 10.0e0)
+    AND (CASE WHEN n_words > 0 THEN sym / n_words ELSE 0e0 END <= 0.1e0)
+    AND (CASE WHEN n_words > 0 THEN alpha / n_words ELSE 0e0 END >= 0.8e0)
+),
+cw AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+  FROM s2
+),
+ctok AS (SELECT doc_id, unnest(words) AS t FROM cw),
+ctok2 AS (SELECT doc_id, t FROM ctok WHERE t <> ''),
+ccounts AS (SELECT t, count(*)::BIGINT AS c FROM ctok2 GROUP BY t),
+cvocab AS (SELECT t, c FROM ccounts ORDER BY c DESC, t LIMIT 4096),
+ctot AS (SELECT sum(c)::BIGINT AS n_kept, count(*)::BIGINT AS v FROM cvocab),
+csc AS (
+  SELECT k.doc_id,
+         round(sum(log10((coalesce(vb.c, 0) + 0.5)
+                         / (ctot.n_kept + 0.5 * (ctot.v + 1))))
+               / count(*), 6) AS avg_logprob
+  FROM ctok2 k LEFT JOIN cvocab vb ON k.t = vb.t CROSS JOIN ctot
+  GROUP BY k.doc_id
+),
+cbuck AS (
+  SELECT s.doc_id,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_logprob DESC, s.doc_id ASC) AS nt
+  FROM csc s JOIN s2 d USING (doc_id)
+)
+SELECT s2.doc_id, s2.lang
+FROM s2 JOIN cbuck USING (doc_id) WHERE nt <> 3
+"""
+
+
+@register("streaming_curation_refresh", _CURATION_REFRESH_ORACLE)
+def streaming_curation_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-curation BACK half run end-to-end by the engine:
+    documents replay as THREE micro-batches (maxFilesPerTrigger over a
+    3-file staging copy); a foreachBatch loop appends each batch's
+    map-side survivors (blocklist + Gopher) to the accumulating front
+    sink and, per batch, RETRAINS the CCNet LM on the accumulation and
+    republishes the admitted head+middle snapshot behind an atomic
+    pointer (streaming/curation.run_admission_with_refresh — the
+    stream-static-refresh pattern: the model a stream-static join plans
+    once must be re-broadcast by the driver loop as the corpus grows).
+    Each refit re-scores the FULL accumulation with a model trained on
+    it, so the final snapshot equals the batch composite's admitted
+    corpus EXACTLY — the oracle is the composite's stage-1..3 CTE chain.
+    Intermediate snapshots differ (the composition effect); the pytest
+    twin additionally pins that they are strict subsets."""
+    import os as _os
+    import time as _time
+
+    from financedatabase_spark.operators.corrections import (
+        domain_blocklist_dim,
+        filter_blocked_domains,
+        registrable_host,
+    )
+    from financedatabase_spark.operators.lm import ccnet_tertiles
+    from financedatabase_spark.operators.text import gopher_quality
+    from financedatabase_spark.streaming.curation import run_admission_with_refresh
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    src = _stage_dir()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.05)  # distinct mtimes -> deterministic batch order
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    bl = domain_blocklist_dim(
+        spark, ["spamfarm.example", "src1.example.org", "www.src2.example.org"]
+    )
+
+    def front(df: DataFrame) -> DataFrame:
+        urls = df.withColumn(
+            "url",
+            F.concat(
+                F.lit("https://"),
+                F.when(F.col("doc_id") % 11 == 0, F.lit("cdn.")).otherwise(F.lit("www.")),
+                F.col("source"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit(".spamfarm.example")).otherwise(
+                    F.lit(".example.org")
+                ),
+                F.lit("/d/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).withColumn("host", registrable_host(F.col("url")))
+        s1 = filter_blocked_domains(urls, bl, url_col="url", host_col="host").select(
+            "doc_id", "text", "lang"
+        )
+        flags = gopher_quality(s1, keep_cols=["text", "lang"])
+        return flags.filter(
+            F.col("ok_n_words")
+            & F.col("ok_word_len")
+            & F.col("ok_symbols")
+            & F.col("ok_alpha")
+        ).select("doc_id", "text", "lang")
+
+    def refit(acc: DataFrame) -> DataFrame:
+        keep = ccnet_tertiles(acc).filter(F.col("bucket") != "tail").select("doc_id")
+        return acc.join(keep, "doc_id")
+
+    work = _stage_dir()
+    stats = run_admission_with_refresh(
+        spark, stream, front, refit, work,
+        refresh_every=1, checkpoint=_os.path.join(work, "ckpt"),
+    )
+    return spark.read.parquet(stats["admitted"]).select("doc_id", "lang")
