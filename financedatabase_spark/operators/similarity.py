@@ -1160,21 +1160,48 @@ def semdedup(
     the remedy is re-clustering with more centroids, not a bigger cap."""
     from financedatabase_spark.operators.dedup_docs import connected_components
 
+    # nearest-centroid assignment IN-ROW against one packed broadcast
+    # centroid row: per vector, argmin of (-sim, cell) over the array —
+    # the same tie-break (sim desc rounded, cell asc) as a row_number
+    # window, but with NO |V| x |C| exploded intermediate and NO shuffle
+    # of it (at 50x that intermediate is 3.2B rows; here it never exists)
+    # both norms hoisted: centroid norms precomputed at pack time, the
+    # vector norm once per row — the per-centroid term is one dot and a
+    # divide by the product of the SAME two norms cosine() would use, so
+    # every double is bit-identical to the windowed formulation
     v = _spread(emb).select(F.col(id_col), _vec(vec_col).alias("_e"))
-    cen = centroids.select(F.col("cell").alias("_cl"), F.col("cvec"))
-    from pyspark.sql import Window
-
-    scored = v.crossJoin(F.broadcast(cen)).select(
-        id_col,
-        "_cl",
-        "_e",
-        F.round(cosine(F.col("_e"), F.col("cvec")), round_digits).alias("_sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("_cl").asc())
+    cen_packed = centroids.select(
+        F.struct(
+            F.col("cell").alias("_cl"),
+            F.col("cvec"),
+            l2_norm(F.col("cvec")).alias("_cn"),
+        ).alias("_c0")
+    ).groupBy().agg(F.collect_list("_c0").alias("_cens"))
     assign = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, F.col("_cl").alias("cluster"), F.col("_sim").alias("csim"), "_e")
+        v.crossJoin(F.broadcast(cen_packed))
+        .withColumn("_en", l2_norm(F.col("_e")))
+        .withColumn(
+            "_best",
+            F.array_min(
+                F.transform(
+                    F.col("_cens"),
+                    lambda c: F.struct(
+                        (-F.round(
+                            dot(F.col("_e"), c.getField("cvec"))
+                            / (F.col("_en") * c.getField("_cn")),
+                            round_digits,
+                        )).alias("_negsim"),
+                        c.getField("_cl").alias("_cl"),
+                    ),
+                )
+            ),
+        )
+        .select(
+            id_col,
+            F.col("_best._cl").alias("cluster"),
+            (-F.col("_best._negsim")).alias("csim"),
+            "_e",
+        )
         .localCheckpoint()  # feeds the pair join twice + the final output
     )
     if max_cluster_size is not None:
