@@ -7,7 +7,8 @@ frame-sample run as Arrow-batched `mapInPandas` stages: the Spark-side
 contract (schema, batch iteration, partition sizing) is real and tested.
 
 Codecs: audio (RIFF/WAVE PCM) decodes for real via the stdlib `wave`
-module (`wav_decode` — header parse + int16 PCM windowed energy);
+module (`wav_decode` — header parse + windowed energy over every PCM
+width: u8 / int16 / int24 / int32, multi-channel mono-mixed);
 video (uncompressed RIFF/AVI, 24-bit DIB frames) decodes for real via a
 pure-stdlib chunk walker (`avi_decode` — avih/strf header parse, per-
 frame luminance-sum features with row-padding awareness); images
@@ -143,23 +144,26 @@ def pil_decode(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def synth_wav(doc_id: int) -> bytes:
-    """Deterministic WAV fixture mix keyed by doc_id % 4 — every PCM
+    """Deterministic WAV fixture mix keyed by doc_id % 6 — every PCM
     layout the codec decodes: 0/3 = 16-bit MONO, 1 = 16-bit STEREO
     (the decoder must mono-mix, truncating toward zero), 2 = unsigned
-    8-BIT mono (centered at 128). Samples derive from ``doc_id`` by pure
-    integer arithmetic — so a SQL oracle can recompute the decoded
-    features (selecting the per-variant formula on doc%4) while the
-    Spark path must round-trip the actual container.
+    8-BIT mono (centered at 128), 4 = 24-BIT mono (3-byte little-endian
+    two's complement), 5 = 32-BIT mono. Samples derive from ``doc_id``
+    by pure integer arithmetic — so a SQL oracle can recompute the
+    decoded features (selecting the per-variant formula on doc%6) while
+    the Spark path must round-trip the actual container.
 
     n_samples = 400 + doc_id % 257; rate = 8000 + (doc_id % 3) * 4000;
     mono16: sample[t] = (doc_id*7919 + t*104729) % 65536 - 32768
     stereo: L[t] as mono16, R[t] = (doc_id*104729 + t*7919) % 65536 - 32768
-    u8:     sample[t] = (doc_id*7919 + t*104729) % 256 - 128.
+    u8:     sample[t] = (doc_id*7919 + t*104729) % 256 - 128
+    s24:    sample[t] = (doc_id*7919 + t*104729) % 2^24 - 2^23
+    s32:    sample[t] = (doc_id*7919 + t*104729) % 2^32 - 2^31.
     """
     doc_id = int(doc_id)
     n = 400 + doc_id % 257
     rate = 8000 + (doc_id % 3) * 4000
-    variant = doc_id % 4
+    variant = doc_id % 6
     buf = BytesIO()
     with wave.open(buf, "wb") as w:
         w.setframerate(rate)
@@ -175,6 +179,27 @@ def synth_wav(doc_id: int) -> bytes:
                 inter.append(((doc_id * 7919 + t * 104729) % 65536) - 32768)
                 inter.append(((doc_id * 104729 + t * 7919) % 65536) - 32768)
             w.writeframes(struct.pack(f"<{2 * n}h", *inter))
+        elif variant == 4:  # 24-bit mono, 3-byte little-endian
+            w.setnchannels(1)
+            w.setsampwidth(3)
+            # two's complement of sample = (x % 2^24) - 2^23 is
+            # (x + 2^23) % 2^24 stored as unsigned
+            w.writeframes(
+                b"".join(
+                    ((doc_id * 7919 + t * 104729 + 8388608) % 16777216).to_bytes(
+                        3, "little"
+                    )
+                    for t in range(n)
+                )
+            )
+        elif variant == 5:  # 32-bit mono
+            w.setnchannels(1)
+            w.setsampwidth(4)
+            samples = [
+                ((doc_id * 7919 + t * 104729) % 4294967296) - 2147483648
+                for t in range(n)
+            ]
+            w.writeframes(struct.pack(f"<{n}i", *samples))
         else:  # 16-bit mono
             w.setnchannels(1)
             w.setsampwidth(2)
@@ -186,12 +211,13 @@ def synth_wav(doc_id: int) -> bytes:
 def wav_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Real audio codec for the `decode_features` seam — stdlib `wave`,
     no external dependency. Parses the RIFF/WAVE header (channels, sample
-    width, frame count), decodes little-endian int16 PCM or unsigned
-    8-bit PCM (centered at 128, the WAV convention), mono-mixes
+    width, frame count), decodes every PCM width the WAV spec allows —
+    unsigned 8-bit (centered at 128, the WAV convention), little-endian
+    int16, 3-byte two's-complement int24, and int32 — mono-mixes
     multi-channel input, and emits ``dim`` windowed energy features:
     feats[w] = sum(abs(sample[t]) for t with t*dim//n == w). Integer
-    sums (exact in double) keep the output bit-stable across engines.
-    24/32-bit PCM stays a documented NotImplementedError seam.
+    sums (exact in double: n <= 657 samples of |s| < 2^31 stays far
+    below 2^53) keep the output bit-stable across engines.
 
     Reference parity: the reference treats media as opaque payloads with
     no audio path at all; this is the brief's LLM-pipeline audio
@@ -204,8 +230,15 @@ def wav_decode(payload: bytes, dim: int = 8) -> list[float]:
         samples = tuple(b - 128 for b in frames)
     elif sw == 2:
         samples = struct.unpack(f"<{n * ch}h", frames)
+    elif sw == 3:  # 24-bit: 3-byte little-endian two's complement
+        samples = tuple(
+            int.from_bytes(frames[3 * i:3 * i + 3], "little", signed=True)
+            for i in range(n * ch)
+        )
+    elif sw == 4:
+        samples = struct.unpack(f"<{n * ch}i", frames)
     else:
-        raise NotImplementedError(f"only 8/16-bit PCM supported, got {8 * sw}-bit")
+        raise ValueError(f"bad WAV PCM sample width {8 * sw}-bit")
     if ch > 1:  # mono-mix, truncating toward zero like int division
         samples = [int(sum(samples[i * ch:(i + 1) * ch]) / ch) for i in range(n)]
     feats = [0] * dim
@@ -272,22 +305,38 @@ def _filter_encode(sample_rows: list[list[int]], bpp: int) -> bytearray:
 
 
 def synth_png(doc_id: int) -> bytes:
-    """Deterministic PNG fixture mix keyed by doc_id % 4 — every layout
+    """Deterministic PNG fixture mix keyed by doc_id % 8 — every layout
     the codec decodes, all with the SAME luma so the oracle formula is
     layout-independent: 0 = 8-bit grayscale non-interlaced, 1 = 8-bit
     PALETTE (ctype 3, 256 gray PLTE entries (i,i,i), so luma == index),
     2 = ADAM7-interlaced grayscale (seven per-pass-filtered sub-images),
     3 = 8-bit RGB with DISTINCT channels (v+1, v, v-1 clamped — the
-    integer-average luma recovers v exactly). Pixel luma (x, y) =
-    (doc_id*17 + y*31 + x*7) % 256; width = 8 + (doc_id % 3)*4, height
-    16. Every scanline (or pass scanline) cycles all five filters."""
+    integer-average luma recovers v exactly), 4 = 8-bit GRAY+ALPHA
+    (ctype 4 — a deterministic non-constant alpha the luma must ignore),
+    5 = 8-bit RGBA (ctype 6, same channel trick + alpha), 6 = 16-BIT
+    grayscale (big-endian samples, high byte == luma, non-constant low
+    byte the 16->8 reduction must drop), 7 = 16-bit RGBA. Pixel luma
+    (x, y) = (doc_id*17 + y*31 + x*7) % 256; alpha(x, y) = (doc_id*5 +
+    y*7 + x*3) % 256; 16-bit low byte = (doc_id*3 + y*11 + x*13) % 256;
+    width = 8 + (doc_id % 3)*4, height 16. Every scanline (or pass
+    scanline) cycles all five filters."""
     doc_id = int(doc_id)
     w, h = 8 + (doc_id % 3) * 4, PNG_H
-    variant = doc_id % 4
+    variant = doc_id % 8
     vals = [
         [(doc_id * 17 + y * 31 + x * 7) % 256 for x in range(w)]
         for y in range(h)
     ]
+
+    def alpha(x: int, y: int) -> int:
+        return (doc_id * 5 + y * 7 + x * 3) % 256
+
+    def lo(x: int, y: int) -> int:
+        return (doc_id * 3 + y * 11 + x * 13) % 256
+
+    def rgb(v: int) -> tuple[int, int, int]:
+        return (v + 1, v, v - 1) if 1 <= v <= 254 else (v, v, v)
+
     plte = b""
     if variant == 1:  # palette: indices ARE the luma values
         ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
@@ -304,11 +353,41 @@ def synth_png(doc_id: int) -> bytes:
                 raw += _filter_encode(pass_rows, 1)
     elif variant == 3:  # RGB, distinct channels, integer-average luma == v
         ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-        rgb_rows = [
-            [c for v in row for c in ((v + 1, v, v - 1) if 1 <= v <= 254 else (v, v, v))]
-            for row in vals
-        ]
+        rgb_rows = [[c for v in row for c in rgb(v)] for row in vals]
         raw = _filter_encode(rgb_rows, 3)
+    elif variant == 4:  # gray + alpha
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0)
+        ga_rows = [
+            [c for x, v in enumerate(row) for c in (v, alpha(x, y))]
+            for y, row in enumerate(vals)
+        ]
+        raw = _filter_encode(ga_rows, 2)
+    elif variant == 5:  # RGBA
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+        rgba_rows = [
+            [c for x, v in enumerate(row) for c in (*rgb(v), alpha(x, y))]
+            for y, row in enumerate(vals)
+        ]
+        raw = _filter_encode(rgba_rows, 4)
+    elif variant == 6:  # 16-bit grayscale, big-endian (high byte = luma)
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+        g16_rows = [
+            [c for x, v in enumerate(row) for c in (v, lo(x, y))]
+            for y, row in enumerate(vals)
+        ]
+        raw = _filter_encode(g16_rows, 2)
+    elif variant == 7:  # 16-bit RGBA
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 6, 0, 0, 0)
+        rgba16_rows = [
+            [
+                c
+                for x, v in enumerate(row)
+                for s in (*rgb(v), alpha(x, y))
+                for c in (s, lo(x, y))
+            ]
+            for y, row in enumerate(vals)
+        ]
+        raw = _filter_encode(rgba16_rows, 8)
     else:  # plain grayscale
         ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
         raw = _filter_encode(vals, 1)
@@ -330,12 +409,15 @@ def png_decode(payload: bytes, dim: int = 8) -> list[float]:
     produces: feats[k] = count(pixels with luma*dim//256 == k) /
     n_pixels, where RGB luma is the integer average (r+g+b)//3.
 
-    Supported layouts: 8-bit grayscale (ctype 0), 8-bit RGB (ctype 2),
-    and PALETTE (ctype 3 at depths 1/2/4/8 — packed indices unpacked
-    MSB-first, PLTE triples averaged to luma), each in BOTH interlace
-    modes (non-interlaced and ADAM7 — seven independently filtered
-    passes scattered back to the full grid). 16-bit samples and the
-    alpha color types (4/6) stay documented NotImplementedError seams.
+    Supported layouts: EVERY color type the PNG spec defines —
+    grayscale (ctype 0), RGB (ctype 2), PALETTE (ctype 3 at depths
+    1/2/4/8 — packed indices unpacked MSB-first, PLTE triples averaged
+    to luma), gray+alpha (ctype 4), and RGBA (ctype 6) — at both sample
+    depths 8 and 16 (16-bit samples are big-endian; the 16->8 luma
+    reduction takes the high byte, the spec's scale-down), alpha
+    channels ignored for luma (straight, non-premultiplied), each in
+    BOTH interlace modes (non-interlaced and ADAM7 — seven
+    independently filtered passes scattered back to the full grid).
     Integer bin math and int/int division keep the output bit-stable
     across engines.
 
@@ -368,22 +450,22 @@ def png_decode(payload: bytes, dim: int = 8) -> list[float]:
         raise ValueError(
             f"bad PNG IHDR (compression={comp}, filter={filt}, interlace={interlace})"
         )
-    if ctype_v in (0, 2):
-        if depth != 8:
-            raise NotImplementedError(
-                f"only 8-bit grayscale/RGB PNG supported (depth={depth})"
-            )
-        bits_pp = 8 * (1 if ctype_v == 0 else 3)
+    spp_by_ctype = {0: 1, 2: 3, 4: 2, 6: 4}
+    if ctype_v in spp_by_ctype:
+        if depth not in (8, 16):
+            raise ValueError(f"bad PNG depth {depth} for color type {ctype_v}")
+        spp = spp_by_ctype[ctype_v]
+        bits_pp = depth * spp
     elif ctype_v == 3:
         if depth not in (1, 2, 4, 8):
             raise ValueError(f"bad PNG palette depth {depth}")
         if plte is None or len(plte) % 3 or not plte:
             raise ValueError("palette PNG missing or malformed PLTE")
+        spp = 1
         bits_pp = depth
     else:
-        raise NotImplementedError(
-            f"PNG color type {ctype_v} (alpha/16-bit layouts) not supported"
-        )
+        raise ValueError(f"bad PNG color type {ctype_v}")
+    bps = max(1, depth // 8)  # bytes per sample (palette: packed, 1)
     flat = zlib.decompress(bytes(idat))
     passes = _ADAM7 if interlace == 1 else [(0, 0, 1, 1)]
     lum = [[0] * w for _ in range(h)]
@@ -418,11 +500,7 @@ def png_decode(payload: bytes, dim: int = 8) -> list[float]:
                     line[x] = (line[x] + _paeth(left, up, ul)) % 256
             out_row = lum[y0 + py * dy]
             for i in range(pw):
-                if ctype_v == 0:
-                    v = line[i]
-                elif ctype_v == 2:
-                    v = (line[3 * i] + line[3 * i + 1] + line[3 * i + 2]) // 3
-                else:  # palette
+                if ctype_v == 3:  # palette
                     if depth == 8:
                         s = line[i]
                     else:
@@ -433,6 +511,18 @@ def png_decode(payload: bytes, dim: int = 8) -> list[float]:
                             f"PNG palette index {s} out of range for PLTE"
                         )
                     v = (plte[3 * s] + plte[3 * s + 1] + plte[3 * s + 2]) // 3
+                else:
+                    # 16-bit samples are big-endian: the high byte sits
+                    # first, so indexing sample k at stride `bps` reads
+                    # the spec's 16->8 scale-down for free; trailing
+                    # alpha samples (ctypes 4/6) are simply not read
+                    base = i * spp * bps
+                    if ctype_v in (0, 4):
+                        v = line[base]
+                    else:  # RGB / RGBA: integer-average luma
+                        v = (
+                            line[base] + line[base + bps] + line[base + 2 * bps]
+                        ) // 3
                 out_row[x0 + i * dx] = v
             prior = line
     if pos != len(flat):

@@ -74,12 +74,12 @@ def test_wav_codec_round_trip():
 
     from financedatabase_spark.operators.multimodal import synth_wav, wav_decode
 
-    for doc_id in (0, 1, 2, 7, 256, 12345):
+    for doc_id in (0, 1, 2, 4, 5, 7, 10, 11, 256, 12345):
         payload = synth_wav(doc_id)
         n = 400 + doc_id % 257
-        variant = doc_id % 4  # 0/3 mono16, 1 stereo16, 2 u8
+        variant = doc_id % 6  # 0/3 mono16, 1 stereo16, 2 u8, 4 s24, 5 s32
         ch = 2 if variant == 1 else 1
-        sw = 1 if variant == 2 else 2
+        sw = {2: 1, 4: 3, 5: 4}.get(variant, 2)
         assert len(payload) == 44 + sw * ch * n  # 44-byte RIFF/fmt/data header
         with wave.open(BytesIO(payload)) as w:
             assert w.getnframes() == n
@@ -87,14 +87,19 @@ def test_wav_codec_round_trip():
             assert w.getframerate() == 8000 + (doc_id % 3) * 4000
         want = [0] * 8
         for t in range(n):
+            x = doc_id * 7919 + t * 104729
             if variant == 1:
-                left = ((doc_id * 7919 + t * 104729) % 65536) - 32768
+                left = (x % 65536) - 32768
                 right = ((doc_id * 104729 + t * 7919) % 65536) - 32768
                 a = abs(int((left + right) / 2))
             elif variant == 2:
-                a = abs(((doc_id * 7919 + t * 104729) % 256) - 128)
+                a = abs((x % 256) - 128)
+            elif variant == 4:
+                a = abs((x % 2**24) - 2**23)
+            elif variant == 5:
+                a = abs((x % 2**32) - 2**31)
             else:
-                a = abs(((doc_id * 7919 + t * 104729) % 65536) - 32768)
+                a = abs((x % 65536) - 32768)
             want[t * 8 // n] += a
         assert wav_decode(payload) == [float(v) for v in want]
 
@@ -117,15 +122,28 @@ def test_wav_codec_round_trip():
         w.writeframes(b"\x00\x80\xff")
     assert wav_decode(buf8.getvalue(), dim=3) == [128.0, 0.0, 127.0]
 
-    # 32-bit PCM stays a stated seam
+    # 24-bit PCM is SUPPORTED: 3-byte little-endian two's complement
+    buf24 = BytesIO()
+    with wave.open(buf24, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(
+                (s & 0xFFFFFF).to_bytes(3, "little")
+                for s in (1_000_000, -1_000_000, -8_388_608)
+            )
+        )
+    assert wav_decode(buf24.getvalue(), dim=3) == [1e6, 1e6, 8388608.0]
+
+    # 32-bit PCM is SUPPORTED, including stereo mono-mix
     buf32 = BytesIO()
     with wave.open(buf32, "wb") as w:
-        w.setnchannels(1)
+        w.setnchannels(2)
         w.setsampwidth(4)
         w.setframerate(8000)
-        w.writeframes(struct.pack("<2i", 100000, -100000))
-    with pytest.raises(NotImplementedError, match="8/16-bit"):
-        wav_decode(buf32.getvalue())
+        w.writeframes(struct.pack("<4i", 100000, 200000, -2_000_000_000, -100))
+    assert wav_decode(buf32.getvalue(), dim=2) == [150000.0, 1000000050.0]
 
 
 def test_dispatch_decode_routes_by_media_type():
@@ -290,17 +308,25 @@ def test_png_codec_round_trip():
         counts[v * 8 // 256] += 1
     assert png_decode(rgb) == [c / 4 for c in counts]
 
-    # failure modes: bad signature, unsupported depth, truncated IDAT
+    # failure modes: bad signature, bad depth, truncated IDAT
     with pytest.raises(ValueError, match="signature"):
         png_decode(b"JFIF nope")
+    # 16-bit gray is now SUPPORTED: 2x2 all-zero samples -> all luma 0
     deep = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
         + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="8-bit"):
-        png_decode(deep)
+    assert png_decode(deep) == [1.0] + [0.0] * 7
+    bad_depth = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 4))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bad PNG depth"):
+        png_decode(bad_depth)
     short = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
@@ -840,9 +866,10 @@ def test_grid_resize_hand_example():
 
 def test_png_palette_and_adam7_variants():
     """The PNG mix now cycles gray / PALETTE / ADAM7 / distinct-channel
-    RGB (doc%4) with layout-invariant luma; packed palette depths
-    (1/2/4 bits, MSB-first) and tiny Adam7 images with EMPTY passes
-    decode exactly; out-of-range palette indices fail loudly."""
+    RGB / GRAY+ALPHA / RGBA / 16-bit gray / 16-bit RGBA (doc%8) with
+    layout-invariant luma; packed palette depths (1/2/4 bits, MSB-first)
+    and tiny Adam7 images with EMPTY passes decode exactly; out-of-range
+    palette indices fail loudly."""
     import struct
     import zlib
 
@@ -855,7 +882,7 @@ def test_png_palette_and_adam7_variants():
     )
 
     # every corpus variant reproduces the layout-invariant luma formula
-    for doc_id in (0, 1, 2, 3, 13, 14, 15, 256, 257, 258, 259):
+    for doc_id in (0, 1, 2, 3, 4, 5, 6, 7, 13, 14, 15, 256, 257, 258, 259, 260):
         w = 8 + (doc_id % 3) * 4
         counts = [0] * 8
         for y in range(16):
@@ -867,6 +894,10 @@ def test_png_palette_and_adam7_variants():
     assert b"PLTE" in synth_png(1) and b"PLTE" not in synth_png(0)
     assert synth_png(2)[28] == 1  # IHDR interlace byte = Adam7
     assert struct.unpack_from(">IIBBBBB", synth_png(3), 16)[3] == 2  # RGB
+    assert struct.unpack_from(">IIBBBBB", synth_png(4), 16)[3] == 4  # gray+alpha
+    assert struct.unpack_from(">IIBBBBB", synth_png(5), 16)[3] == 6  # RGBA
+    assert struct.unpack_from(">IIBBBBB", synth_png(6), 16)[2:4] == (16, 0)
+    assert struct.unpack_from(">IIBBBBB", synth_png(7), 16)[2:4] == (16, 6)
 
     # packed 2-bit palette, 3x2 image, hand-checked: indices 0..3 map to
     # PLTE lumas 10/20/30/40
@@ -902,12 +933,32 @@ def test_png_palette_and_adam7_variants():
     with pytest.raises(ValueError, match="palette index"):
         png_decode(bad)
 
-    # alpha color types stay stated seams
-    alpha = (
+    # RGBA is SUPPORTED: 1x1 fully-transparent red still has red's luma
+    # (straight alpha — the luma histogram ignores the alpha sample)
+    rgba = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0))
-        + _png_chunk(b"IDAT", zlib.compress(bytes(5)))
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 255, 0, 0, 0])))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="color type"):
-        png_decode(alpha)
+    # luma 255//3 = 85 -> bin 85*3//256 = 0
+    assert png_decode(rgba, dim=3) == [1.0, 0.0, 0.0]
+
+    # 16-bit gray: the high byte is the luma; the low byte is dropped
+    g16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 0x10, 0xFF, 0xF0, 0x01])))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert png_decode(g16, dim=2) == [0.5, 0.5]  # lumas 0x10, 0xF0
+
+    # undefined color types still fail loudly
+    bad_ct = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 5, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(2)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="color type"):
+        png_decode(bad_ct)

@@ -370,16 +370,22 @@ def test_media_codecs_roundtrip_any_doc_id(doc_id, dim):
     n = 400 + doc_id % 257
     want_w = [0] * dim
     for t in range(n):
-        # per-variant fixture formula (doc%4): 16-bit mono / 16-bit
-        # stereo mono-mixed truncating toward zero / unsigned 8-bit
-        if doc_id % 4 == 1:
-            left = ((doc_id * 7919 + t * 104729) % 65536) - 32768
+        # per-variant fixture formula (doc%6): 16-bit mono / 16-bit
+        # stereo mono-mixed truncating toward zero / unsigned 8-bit /
+        # 24-bit / 32-bit
+        x = doc_id * 7919 + t * 104729
+        if doc_id % 6 == 1:
+            left = (x % 65536) - 32768
             right = ((doc_id * 104729 + t * 7919) % 65536) - 32768
             a = abs(int((left + right) / 2))
-        elif doc_id % 4 == 2:
-            a = abs(((doc_id * 7919 + t * 104729) % 256) - 128)
+        elif doc_id % 6 == 2:
+            a = abs((x % 256) - 128)
+        elif doc_id % 6 == 4:
+            a = abs((x % 2**24) - 2**23)
+        elif doc_id % 6 == 5:
+            a = abs((x % 2**32) - 2**31)
         else:
-            a = abs(((doc_id * 7919 + t * 104729) % 65536) - 32768)
+            a = abs((x % 65536) - 32768)
         want_w[t * dim // n] += a
     assert wav_decode(synth_wav(doc_id), dim=dim) == [float(v) for v in want_w]
 
