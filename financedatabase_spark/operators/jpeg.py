@@ -34,9 +34,11 @@ Non-interleaved SEQUENTIAL multi-scan streams decode too (one
 full-band scan per component over its ceil(comp_size/8) grid, pixels
 accumulated to EOI, a missing component scan failing loudly). Exotic
 sampling factors (3x1, 4x1, non-1x1 chroma), partially interleaved
-scans, and the other SOF processes (extended sequential, lossless,
-arithmetic) stay documented NotImplementedError seams, mirroring the
-PNG codec's depth gates.
+scans, and the non-Huffman/non-DCT SOF processes (lossless,
+arithmetic, 12-bit extended) stay documented NotImplementedError
+seams, mirroring the PNG codec's depth gates; extended-sequential
+SOF1 at 8-bit precision decodes (it is bitstream-identical to
+baseline there).
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
 from coefficient patterns whose IDCT is integral — constant blocks
@@ -236,6 +238,7 @@ def assemble_jpeg(
     blocks_zz: list[list[int]],
     restart_interval: int = 0,
     qt_16bit: bool = False,
+    sof1: bool = False,
 ) -> bytes:
     """Assemble a complete spec-valid grayscale baseline JPEG from a
     zigzag quant table and per-block quantized coefficients (blocks in
@@ -245,7 +248,10 @@ def assemble_jpeg(
     markers every that-many MCUs. ``qt_16bit`` stores the quant table
     with 16-bit big-endian entries (DQT Pq=1 — T.81 B.2.4.1): the same
     values in the wider encoding, so decode is unchanged but a decoder
-    that assumes 1-byte entries desyncs on the segment."""
+    that assumes 1-byte entries desyncs on the segment. ``sof1`` emits
+    the frame header under the EXTENDED-sequential marker (0xFFC1) —
+    at 8-bit precision the stream is otherwise identical, but a decoder
+    that rejects the marker outright drops real crawl files."""
     app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
     if qt_16bit:
         dqt = bytes([0x10]) + b"".join(struct.pack(">H", v) for v in qt_zz)
@@ -261,7 +267,7 @@ def assemble_jpeg(
         + _seg(0xFFE0, app0)
         + _seg(0xFFDB, dqt)
         + dri
-        + _seg(0xFFC0, sof0)
+        + _seg(0xFFC1 if sof1 else 0xFFC0, sof0)
         + _seg(0xFFC4, dht_dc)
         + _seg(0xFFC4, dht_ac)
         + _seg(0xFFDA, sos)
@@ -416,7 +422,9 @@ def synth_jpeg(doc_id: int) -> bytes:
     decoder supports: 0 = gray baseline (+DRI/RSTn on doc%6==0), 2/6 =
     gray PROGRESSIVE (SOF2), 4 = gray baseline with a 16-BIT (Pq=1)
     quant table, 1 = 4:2:0 baseline (+DRI on doc%6==5), 3 = 4:2:0
-    progressive, 5 = 4:2:2, 7 = 4:4:4. Every variant carries the SAME
+    progressive, 5 = 4:2:2, 7 = 4:4:4; grayscale docs with doc%16 == 8
+    carry the frame header under the EXTENDED-sequential marker (SOF1 —
+    pixel-identical at 8-bit precision, container-proving). Every variant carries the SAME
     pixel content for its doc_id, so the luminance oracle formula is
     container-independent; only the chroma-mean features (pos 8/9)
     depend on the chroma cell geometry, which the oracle selects on
@@ -460,8 +468,12 @@ def synth_jpeg(doc_id: int) -> bytes:
     # with doc%8 == 4 store the SAME quant values as 16-bit DQT entries
     # (Pq=1), again pixel-identical but container-proving
     ri = 3 if doc_id % 6 == 0 else 0
+    # doc%16 == 8 emits the SAME stream under the SOF1 (extended
+    # sequential) marker: pixel-identical, so the oracle is unchanged,
+    # but the decoder must accept the marker
     return assemble_jpeg(
-        w, h, _FIXTURE_QT, blocks, restart_interval=ri, qt_16bit=(r8 == 4)
+        w, h, _FIXTURE_QT, blocks, restart_interval=ri, qt_16bit=(r8 == 4),
+        sof1=(doc_id % 16 == 8),
     )
 
 
@@ -1311,10 +1323,10 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
         marker = raw[pos + 1]
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline (SOF0) and progressive (SOF2) DCT supported, "
-                f"got SOF marker 0xFF{marker:02X}"
+                f"only sequential (SOF0/SOF1) and progressive (SOF2) DCT "
+                f"supported, got SOF marker 0xFF{marker:02X}"
             )
         if pos + 4 > len(raw):
             raise ValueError("JPEG segment truncated (declared length exceeds stream)")
@@ -1360,7 +1372,11 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
                 vals = list(body[off + 17:off + 17 + n])
                 (dcs if tc == 0 else acs)[th] = _HuffDec(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            # SOF1 (extended sequential, Huffman) at 8-bit precision is
+            # decode-identical to baseline — it only widens the limits
+            # (12-bit samples, 4 Huffman table slots) this decoder
+            # already gates elsewhere
             progressive = marker == 0xC2
             if len(body) < 6:
                 raise ValueError("JPEG SOF truncated")

@@ -585,10 +585,15 @@ def test_jpeg_failure_modes():
     with pytest.raises(ValueError, match="Se=0"):
         jpeg_pixels(sof2_flip)
 
-    # the OTHER SOF processes stay stated seams (extended sequential here)
+    # SOF1 (extended sequential) is SUPPORTED at 8-bit precision: the
+    # same stream under the 0xFFC1 marker decodes to identical pixels
     sof1_flip = bytes(good[:sof_at + 1]) + b"\xc1" + bytes(good[sof_at + 2:])
+    assert jpeg_pixels(sof1_flip) == jpeg_pixels(bytes(good))
+
+    # the non-Huffman/non-DCT SOF processes stay stated seams
+    sof3_flip = bytes(good[:sof_at + 1]) + b"\xc3" + bytes(good[sof_at + 2:])
     with pytest.raises(NotImplementedError, match="SOF"):
-        jpeg_pixels(sof1_flip)
+        jpeg_pixels(sof3_flip)
 
     # non-interleaved sequential scans are SUPPORTED now — but a 4:2:0
     # SOF0 followed by ONLY the grayscale single-component scan is a
