@@ -499,6 +499,65 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
 
 
+def grouped_components(
+    pairs: DataFrame,
+    group_col: str,
+    left_col: str = "doc1",
+    right_col: str = "doc2",
+) -> DataFrame:
+    """Connected components for edge sets PRE-PARTITIONED by a group key
+    components cannot cross (e.g. SemDeDup's within-cluster edges: both
+    endpoints of every edge share a cluster by construction, so no
+    component spans clusters). Returns the same (doc_id, cluster_rep =
+    min id in component) contract as `connected_components`, computed
+    EXACTLY — no round limit.
+
+    Scale shape vs the iterative loop: ONE shuffle of the edges on the
+    group key and one Arrow-batched union-find pass per group, fully
+    LAZY — no per-round localCheckpoint, no per-round convergence
+    collect, no repeated reshuffling of the edge set (the global loop
+    pays rounds x (join + agg) jobs and a driver sync per round). The
+    trade is per-task memory O(edges in one group), which the caller
+    must bound — SemDeDup's max_cluster_size guard is exactly that
+    bound. For a global (unpartitionable) edge set, use
+    `connected_components`.
+    """
+    import pandas as pd
+
+    id_type = dict(pairs.dtypes)[left_col]
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf[left_col], pdf[right_col]):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps the representative invariant
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = list(parent)
+        return pd.DataFrame(
+            {"doc_id": nodes, "cluster_rep": [find(n) for n in nodes]}
+        )
+
+    return (
+        pairs.select(group_col, left_col, right_col)
+        .groupBy(group_col)
+        .applyInPandas(uf, f"doc_id {id_type}, cluster_rep {id_type}")
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     bench: DataFrame,

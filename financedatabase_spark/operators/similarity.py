@@ -1148,8 +1148,9 @@ def semdedup(
     Scale shape — the clustering exists precisely to bound the
     quadratic: pairwise cosine runs per-cluster (shuffle on cluster,
     sort-merge self-join), never corpus x corpus; centroids broadcast;
-    components via iterative min-label propagation over only the
-    edge-touching vectors (operators/dedup_docs.connected_components).
+    components resolve exactly in one per-cluster union-find pass
+    (operators/dedup_docs.grouped_components — edges cannot cross
+    clusters, so no global iterative loop is needed).
     At 100 TB the cluster count scales with the corpus so per-cluster
     membership stays bounded (the paper uses ~100k clusters).
     ``max_cluster_size`` enforces that assumption LOUDLY: an adversarial
@@ -1158,7 +1159,7 @@ def semdedup(
     checks the largest cluster (one scalar agg over the already-
     materialized assignment) and raises ValueError naming the cluster —
     the remedy is re-clustering with more centroids, not a bigger cap."""
-    from financedatabase_spark.operators.dedup_docs import connected_components
+    from financedatabase_spark.operators.dedup_docs import grouped_components
 
     # nearest-centroid assignment IN-ROW against one packed broadcast
     # centroid row: per vector, argmin of (-sim, cell) over the array —
@@ -1227,11 +1228,16 @@ def semdedup(
     edges = (
         a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_i") < F.col("_j")))
         .filter(F.round(cosine(F.col("_ea"), F.col("_eb")), round_digits) >= F.lit(tau))
-        .select("_i", "_j")
+        .select("_ca", "_i", "_j")
     )
-    comp = connected_components(edges, left_col="_i", right_col="_j").select(
-        F.col("doc_id").alias(id_col), F.col("cluster_rep").alias("group_rep")
-    )
+    # edges never cross clusters (both endpoints share _ca by
+    # construction), so components resolve EXACTLY in one lazy
+    # per-cluster union-find pass — no iterative global loop, no
+    # per-round driver sync; per-task memory is bounded by the
+    # max_cluster_size guard above
+    comp = grouped_components(
+        edges, group_col="_ca", left_col="_i", right_col="_j"
+    ).select(F.col("doc_id").alias(id_col), F.col("cluster_rep").alias("group_rep"))
     labeled = assign.join(comp, id_col, "left").select(
         id_col,
         "cluster",
