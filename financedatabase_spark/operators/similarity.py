@@ -111,6 +111,75 @@ def cosine_topk(
     )
 
 
+def hard_negative_mining(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    anchor_id: str = "anchor_id",
+    corpus_id: str = "corpus_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    min_score: float | None = None,
+    max_score: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SBERT
+    corpus prep step): for each anchor, the ``k`` most-similar corpus
+    vectors whose ``label_col`` DIFFERS from the anchor's — the
+    negatives that actually move a contrastive loss, as opposed to
+    random in-batch ones. ``min_score``/``max_score`` carve the
+    optional SEMI-HARD band: a floor drops easy negatives (already far
+    away), a ceiling drops likely false negatives (so close they are
+    probably unlabeled positives). Scores are cosine rounded to
+    ``round_digits`` before banding and ranking, so float ties break
+    identically across engines; rank ties break on corpus_id.
+
+    Output: (anchor_id, corpus_id, neg_label, score, rank).
+
+    Scale shape: the anchor set is the small side (a mining run uses
+    thousands of anchors against the full corpus), so it broadcasts —
+    the corpus is scored map-side in one pass (BroadcastNestedLoopJoin
+    with the label-mismatch predicate inside the join condition, norms
+    hoisted per row), then per-anchor top-k via window. No corpus
+    shuffle besides the rank exchange on anchor_id.
+    """
+    a = (
+        anchors.select(
+            F.col(anchor_id), F.col(label_col).alias("_al"), _vec(vec_col).alias("_qv")
+        )
+        .withColumn("_qn", l2_norm(F.col("_qv")))
+    )
+    c = (
+        _spread(corpus)
+        .select(
+            F.col(corpus_id), F.col(label_col).alias("neg_label"), _vec(vec_col).alias("_cv")
+        )
+        .withColumn("_cn", l2_norm(F.col("_cv")))
+    )
+    scored = (
+        c.join(F.broadcast(a), F.col("_al") != F.col("neg_label"))
+        .select(
+            anchor_id,
+            corpus_id,
+            "neg_label",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    if min_score is not None:
+        scored = scored.filter(F.col("score") >= F.lit(float(min_score)))
+    if max_score is not None:
+        scored = scored.filter(F.col("score") <= F.lit(float(max_score)))
+    w = Window.partitionBy(anchor_id).orderBy(F.col("score").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(anchor_id, corpus_id, "neg_label", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 #: Plan-stats corpus size above which `vectorized="auto"` picks the
 #: blocked-matmul path. The Arrow cogroup + per-block top-k merge carry
 #: fixed stage overhead that only pays once BLAS throughput dominates —

@@ -508,6 +508,40 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS anchor_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS corpus_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.anchor_id, c.corpus_id, c.label AS neg_label, {_COS} AS score
+      FROM q JOIN c ON q.label <> c.label
+    ),
+    ranked AS (
+      SELECT anchor_id, corpus_id, neg_label, score,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY score DESC, corpus_id ASC) AS rank
+      FROM scored WHERE score >= 0.0e0
+    )
+    SELECT anchor_id, corpus_id, neg_label, score, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/similarity.hard_negative_mining): per anchor, the 5
+    most-similar corpus vectors with a DIFFERENT label, floored at
+    cosine >= 0 (the semi-hard band's easy-negative cut). Anchors
+    broadcast; the corpus is scored map-side in one pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("anchor_id"), "label", "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "label", "embedding")
+    return sim.hard_negative_mining(anchors, corpus, k=5, min_score=0.0)
+
+
+@register(
     "embedding_ivf_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS v

@@ -162,6 +162,61 @@ def test_connected_components_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 1, 5: 5, 6: 5}
 
 
+def test_grouped_components_matches_global(spark):
+    """Per-group union-find (the lazy semdedup path) must equal the
+    iterative global loop on edges that never cross groups — including a
+    path graph inside one group (multi-hop union) and singleton edges."""
+    from financedatabase_spark.operators.dedup_docs import (
+        connected_components,
+        grouped_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 2, 1), (10, 2, 3), (10, 3, 4), (10, 4, 9), (20, 6, 5), (30, 8, 7)],
+        "grp long, doc1 long, doc2 long",
+    )
+    grouped = {
+        r.doc_id: r.cluster_rep for r in grouped_components(pairs, "grp").collect()
+    }
+    global_ = {
+        r.doc_id: r.cluster_rep for r in connected_components(pairs).collect()
+    }
+    assert grouped == global_ == {1: 1, 2: 1, 3: 1, 4: 1, 9: 1, 5: 5, 6: 5, 7: 7, 8: 7}
+
+
+def test_hard_negative_mining_band_and_exclusion(spark):
+    """Negatives never share the anchor's label; the semi-hard band cuts
+    at the ROUNDED score on both edges; ranks order by score desc then
+    corpus_id."""
+    from financedatabase_spark.operators.similarity import hard_negative_mining
+
+    # anchor (1,0,0); same-label (2) must be excluded even at cosine 1;
+    # negatives at cosine 1.0, ~0.707, 0.0, -1.0
+    rows = [
+        (1, "a", [1.0, 0.0, 0.0]),
+        (2, "a", [1.0, 0.0, 0.0]),
+        (3, "b", [2.0, 0.0, 0.0]),
+        (4, "b", [1.0, 1.0, 0.0]),
+        (5, "c", [0.0, 1.0, 0.0]),
+        (6, "c", [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    anchors = emb.filter("vec_id = 1").selectExpr(
+        "vec_id AS anchor_id", "label", "embedding"
+    )
+    corpus = emb.selectExpr("vec_id AS corpus_id", "label", "embedding")
+    got = hard_negative_mining(anchors, corpus, k=10).collect()
+    assert [(r.corpus_id, r.neg_label, r.rank) for r in got] == [
+        (3, "b", 1), (4, "b", 2), (5, "c", 3), (6, "c", 4)
+    ]
+    assert got[0].score == 1.0 and got[3].score == -1.0
+
+    banded = hard_negative_mining(
+        anchors, corpus, k=10, min_score=0.0, max_score=0.99
+    ).collect()
+    assert [r.corpus_id for r in banded] == [4, 5]  # 3 cut high, 6 cut low
+
+
 def test_dollar_bars_clock(spark):
     from pyspark.sql import functions as F
 
