@@ -11,11 +11,12 @@ module (`wav_decode` — header parse + windowed energy over every PCM
 width: u8 / int16 / int24 / int32, multi-channel mono-mixed);
 video (uncompressed RIFF/AVI, 24-bit DIB frames) decodes for real via a
 pure-stdlib chunk walker (`avi_decode` — avih/strf header parse, per-
-frame luminance-sum features with row-padding awareness); images
-(8-bit grayscale/RGB PNG) decode for real via a pure-stdlib parser
-(`png_decode` — chunk walk, zlib inflate, full five-filter scanline
-reconstruction, PALETTE color at packed depths 1/2/4/8, and ADAM7
-interlace with per-pass filtering); baseline AND progressive JPEG decode for real via
+frame luminance-sum features with row-padding awareness); PNG decodes
+for real via a pure-stdlib parser (`png_decode` — chunk walk, zlib
+inflate, full five-filter scanline reconstruction, every color type:
+gray/RGB/PALETTE at packed depths 1/2/4/8/gray+alpha/RGBA, sample
+depths 8 and 16, and ADAM7 interlace with per-pass filtering);
+baseline AND progressive JPEG decode for real via
 `operators/jpeg.py` (marker parse, Huffman, dequant, IDCT; SOF2
 multi-scan coefficient accumulation), with Pillow as the optional
 general-format fallback (`pil_decode`). Compressed video (mp4/h264) and

@@ -8,7 +8,8 @@ pretraining-data pipeline runs between raw scrape and data loader:
     dedup          exact_dedup, minhash_lsh_dedup, simhash_near_dups,
                    jaccard_pairs, connected components (dedup_clusters)
     similarity     cosine_topk, ivf_topk, ivf_multiprobe_topk,
-                   kmeans_refine (codebook training), scalar_quantize_int8
+                   kmeans_refine (codebook training), scalar_quantize_int8,
+                   hard_negative_mining (contrastive corpus prep)
     decontam       contamination_pairs (train-vs-benchmark n-gram overlap)
     sampling       deterministic_sample, stratified_sample,
                    fixed_size_sample, dataset_split, token_shard_packing
@@ -25,6 +26,7 @@ from financedatabase_spark.operators.dedup_docs import (
     connected_components,
     contamination_pairs,
     exact_dedup,
+    grouped_components,
     jaccard_pairs,
     minhash_lsh_dedup,
     shingle_table,
@@ -53,6 +55,7 @@ from financedatabase_spark.operators.similarity import (
     cosine_topk,
     dequantize_int8,
     embedding_near_dups,
+    hard_negative_mining,
     ivf_multiprobe_topk,
     ivf_topk,
     kmeans_refine,
@@ -86,13 +89,13 @@ __all__ = [
     # dedup
     "exact_dedup", "minhash_lsh_dedup", "simhash_near_dups",
     "jaccard_pairs", "shingle_table", "connected_components",
-    "contamination_pairs",
+    "grouped_components", "contamination_pairs",
     # retrieval
     "bm25_topk", "rrf_fuse",
     # similarity / embeddings
     "cosine_topk", "ivf_topk", "ivf_multiprobe_topk", "cell_centroids",
-    "kmeans_refine", "embedding_near_dups", "scalar_quantize_int8",
-    "dequantize_int8",
+    "kmeans_refine", "embedding_near_dups", "hard_negative_mining",
+    "scalar_quantize_int8", "dequantize_int8",
     # sampling / layout
     "deterministic_sample", "stratified_sample", "fixed_size_sample",
     "dataset_split", "token_shard_packing",

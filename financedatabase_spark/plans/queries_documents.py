@@ -511,7 +511,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hard_negative_mining",
     oracle=f"""
     WITH q AS (SELECT vec_id AS anchor_id, label, embedding::DOUBLE[] AS v
-               FROM embeddings WHERE vec_id % 100 = 0),
+               FROM embeddings WHERE vec_id < 8),
     c AS (SELECT vec_id AS corpus_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     scored AS (
       SELECT q.anchor_id, c.corpus_id, c.label AS neg_label, {_COS} AS score
@@ -531,10 +531,13 @@ def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training
     (operators/similarity.hard_negative_mining): per anchor, the 5
     most-similar corpus vectors with a DIFFERENT label, floored at
-    cosine >= 0 (the semi-hard band's easy-negative cut). Anchors
-    broadcast; the corpus is scored map-side in one pass."""
+    cosine >= 0 (the semi-hard band's easy-negative cut). Anchors are
+    the bounded probe set (vec_id < 8, the same convention as the
+    brute-force cosine baseline — a mining anchor set is small by
+    design); anchors broadcast, the corpus is scored map-side in one
+    pass, so cost stays anchors x corpus, linear in the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") % 100 == 0).select(
+    anchors = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("anchor_id"), "label", "embedding"
     )
     corpus = emb.select(F.col("vec_id").alias("corpus_id"), "label", "embedding")
@@ -859,9 +862,12 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image feature extraction through the REAL pure-stdlib PNG codec
     (operators/multimodal.png_decode via dispatch_decode): each doc gets
-    a deterministic spec-valid PNG (synth_png — 8-bit grayscale, width
-    varying 8/12/16 by doc so geometry must come from IHDR, and every
-    fixture cycles through ALL FIVE scanline filters), and the codec
+    a deterministic spec-valid PNG (synth_png — a doc%8 layout mix over
+    every color type and depth the spec defines: gray / palette / Adam7
+    gray / RGB / gray+alpha / RGBA / 16-bit gray / 16-bit RGBA, all with
+    the SAME luma per pixel; width varying 8/12/16 by doc so geometry
+    must come from IHDR, and every fixture cycles through ALL FIVE
+    scanline filters), and the codec
     must parse the chunk stream, inflate IDAT, invert the filters, and
     emit the 8-bin normalized luminance histogram. The oracle recomputes
     the histogram from the pixel-synthesis formula — a decoder that

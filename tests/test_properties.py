@@ -210,6 +210,51 @@ def test_blocked_near_dups_equals_fold_property(spark_h, n, dim, block, seed):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(0, 5),      # group
+            st.integers(0, 30),     # node a (namespaced per group below)
+            st.integers(0, 30),     # node b
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+)
+def test_grouped_components_equals_reference_uf(spark_h, edges):
+    """Property: for ANY multigraph partitioned by a group key (nodes
+    namespaced per group so edges cannot cross), grouped_components
+    equals a sequential union-find — including self-loops, parallel
+    edges, and long chains that force multi-hop path compression."""
+    from financedatabase_spark.operators.dedup_docs import grouped_components
+
+    # namespace nodes per group: node id = group * 1000 + local id
+    rows = [(g, g * 1000 + a, g * 1000 + b) for g, a, b in edges]
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark_h.createDataFrame(rows, "grp long, doc1 long, doc2 long")
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in grouped_components(df, "grp").collect()
+    }
+    assert got == want
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pts=st.lists(st.integers(0, 3_000_000), min_size=1, max_size=60),
