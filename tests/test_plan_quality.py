@@ -151,6 +151,17 @@ def test_spread_skips_shuffle_for_multifile_scans(spark, sf_dir, tmp_path):
     assert "roundrobin" not in buf.getvalue().lower()
 
 
+def test_hard_negative_anchors_broadcast(spark, sf_dir):
+    # the anchor set must broadcast into the label-mismatch join so the
+    # corpus is scored map-side in one pass (BroadcastNestedLoopJoin IS
+    # the intended shape here — the predicate is an inequality — but it
+    # must never degrade to a CartesianProduct or a corpus sort)
+    p = plan_of(spark, sf_dir, "hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
 def test_contamination_bench_side_broadcasts(spark, sf_dir):
     # the benchmark shingle table must broadcast: the corpus side joins
     # map-side (no corpus shuffle, no sort-merge, never cartesian)
