@@ -1271,6 +1271,12 @@ def semdedup(
             F.col("_best._cl").alias("cluster"),
             (-F.col("_best._negsim")).alias("csim"),
             "_e",
+            # the row's norm rides through the checkpoint so the pair
+            # filter below divides by two HOISTED norms instead of
+            # re-folding l2_norm per PAIR — same doubles (dot / (na*nb)
+            # in cosine()'s operand order), a third of the per-pair
+            # higher-order-function work
+            "_en",
         )
         .localCheckpoint()  # feeds the pair join twice + the final output
     )
@@ -1289,14 +1295,26 @@ def semdedup(
                 f"(SemDeDup assumes cluster count scales with the corpus)"
             )
     a = assign.select(
-        F.col(id_col).alias("_i"), F.col("cluster").alias("_ca"), F.col("_e").alias("_ea")
+        F.col(id_col).alias("_i"),
+        F.col("cluster").alias("_ca"),
+        F.col("_e").alias("_ea"),
+        F.col("_en").alias("_na"),
     )
     b = assign.select(
-        F.col(id_col).alias("_j"), F.col("cluster").alias("_cb"), F.col("_e").alias("_eb")
+        F.col(id_col).alias("_j"),
+        F.col("cluster").alias("_cb"),
+        F.col("_e").alias("_eb"),
+        F.col("_en").alias("_nb"),
     )
     edges = (
         a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_i") < F.col("_j")))
-        .filter(F.round(cosine(F.col("_ea"), F.col("_eb")), round_digits) >= F.lit(tau))
+        .filter(
+            F.round(
+                dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")),
+                round_digits,
+            )
+            >= F.lit(tau)
+        )
         .select("_ca", "_i", "_j")
     )
     # edges never cross clusters (both endpoints share _ca by
