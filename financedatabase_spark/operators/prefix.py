@@ -42,11 +42,11 @@ def attach_running_total_before(
     current row. Equivalent to ``sum(val) over (partition by key order
     by ord) - val`` with bounded tasks. All input columns pass through.
 
-    Pass ``value_col`` as an EXISTING column name when possible: the
-    local-prefix and slice-totals branches then reference identical
-    column sets below the range exchange, so AQE reuses one shuffle
-    (ReusedExchange, plan-gated); a Column expression is materialized
-    as ``_val`` first."""
+    Safe for ANY column set: the slice-totals branch aggregates the
+    mapInPandas output (a pruning barrier), so both consumers share one
+    canonically identical range exchange (ReusedExchange, plan-gated)
+    — payload columns cannot diverge the subtrees. A Column expression
+    passed as ``value_col`` is materialized as ``_val`` first."""
     keys = list(key_cols or [])
     if isinstance(value_col, str):
         vname, based, drop_val = value_col, df, ()
@@ -98,7 +98,17 @@ def attach_running_total_before(
 
     local = staged.mapInPandas(_local_prefix, f"{out_fields}, _before {before_t}")
 
-    totals = staged.groupBy("_p", *keys).agg(F.sum(vname).alias("_ptot"))
+    # Slice totals aggregate over LOCAL's output, not `staged`: Catalyst
+    # cannot prune columns through the opaque Python map, so both
+    # consumers sit on canonically IDENTICAL subtrees and the range
+    # exchange is provably reused (one execution, one set of `_p`
+    # boundaries). Aggregating `staged` directly let column pruning
+    # diverge the two subtrees whenever the frame carried payload
+    # columns the totals side didn't reference — no reuse, TWO range
+    # executions with independently SAMPLED boundaries (RangePartitioner
+    # can even emit different partition COUNTS per run), and the inner
+    # `_p` join then silently dropped or misplaced rows at scale.
+    totals = local.groupBy("_p", *keys).agg(F.sum(vname).alias("_ptot"))
     w_off = (
         (Window.partitionBy(*keys) if keys else Window.partitionBy())
         .orderBy("_p")

@@ -259,6 +259,50 @@ def corpus_mixture(
     return stratified_sample(df, fractions, stratum_col=source_col, key_col=key_col)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    seed: int,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    hierarchical: bool = True,
+) -> DataFrame:
+    """Reproducible global shuffle with explicit positions — the
+    example-order step of a training pipeline: every row gets a dense
+    0-based ``pos_col`` in md5(seed‖id) order, so the data-loader reads
+    the SAME permutation on every run, engine, and partitioning (and a
+    different one per seed). The sort key appends the zero-padded id so
+    ordering is total even under (astronomically unlikely) digest ties.
+
+    Scale shape: a global row_number would funnel the corpus through
+    ONE task; the default hierarchical form reuses the two-level scan
+    from `token_shard_packing` (range-partition on the shuffle key,
+    slice-local cumcounts map-side, tiny per-slice offset frame
+    broadcast back) — positions bit-identical to the monolithic window
+    for any partition layout, every task bounded by slice size.
+    ``hierarchical=False`` keeps the single-window equivalence baseline.
+    Feed ``pos_col`` to `token_shard_packing(order_col=...)` to pack
+    shards in shuffled order."""
+    key = F.concat_ws(
+        "|",
+        F.md5(F.concat_ws("|", F.lit(str(int(seed))), F.col(id_col).cast("string"))),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+    )
+    with_key = df.withColumn("_skey", key)
+    if not hierarchical:
+        w = Window.orderBy(F.col("_skey").asc())
+        return with_key.withColumn(
+            pos_col, (F.row_number().over(w) - 1).cast("long")
+        ).drop("_skey")
+    from financedatabase_spark.operators.prefix import attach_running_total_before
+
+    pre = attach_running_total_before(
+        with_key.withColumn("_one", F.lit(1).cast("long")), "_one", None, "_skey"
+    )
+    return pre.withColumn(pos_col, F.col("_before").cast("long")).drop(
+        "_one", "_before", "_skey"
+    )
+
+
 def dataset_split(
     df: DataFrame,
     splits: dict[str, float],

@@ -46,6 +46,7 @@ from financedatabase_spark.operators.retrieval import bm25_topk, rrf_fuse
 from financedatabase_spark.operators.sampling import (
     dataset_split,
     deterministic_sample,
+    deterministic_shuffle,
     fixed_size_sample,
     stratified_sample,
     token_shard_packing,
@@ -98,7 +99,7 @@ __all__ = [
     "scalar_quantize_int8", "dequantize_int8",
     # sampling / layout
     "deterministic_sample", "stratified_sample", "fixed_size_sample",
-    "dataset_split", "token_shard_packing",
+    "dataset_split", "token_shard_packing", "deterministic_shuffle",
     # multimodal
     "attach_media_meta", "decode_features", "default_decode",
     "dispatch_decode", "synth_wav", "wav_decode",

@@ -1820,6 +1820,27 @@ def token_shard_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "deterministic_shuffle",
+    oracle="""
+    SELECT doc_id, lang,
+           (row_number() OVER (
+              ORDER BY md5('42|' || doc_id::VARCHAR) || '|'
+                       || lpad(doc_id::VARCHAR, 20, '0')) - 1)::BIGINT AS pos
+    FROM documents
+    """,
+)
+def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global example order
+    (operators/sampling.deterministic_shuffle): every doc gets a dense
+    0-based position in md5(seed‖id) order — the same permutation on
+    every run/engine/partitioning, a different one per seed. Runs the
+    hierarchical two-level scan (range exchange + map-side slice
+    cumcounts), bit-identical to the oracle's monolithic window."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return smp.deterministic_shuffle(docs, seed=42)
+
+
 _SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 _T_TRAIN = smp.fraction_threshold_hex(0.9)
 _T_VAL = smp.fraction_threshold_hex(0.95)

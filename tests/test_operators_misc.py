@@ -615,6 +615,33 @@ def test_token_packing_hierarchical_equivalence(spark):
             )
 
 
+def test_deterministic_shuffle_positions(spark):
+    """The hierarchical shuffle must equal the monolithic window across
+    partition layouts; positions are a dense 0..n-1 permutation, stable
+    across runs, and differ between seeds."""
+    from financedatabase_spark.operators import sampling as smp
+
+    base = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(3000)], "doc_id long, src string"
+    )
+    for parts in (1, 5, 32):
+        df = base.repartition(parts)
+        h = {r.doc_id: r.pos for r in smp.deterministic_shuffle(df, seed=7).collect()}
+        m = {
+            r.doc_id: r.pos
+            for r in smp.deterministic_shuffle(df, seed=7, hierarchical=False).collect()
+        }
+        assert h == m, parts
+        assert sorted(h.values()) == list(range(3000))
+    again = {
+        r.doc_id: r.pos for r in smp.deterministic_shuffle(base, seed=7).collect()
+    }
+    other = {
+        r.doc_id: r.pos for r in smp.deterministic_shuffle(base, seed=8).collect()
+    }
+    assert again == h and other != h
+
+
 def test_interval_join_boundaries_and_multiplicity(spark):
     """Inclusive [start, end] bounds, exactly-once pairing even when an
     interval spans many buckets, and overlapping intervals each match."""

@@ -190,6 +190,23 @@ def test_token_packing_hierarchical_shape(spark, sf_dir):
     assert "ReusedExchange" in executed
 
 
+def test_deterministic_shuffle_reuses_range_exchange(spark, sf_dir):
+    # the shuffle carries PAYLOAD columns (lang) the totals branch never
+    # references — the case that once diverged the two subtrees under
+    # column pruning, broke exchange reuse, and let two independently
+    # SAMPLED range executions drop rows at the _p join (caught at 50x).
+    # The totals branch now aggregates the MapInPandas output (a pruning
+    # barrier), so the corpus range exchange must be provably reused.
+    p = plan_of(spark, sf_dir, "deterministic_shuffle")
+    assert "rangepartitioning" in p
+    assert "MapInPandas" in p
+    assert "BroadcastHashJoin" in p
+    df = QUERIES["deterministic_shuffle"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
 def test_pii_redaction_is_pure_map(spark, sf_dir):
     # the scrub is a regexp_replace chain: one scan, zero Exchange —
     # a 100 TB corpus pays exactly one pass
