@@ -1841,6 +1841,50 @@ def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.deterministic_shuffle(docs, seed=42)
 
 
+@register(
+    "shuffled_shard_packing",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tok
+      FROM documents
+    ),
+    pos AS (
+      SELECT lang, tok,
+             (row_number() OVER (
+                ORDER BY md5('42|' || doc_id::VARCHAR) || '|'
+                         || lpad(doc_id::VARCHAR, 20, '0')) - 1)::BIGINT AS pos
+      FROM toks
+    ),
+    c AS (
+      SELECT lang, pos, tok,
+             sum(tok) OVER (PARTITION BY lang ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM pos
+    )
+    SELECT lang, CAST(floor((cum - tok) / 4096.0) AS BIGINT) AS shard_idx,
+           count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS n_tokens,
+           min(pos) AS first_doc, max(pos) AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+)
+def shuffled_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual loader-layout path: deterministic_shuffle assigns the
+    reproducible global example order, token_shard_packing cuts
+    4096-token shards per language IN that order — two hierarchical
+    two-level scans composed in one DAG. The packed frame carries
+    payload columns the totals branch never references, so this is also
+    the living regression query for the prune-divergence bug the scan
+    once had (SCALE.md r11)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tx.bpe_token_count("text").alias("tok")
+    )
+    shuffled = smp.deterministic_shuffle(docs, seed=42)
+    return smp.token_shard_packing(
+        shuffled, "tok", budget=4096, order_col="pos", key_cols=["lang"]
+    )
+
+
 _SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 _T_TRAIN = smp.fraction_threshold_hex(0.9)
 _T_VAL = smp.fraction_threshold_hex(0.95)
