@@ -512,6 +512,15 @@ def grouped_components(
     min id in component) contract as `connected_components`, computed
     EXACTLY — no round limit.
 
+    PRECONDITION (unchecked — checking requires a full extra shuffle):
+    every node appears in edges of exactly ONE group. SemDeDup satisfies
+    it by construction (a vector is assigned to one centroid before the
+    within-cluster pair join). A violating edge set would emit the same
+    doc_id once PER group it appears in, with per-group cluster_rep
+    values — use `connected_components` for edge sets without the
+    partition guarantee. ``left_col`` and ``right_col`` must share a
+    dtype (validated; the output id columns take that type).
+
     Scale shape vs the iterative loop: ONE shuffle of the edges on the
     group key and one Arrow-batched union-find pass per group, fully
     LAZY — no per-round localCheckpoint, no per-round convergence
@@ -524,7 +533,14 @@ def grouped_components(
     """
     import pandas as pd
 
-    id_type = dict(pairs.dtypes)[left_col]
+    dtypes = dict(pairs.dtypes)
+    id_type = dtypes[left_col]
+    if dtypes[right_col] != id_type:
+        raise ValueError(
+            f"grouped_components: {left_col} is {id_type} but {right_col} "
+            f"is {dtypes[right_col]} — endpoint columns must share a dtype "
+            f"(the output doc_id/cluster_rep columns take it)"
+        )
 
     def uf(pdf: pd.DataFrame) -> pd.DataFrame:
         parent: dict = {}

@@ -415,7 +415,11 @@ def png_decode(payload: bytes, dim: int = 8) -> list[float]:
     1/2/4/8 — packed indices unpacked MSB-first, PLTE triples averaged
     to luma), gray+alpha (ctype 4), and RGBA (ctype 6) — at both sample
     depths 8 and 16 (16-bit samples are big-endian; the 16->8 luma
-    reduction takes the high byte, the spec's scale-down), alpha
+    reduction takes the high byte — floor(v/256), the common
+    truncating approximation; the spec's RECOMMENDED rounded scale-down
+    is (v*255+32767)//65535, one off when the low byte >= 128, so
+    features can differ from Pillow-style conversion on external
+    16-bit images — the synth fixtures are self-consistent), alpha
     channels ignored for luma (straight, non-premultiplied), each in
     BOTH interlace modes (non-interlaced and ADAM7 — seven
     independently filtered passes scattered back to the full grid).

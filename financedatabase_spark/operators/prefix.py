@@ -108,6 +108,11 @@ def attach_running_total_before(
     # executions with independently SAMPLED boundaries (RangePartitioner
     # can even emit different partition COUNTS per run), and the inner
     # `_p` join then silently dropped or misplaced rows at scale.
+    # Known cost: the two consumers above the ReusedExchange each run
+    # the Python prefix map, so the Arrow-serialized scan executes
+    # TWICE per query. Benchmarked acceptable (the totals consumer
+    # reduces map-side); if it ever dominates, localCheckpoint/persist
+    # `local` here — correctness wins over the double pass until then.
     totals = local.groupBy("_p", *keys).agg(F.sum(vname).alias("_ptot"))
     w_off = (
         (Window.partitionBy(*keys) if keys else Window.partitionBy())

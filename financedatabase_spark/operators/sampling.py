@@ -273,6 +273,15 @@ def deterministic_shuffle(
     different one per seed). The sort key appends the zero-padded id so
     ordering is total even under (astronomically unlikely) digest ties.
 
+    PRECONDITION: ``id_col`` values are UNIQUE. The lpad tie-break only
+    totalizes the order across DISTINCT ids; duplicate rows share a sort
+    key, so the hierarchical path (range-frame prefix sum — tied rows
+    get the same ``_before``) and ``hierarchical=False`` (row_number
+    breaks the tie arbitrarily) would diverge, and ``pos_col`` would
+    stop being a dense permutation. Dedup or add a disambiguating id
+    first; uniqueness is not enforced here (checking costs a full
+    groupBy of the corpus).
+
     Scale shape: a global row_number would funnel the corpus through
     ONE task; the default hierarchical form reuses the two-level scan
     from `token_shard_packing` (range-partition on the shuffle key,

@@ -134,6 +134,14 @@ def hard_negative_mining(
     ``round_digits`` before banding and ranking, so float ties break
     identically across engines; rank ties break on corpus_id.
 
+    Degenerate rows are excluded up front: ZERO-NORM embeddings (which
+    would score NaN — and Spark sorts NaN above every number, so they'd
+    otherwise rank as the "hardest" negatives and pass the min_score
+    band, since NaN >= x is true here) are filtered on BOTH sides, and
+    NULL labels drop their rows too (the ``!=`` join predicate is
+    NULL-rejecting — an unlabeled anchor has no defined negatives, an
+    unlabeled corpus row can't be proven a negative).
+
     Output: (anchor_id, corpus_id, neg_label, score, rank).
 
     Scale shape: the anchor set is the small side (a mining run uses
@@ -148,6 +156,7 @@ def hard_negative_mining(
             F.col(anchor_id), F.col(label_col).alias("_al"), _vec(vec_col).alias("_qv")
         )
         .withColumn("_qn", l2_norm(F.col("_qv")))
+        .filter(F.col("_qn") > 0)
     )
     c = (
         _spread(corpus)
@@ -155,6 +164,7 @@ def hard_negative_mining(
             F.col(corpus_id), F.col(label_col).alias("neg_label"), _vec(vec_col).alias("_cv")
         )
         .withColumn("_cn", l2_norm(F.col("_cv")))
+        .filter(F.col("_cn") > 0)
     )
     scored = (
         c.join(F.broadcast(a), F.col("_al") != F.col("neg_label"))

@@ -217,6 +217,45 @@ def test_hard_negative_mining_band_and_exclusion(spark):
     assert [r.corpus_id for r in banded] == [4, 5]  # 3 cut high, 6 cut low
 
 
+def test_hard_negative_mining_degenerate_rows(spark):
+    """Zero-norm embeddings must not rank (their NaN cosine sorts above
+    every number in Spark and NaN >= x passes the band filter); NULL
+    labels drop their rows on either side via the != join predicate."""
+    from financedatabase_spark.operators.similarity import hard_negative_mining
+
+    rows = [
+        (1, "a", [1.0, 0.0]),
+        (2, "b", [1.0, 1.0]),
+        (3, "b", [0.0, 0.0]),   # zero norm: must never appear
+        (4, None, [1.0, 0.0]),  # NULL label: not a provable negative
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    anchors = emb.filter("vec_id = 1").selectExpr(
+        "vec_id AS anchor_id", "label", "embedding"
+    )
+    corpus = emb.selectExpr("vec_id AS corpus_id", "label", "embedding")
+    got = hard_negative_mining(anchors, corpus, k=10, min_score=-1.0).collect()
+    assert [r.corpus_id for r in got] == [2]
+
+    # a zero-norm / NULL-label ANCHOR yields no rows rather than NaN ranks
+    bad_anchors = emb.filter("vec_id in (3, 4)").selectExpr(
+        "vec_id AS anchor_id", "label", "embedding"
+    )
+    assert hard_negative_mining(bad_anchors, corpus, k=10).count() == 0
+
+
+def test_grouped_components_dtype_mismatch_raises(spark):
+    import pytest as _pytest
+
+    from financedatabase_spark.operators.dedup_docs import grouped_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2, "3")], "grp long, doc1 long, doc2 string"
+    )
+    with _pytest.raises(ValueError, match="share a dtype"):
+        grouped_components(pairs, "grp")
+
+
 def test_dollar_bars_clock(spark):
     from pyspark.sql import functions as F
 
