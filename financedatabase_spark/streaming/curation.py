@@ -13,8 +13,10 @@ would never be picked up.
 
 The production pattern (stream-static refresh) is a foreachBatch loop:
 
-  micro-batch  → map-side front (blocklist + Gopher) → APPEND to the
-                 accumulating front sink
+  micro-batch  → map-side front (blocklist + Gopher) → idempotent
+                 EPOCH-KEYED write into the accumulating front sink
+                 (overwrite of ``front/epoch=<id>`` — replay-safe, see
+                 `write_front_epoch`)
   every k-th   → REFIT the corpus-trained artifact over the
   batch          accumulation (bounded vocab collect → broadcast
                  LocalRelation, exactly like the batch operator) and
@@ -48,6 +50,30 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def write_front_epoch(survivors: DataFrame, front: str, epoch_id: int) -> str:
+    """Idempotent per-epoch front write. foreachBatch is AT-LEAST-ONCE:
+    if the driver dies after a batch's write commits but before the
+    checkpoint records the offset, the restarted stream re-runs the
+    SAME epoch (same ``epoch_id``, same rows). Keying the sink on the
+    epoch — ``<front>/epoch=<id>`` — and OVERWRITING that directory
+    makes the replay a no-op-equivalent: the rows land exactly once no
+    matter how many times the epoch executes. (A flat ``append`` sink
+    would double them, and the next refit would then score and admit
+    doubled counts.) This is the standard batchId-idempotence pattern
+    for foreachBatch sinks. Returns the epoch directory path."""
+    path = os.path.join(front, f"epoch={int(epoch_id)}")
+    survivors.write.mode("overwrite").parquet(path)
+    return path
+
+
+def read_front(spark: SparkSession, front: str) -> DataFrame:
+    """The accumulated front across all committed epochs. Partition
+    discovery over the ``epoch=N`` directories adds an ``epoch``
+    column; the accumulation drops it so refit sees the survivor schema
+    unchanged."""
+    return spark.read.parquet(front).drop("epoch")
+
+
 def run_admission_with_refresh(
     spark: SparkSession,
     stream: DataFrame,
@@ -69,6 +95,17 @@ def run_admission_with_refresh(
 
     A trailing refit always runs if the last micro-batch was not a
     refresh boundary, so the returned snapshot covers the full drain.
+
+    Retry/restart semantics: the front sink is epoch-keyed (see
+    `write_front_epoch`), so a replayed micro-batch lands its rows
+    exactly once and every refit reads a duplicate-free accumulation.
+    ``batches``/``refreshes`` count THIS call's epochs (a restarted
+    drain re-counts from zero; the refresh CADENCE may therefore shift
+    across restarts, but the trailing refit always rebuilds the
+    snapshot from the full accumulation, so the published snapshot is
+    restart-invariant). Raises ``TimeoutError`` if the drain outlives
+    ``timeout_sec`` — a truncated drain must not masquerade as a
+    complete snapshot.
     """
     front = os.path.join(work_dir, "front")
     admitted_root = os.path.join(work_dir, "admitted")
@@ -78,7 +115,7 @@ def run_admission_with_refresh(
 
     def _refit() -> None:
         state["refreshes"] += 1
-        acc = spark.read.parquet(front)
+        acc = read_front(spark, front)
         snap = os.path.join(admitted_root, f"v{state['refreshes']:05d}")
         refit_fn(acc).write.mode("overwrite").parquet(snap)
         tmp = pointer + ".tmp"
@@ -86,8 +123,8 @@ def run_admission_with_refresh(
             fh.write(snap)
         os.replace(tmp, pointer)  # atomic publish
 
-    def _process(batch_df: DataFrame, _epoch_id: int) -> None:
-        front_fn(batch_df).write.mode("append").parquet(front)
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        write_front_epoch(front_fn(batch_df), front, epoch_id)
         state["batches"] += 1
         if state["batches"] % refresh_every == 0:
             _refit()
@@ -96,7 +133,14 @@ def run_admission_with_refresh(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"admission drain exceeded {timeout_sec}s "
+            f"({state['batches']} batches processed so far) — refusing to "
+            f"publish a snapshot of a truncated drain"
+        )
     q.stop()
     if state["batches"] % refresh_every != 0:
         _refit()

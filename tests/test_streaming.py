@@ -616,3 +616,67 @@ def test_curation_stream_static_refresh_matches_batch(spark, sf_dir, tmp_path):
     assert sorted(
         r.doc_id for r in current_admitted(spark, work).select("doc_id").collect()
     ) == got
+
+    # --- mid-epoch replay: foreachBatch is at-least-once. Erase the
+    # newest commit marker so a restart on the same checkpoint
+    # RE-DELIVERS the already-written final epoch (same epoch_id, same
+    # rows). The epoch-keyed front sink must absorb the replay: the
+    # accumulation stays duplicate-free and the republished snapshot
+    # still equals the batch composite.
+    front_before = sorted(
+        r.doc_id for r in spark.read.parquet(stats["front"]).select("doc_id").collect()
+    )
+    commits = os.path.join(str(tmp_path / "ckpt"), "commits")
+    newest = max(
+        (f for f in os.listdir(commits) if not f.startswith(".")), key=int
+    )
+    os.remove(os.path.join(commits, newest))
+    crc = os.path.join(commits, f".{newest}.crc")  # local-FS shadow file
+    if os.path.exists(crc):
+        os.remove(crc)
+    stats2 = run_admission_with_refresh(
+        spark, stream, front, refit, work,
+        refresh_every=1, checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert stats2["batches"] == 1  # exactly the replayed epoch, nothing new
+    front_after = sorted(
+        r.doc_id for r in spark.read.parquet(stats2["front"]).select("doc_id").collect()
+    )
+    assert front_after == front_before  # replay landed rows exactly once
+    assert sorted(
+        r.doc_id for r in current_admitted(spark, work).select("doc_id").collect()
+    ) == got
+
+
+def test_curation_refresh_timeout_raises(spark, sf_dir, tmp_path):
+    """A drain that outlives timeout_sec must raise, not return a
+    silently truncated snapshot."""
+    import time
+
+    import pytest as _pytest
+
+    from financedatabase_spark.sources.readers import load_table
+    from financedatabase_spark.streaming.curation import run_admission_with_refresh
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def slow_front(df):
+        time.sleep(3)
+        return df
+
+    with _pytest.raises(TimeoutError, match="truncated drain"):
+        run_admission_with_refresh(
+            spark, stream, slow_front, lambda acc: acc,
+            str(tmp_path / "work"), refresh_every=10,
+            checkpoint=str(tmp_path / "ckpt"), timeout_sec=1,
+        )
