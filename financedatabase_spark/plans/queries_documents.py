@@ -1688,8 +1688,15 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "benchmark_contamination",
     oracle="""
-    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-                  FROM documents),
+    WITH base AS (
+      -- corpus + seeded verbatim train copies of every benchmark doc
+      -- (ids offset by 1e7; 1e7 % 97 = 76, so no clone re-enters bench)
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ),
+    norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+             FROM base),
     toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
     sh AS (
       SELECT doc_id, unnest(list_distinct(
@@ -1721,10 +1728,22 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-gram overlap ratio between every train doc and a held-out benchmark
     slice (doc_id % 97). The benchmark shingle table broadcasts, so the
     corpus pays one scan and a map-side join — the pre-training
-    contamination audit at 100 TB."""
+    contamination audit at 100 TB.
+
+    POSITIVE CONTROL: the train side is the corpus plus a verbatim
+    clone of every benchmark doc (ids offset by 1e7, so clones never
+    re-enter the benchmark slice: 1e7 % 97 = 76). Each clone of a
+    bench doc with >= 8 tokens scores contamination 1.0, so the result
+    is guaranteed NONZERO at sf0.01 — the oracle row proves the
+    shared-shingle join and the ratio arithmetic agree, not merely
+    that both engines return empty."""
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    return dd.contamination_pairs(docs, bench, k=8, min_ratio=0.2)
+    clones = bench.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    train = docs.select("doc_id", "text").unionByName(clones)
+    return dd.contamination_pairs(train, bench, k=8, min_ratio=0.2)
 
 
 @register(
