@@ -64,12 +64,13 @@ class TableLease(Protocol):
     TABLE: two writers of the same table must contend on the same
     underlying resource however they were constructed.
 
-    `DirectoryLease` is the built-in filesystem implementation. An
-    object-store deployment drops in an implementation backed by a
-    conditional put (S3 If-None-Match, GCS x-goog-if-generation-match:0)
-    or a catalog service (what Delta's LogStore / an Iceberg catalog
-    provide) by passing it to ``ParquetTable(..., lease=...)`` — the
-    rewrite protocol itself never touches the lock, only
+    `DirectoryLease` is the built-in filesystem implementation;
+    `sources/objectstore.ConditionalPutLease` is the object-store one,
+    backed by conditional puts (S3 If-None-Match / If-Match, GCS
+    x-goog-if-generation-match) behind a three-call client protocol — a
+    catalog service (what Delta's LogStore / an Iceberg catalog provide)
+    slots in the same way. Pass either to ``ParquetTable(..., lease=...)``
+    — the rewrite protocol itself never touches the lock, only
     acquire/release."""
 
     def acquire(self, stale_after: float = 3600.0) -> object: ...

@@ -474,3 +474,149 @@ def test_pluggable_table_lease(spark, tmp_path):
     with pytest.raises(ConcurrentWriteError):
         t2.rewrite(t2.read().limit(0))
     assert sorted(r.id for r in t2.read().collect()) == before  # untouched
+
+
+def _lease_factories(tmp_path):
+    """Every TableLease implementation behind one conformance suite."""
+    from financedatabase_spark.operators.io_sinks import DirectoryLease
+    from financedatabase_spark.sources.objectstore import (
+        ConditionalPutLease,
+        FileObjectStore,
+        InMemoryObjectStore,
+    )
+
+    local = tmp_path / "conf_local"
+    local.mkdir()
+    mem = InMemoryObjectStore()
+    fs = FileObjectStore(str(tmp_path / "conf_store"))
+    return {
+        "directory": lambda: DirectoryLease(str(local)),
+        "condput-mem": lambda: ConditionalPutLease(mem, "s3://bucket/tbl"),
+        "condput-file": lambda: ConditionalPutLease(fs, "s3://bucket/tbl"),
+    }
+
+
+def test_lease_protocol_conformance(tmp_path):
+    """Same contract for every implementation: exclusion while held,
+    re-acquirable after release, release of a never-contended lease is
+    clean (no leftovers blocking the next writer)."""
+    from financedatabase_spark.operators.io_sinks import ConcurrentWriteError
+
+    for name, make in _lease_factories(tmp_path).items():
+        a, b = make(), make()
+        tok = a.acquire()
+        with pytest.raises(ConcurrentWriteError):
+            b.acquire()
+        a.release(tok)
+        tok2 = b.acquire()  # released lease is immediately re-acquirable
+        b.release(tok2)
+        tok3 = a.acquire()
+        a.release(tok3)
+
+
+def test_conditional_put_lease_stale_takeover():
+    """A lease whose ts is older than stale_after is broken by CAS: the
+    taker proceeds, the original holder's release is a swallowed 412
+    (the lease is no longer theirs), and the taker still holds."""
+    import json
+
+    from financedatabase_spark.operators.io_sinks import ConcurrentWriteError
+    from financedatabase_spark.sources.objectstore import (
+        ConditionalPutLease,
+        InMemoryObjectStore,
+        PreconditionFailedError,
+    )
+
+    store = InMemoryObjectStore()
+    holder = ConditionalPutLease(store, "s3://b/t")
+    tok = holder.acquire()
+    # backdate the lease body in place (what a crashed writer leaves)
+    body, etag = store.get(holder.key)
+    stale = dict(json.loads(body), ts=0.0)
+    store.put(holder.key, json.dumps(stale).encode(), if_match=etag)
+
+    taker = ConditionalPutLease(store, "s3://b/t")
+    tok2 = taker.acquire(stale_after=60.0)
+    holder.release(tok)  # 412 swallowed: not ours anymore
+    assert store.get(holder.key) is not None  # taker's lease survives
+    with pytest.raises(ConcurrentWriteError):
+        ConditionalPutLease(store, "s3://b/t").acquire()
+    taker.release(tok2)
+    assert store.get(holder.key) is None
+
+    # the store-level single-winner primitive: two CAS breakers at the
+    # SAME etag -> exactly one succeeds, the other gets 412
+    e1 = store.put("k", b"stale")
+    store.put("k", b"w1", if_match=e1)
+    with pytest.raises(PreconditionFailedError):
+        store.put("k", b"w2", if_match=e1)
+
+
+def test_conditional_put_lease_two_process_contention(tmp_path):
+    """TWO PROCESSES race the conditional-put lease over a shared
+    file-backed store: both make progress across 200 rounds and the
+    lock object is gone after the last release — the cross-process
+    twin of the DirectoryLease contention test."""
+    import subprocess
+    import sys
+
+    store_dir = str(tmp_path / "store")
+    prog = r"""
+import sys, time, os
+sys.path.insert(0, {repo!r})
+from financedatabase_spark.operators.io_sinks import ConcurrentWriteError
+from financedatabase_spark.sources.objectstore import ConditionalPutLease, FileObjectStore
+lease = ConditionalPutLease(FileObjectStore({store!r}), "s3://bucket/tbl")
+go = {store!r} + "/../go"
+while not os.path.exists(go):
+    time.sleep(0.001)
+wins = 0
+for _ in range(200):
+    try:
+        tok = lease.acquire()
+    except ConcurrentWriteError:
+        continue
+    wins += 1
+    lease.release(tok)
+print(wins)
+""".format(repo=str(__import__("pathlib").Path(__file__).resolve().parents[1]), store=store_dir)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", prog], stdout=subprocess.PIPE)
+        for _ in range(2)
+    ]
+    (tmp_path / "go").touch()
+    outs = [int(p.communicate(timeout=120)[0].strip()) for p in procs]
+    assert all(p.returncode == 0 for p in procs)
+    assert all(w > 0 for w in outs), outs
+    from financedatabase_spark.sources.objectstore import FileObjectStore
+
+    assert FileObjectStore(store_dir).get("s3://bucket/tbl/_LOCK.json") is None
+
+
+def test_rewrite_with_conditional_put_lease(spark, tmp_path):
+    """End-to-end: ParquetTable rewrites under the object-store lease;
+    a concurrent holder on the same store blocks the rewrite without
+    touching the table."""
+    from financedatabase_spark.operators.io_sinks import (
+        ConcurrentWriteError,
+        ParquetTable,
+    )
+    from financedatabase_spark.sources.objectstore import (
+        ConditionalPutLease,
+        InMemoryObjectStore,
+    )
+
+    store = InMemoryObjectStore()
+    path = str(tmp_path / "t")
+    t = ParquetTable(spark, path, lease=ConditionalPutLease(store, path))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.rewrite(t.read().filter("id = 2"))
+    assert [r.id for r in t.read().collect()] == [2]
+    assert store.get(path + "/_LOCK.json") is None  # released after commit
+
+    blocker = ConditionalPutLease(store, path)
+    tok = blocker.acquire()
+    with pytest.raises(ConcurrentWriteError):
+        t.rewrite(t.read().limit(0))
+    assert [r.id for r in t.read().collect()] == [2]  # untouched
+    blocker.release(tok)
