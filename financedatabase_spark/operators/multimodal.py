@@ -763,13 +763,46 @@ def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
     return [float(v) for v in feats]
 
 
+def pyav_video_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Optional-dependency video codec for compressed formats beyond
+    the stdlib AVI path (h264/mp4, vp9/webm, ...): PyAV — the ffmpeg
+    bindings — when importable, the video analog of `pil_decode`'s
+    Pillow seam. Decodes the first video stream frame by frame to
+    rgb24, takes the integer per-frame pixel sum, and emits the same
+    ``dim`` windowed features as `avi_decode` (feats[w] = sum of frame
+    sums for frames f with f*dim//n == w), so the stdlib and ffmpeg
+    paths share one feature contract. Raises NotImplementedError when
+    PyAV is absent (this container ships no ffmpeg)."""
+    try:
+        import av  # noqa: F401 — optional dependency (PyAV / ffmpeg)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "compressed video needs PyAV/ffmpeg (pip install av), which is "
+            "not importable here — supply a custom decode_fn"
+        ) from exc
+    sums: list[int] = []
+    with av.open(BytesIO(bytes(payload))) as container:
+        for frame in container.decode(video=0):
+            arr = frame.to_ndarray(format="rgb24")
+            sums.append(int(arr.astype("int64").sum()))
+    if not sums:
+        raise ValueError("video container decoded zero frames")
+    n = len(sums)
+    feats = [0] * dim
+    for f, s in enumerate(sums):
+        feats[f * dim // n] += s
+    return [float(v) for v in feats]
+
+
 def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8) -> list[float]:
     """Per-payload codec dispatch on `media_meta.media_type` (magic-byte
     sniff as fallback): audio/* → `wav_decode`; video/* → `avi_decode`
-    (both always available, pure stdlib); image/* → `pil_decode` when
-    Pillow is importable; compressed video and everything else →
-    NotImplementedError (the remaining documented seam — no ffmpeg in
-    this container)."""
+    for DIB/MJPEG AVI (always available, pure stdlib), falling through
+    to `pyav_video_decode` for every compressed format — mp4/h264,
+    webm, compressed-AVI fourccs — when PyAV is importable (else
+    NotImplementedError, the documented optional-dependency seam);
+    image/* → stdlib PNG/JPEG codecs, `pil_decode` for other formats
+    when Pillow is importable."""
     mt = (media_type or "").lower()
     raw = bytes(payload)
     is_riff = raw[:4] == b"RIFF"
@@ -778,12 +811,16 @@ def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8)
     if mt.startswith("audio/") or (not mt and is_wav):
         return wav_decode(raw, dim)
     if mt.startswith("video/") or (not mt and is_avi):
-        if not is_avi:
-            raise NotImplementedError(
-                f"video payloads only decode from uncompressed RIFF/AVI here "
-                f"(media_type {media_type!r} needs ffmpeg; supply a custom decode_fn)"
-            )
-        return avi_decode(raw, dim)
+        if is_avi:
+            try:
+                return avi_decode(raw, dim)
+            except NotImplementedError as stdlib_exc:
+                # compressed-AVI fourcc: the ffmpeg route, when present
+                try:
+                    return pyav_video_decode(raw, dim)
+                except NotImplementedError as exc:
+                    raise NotImplementedError(f"{stdlib_exc}; {exc}") from exc
+        return pyav_video_decode(raw, dim)
     is_png = raw[:8] == b"\x89PNG\r\n\x1a\n"
     is_jpg = raw[:3] == b"\xff\xd8\xff"
     if mt.startswith("image/") or (not mt and (is_png or is_jpg)):
@@ -811,8 +848,9 @@ def default_decode() -> Callable[[bytes], list[float]] | None:
     `fake_decode` for tests or get NotImplementedError on real
     payloads). PNG payloads never need this seam — `png_decode` is pure
     stdlib. For mixed-modality frames use `dispatch_decode` with
-    ``pass_media_type=True``; its audio/video/PNG paths need no extra
-    library."""
+    ``pass_media_type=True``; its audio/AVI/PNG/JPEG paths need no
+    extra library (compressed video routes through PyAV when
+    importable, see `pyav_video_decode`)."""
     try:
         import PIL  # noqa: F401
 

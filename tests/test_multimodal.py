@@ -967,3 +967,92 @@ def test_png_palette_and_adam7_variants():
     )
     with pytest.raises(ValueError, match="color type"):
         png_decode(bad_ct)
+
+
+def test_pyav_route_absent_branch():
+    """Without PyAV the compressed-video route fails loudly with the
+    install hint — for a bare mp4 payload AND for a compressed-AVI
+    fourcc falling through the stdlib path."""
+    import struct
+    import sys
+
+    from financedatabase_spark.operators.multimodal import (
+        dispatch_decode,
+        pyav_video_decode,
+    )
+
+    if "av" in sys.modules or __import__("importlib.util", fromlist=["util"]).find_spec("av"):
+        pytest.skip("PyAV installed: absent branch not testable here")
+
+    with pytest.raises(NotImplementedError, match="PyAV/ffmpeg"):
+        pyav_video_decode(b"\x00\x00\x00\x18ftypmp42")
+    with pytest.raises(NotImplementedError, match="PyAV/ffmpeg"):
+        dispatch_decode(b"\x00\x00\x00\x18ftypmp42", media_type="video/mp4")
+
+    # compressed-AVI: stdlib raises, pyav fallback raises, both named
+    def _minimal_avi(fourcc: bytes) -> bytes:
+        def chunk(cid, data):
+            return cid + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) % 2 else b"")
+
+        avih = chunk(b"avih", struct.pack("<10I", 0, 0, 0, 0, 1, 0, 1, 0, 2, 2))
+        strf = chunk(b"strf", struct.pack("<IiiHHI", 40, 2, 2, 1, 24,
+                                          int.from_bytes(fourcc, "little")) + b"\x00" * 16)
+        strl = chunk(b"LIST", b"strl" + strf)
+        hdrl = chunk(b"LIST", b"hdrl" + avih + strl)
+        movi = chunk(b"LIST", b"movi" + chunk(b"00dc", b"\x01\x02\x03\x04"))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with pytest.raises(NotImplementedError, match="H264.*PyAV|PyAV"):
+        dispatch_decode(_minimal_avi(b"H264"), media_type="video/avi")
+
+
+def test_pyav_route_present_branch(monkeypatch):
+    """With PyAV importable (faked here — the container has no ffmpeg)
+    the dispatch routes compressed video through it and the feature
+    contract matches avi_decode's windowed frame-sum shape."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from financedatabase_spark.operators.multimodal import (
+        dispatch_decode,
+        pyav_video_decode,
+    )
+
+    n_frames, dim = 10, 8
+    frames_np = [
+        np.full((2, 2, 3), f + 1, dtype=np.uint8) for f in range(n_frames)
+    ]
+    frame_sums = [int(a.astype("int64").sum()) for a in frames_np]
+    want = [0.0] * dim
+    for f, s in enumerate(frame_sums):
+        want[f * dim // n_frames] += s
+
+    class _Frame:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def to_ndarray(self, format):
+            assert format == "rgb24"
+            return self._arr
+
+    class _Container:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def decode(self, video=0):
+            assert video == 0
+            return iter(_Frame(a) for a in frames_np)
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda fobj: _Container()
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+
+    payload = b"\x00\x00\x00\x18ftypmp42-fake-bytes"
+    assert pyav_video_decode(payload, dim) == want
+    assert dispatch_decode(payload, media_type="video/mp4", dim=dim) == want
