@@ -145,26 +145,47 @@ def pil_decode(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def synth_wav(doc_id: int) -> bytes:
-    """Deterministic WAV fixture mix keyed by doc_id % 6 — every PCM
-    layout the codec decodes: 0/3 = 16-bit MONO, 1 = 16-bit STEREO
-    (the decoder must mono-mix, truncating toward zero), 2 = unsigned
-    8-BIT mono (centered at 128), 4 = 24-BIT mono (3-byte little-endian
-    two's complement), 5 = 32-BIT mono. Samples derive from ``doc_id``
-    by pure integer arithmetic — so a SQL oracle can recompute the
-    decoded features (selecting the per-variant formula on doc%6) while
-    the Spark path must round-trip the actual container.
+    """Deterministic WAV fixture mix keyed by doc_id % 7 — every PCM
+    layout the codec decodes plus IEEE float: 0/3 = 16-bit MONO, 1 =
+    16-bit STEREO (the decoder must mono-mix, truncating toward zero),
+    2 = unsigned 8-BIT mono (centered at 128), 4 = 24-BIT mono (3-byte
+    little-endian two's complement), 5 = 32-BIT mono, 6 = FLOAT32 mono
+    (format tag 3 — written spec-faithfully with an 18-byte fmt chunk
+    and a fact chunk, so its header is 58 bytes where PCM's is 44).
+    Samples derive from ``doc_id`` by pure integer arithmetic — so a
+    SQL oracle can recompute the decoded features (selecting the
+    per-variant formula on doc%7) while the Spark path must round-trip
+    the actual container.
 
     n_samples = 400 + doc_id % 257; rate = 8000 + (doc_id % 3) * 4000;
     mono16: sample[t] = (doc_id*7919 + t*104729) % 65536 - 32768
     stereo: L[t] as mono16, R[t] = (doc_id*104729 + t*7919) % 65536 - 32768
     u8:     sample[t] = (doc_id*7919 + t*104729) % 256 - 128
     s24:    sample[t] = (doc_id*7919 + t*104729) % 2^24 - 2^23
-    s32:    sample[t] = (doc_id*7919 + t*104729) % 2^32 - 2^31.
+    s32:    sample[t] = (doc_id*7919 + t*104729) % 2^32 - 2^31
+    f32:    sample[t] = mono16[t] / 32768.0 (a 16-bit integer over 2^15
+            is exactly representable in float32, so features stay
+            bit-stable across engines).
     """
     doc_id = int(doc_id)
     n = 400 + doc_id % 257
     rate = 8000 + (doc_id % 3) * 4000
-    variant = doc_id % 6
+    variant = doc_id % 7
+    if variant == 6:  # IEEE float32: stdlib wave is PCM-only, hand-build
+        data = struct.pack(
+            f"<{n}f",
+            *((((doc_id * 7919 + t * 104729) % 65536) - 32768) / 32768.0
+              for t in range(n)),
+        )
+        fmt = struct.pack("<HHIIHHH", 3, 1, rate, rate * 4, 4, 32, 0)
+        fact = struct.pack("<I", n)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
     buf = BytesIO()
     with wave.open(buf, "wb") as w:
         w.setframerate(rate)
@@ -209,24 +230,74 @@ def synth_wav(doc_id: int) -> bytes:
     return buf.getvalue()
 
 
+def _parse_nonpcm_wav(raw: bytes) -> tuple[list[float], int, int]:
+    """RIFF fallback for formats stdlib `wave` rejects: walks the chunk
+    stream (skipping fact/LIST/etc.), reads the fmt tag, and decodes
+    IEEE-float data (tag 3, 32- or 64-bit). Returns (samples, n_frames,
+    n_channels). Compressed tags (ADPCM 2/17, mu-law 7, ...) raise
+    NotImplementedError — the documented codec seam."""
+    if raw[:4] != b"RIFF" or len(raw) < 12 or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    off, fmt, data = 12, None, None
+    while off + 8 <= len(raw):
+        cid = raw[off:off + 4]
+        (sz,) = struct.unpack_from("<I", raw, off + 4)
+        if cid == b"fmt ":
+            fmt = raw[off + 8:off + 8 + sz]
+        elif cid == b"data":
+            data = raw[off + 8:off + 8 + sz]
+        off += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, ch, _rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag != 3:
+        raise NotImplementedError(
+            f"WAV format tag {tag} not supported (PCM=1 via stdlib wave, "
+            f"IEEE float=3 here; ADPCM/mu-law need an audio library)"
+        )
+    if bits == 32:
+        count = len(data) // 4
+        samples = list(struct.unpack(f"<{count}f", data[:count * 4]))
+    elif bits == 64:
+        count = len(data) // 8
+        samples = list(struct.unpack(f"<{count}d", data[:count * 8]))
+    else:
+        raise ValueError(f"bad IEEE-float WAV bit depth {bits}")
+    return samples, count // max(ch, 1), ch
+
+
 def wav_decode(payload: bytes, dim: int = 8) -> list[float]:
-    """Real audio codec for the `decode_features` seam — stdlib `wave`,
-    no external dependency. Parses the RIFF/WAVE header (channels, sample
-    width, frame count), decodes every PCM width the WAV spec allows —
-    unsigned 8-bit (centered at 128, the WAV convention), little-endian
-    int16, 3-byte two's-complement int24, and int32 — mono-mixes
-    multi-channel input, and emits ``dim`` windowed energy features:
-    feats[w] = sum(abs(sample[t]) for t with t*dim//n == w). Integer
-    sums (exact in double: n <= 657 samples of |s| < 2^31 stays far
-    below 2^53) keep the output bit-stable across engines.
+    """Real audio codec for the `decode_features` seam — stdlib `wave`
+    plus a small RIFF fallback, no external dependency. Parses the
+    RIFF/WAVE header (channels, sample width, frame count), decodes
+    every PCM width the WAV spec allows — unsigned 8-bit (centered at
+    128, the WAV convention), little-endian int16, 3-byte
+    two's-complement int24, and int32 — plus IEEE FLOAT (format tag 3,
+    32/64-bit, which stdlib `wave` rejects, via `_parse_nonpcm_wav`) —
+    mono-mixes multi-channel input (integer widths truncate toward
+    zero; float widths take the exact mean), and emits ``dim`` windowed
+    energy features: feats[w] = sum(abs(sample[t]) for t with
+    t*dim//n == w). Integer sums (exact in double: n <= 657 samples of
+    |s| < 2^31 stays far below 2^53) and dyadic float fixtures keep the
+    output bit-stable across engines.
 
     Reference parity: the reference treats media as opaque payloads with
     no audio path at all; this is the brief's LLM-pipeline audio
     feature-extract stage, not a reference port.
     """
-    with wave.open(BytesIO(bytes(payload)), "rb") as w:
-        n, ch, sw = w.getnframes(), w.getnchannels(), w.getsampwidth()
-        frames = w.readframes(n)
+    raw = bytes(payload)
+    try:
+        with wave.open(BytesIO(raw), "rb") as w:
+            n, ch, sw = w.getnframes(), w.getnchannels(), w.getsampwidth()
+            frames = w.readframes(n)
+    except wave.Error:
+        samples, n, ch = _parse_nonpcm_wav(raw)
+        if ch > 1:  # float mono-mix: exact mean, no truncation
+            samples = [sum(samples[i * ch:(i + 1) * ch]) / ch for i in range(n)]
+        feats = [0.0] * dim
+        for t, s in enumerate(samples):
+            feats[t * dim // max(n, 1)] += abs(s)
+        return feats
     if sw == 1:  # unsigned 8-bit PCM, silence at 0x80
         samples = tuple(b - 128 for b in frames)
     elif sw == 2:

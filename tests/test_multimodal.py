@@ -74,18 +74,25 @@ def test_wav_codec_round_trip():
 
     from financedatabase_spark.operators.multimodal import synth_wav, wav_decode
 
-    for doc_id in (0, 1, 2, 4, 5, 7, 10, 11, 256, 12345):
+    for doc_id in (0, 1, 2, 4, 5, 6, 7, 10, 11, 13, 256, 12345, 20):
         payload = synth_wav(doc_id)
         n = 400 + doc_id % 257
-        variant = doc_id % 6  # 0/3 mono16, 1 stereo16, 2 u8, 4 s24, 5 s32
+        # 0/3 mono16, 1 stereo16, 2 u8, 4 s24, 5 s32, 6 float32
+        variant = doc_id % 7
         ch = 2 if variant == 1 else 1
-        sw = {2: 1, 4: 3, 5: 4}.get(variant, 2)
-        assert len(payload) == 44 + sw * ch * n  # 44-byte RIFF/fmt/data header
-        with wave.open(BytesIO(payload)) as w:
-            assert w.getnframes() == n
-            assert w.getnchannels() == ch and w.getsampwidth() == sw
-            assert w.getframerate() == 8000 + (doc_id % 3) * 4000
-        want = [0] * 8
+        sw = {2: 1, 4: 3, 5: 4, 6: 4}.get(variant, 2)
+        header = 58 if variant == 6 else 44  # float: 18-byte fmt + fact
+        assert len(payload) == header + sw * ch * n
+        if variant == 6:
+            # stdlib wave rejects format tag 3: the fallback must own it
+            with pytest.raises(wave.Error):
+                wave.open(BytesIO(payload))
+        else:
+            with wave.open(BytesIO(payload)) as w:
+                assert w.getnframes() == n
+                assert w.getnchannels() == ch and w.getsampwidth() == sw
+                assert w.getframerate() == 8000 + (doc_id % 3) * 4000
+        want = [0.0] * 8
         for t in range(n):
             x = doc_id * 7919 + t * 104729
             if variant == 1:
@@ -98,6 +105,8 @@ def test_wav_codec_round_trip():
                 a = abs((x % 2**24) - 2**23)
             elif variant == 5:
                 a = abs((x % 2**32) - 2**31)
+            elif variant == 6:
+                a = abs((x % 65536) - 32768) / 32768.0
             else:
                 a = abs((x % 65536) - 32768)
             want[t * 8 // n] += a
@@ -1056,3 +1065,33 @@ def test_pyav_route_present_branch(monkeypatch):
     payload = b"\x00\x00\x00\x18ftypmp42-fake-bytes"
     assert pyav_video_decode(payload, dim) == want
     assert dispatch_decode(payload, media_type="video/mp4", dim=dim) == want
+
+
+def test_wav_float_formats_and_seams():
+    """The RIFF fallback decodes IEEE float32/float64 (stereo mixes by
+    exact mean), skips fact/unknown chunks, and names the remaining
+    compressed-format seam loudly."""
+    import struct
+
+    from financedatabase_spark.operators.multimodal import wav_decode
+
+    def riff(tag, ch, bits, data, extra_chunks=b""):
+        fmt = struct.pack("<HHIIHHH", tag, ch, 8000, 8000 * ch * bits // 8,
+                          ch * bits // 8, bits, 0)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + extra_chunks
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # float32 stereo: mono-mix is the exact mean
+    data = struct.pack("<4f", 0.5, -0.25, 1.0, 1.0)  # frames: (0.5,-0.25),(1,1)
+    fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", 2)
+    assert wav_decode(riff(3, 2, 32, data, fact), dim=2) == [0.125, 1.0]
+
+    # float64 mono
+    data64 = struct.pack("<2d", -0.75, 0.5)
+    assert wav_decode(riff(3, 1, 64, data64), dim=2) == [0.75, 0.5]
+
+    # ADPCM (tag 17) stays a loud seam
+    with pytest.raises(NotImplementedError, match="format tag 17"):
+        wav_decode(riff(17, 1, 4, b"\x00\x00"))
