@@ -85,23 +85,31 @@ _R2_GREEN = [
     "intersect_keys", "topk_orders", "sorted_value_list", "pricing_summary",
     "revenue_forecast", "segment_revenue",
 ]
-def _green_by_round() -> dict[str, int]:
+def _green_by_round(max_files: int = 8) -> dict[str, int]:
     """name -> newest round with a hash-green driver row, from the
-    CORRECTNESS_r*.json files when present, else the literal fallback."""
+    NEWEST ``max_files`` CORRECTNESS_r*.json files when present, else
+    the literal fallback. Reading every file is O(rounds) import-time
+    work that grows forever; the driver verifies ~50 queries per round,
+    so with ~150 registered every query's newest green row sits within
+    the last 3-4 rounds — 8 files is 2x headroom, and a query whose
+    only green row is OLDER than the window deliberately maps to 0
+    (never-verified), sorting it to the front of the driver's budget
+    exactly as rotation wants."""
     import glob
     import json
     import os
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    newest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    rounds: dict[int, str] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
+        if m:
+            rounds[int(m.group(1))] = path
+    newest: dict[str, int] = {}
+    for rnd in sorted(rounds)[-max_files:]:
         try:
-            with open(path) as f:
+            with open(rounds[rnd]) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue

@@ -364,3 +364,14 @@ def test_ivf_pq_recall_vs_exact(spark):
     # rank-1 hit is the query itself (self approx-distance ~ jitter only)
     r1 = {r.query_id: r.corpus_id for r in got4 if r.rank == 1}
     assert all(r1[q] == q for q in qids)
+
+
+def test_green_round_cap_preserves_ordering():
+    """Capping _green_by_round to the newest N files must not change the
+    registration order while all evidence is fresh: with the driver
+    verifying ~50/round over ~150 queries, every newest-green row sits
+    within the last 3-4 rounds, so the capped and uncapped maps agree."""
+    from financedatabase_spark.plans.registry import _green_by_round
+
+    capped, full = _green_by_round(max_files=8), _green_by_round(max_files=10**6)
+    assert capped == full
