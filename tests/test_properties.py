@@ -413,22 +413,24 @@ def test_media_codecs_roundtrip_any_doc_id(doc_id, dim):
     )
 
     n = 400 + doc_id % 257
-    want_w = [0] * dim
+    want_w = [0.0] * dim
     for t in range(n):
-        # per-variant fixture formula (doc%6): 16-bit mono / 16-bit
+        # per-variant fixture formula (doc%7): 16-bit mono / 16-bit
         # stereo mono-mixed truncating toward zero / unsigned 8-bit /
-        # 24-bit / 32-bit
+        # 24-bit / 32-bit / float32 (dyadic, exact)
         x = doc_id * 7919 + t * 104729
-        if doc_id % 6 == 1:
+        if doc_id % 7 == 1:
             left = (x % 65536) - 32768
             right = ((doc_id * 104729 + t * 7919) % 65536) - 32768
             a = abs(int((left + right) / 2))
-        elif doc_id % 6 == 2:
+        elif doc_id % 7 == 2:
             a = abs((x % 256) - 128)
-        elif doc_id % 6 == 4:
+        elif doc_id % 7 == 4:
             a = abs((x % 2**24) - 2**23)
-        elif doc_id % 6 == 5:
+        elif doc_id % 7 == 5:
             a = abs((x % 2**32) - 2**31)
+        elif doc_id % 7 == 6:
+            a = abs((x % 65536) - 32768) / 32768.0
         else:
             a = abs((x % 65536) - 32768)
         want_w[t * dim // n] += a
