@@ -32,13 +32,17 @@ Pq=0 and 16-bit big-endian Pq=1).
 
 Non-interleaved SEQUENTIAL multi-scan streams decode too (one
 full-band scan per component over its ceil(comp_size/8) grid, pixels
-accumulated to EOI, a missing component scan failing loudly). Exotic
-sampling factors (3x1, 4x1, non-1x1 chroma), partially interleaved
-scans, and the non-Huffman/non-DCT SOF processes (lossless,
-arithmetic, 12-bit extended) stay documented NotImplementedError
-seams, mirroring the PNG codec's depth gates; extended-sequential
-SOF1 at 8-bit precision decodes (it is bitstream-identical to
-baseline there).
+accumulated to EOI, a missing component scan failing loudly), and so
+does the LOSSLESS Huffman process (SOF3, T.81 Annex H): all seven
+Annex H predictors, DC-category-coded differences, modulo-2^16
+reconstruction — precision-generic (2-16 bits per sample), so deep
+12/16-bit images are exact there. Exotic sampling factors (3x1, 4x1,
+non-1x1 chroma), partially interleaved scans, and the remaining
+non-Huffman / deep-DCT processes (arithmetic coding, 12-bit extended
+DCT, multi-component / point-transformed / restart-marked lossless)
+stay documented NotImplementedError seams, mirroring the PNG codec's
+depth gates; extended-sequential SOF1 at 8-bit precision decodes (it
+is bitstream-identical to baseline there).
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
 from coefficient patterns whose IDCT is integral — constant blocks
@@ -105,6 +109,15 @@ AC_VALS = [
 assert sum(DC_BITS) == len(DC_VALS)
 assert sum(AC_BITS) == len(AC_VALS) == 162
 
+#: Lossless-process difference-category table: categories 0..16 (T.81
+#: H.1.2.2 allows SSSS up to 16, where 16 carries no appended bits and
+#: means diff 32768). All 17 symbols at code length 5 — a valid canonical
+#: table (17/32 < 1) that any category can appear under, unlike the
+#: Annex K DC table's 0..11.
+LL_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+LL_VALS = list(range(17))
+assert sum(LL_BITS) == len(LL_VALS) == 17
+
 #: IDCT basis: COS[u][x] = cos((2x+1)uπ/16), C[u] = 1/√2 for u=0 else 1
 _COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)]
 _C = [1 / math.sqrt(2)] + [1.0] * 7
@@ -125,6 +138,40 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
 
 _DC_ENC = _canonical_codes(DC_BITS, DC_VALS)
 _AC_ENC = _canonical_codes(AC_BITS, AC_VALS)
+_LL_ENC = _canonical_codes(LL_BITS, LL_VALS)
+
+
+def _lossless_predict(
+    samples: list[int], w: int, x: int, y: int, predictor: int, prec: int
+) -> int:
+    """T.81 Annex H.1.1 sample prediction over the already-reconstructed
+    row-major ``samples``: the very first sample predicts 2^(P-1), the
+    rest of the first line uses Ra (left), the first column uses Rb
+    (above), and interior samples use the scan-selected predictor 1-7.
+    Shifts are arithmetic (Python ``>>`` floors negatives), matching the
+    spec's one-bit right shift on two's-complement values."""
+    if y == 0 and x == 0:
+        return 1 << (prec - 1)
+    if y == 0:
+        return samples[x - 1]
+    if x == 0:
+        return samples[(y - 1) * w]
+    a = samples[y * w + x - 1]
+    b = samples[(y - 1) * w + x]
+    c = samples[(y - 1) * w + x - 1]
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        return b
+    if predictor == 3:
+        return c
+    if predictor == 4:
+        return a + b - c
+    if predictor == 5:
+        return a + ((b - c) >> 1)
+    if predictor == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # predictor 7
 
 
 # -- encoder (fixture synthesis) ---------------------------------------------
@@ -274,6 +321,73 @@ def assemble_jpeg(
         + _encode_scan_mcus([[(0, bz)] for bz in blocks_zz], restart_interval)
         + b"\xff\xd9"
     )
+
+
+def assemble_jpeg_lossless(
+    w: int, h: int, samples: list[int], predictor: int, prec: int = 8
+) -> bytes:
+    """Assemble a spec-valid single-component LOSSLESS JPEG (SOF3 —
+    T.81 Annex H): sample differences against the Annex H predictor are
+    category-coded exactly like sequential DC coefficients, under the
+    `LL_BITS` difference table. No DQT (the lossless process has no
+    quantization), no MCU padding (samples are a raw w x h raster),
+    ``prec`` bits per sample (2-16; the process is precision-generic —
+    this is where 12/16-bit deep images are exact)."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless predictor must be 1-7, got {predictor}")
+    if not 2 <= prec <= 16:
+        raise ValueError(f"lossless sample precision must be 2-16, got {prec}")
+    bw = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            # differences are modulo-2^16 (T.81 H.1.2.1): map into
+            # [-32767, 32768], where +32768 is category 16 with no
+            # appended bits — the only representation that stays in
+            # 16 categories when prec = 16 predictors overshoot
+            diff = (
+                samples[y * w + x]
+                - _lossless_predict(samples, w, x, y, predictor, prec)
+            ) & 0xFFFF
+            if diff > 32768:
+                diff -= 65536
+            if diff == 32768:
+                code, length = _LL_ENC[16]
+                bw.put(code, length)
+                continue
+            size, bits = _mag_bits(diff)
+            code, length = _LL_ENC[size]
+            bw.put(code, length)
+            if size:
+                bw.put(bits, size)
+    sof3 = struct.pack(">BHHB", prec, h, w, 1) + bytes([1, 0x11, 0])
+    dht = bytes([0x00]) + bytes(LL_BITS) + bytes(LL_VALS)
+    sos = bytes([1, 1, 0x00, predictor, 0, 0])  # Ss=predictor, Se=0, AhAl=0
+    return (
+        b"\xff\xd8"
+        + _seg(0xFFC4, dht)
+        + _seg(0xFFC3, sof3)
+        + _seg(0xFFDA, sos)
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+def synth_jpeg_lossless(doc_id: int, prec: int = 8) -> bytes:
+    """Deterministic SOF3 fixture: width 16/24/32 by doc%3, height 16,
+    predictor 1 + doc%7 (all seven Annex H predictors across the
+    corpus), pixel(y, x) = (doc_id*31 + y*17 + x*7) % 2^prec — the
+    decode is LOSSLESS, so the decoded plane equals this formula
+    exactly and a SQL oracle recomputes the features with no
+    quantization model."""
+    doc_id = int(doc_id)
+    w = 16 + (doc_id % 3) * 8
+    h = JPEG_H
+    samples = [
+        (doc_id * 31 + y * 17 + x * 7) % (1 << prec)
+        for y in range(h)
+        for x in range(w)
+    ]
+    return assemble_jpeg_lossless(w, h, samples, 1 + doc_id % 7, prec)
 
 
 #: Fixture quant table (zigzag order): 8 at the two coefficient positions
@@ -1313,6 +1427,8 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
     w = h = 0
     restart_interval = 0
     progressive = False
+    lossless = False
+    prec = 8
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     prog_coefs: list[list[list[int]]] | None = None  # [comp][block][64] zigzag
     prog_grid: tuple[int, int, int, int] | None = None  # hmax, vmax, mcus_x, mcus_y
@@ -1323,10 +1439,11 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
         marker = raw[pos + 1]
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only sequential (SOF0/SOF1) and progressive (SOF2) DCT "
-                f"supported, got SOF marker 0xFF{marker:02X}"
+                f"only sequential (SOF0/SOF1), progressive (SOF2) and "
+                f"lossless (SOF3) Huffman processes supported, got SOF "
+                f"marker 0xFF{marker:02X}"
             )
         if pos + 4 > len(raw):
             raise ValueError("JPEG segment truncated (declared length exceeds stream)")
@@ -1372,16 +1489,23 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
                 vals = list(body[off + 17:off + 17 + n])
                 (dcs if tc == 0 else acs)[th] = _HuffDec(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0 / SOF1 / SOF2 / SOF3
             # SOF1 (extended sequential, Huffman) at 8-bit precision is
             # decode-identical to baseline — it only widens the limits
             # (12-bit samples, 4 Huffman table slots) this decoder
-            # already gates elsewhere
+            # already gates elsewhere. SOF3 is the LOSSLESS process
+            # (T.81 Annex H): no DCT/quantization, predictor-coded
+            # sample differences — and precision-generic, so deep
+            # (12/16-bit) images are in scope there.
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             if len(body) < 6:
                 raise ValueError("JPEG SOF truncated")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"bad lossless JPEG precision {prec}")
+            elif prec != 8:
                 raise NotImplementedError("only 8-bit JPEG samples supported")
             if len(body) < 6 + 3 * ncomp:
                 raise ValueError("JPEG SOF0 truncated (component specs short)")
@@ -1418,6 +1542,51 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
             if not (w and h) or not comps:
                 raise ValueError("JPEG SOS before SOF0")
             ns = body[0]
+            if lossless:
+                # T.81 Annex H scan: Ss carries the predictor selector,
+                # Se = 0, Al the point transform; differences are
+                # DC-category coded, reconstruction is modulo 2^16
+                if ns != 1:
+                    raise NotImplementedError(
+                        "multi-component lossless JPEG not supported"
+                    )
+                if restart_interval:
+                    raise NotImplementedError(
+                        "restart markers in a lossless scan not supported"
+                    )
+                if len(body) < 6:
+                    raise ValueError("JPEG lossless SOS truncated")
+                td = body[2] >> 4
+                predictor = body[3]
+                al = body[5] & 0xF
+                if not 1 <= predictor <= 7:
+                    raise ValueError(
+                        f"lossless predictor selector must be 1-7, got {predictor}"
+                    )
+                if al != 0:
+                    raise NotImplementedError(
+                        "lossless point transform (Al > 0) not supported"
+                    )
+                if td not in dcs:
+                    raise ValueError(
+                        "JPEG SOS references undefined quant/Huffman table"
+                    )
+                dec = dcs[td]
+                r = _BitReader(raw, pos + 2 + seglen)
+                samples = [0] * (w * h)
+                for y in range(h):
+                    base = y * w
+                    for x in range(w):
+                        ssss = dec.decode(r)
+                        if ssss == 16:  # H.1.2.2: no appended bits
+                            diff = 32768
+                        elif ssss:
+                            diff = _extend(r.bits(ssss), ssss)
+                        else:
+                            diff = 0
+                        pred = _lossless_predict(samples, w, x, y, predictor, prec)
+                        samples[base + x] = (pred + diff) & 0xFFFF
+                return w, h, [samples]
             if progressive:
                 if prog_coefs is None:
                     hmax = max(hs for _, hs, _, _ in comps)

@@ -1022,6 +1022,69 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_lossless_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, (doc_id*31 + y*17 + x*7) % 256 AS p
+      FROM d,
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, w - 1)) ux(x)
+    ),
+    hist AS (SELECT doc_id, w, (p * 8) // 256 AS bin, count(*) AS c
+             FROM px GROUP BY 1, 2, 3),
+    grid AS (SELECT doc_id, w, unnest(generate_series(0, 7)) AS pos FROM d)
+    SELECT g.doc_id, g.w::BIGINT AS width, g.pos::INT AS pos,
+           coalesce(h.c, 0) / (g.w * 16) AS x
+    FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.pos
+    """,
+)
+def multimodal_jpeg_lossless_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through the LOSSLESS JPEG process (SOF3, T.81
+    Annex H — operators/jpeg.assemble_jpeg_lossless /
+    synth_jpeg_lossless): every doc ships a single-component SOF3
+    container whose predictor selector cycles 1 + doc%7 — ALL SEVEN
+    Annex H predictors across the corpus — with DC-category-coded
+    differences under a dedicated 17-symbol table, modulo-2^16
+    reconstruction, and widths 16/24/32 so geometry comes from the SOF.
+    The process is lossless, so the decoded plane equals
+    pixel(y, x) = (doc_id*31 + y*17 + x*7) % 256 EXACTLY and the oracle
+    recomputes the 8-bin luminance histogram straight from that formula
+    — no quantization model. A decoder that mis-parses any predictor,
+    the boundary prediction rules (first line Ra, first column Rb,
+    first sample 2^(P-1)), or the difference coding cannot match.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.jpeg import synth_jpeg_lossless
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_jpeg_lossless(int(i))),
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    jpgs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(jpgs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 3 * 8 + 16).cast("long").alias("width"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+
+
+@register(
     "multimodal_image_resize",
     oracle="""
     WITH d AS (

@@ -599,10 +599,17 @@ def test_jpeg_failure_modes():
     sof1_flip = bytes(good[:sof_at + 1]) + b"\xc1" + bytes(good[sof_at + 2:])
     assert jpeg_pixels(sof1_flip) == jpeg_pixels(bytes(good))
 
-    # the non-Huffman/non-DCT SOF processes stay stated seams
+    # lossless (SOF3) is SUPPORTED now — but flipping a BASELINE
+    # stream's marker makes its scan header malformed AS a lossless
+    # scan (Ss=0 is no valid predictor selector): loud ValueError
     sof3_flip = bytes(good[:sof_at + 1]) + b"\xc3" + bytes(good[sof_at + 2:])
-    with pytest.raises(NotImplementedError, match="SOF"):
+    with pytest.raises(ValueError, match="predictor selector"):
         jpeg_pixels(sof3_flip)
+
+    # the non-Huffman SOF processes stay stated seams (0xC5 differential)
+    sof5_flip = bytes(good[:sof_at + 1]) + b"\xc5" + bytes(good[sof_at + 2:])
+    with pytest.raises(NotImplementedError, match="SOF"):
+        jpeg_pixels(sof5_flip)
 
     # non-interleaved sequential scans are SUPPORTED now — but a 4:2:0
     # SOF0 followed by ONLY the grayscale single-component scan is a
@@ -1095,3 +1102,74 @@ def test_wav_float_formats_and_seams():
     # ADPCM (tag 17) stays a loud seam
     with pytest.raises(NotImplementedError, match="format tag 17"):
         wav_decode(riff(17, 1, 4, b"\x00\x00"))
+
+
+def test_jpeg_lossless_round_trip_all_predictors():
+    """SOF3 lossless: decode must reproduce the synthesis pixels EXACTLY
+    for every Annex H predictor (1-7) at 8-bit, and at deep 12/16-bit
+    precisions where the DCT paths don't go — including the modulo-2^16
+    difference arithmetic that 16-bit predictor overshoot exercises."""
+    from financedatabase_spark.operators.jpeg import (
+        jpeg_planes,
+        synth_jpeg_lossless,
+    )
+
+    for doc_id in range(14):  # two full predictor cycles, all widths
+        for prec in (8, 12, 16):
+            w, h, planes = jpeg_planes(synth_jpeg_lossless(doc_id, prec))
+            assert (w, h) == (16 + (doc_id % 3) * 8, 16)
+            assert planes[0] == [
+                (doc_id * 31 + y * 17 + x * 7) % (1 << prec)
+                for y in range(16)
+                for x in range(w)
+            ]
+
+
+def test_jpeg_lossless_seams_and_validation():
+    """The lossless paths not implemented stay loud: multi-component
+    scans, point transform, restart markers; bad predictor selectors and
+    precisions are ValueError at build time."""
+    import struct
+
+    from financedatabase_spark.operators.jpeg import (
+        LL_BITS,
+        LL_VALS,
+        _seg,
+        assemble_jpeg_lossless,
+        jpeg_planes,
+        synth_jpeg_lossless,
+    )
+
+    with pytest.raises(ValueError, match="predictor"):
+        assemble_jpeg_lossless(4, 4, [0] * 16, predictor=0)
+    with pytest.raises(ValueError, match="precision"):
+        assemble_jpeg_lossless(4, 4, [0] * 16, predictor=1, prec=17)
+
+    raw = synth_jpeg_lossless(5)
+
+    def rebuild(sos_payload, sof_payload=None):
+        sof = sof_payload or (struct.pack(">BHHB", 8, 4, 4, 1) + bytes([1, 0x11, 0]))
+        dht = bytes([0x00]) + bytes(LL_BITS) + bytes(LL_VALS)
+        return (
+            b"\xff\xd8" + _seg(0xFFC4, dht) + _seg(0xFFC3, sof)
+            + _seg(0xFFDA, sos_payload) + b"\x00" * 8 + b"\xff\xd9"
+        )
+
+    # point transform Al=1
+    with pytest.raises(NotImplementedError, match="point transform"):
+        jpeg_planes(rebuild(bytes([1, 1, 0x00, 1, 0, 1])))
+    # bad predictor selector in the stream
+    with pytest.raises(ValueError, match="selector"):
+        jpeg_planes(rebuild(bytes([1, 1, 0x00, 0, 0, 0])))
+    # multi-component lossless (3 comps passes the SOF gate, fails at SOS)
+    sof3c = struct.pack(">BHHB", 8, 4, 4, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos3c = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 1, 0, 0])
+    with pytest.raises(NotImplementedError, match="multi-component"):
+        jpeg_planes(rebuild(sos3c, sof3c))
+    # restart markers in a lossless scan
+    dri = _seg(0xFFDD, struct.pack(">H", 4))
+    soi_end = raw.index(b"\xff\xc3")
+    with pytest.raises(NotImplementedError, match="restart"):
+        jpeg_planes(raw[:soi_end] + dri + raw[soi_end:])
