@@ -145,17 +145,18 @@ def pil_decode(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def synth_wav(doc_id: int) -> bytes:
-    """Deterministic WAV fixture mix keyed by doc_id % 7 — every PCM
-    layout the codec decodes plus IEEE float: 0/3 = 16-bit MONO, 1 =
-    16-bit STEREO (the decoder must mono-mix, truncating toward zero),
-    2 = unsigned 8-BIT mono (centered at 128), 4 = 24-BIT mono (3-byte
-    little-endian two's complement), 5 = 32-BIT mono, 6 = FLOAT32 mono
-    (format tag 3 — written spec-faithfully with an 18-byte fmt chunk
-    and a fact chunk, so its header is 58 bytes where PCM's is 44).
-    Samples derive from ``doc_id`` by pure integer arithmetic — so a
-    SQL oracle can recompute the decoded features (selecting the
-    per-variant formula on doc%7) while the Spark path must round-trip
-    the actual container.
+    """Deterministic WAV fixture mix keyed by doc_id % 8 — every PCM
+    layout the codec decodes plus IEEE float and G.711: 0/3 = 16-bit
+    MONO, 1 = 16-bit STEREO (the decoder must mono-mix, truncating
+    toward zero), 2 = unsigned 8-BIT mono (centered at 128), 4 = 24-BIT
+    mono (3-byte little-endian two's complement), 5 = 32-BIT mono, 6 =
+    FLOAT32 mono (format tag 3), 7 = MU-LAW mono (format tag 7, G.711).
+    Non-PCM containers (6/7) are written spec-faithfully with an
+    18-byte fmt chunk and a fact chunk, so their header is 58 bytes
+    where PCM's is 44. Samples derive from ``doc_id`` by pure integer
+    arithmetic — so a SQL oracle can recompute the decoded features
+    (selecting the per-variant formula on doc%8) while the Spark path
+    must round-trip the actual container.
 
     n_samples = 400 + doc_id % 257; rate = 8000 + (doc_id % 3) * 4000;
     mono16: sample[t] = (doc_id*7919 + t*104729) % 65536 - 32768
@@ -165,19 +166,17 @@ def synth_wav(doc_id: int) -> bytes:
     s32:    sample[t] = (doc_id*7919 + t*104729) % 2^32 - 2^31
     f32:    sample[t] = mono16[t] / 32768.0 (a 16-bit integer over 2^15
             is exactly representable in float32, so features stay
-            bit-stable across engines).
+            bit-stable across engines)
+    ulaw:   byte[t] = (doc_id*7919 + t*104729) % 256, decoded by the
+            G.711 segmented expansion (`ulaw_to_linear`).
     """
     doc_id = int(doc_id)
     n = 400 + doc_id % 257
     rate = 8000 + (doc_id % 3) * 4000
-    variant = doc_id % 7
-    if variant == 6:  # IEEE float32: stdlib wave is PCM-only, hand-build
-        data = struct.pack(
-            f"<{n}f",
-            *((((doc_id * 7919 + t * 104729) % 65536) - 32768) / 32768.0
-              for t in range(n)),
-        )
-        fmt = struct.pack("<HHIIHHH", 3, 1, rate, rate * 4, 4, 32, 0)
+    variant = doc_id % 8
+
+    def nonpcm(tag: int, width: int, data: bytes) -> bytes:
+        fmt = struct.pack("<HHIIHHH", tag, 1, rate, rate * width, width, 8 * width, 0)
         fact = struct.pack("<I", n)
         body = (
             b"WAVE"
@@ -186,6 +185,17 @@ def synth_wav(doc_id: int) -> bytes:
             + b"data" + struct.pack("<I", len(data)) + data
         )
         return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    if variant == 6:  # IEEE float32: stdlib wave is PCM-only, hand-build
+        return nonpcm(3, 4, struct.pack(
+            f"<{n}f",
+            *((((doc_id * 7919 + t * 104729) % 65536) - 32768) / 32768.0
+              for t in range(n)),
+        ))
+    if variant == 7:  # G.711 mu-law (format tag 7)
+        return nonpcm(
+            7, 1, bytes((doc_id * 7919 + t * 104729) % 256 for t in range(n))
+        )
     buf = BytesIO()
     with wave.open(buf, "wb") as w:
         w.setframerate(rate)
@@ -230,12 +240,32 @@ def synth_wav(doc_id: int) -> bytes:
     return buf.getvalue()
 
 
-def _parse_nonpcm_wav(raw: bytes) -> tuple[list[float], int, int]:
+def ulaw_to_linear(b: int) -> int:
+    """G.711 mu-law byte -> linear 16-bit sample (the standard segmented
+    expansion — identical to CPython audioop's table): complement, split
+    sign/exponent/mantissa, rebuild the magnitude with the 0x84 bias."""
+    b = ~b & 0xFF
+    mag = (((b & 0x0F) << 3) + 0x84) << ((b >> 4) & 7)
+    return 0x84 - mag if b & 0x80 else mag - 0x84
+
+
+def alaw_to_linear(b: int) -> int:
+    """G.711 A-law byte -> linear 16-bit sample (even-bit inversion,
+    then segmented expansion; segment 0 is linear)."""
+    b ^= 0x55
+    exp = (b >> 4) & 7
+    mant = b & 0x0F
+    mag = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+    return mag if b & 0x80 else -mag  # A-law MSB set = POSITIVE
+
+
+def _parse_nonpcm_wav(raw: bytes) -> tuple[list, int, int]:
     """RIFF fallback for formats stdlib `wave` rejects: walks the chunk
     stream (skipping fact/LIST/etc.), reads the fmt tag, and decodes
-    IEEE-float data (tag 3, 32- or 64-bit). Returns (samples, n_frames,
-    n_channels). Compressed tags (ADPCM 2/17, mu-law 7, ...) raise
-    NotImplementedError — the documented codec seam."""
+    IEEE-float data (tag 3, 32- or 64-bit), A-law (tag 6) and mu-law
+    (tag 7) — both stateless G.711 byte expansions. Returns (samples,
+    n_frames, n_channels). Stateful compressed tags (ADPCM 2/17, GSM,
+    mp3-in-WAV) raise NotImplementedError — the documented codec seam."""
     if raw[:4] != b"RIFF" or len(raw) < 12 or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     off, fmt, data = 12, None, None
@@ -250,10 +280,16 @@ def _parse_nonpcm_wav(raw: bytes) -> tuple[list[float], int, int]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     tag, ch, _rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag == 6 or tag == 7:
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8 bits/sample, got {bits}")
+        conv = alaw_to_linear if tag == 6 else ulaw_to_linear
+        return [conv(b) for b in data], len(data) // max(ch, 1), ch
     if tag != 3:
         raise NotImplementedError(
-            f"WAV format tag {tag} not supported (PCM=1 via stdlib wave, "
-            f"IEEE float=3 here; ADPCM/mu-law need an audio library)"
+            f"WAV format tag {tag} not supported (PCM=1 via stdlib wave; "
+            f"IEEE float=3, A-law=6, mu-law=7 here; ADPCM needs an audio "
+            f"library)"
         )
     if bits == 32:
         count = len(data) // 4
@@ -273,7 +309,9 @@ def wav_decode(payload: bytes, dim: int = 8) -> list[float]:
     every PCM width the WAV spec allows — unsigned 8-bit (centered at
     128, the WAV convention), little-endian int16, 3-byte
     two's-complement int24, and int32 — plus IEEE FLOAT (format tag 3,
-    32/64-bit, which stdlib `wave` rejects, via `_parse_nonpcm_wav`) —
+    32/64-bit) and G.711 A-LAW/MU-LAW (tags 6/7, segmented expansions
+    bit-identical to audioop's tables), all of which stdlib `wave`
+    rejects and `_parse_nonpcm_wav` owns —
     mono-mixes multi-channel input (integer widths truncate toward
     zero; float widths take the exact mean), and emits ``dim`` windowed
     energy features: feats[w] = sum(abs(sample[t]) for t with

@@ -674,12 +674,15 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, 400 + doc_id % 257 AS n FROM documents
     ),
     s AS (
-      -- per-variant sample term (doc%7): 0/3 = 16-bit mono, 1 = 16-bit
+      -- per-variant sample term (doc%8): 0/3 = 16-bit mono, 1 = 16-bit
       -- stereo mono-mixed with truncation toward zero, 2 = unsigned
       -- 8-bit centered at 128, 4 = 24-bit mono, 5 = 32-bit mono,
-      -- 6 = IEEE float32 mono (16-bit term over 2^15: dyadic, exact)
+      -- 6 = IEEE float32 mono (16-bit term over 2^15: dyadic, exact),
+      -- 7 = G.711 MU-LAW mono (segmented expansion of the complemented
+      -- byte u = 255 - m: |sample| = ((u%16)*8 + 132) << ((u//16)%8)
+      -- - 132, the same magnitude for either sign)
       SELECT doc_id, n, i AS t,
-             CASE doc_id % 7
+             CASE doc_id % 8
                WHEN 1 THEN abs(trunc((
                  (((doc_id * 7919 + i * 104729) % 65536) - 32768)
                  + (((doc_id * 104729 + i * 7919) % 65536) - 32768)
@@ -688,14 +691,19 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN 4 THEN abs(((doc_id * 7919 + i * 104729) % 16777216) - 8388608)::DOUBLE
                WHEN 5 THEN abs(((doc_id * 7919 + i * 104729) % 4294967296) - 2147483648)::DOUBLE
                WHEN 6 THEN abs(((doc_id * 7919 + i * 104729) % 65536) - 32768)::DOUBLE / 32768.0e0
+               WHEN 7 THEN (
+                 (((255 - (doc_id * 7919 + i * 104729) % 256) % 16) * 8 + 132)
+                 * (1 << (((255 - (doc_id * 7919 + i * 104729) % 256) // 16) % 8))
+                 - 132)::DOUBLE
                ELSE abs(((doc_id * 7919 + i * 104729) % 65536) - 32768)::DOUBLE
              END AS a
       FROM d, UNNEST(generate_series(0, n - 1)) AS u(i)
     )
     SELECT doc_id,
-           (CASE doc_id % 7 WHEN 6 THEN 58 ELSE 44 END
-            + n * CASE doc_id % 7 WHEN 1 THEN 4 WHEN 2 THEN 1 WHEN 4 THEN 3
-                                  WHEN 5 THEN 4 WHEN 6 THEN 4 ELSE 2 END)::BIGINT
+           (CASE WHEN doc_id % 8 IN (6, 7) THEN 58 ELSE 44 END
+            + n * CASE doc_id % 8 WHEN 1 THEN 4 WHEN 2 THEN 1 WHEN 4 THEN 3
+                                  WHEN 5 THEN 4 WHEN 6 THEN 4 WHEN 7 THEN 1
+                                  ELSE 2 END)::BIGINT
              AS n_bytes,
            ((t * 8) // n)::INT AS win,
            sum(a)::DOUBLE AS abs_sum
@@ -705,19 +713,21 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction through the REAL stdlib-`wave` codec
     (operators/multimodal.wav_decode via dispatch_decode) over a MIXED
-    corpus keyed by doc%7 — every PCM width the WAV spec allows plus
-    IEEE float: 16-bit mono, 16-bit STEREO (the codec must mono-mix,
-    truncating toward zero), unsigned 8-BIT (centered at 128), 24-BIT
-    (3-byte two's complement), 32-BIT, and FLOAT32 (format tag 3, which
-    stdlib `wave` rejects — the RIFF fallback parser decodes it, and
-    its container carries the spec-faithful 18-byte fmt + fact chunks,
-    58 header bytes vs PCM's 44) — samples a pure integer function of
-    doc_id per variant (the float fixture is dyadic, so features stay
-    exact). The codec must parse the header, decode the frames at the
-    declared width, and emit 8 windowed |amplitude| sums. The oracle
-    recomputes the features from doc_id by the per-variant formula —
-    and checks the container round-trip via n_bytes = header + frame
-    bytes (2n / 4n / n / 3n / 4n / 4n by variant).
+    corpus keyed by doc%8 — every PCM width the WAV spec allows plus
+    IEEE float and G.711: 16-bit mono, 16-bit STEREO (the codec must
+    mono-mix, truncating toward zero), unsigned 8-BIT (centered at
+    128), 24-BIT (3-byte two's complement), 32-BIT, FLOAT32 (format
+    tag 3), and MU-LAW (format tag 7, the G.711 segmented expansion —
+    validated byte-for-byte against audioop's table). Non-PCM tags are
+    rejected by stdlib `wave`, so the RIFF fallback parser decodes
+    them; their containers carry the spec-faithful 18-byte fmt + fact
+    chunks, 58 header bytes vs PCM's 44. Samples are a pure integer
+    function of doc_id per variant (the float fixture is dyadic, so
+    features stay exact). The codec must parse the header, decode the
+    frames at the declared width, and emit 8 windowed |amplitude| sums.
+    The oracle recomputes the features from doc_id by the per-variant
+    formula — and checks the container round-trip via n_bytes = header
+    + frame bytes (2n / 4n / n / 3n / 4n / 4n / n by variant).
 
     Scale shape: scan → mapInPandas synth → mapInPandas decode →
     posexplode; one id-only shuffle (spread_ids) before synth so decode

@@ -74,17 +74,17 @@ def test_wav_codec_round_trip():
 
     from financedatabase_spark.operators.multimodal import synth_wav, wav_decode
 
-    for doc_id in (0, 1, 2, 4, 5, 6, 7, 10, 11, 13, 256, 12345, 20):
+    for doc_id in (0, 1, 2, 4, 5, 6, 7, 10, 11, 13, 15, 256, 12345, 20, 23):
         payload = synth_wav(doc_id)
         n = 400 + doc_id % 257
-        # 0/3 mono16, 1 stereo16, 2 u8, 4 s24, 5 s32, 6 float32
-        variant = doc_id % 7
+        # 0/3 mono16, 1 stereo16, 2 u8, 4 s24, 5 s32, 6 float32, 7 ulaw
+        variant = doc_id % 8
         ch = 2 if variant == 1 else 1
-        sw = {2: 1, 4: 3, 5: 4, 6: 4}.get(variant, 2)
-        header = 58 if variant == 6 else 44  # float: 18-byte fmt + fact
+        sw = {2: 1, 4: 3, 5: 4, 6: 4, 7: 1}.get(variant, 2)
+        header = 58 if variant in (6, 7) else 44  # non-PCM: fmt(18)+fact
         assert len(payload) == header + sw * ch * n
-        if variant == 6:
-            # stdlib wave rejects format tag 3: the fallback must own it
+        if variant in (6, 7):
+            # stdlib wave rejects non-PCM tags: the fallback must own them
             with pytest.raises(wave.Error):
                 wave.open(BytesIO(payload))
         else:
@@ -107,6 +107,9 @@ def test_wav_codec_round_trip():
                 a = abs((x % 2**32) - 2**31)
             elif variant == 6:
                 a = abs((x % 65536) - 32768) / 32768.0
+            elif variant == 7:
+                u = 255 - x % 256
+                a = ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
             else:
                 a = abs((x % 65536) - 32768)
             want[t * 8 // n] += a
@@ -1098,6 +1101,28 @@ def test_wav_float_formats_and_seams():
     # float64 mono
     data64 = struct.pack("<2d", -0.75, 0.5)
     assert wav_decode(riff(3, 1, 64, data64), dim=2) == [0.75, 0.5]
+
+    # G.711 mu-law/A-law (tags 7/6): segmented expansions, bit-identical
+    # to audioop's tables (validated exhaustively below)
+    import audioop  # stdlib in 3.11; removal-slated, test-only use
+
+    for tag, name in ((7, "ulaw2lin"), (6, "alaw2lin")):
+        data = bytes(range(0, 256, 16))  # 16 samples spanning segments
+        want = [
+            abs(struct.unpack("<h", getattr(audioop, name)(bytes([b]), 2))[0])
+            for b in data
+        ]
+        got = wav_decode(riff(tag, 1, 8, data), dim=16)
+        assert got == [float(v) for v in want]
+
+    from financedatabase_spark.operators.multimodal import (
+        alaw_to_linear,
+        ulaw_to_linear,
+    )
+
+    for b in range(256):
+        assert ulaw_to_linear(b) == struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))[0]
+        assert alaw_to_linear(b) == struct.unpack("<h", audioop.alaw2lin(bytes([b]), 2))[0]
 
     # ADPCM (tag 17) stays a loud seam
     with pytest.raises(NotImplementedError, match="format tag 17"):

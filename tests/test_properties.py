@@ -415,22 +415,25 @@ def test_media_codecs_roundtrip_any_doc_id(doc_id, dim):
     n = 400 + doc_id % 257
     want_w = [0.0] * dim
     for t in range(n):
-        # per-variant fixture formula (doc%7): 16-bit mono / 16-bit
+        # per-variant fixture formula (doc%8): 16-bit mono / 16-bit
         # stereo mono-mixed truncating toward zero / unsigned 8-bit /
-        # 24-bit / 32-bit / float32 (dyadic, exact)
+        # 24-bit / 32-bit / float32 (dyadic, exact) / G.711 mu-law
         x = doc_id * 7919 + t * 104729
-        if doc_id % 7 == 1:
+        if doc_id % 8 == 1:
             left = (x % 65536) - 32768
             right = ((doc_id * 104729 + t * 7919) % 65536) - 32768
             a = abs(int((left + right) / 2))
-        elif doc_id % 7 == 2:
+        elif doc_id % 8 == 2:
             a = abs((x % 256) - 128)
-        elif doc_id % 7 == 4:
+        elif doc_id % 8 == 4:
             a = abs((x % 2**24) - 2**23)
-        elif doc_id % 7 == 5:
+        elif doc_id % 8 == 5:
             a = abs((x % 2**32) - 2**31)
-        elif doc_id % 7 == 6:
+        elif doc_id % 8 == 6:
             a = abs((x % 65536) - 32768) / 32768.0
+        elif doc_id % 8 == 7:
+            u = 255 - x % 256
+            a = ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
         else:
             a = abs((x % 65536) - 32768)
         want_w[t * dim // n] += a
