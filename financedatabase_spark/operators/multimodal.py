@@ -259,6 +259,100 @@ def alaw_to_linear(b: int) -> int:
     return mag if b & 0x80 else -mag  # A-law MSB set = POSITIVE
 
 
+#: IMA ADPCM step-size table (89 entries) and index-adjust table — the
+#: public DVI/IMA tables every implementation shares (RFC 3551 §4.5.1
+#: lineage; identical in the WAV tag-0x11 payload spec).
+IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def ima_adpcm_step(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: expand one 4-bit code against the
+    (predictor, step index) state. Pure integer shifts — the exact
+    arithmetic every IMA decoder implements (and a SQL oracle can
+    mirror with integer division)."""
+    step = IMA_STEPS[index]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    if nib & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + IMA_INDEX[nib]))
+    return pred, index
+
+
+def synth_wav_adpcm(doc_id: int) -> bytes:
+    """Deterministic IMA ADPCM (WAV format tag 0x11) fixture: mono, ONE
+    block whose 4-byte header carries the initial predictor
+    (doc_id*7919) % 65536 - 32768 — which IS the first output sample —
+    and initial step index doc_id % 89; the remaining n-1 samples are
+    nibbles nib[t] = (doc_id*7 + t*13) % 16 packed two per byte, low
+    nibble first. n = 201 + 2*(doc_id % 64) (odd, so the nibble count
+    is even and the block is exactly full). The fmt chunk is the
+    spec-faithful tag-17 form: 4 bits/sample, block_align = 4 + (n-1)/2,
+    cbSize=2 extension carrying samplesPerBlock, plus a fact chunk."""
+    doc_id = int(doc_id)
+    n = 201 + 2 * (doc_id % 64)
+    rate = 8000
+    k = (n - 1) // 2
+    pred0 = (doc_id * 7919) % 65536 - 32768
+    idx0 = doc_id % 89
+    data = bytearray(struct.pack("<hBB", pred0, idx0, 0))
+    for i in range(k):
+        lo = (doc_id * 7 + (2 * i) * 13) % 16
+        hi = (doc_id * 7 + (2 * i + 1) * 13) % 16
+        data.append(lo | (hi << 4))
+    block_align = 4 + k
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate * block_align // n, block_align, 4, 2, n
+    )
+    fact = struct.pack("<I", n)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_ima_adpcm(data: bytes, block_align: int, samples_per_block: int) -> list[int]:
+    """Expand mono IMA ADPCM blocks: each block's 4-byte header seeds
+    (predictor = first output sample, step index), then two nibbles per
+    byte (low first) step the state machine."""
+    out: list[int] = []
+    for boff in range(0, len(data), block_align):
+        block = data[boff:boff + block_align]
+        if len(block) < 4:
+            break
+        pred, index = struct.unpack_from("<hB", block, 0)
+        if index > 88:
+            raise ValueError(f"IMA ADPCM step index {index} out of range")
+        out.append(pred)
+        emitted = 1
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                if emitted >= samples_per_block:
+                    break
+                pred, index = ima_adpcm_step(pred, index, nib)
+                out.append(pred)
+                emitted += 1
+    return out
+
+
 def _parse_nonpcm_wav(raw: bytes) -> tuple[list, int, int]:
     """RIFF fallback for formats stdlib `wave` rejects: walks the chunk
     stream (skipping fact/LIST/etc.), reads the fmt tag, and decodes
@@ -279,17 +373,27 @@ def _parse_nonpcm_wav(raw: bytes) -> tuple[list, int, int]:
         off += 8 + sz + (sz & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    tag, ch, _rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    tag, ch, _rate, _br, ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if tag == 6 or tag == 7:
         if bits != 8:
             raise ValueError(f"G.711 WAV must be 8 bits/sample, got {bits}")
         conv = alaw_to_linear if tag == 6 else ulaw_to_linear
         return [conv(b) for b in data], len(data) // max(ch, 1), ch
+    if tag == 0x11:  # IMA ADPCM (DVI4)
+        if ch != 1:
+            raise NotImplementedError("only mono IMA ADPCM supported")
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM WAV must be 4 bits/sample, got {bits}")
+        if len(fmt) < 20:
+            raise ValueError("IMA ADPCM fmt chunk missing samplesPerBlock")
+        (spb,) = struct.unpack_from("<H", fmt, 18)
+        samples = _decode_ima_adpcm(data, ba, spb)
+        return samples, len(samples), 1
     if tag != 3:
         raise NotImplementedError(
             f"WAV format tag {tag} not supported (PCM=1 via stdlib wave; "
-            f"IEEE float=3, A-law=6, mu-law=7 here; ADPCM needs an audio "
-            f"library)"
+            f"IEEE float=3, A-law=6, mu-law=7, IMA ADPCM=17 here; other "
+            f"compressed tags need an audio library)"
         )
     if bits == 32:
         count = len(data) // 4

@@ -1094,6 +1094,90 @@ def multimodal_jpeg_lossless_features(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _ima_steps_values() -> str:
+    """The 89-entry IMA step table as a VALUES list for the oracle."""
+    from financedatabase_spark.operators.multimodal import IMA_STEPS
+
+    return ", ".join(f"({i}, {s})" for i, s in enumerate(IMA_STEPS))
+
+
+@register(
+    "multimodal_adpcm_features",
+    oracle=f"""
+    WITH RECURSIVE
+    steps(sidx, step) AS (VALUES {_ima_steps_values()}),
+    d AS (
+      SELECT doc_id, 201 + 2 * (doc_id % 64) AS n,
+             (doc_id * 7919) % 65536 - 32768 AS pred0,
+             doc_id % 89 AS idx0
+      FROM documents
+    ),
+    dec AS (
+      SELECT doc_id, n, 0 AS t, pred0 AS pred, idx0 AS idx FROM d
+      UNION ALL
+      SELECT doc_id, n, t + 1,
+             greatest(-32768, least(32767,
+               pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)),
+             greatest(0, least(88, idx +
+               CASE nib % 8 WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+                            WHEN 7 THEN 8 ELSE -1 END))
+      FROM (
+        SELECT r.doc_id, r.n, r.t, r.pred, r.idx,
+               (r.doc_id * 7 + r.t * 13) % 16 AS nib,
+               (s.step // 8)
+               + (((r.doc_id * 7 + r.t * 13) % 16) % 2) * (s.step // 4)
+               + ((((r.doc_id * 7 + r.t * 13) % 16) // 2) % 2) * (s.step // 2)
+               + ((((r.doc_id * 7 + r.t * 13) % 16) // 4) % 2) * s.step AS diff
+        FROM dec r JOIN steps s ON s.sidx = r.idx
+      )
+      WHERE t + 1 < n
+    )
+    SELECT doc_id, (64 + (n - 1) // 2)::BIGINT AS n_bytes,
+           ((t * 8) // n)::INT AS win, sum(abs(pred))::DOUBLE AS abs_sum
+    FROM dec GROUP BY doc_id, n, (t * 8) // n
+    """,
+)
+def multimodal_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features through the IMA ADPCM decoder (WAV format tag
+    0x11 — operators/multimodal.synth_wav_adpcm / _decode_ima_adpcm):
+    every doc ships a one-block mono ADPCM container whose header seeds
+    the (predictor, step index) state machine — initial index spans the
+    full 0..88 table, and predictors span the int16 range so both
+    clamps engage — and whose nibbles step the shared IMA step/index
+    tables. The oracle mirrors the recursion as a RECURSIVE CTE joined
+    against the 89-entry step table (the same generated-recurrence
+    technique as the CRR lattice oracles), so every decoded sample is
+    verified, not just the container shape. The recursion is
+    per-sample, so like the tick-bar oracles this baseline is excluded
+    from the 50x sweeps — the Spark side stays linear (one mapInPandas
+    decode).
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.multimodal import synth_wav_adpcm
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_wav_adpcm(int(i))),
+                    "media_type": "audio/wav",
+                }
+            )
+
+    wavs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(wavs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("feature").alias("win", "abs_sum")
+    )
+
+
 @register(
     "multimodal_image_resize",
     oracle="""

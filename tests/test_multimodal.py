@@ -1124,9 +1124,34 @@ def test_wav_float_formats_and_seams():
         assert ulaw_to_linear(b) == struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))[0]
         assert alaw_to_linear(b) == struct.unpack("<h", audioop.alaw2lin(bytes([b]), 2))[0]
 
-    # ADPCM (tag 17) stays a loud seam
-    with pytest.raises(NotImplementedError, match="format tag 17"):
-        wav_decode(riff(17, 1, 4, b"\x00\x00"))
+    # MS ADPCM (tag 2) stays a loud seam; IMA (tag 17) decodes now
+    with pytest.raises(NotImplementedError, match="format tag 2"):
+        wav_decode(riff(2, 1, 4, b"\x00\x00"))
+
+
+def test_wav_ima_adpcm_round_trip():
+    """The IMA ADPCM state machine must round-trip the synth fixture:
+    header predictor is emitted verbatim as sample 0, nibbles step the
+    (pred, index) recursion with the shared step/index tables, clamps
+    included (index 88 fixtures saturate)."""
+    from financedatabase_spark.operators.multimodal import (
+        ima_adpcm_step,
+        synth_wav_adpcm,
+        wav_decode,
+    )
+
+    for d in (0, 1, 7, 63, 88, 89, 150, 12345):
+        n = 201 + 2 * (d % 64)
+        pred, idx = (d * 7919) % 65536 - 32768, d % 89
+        samples = [pred]
+        for t in range(n - 1):
+            pred, idx = ima_adpcm_step(pred, idx, (d * 7 + t * 13) % 16)
+            samples.append(pred)
+        want = [0.0] * 8
+        for t, s in enumerate(samples):
+            want[t * 8 // n] += abs(s)
+        assert wav_decode(synth_wav_adpcm(d)) == want
+        assert len(synth_wav_adpcm(d)) == 64 + (n - 1) // 2
 
 
 def test_jpeg_lossless_round_trip_all_predictors():
