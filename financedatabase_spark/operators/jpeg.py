@@ -286,6 +286,7 @@ def assemble_jpeg(
     restart_interval: int = 0,
     qt_16bit: bool = False,
     sof1: bool = False,
+    prec: int = 8,
 ) -> bytes:
     """Assemble a complete spec-valid grayscale baseline JPEG from a
     zigzag quant table and per-block quantized coefficients (blocks in
@@ -298,13 +299,21 @@ def assemble_jpeg(
     that assumes 1-byte entries desyncs on the segment. ``sof1`` emits
     the frame header under the EXTENDED-sequential marker (0xFFC1) —
     at 8-bit precision the stream is otherwise identical, but a decoder
-    that rejects the marker outright drops real crawl files."""
+    that rejects the marker outright drops real crawl files.
+    ``prec`` = 12 writes a deep extended-sequential frame (requires
+    ``sof1`` — T.81 Table B.2 limits baseline to 8-bit); the caller
+    must keep DC values/diffs within the Annex K table's categories
+    (|v| <= 2047), which the 12-bit fixtures do by construction."""
+    if prec == 12 and not sof1:
+        raise ValueError("12-bit precision requires the SOF1 marker")
+    if prec not in (8, 12):
+        raise ValueError(f"DCT sample precision must be 8 or 12, got {prec}")
     app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
     if qt_16bit:
         dqt = bytes([0x10]) + b"".join(struct.pack(">H", v) for v in qt_zz)
     else:
         dqt = bytes([0x00]) + bytes(qt_zz)  # Pq=0 (8-bit), Tq=0
-    sof0 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    sof0 = struct.pack(">BHHB", prec, h, w, 1) + bytes([1, 0x11, 0])
     dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
     dht_ac = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
@@ -370,6 +379,39 @@ def assemble_jpeg_lossless(
         + bw.flush()
         + b"\xff\xd9"
     )
+
+
+def synth_jpeg12(doc_id: int) -> bytes:
+    """Deterministic 12-BIT extended-sequential fixture (SOF1, prec 12):
+    width 16/24/32 by doc%3, height 16, DC-ONLY constant blocks with
+    quantizer 8 at DC, so block b's 64 pixels all equal
+    dc(b) + 2048 exactly where dc(b) = (doc_id*29) % 3000 - 1500 +
+    (b*37 + doc_id) % 500 — values and successive diffs stay within the
+    Annex K DC table's |v| <= 2047 categories, pixels land in
+    [548, 4047] so neither clamp bites, and a SQL oracle recomputes the
+    deep histogram from the formula."""
+    doc_id = int(doc_id)
+    w = 16 + (doc_id % 3) * 8
+    nblocks = (w // 8) * 2
+    qt = list(_FIXTURE_QT)
+    blocks = []
+    for b in range(nblocks):
+        dc = (doc_id * 29) % 3000 - 1500 + (b * 37 + doc_id) % 500
+        blocks.append([dc] + [0] * 63)
+    return assemble_jpeg(w, JPEG_H, qt, blocks, sof1=True, prec=12)
+
+
+def jpeg_decode_deep(payload: bytes, dim: int = 8, prec: int = 12) -> list[float]:
+    """`jpeg_decode`'s histogram contract for DEEP frames: bins are
+    v*dim >> prec over the first plane (12-bit: v*8 // 4096),
+    normalized. Kept separate because `jpeg_planes` returns raw plane
+    values without the frame's precision."""
+    w, h, planes = jpeg_planes(payload)
+    counts = [0] * dim
+    for v in planes[0]:
+        counts[(v * dim) >> prec] += 1
+    n = max(len(planes[0]), 1)
+    return [c / n for c in counts]
 
 
 def synth_jpeg_lossless(doc_id: int, prec: int = 8) -> bytes:
@@ -1091,9 +1133,12 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def _idct_block(coef: list[int]) -> list[int]:
+def _idct_block(coef: list[int], prec: int = 8) -> list[int]:
     """Separable 8x8 inverse DCT on raster-order dequantized
-    coefficients; returns 64 level-shifted clamped pixels."""
+    coefficients; returns 64 level-shifted clamped pixels. The level
+    shift and clamp are precision-parametric (T.81 A.3.1: shift is
+    2^(P-1)): 8-bit frames shift +128 and clamp to 255, 12-bit extended
+    frames shift +2048 and clamp to 4095."""
     tmp = [[0.0] * 8 for _ in range(8)]
     for v in range(8):
         row = coef[v * 8:(v + 1) * 8]
@@ -1112,13 +1157,15 @@ def _idct_block(coef: list[int]) -> list[int]:
             for v in range(8):
                 if tmp[v][x]:
                     s += _C[v] * tmp[v][x] * _COS[v][y]
-            p = round(s / 4) + 128
-            out[y * 8 + x] = 0 if p < 0 else (255 if p > 255 else p)
+            p = round(s / 4) + (1 << (prec - 1))
+            top = (1 << prec) - 1
+            out[y * 8 + x] = 0 if p < 0 else (top if p > top else p)
     return out
 
 
 def _decode_block(
-    r: _BitReader, dec_dc: _HuffDec, dec_ac: _HuffDec, qt: list[int], pred: int
+    r: _BitReader, dec_dc: _HuffDec, dec_ac: _HuffDec, qt: list[int], pred: int,
+    prec: int = 8,
 ) -> tuple[list[int], int]:
     """Decode one entropy-coded block: DC diff + AC run-lengths, dequant,
     de-zigzag, IDCT. Returns (64 pixels, new DC predictor)."""
@@ -1142,7 +1189,7 @@ def _decode_block(
     coef = [0] * 64
     for zi, ri in enumerate(ZIGZAG):
         coef[ri] = zz[zi]
-    return _idct_block(coef), pred
+    return _idct_block(coef, prec), pred
 
 
 def _ac_first_decode(
@@ -1505,8 +1552,14 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
             if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError(f"bad lossless JPEG precision {prec}")
+            elif marker == 0xC1 and prec == 12:
+                pass  # extended sequential admits 12-bit (T.81 Table B.2)
             elif prec != 8:
-                raise NotImplementedError("only 8-bit JPEG samples supported")
+                raise NotImplementedError(
+                    "only 8-bit JPEG samples supported here (12-bit needs "
+                    "the extended-sequential SOF1 marker; progressive and "
+                    "baseline are 8-bit)"
+                )
             if len(body) < 6 + 3 * ncomp:
                 raise ValueError("JPEG SOF0 truncated (component specs short)")
             comps = []
@@ -1655,7 +1708,9 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
                             rst = (rst + 1) % 8
                             pred = 0
                         idx += 1
-                        px, pred = _decode_block(r, dcs[td], acs[ta], qts[tq], pred)
+                        px, pred = _decode_block(
+                            r, dcs[td], acs[ta], qts[tq], pred, prec
+                        )
                         py0, px0 = by * 8, bx * 8
                         for y in range(8):
                             row = plane[py0 + y]
@@ -1707,7 +1762,7 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
                         for byy in range(vs):
                             for bxx in range(hs):
                                 px, preds[ci] = _decode_block(
-                                    r, dcs[td], acs[ta], qts[tq], preds[ci]
+                                    r, dcs[td], acs[ta], qts[tq], preds[ci], prec
                                 )
                                 plane = planes_raw[ci]
                                 py0 = (my * vs + byy) * 8

@@ -1094,6 +1094,63 @@ def multimodal_jpeg_lossless_features(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@register(
+    "multimodal_jpeg12_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w FROM documents
+    ),
+    blk AS (
+      SELECT doc_id, w,
+             (doc_id * 29) % 3000 - 1500 + (b * 37 + doc_id) % 500 + 2048 AS p
+      FROM d, UNNEST(generate_series(0, (w // 8) * 2 - 1)) ub(b)
+    ),
+    hist AS (SELECT doc_id, w, (p * 8) // 4096 AS bin, 64 * count(*) AS c
+             FROM blk GROUP BY 1, 2, 3),
+    grid AS (SELECT doc_id, w, unnest(generate_series(0, 7)) AS pos FROM d)
+    SELECT g.doc_id, g.w::BIGINT AS width, g.pos::INT AS pos,
+           coalesce(h.c, 0) / (g.w * 16) AS x
+    FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.pos
+    """,
+)
+def multimodal_jpeg12_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-image features through the 12-BIT extended-sequential JPEG
+    path (SOF1 at precision 12 — operators/jpeg.synth_jpeg12 /
+    jpeg_decode_deep): DC-only constant blocks whose dequantized IDCT
+    is exactly dc + 2048 (quantizer 8 at DC, level shift 2^11), pixels
+    spanning [548, 4047] of the 12-bit range, histogram binned by
+    v*8 // 4096. The decoder must honor the SOF precision in the level
+    shift and clamp — an 8-bit-assuming decoder clamps everything to
+    255 and lands the whole mass in bin 0. The oracle recomputes the
+    deep histogram from the block formula.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.jpeg import jpeg_decode_deep, synth_jpeg12
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_jpeg12(int(i))),
+                }
+            )
+
+    jpgs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    feats = decode_features(jpgs, decode_fn=jpeg_decode_deep)
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 3 * 8 + 16).cast("long").alias("width"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+
+
 def _ima_steps_values() -> str:
     """The 89-entry IMA step table as a VALUES list for the oracle."""
     from financedatabase_spark.operators.multimodal import IMA_STEPS

@@ -1223,3 +1223,40 @@ def test_jpeg_lossless_seams_and_validation():
     soi_end = raw.index(b"\xff\xc3")
     with pytest.raises(NotImplementedError, match="restart"):
         jpeg_planes(raw[:soi_end] + dri + raw[soi_end:])
+
+
+def test_jpeg_12bit_extended_sequential():
+    """SOF1 at precision 12: level shift 2048 and clamp 4095 must follow
+    the SOF precision — the DC-only fixtures decode to dc + 2048 exactly
+    — while baseline (SOF0) and progressive (SOF2) stay 8-bit-only."""
+    import struct
+
+    from financedatabase_spark.operators.jpeg import (
+        assemble_jpeg,
+        jpeg_decode_deep,
+        jpeg_planes,
+        synth_jpeg12,
+    )
+
+    for d in (0, 1, 2, 5, 12345):
+        w, h, planes = jpeg_planes(synth_jpeg12(d))
+        bx = w // 8
+        for b in range(bx * 2):
+            dc = (d * 29) % 3000 - 1500 + (b * 37 + d) % 500
+            by, bxx = divmod(b, bx)
+            assert planes[0][(by * 8) * w + bxx * 8] == dc + 2048
+        feats = jpeg_decode_deep(synth_jpeg12(d))
+        assert abs(sum(feats) - 1.0) < 1e-12 and len(feats) == 8
+
+    # 12-bit under the BASELINE marker is rejected (T.81 Table B.2)
+    qt = [8] * 64
+    with pytest.raises(ValueError, match="SOF1"):
+        assemble_jpeg(8, 8, qt, [[100] + [0] * 63], prec=12)
+    good12 = synth_jpeg12(3)
+    sof_at = good12.index(b"\xff\xc1")
+    base_flip = good12[:sof_at + 1] + b"\xc0" + good12[sof_at + 2:]
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        jpeg_planes(base_flip)
+    prog_flip = good12[:sof_at + 1] + b"\xc2" + good12[sof_at + 2:]
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        jpeg_planes(prog_flip)
