@@ -53,6 +53,10 @@ SKIP = {
     # Only the intentionally quadratic n-gram Jaccard baseline is
     # unrunnable at 50x by construction.
     "ngram_jaccard_dups",
+    # Per-sample recursive CTE oracle (like the tick bars, the recursion
+    # is the BASELINE's cost, not the operator's — the Spark side is one
+    # linear mapInPandas decode, covered by the other media sweeps).
+    "multimodal_adpcm_features",
 }
 
 _DUCK_SNIPPET = r"""
