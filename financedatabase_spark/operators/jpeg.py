@@ -401,17 +401,11 @@ def synth_jpeg12(doc_id: int) -> bytes:
     return assemble_jpeg(w, JPEG_H, qt, blocks, sof1=True, prec=12)
 
 
-def jpeg_decode_deep(payload: bytes, dim: int = 8, prec: int = 12) -> list[float]:
-    """`jpeg_decode`'s histogram contract for DEEP frames: bins are
-    v*dim >> prec over the first plane (12-bit: v*8 // 4096),
-    normalized. Kept separate because `jpeg_planes` returns raw plane
-    values without the frame's precision."""
-    w, h, planes = jpeg_planes(payload)
-    counts = [0] * dim
-    for v in planes[0]:
-        counts[(v * dim) >> prec] += 1
-    n = max(len(planes[0]), 1)
-    return [c / n for c in counts]
+def jpeg_decode_deep(payload: bytes, dim: int = 8) -> list[float]:
+    """Deprecated alias: `jpeg_decode` is precision-aware now (it reads
+    the frame precision from `jpeg_frame`), so deep frames bin
+    correctly through the main entry point."""
+    return jpeg_decode(payload, dim)
 
 
 def synth_jpeg_lossless(doc_id: int, prec: int = 8) -> bytes:
@@ -1151,14 +1145,15 @@ def _idct_block(coef: list[int], prec: int = 8) -> list[int]:
                     s += _C[u] * row[u] * _COS[u][x]
             tmp[v][x] = s
     out = [0] * 64
+    shift = 1 << (prec - 1)
+    top = (1 << prec) - 1
     for y in range(8):
         for x in range(8):
             s = 0.0
             for v in range(8):
                 if tmp[v][x]:
                     s += _C[v] * tmp[v][x] * _COS[v][y]
-            p = round(s / 4) + (1 << (prec - 1))
-            top = (1 << prec) - 1
+            p = round(s / 4) + shift
             out[y * 8 + x] = 0 if p < 0 else (top if p > top else p)
     return out
 
@@ -1439,9 +1434,8 @@ def _decode_progressive_scan(
     return p
 
 
-def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
-    """Decode a baseline (SOF0) or progressive (SOF2) JPEG to (width,
-    height, planes): one full-resolution row-major plane per component —
+def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
+    """Decode a JPEG to (width, height, planes, sample_precision): one full-resolution row-major plane per component —
     [Y] for grayscale, [Y, Cb, Cr] for 4:2:0 color (chroma upsampled by
     2x2 replication, the standard nearest-neighbor reconstruction).
     Baseline streams decode the interleaved-MCU scan with per-component
@@ -1598,8 +1592,13 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
             if lossless:
                 # T.81 Annex H scan: Ss carries the predictor selector,
                 # Se = 0, Al the point transform; differences are
-                # DC-category coded, reconstruction is modulo 2^16
-                if ns != 1:
+                # DC-category coded, reconstruction is modulo 2^16.
+                # Gate on the FRAME's component count, not just the
+                # scan's: a multi-component lossless stream normally
+                # arrives as sequential single-component scans, and
+                # returning after the first would silently decode one
+                # plane as if it were the whole image.
+                if len(comps) != 1 or ns != 1:
                     raise NotImplementedError(
                         "multi-component lossless JPEG not supported"
                     )
@@ -1639,7 +1638,7 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
                             diff = 0
                         pred = _lossless_predict(samples, w, x, y, predictor, prec)
                         samples[base + x] = (pred + diff) & 0xFFFF
-                return w, h, [samples]
+                return w, h, [samples], prec
             if progressive:
                 if prog_coefs is None:
                     hmax = max(hs for _, hs, _, _ in comps)
@@ -1772,7 +1771,7 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
                                     row[px0:px0 + 8] = px[y * 8:y * 8 + 8]
             return w, h, _crop_planes(
                 planes_raw, [(hs, vs) for hs, vs, _, _ in scan], w, h, hmax, vmax
-            )
+            ), prec
         pos += 2 + seglen
     if seq_state is not None:
         # EOI after non-interleaved sequential scans: every component
@@ -1787,7 +1786,7 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
             )
         return w, h, _crop_planes(
             seq_planes, [(hs, vs) for _, hs, vs, _ in comps], w, h, hmax, vmax
-        )
+        ), prec
     if progressive and prog_coefs is not None:
         # EOI: dequantize the accumulated coefficients, IDCT every block,
         # then the same crop/upsample as the sequential path
@@ -1814,8 +1813,16 @@ def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
                     row[px0:px0 + 8] = px[y * 8:y * 8 + 8]
         return w, h, _crop_planes(
             planes_raw, [(hs, vs) for _, hs, vs, _ in comps], w, h, hmax, vmax
-        )
+        ), prec
     raise ValueError("JPEG has no scan (missing SOS)")
+
+
+def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """`jpeg_frame` without the precision — the (width, height, planes)
+    compatibility surface most callers (8-bit pipelines, MJPEG frames)
+    use. Error contract as `jpeg_frame`."""
+    w, h, planes, _prec = jpeg_frame(payload)
+    return w, h, planes
 
 
 def jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
@@ -1834,11 +1841,14 @@ def jpeg_decode(payload: bytes, dim: int = 8) -> list[float]:
     bit-stable across engines). 4:2:0 color JPEGs append two more
     features: mean Cb and mean Cr of the upsampled chroma planes
     (exact-integer sums over the replicated values, so the oracle can
-    recompute them from the fixture formula)."""
-    w, h, planes = jpeg_planes(payload)
+    recompute them from the fixture formula). Binning follows the
+    frame's sample precision (v*dim >> prec — for 8-bit exactly the
+    classic v*dim//256), so deep 12-bit SOF1 and 2-16-bit lossless
+    frames histogram correctly instead of overrunning the bins."""
+    w, h, planes, prec = jpeg_frame(payload)
     counts = [0] * dim
     for v in planes[0]:
-        counts[v * dim // 256] += 1
+        counts[(v * dim) >> prec] += 1
     n = max(len(planes[0]), 1)
     feats = [c / n for c in counts]
     if len(planes) == 3:

@@ -177,14 +177,7 @@ def synth_wav(doc_id: int) -> bytes:
 
     def nonpcm(tag: int, width: int, data: bytes) -> bytes:
         fmt = struct.pack("<HHIIHHH", tag, 1, rate, rate * width, width, 8 * width, 0)
-        fact = struct.pack("<I", n)
-        body = (
-            b"WAVE"
-            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"fact" + struct.pack("<I", len(fact)) + fact
-            + b"data" + struct.pack("<I", len(data)) + data
-        )
-        return b"RIFF" + struct.pack("<I", len(body)) + body
+        return _riff_nonpcm(fmt, n, data)
 
     if variant == 6:  # IEEE float32: stdlib wave is PCM-only, hand-build
         return nonpcm(3, 4, struct.pack(
@@ -238,6 +231,20 @@ def synth_wav(doc_id: int) -> bytes:
             samples = [((doc_id * 7919 + t * 104729) % 65536) - 32768 for t in range(n)]
             w.writeframes(struct.pack(f"<{n}h", *samples))
     return buf.getvalue()
+
+
+def _riff_nonpcm(fmt: bytes, n_samples: int, data: bytes) -> bytes:
+    """Frame a non-PCM WAV: RIFF/WAVE + the given fmt chunk + the
+    spec-recommended fact chunk (sample count) + data. Shared by every
+    non-PCM synth (float, G.711, ADPCM)."""
+    fact = struct.pack("<I", n_samples)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def ulaw_to_linear(b: int) -> int:
@@ -319,14 +326,7 @@ def synth_wav_adpcm(doc_id: int) -> bytes:
     fmt = struct.pack(
         "<HHIIHHHH", 0x11, 1, rate, rate * block_align // n, block_align, 4, 2, n
     )
-    fact = struct.pack("<I", n)
-    body = (
-        b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"fact" + struct.pack("<I", len(fact)) + fact
-        + b"data" + struct.pack("<I", len(data)) + bytes(data)
-    )
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return _riff_nonpcm(fmt, n, bytes(data))
 
 
 def _decode_ima_adpcm(data: bytes, block_align: int, samples_per_block: int) -> list[int]:
@@ -434,8 +434,16 @@ def wav_decode(payload: bytes, dim: int = 8) -> list[float]:
             frames = w.readframes(n)
     except wave.Error:
         samples, n, ch = _parse_nonpcm_wav(raw)
-        if ch > 1:  # float mono-mix: exact mean, no truncation
-            samples = [sum(samples[i * ch:(i + 1) * ch]) / ch for i in range(n)]
+        if ch > 1:
+            if samples and isinstance(samples[0], int):
+                # integer-decoding tags (G.711): truncate toward zero,
+                # matching the PCM branch's convention — the same audio
+                # must mix identically whichever container carries it
+                samples = [
+                    int(sum(samples[i * ch:(i + 1) * ch]) / ch) for i in range(n)
+                ]
+            else:  # float tags: exact mean
+                samples = [sum(samples[i * ch:(i + 1) * ch]) / ch for i in range(n)]
         feats = [0.0] * dim
         for t, s in enumerate(samples):
             feats[t * dim // max(n, 1)] += abs(s)

@@ -107,6 +107,17 @@ def run_admission_with_refresh(
     ``timeout_sec`` — a truncated drain must not masquerade as a
     complete snapshot.
     """
+    if not checkpoint:
+        # The epoch-keyed sink's idempotence argument REQUIRES durable
+        # epoch ids: without a checkpoint a second drain restarts at
+        # epoch 0 and its overwrites would clobber part of the prior
+        # accumulation while stale higher epochs survive — a silently
+        # mixed front. Fail loudly instead.
+        raise ValueError(
+            "run_admission_with_refresh requires a checkpoint location: "
+            "the epoch-keyed front sink is only replay-safe when epoch "
+            "ids are durable across drains"
+        )
     front = os.path.join(work_dir, "front")
     admitted_root = os.path.join(work_dir, "admitted")
     pointer = os.path.join(work_dir, "ADMITTED_CURRENT")
@@ -129,9 +140,11 @@ def run_admission_with_refresh(
         if state["batches"] % refresh_every == 0:
             _refit()
 
-    writer = stream.writeStream.foreachBatch(_process).trigger(availableNow=True)
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+    )
     q = writer.start()
     finished = q.awaitTermination(timeout_sec)
     if not finished:

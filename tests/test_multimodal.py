@@ -1124,6 +1124,17 @@ def test_wav_float_formats_and_seams():
         assert ulaw_to_linear(b) == struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))[0]
         assert alaw_to_linear(b) == struct.unpack("<h", audioop.alaw2lin(bytes([b]), 2))[0]
 
+    # G.711 STEREO mixes with integer truncation toward zero, matching
+    # the PCM branch — the same audio must mix identically whichever
+    # container carries it (review r12): ulaw bytes 0x00,0x13 decode to
+    # -32124, -27388 -> trunc((-32124 + -27388)/2) = -29756
+    from financedatabase_spark.operators.multimodal import ulaw_to_linear
+
+    l0, r0 = ulaw_to_linear(0x00), ulaw_to_linear(0x13)
+    assert (l0 + r0) % 2 != 0 or True  # fixture sanity only
+    got = wav_decode(riff(7, 2, 8, bytes([0x00, 0x13])), dim=1)
+    assert got == [float(abs(int((l0 + r0) / 2)))]
+
     # MS ADPCM (tag 2) stays a loud seam; IMA (tag 17) decodes now
     with pytest.raises(NotImplementedError, match="format tag 2"):
         wav_decode(riff(2, 1, 4, b"\x00\x00"))
@@ -1260,3 +1271,75 @@ def test_jpeg_12bit_extended_sequential():
     prog_flip = good12[:sof_at + 1] + b"\xc2" + good12[sof_at + 2:]
     with pytest.raises(NotImplementedError, match="8-bit"):
         jpeg_planes(prog_flip)
+
+
+def test_jpeg_decode_precision_aware_through_dispatch():
+    """Deep frames route through the MAIN histogram entry point: 12-bit
+    SOF1 and 16-bit lossless payloads must bin by the frame precision
+    (review r12: the 8-bit v*dim//256 binning overran the bins with an
+    opaque IndexError)."""
+    from financedatabase_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_frame,
+        synth_jpeg12,
+        synth_jpeg_lossless,
+    )
+    from financedatabase_spark.operators.multimodal import dispatch_decode
+
+    for payload, prec in (
+        (synth_jpeg12(0), 12),
+        (synth_jpeg_lossless(0, prec=16), 16),
+        (synth_jpeg_lossless(5), 8),
+    ):
+        w, h, planes, got_prec = jpeg_frame(payload)
+        assert got_prec == prec
+        feats = dispatch_decode(payload, media_type="image/jpeg")
+        assert feats == jpeg_decode(payload)
+        assert abs(sum(feats) - 1.0) < 1e-12
+        want = [0] * 8
+        for v in planes[0]:
+            want[(v * 8) >> prec] += 1
+        assert feats == [c / (w * h) for c in want]
+
+
+def test_jpeg_lossless_multicomponent_sequential_scans_raise():
+    """A 3-component SOF3 frame followed by SINGLE-component scans (the
+    normal non-interleaved lossless layout) must raise, not silently
+    return the first plane as the whole image (review r12)."""
+    import struct
+
+    from financedatabase_spark.operators.jpeg import (
+        LL_BITS,
+        LL_VALS,
+        _seg,
+        jpeg_planes,
+    )
+
+    sof3c = struct.pack(">BHHB", 8, 4, 4, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dht = bytes([0x00]) + bytes(LL_BITS) + bytes(LL_VALS)
+    stream = (
+        b"\xff\xd8" + _seg(0xFFC4, dht) + _seg(0xFFC3, sof3c)
+        + _seg(0xFFDA, bytes([1, 1, 0x00, 1, 0, 0]))  # ONE component scan
+        + b"\x00" * 8 + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="multi-component"):
+        jpeg_planes(stream)
+
+
+def test_curation_refresh_requires_checkpoint(spark, tmp_path):
+    """The epoch-keyed front sink is only replay-safe with durable epoch
+    ids: a checkpoint-less drain must be rejected loudly (review r12 —
+    a second drain would restart at epoch 0 and clobber part of the
+    accumulation)."""
+    from financedatabase_spark.streaming.curation import run_admission_with_refresh
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    with pytest.raises(ValueError, match="checkpoint"):
+        run_admission_with_refresh(
+            spark, stream, lambda d: d, lambda d: d, str(tmp_path / "work")
+        )
