@@ -6,23 +6,23 @@ assets or a URI for large ones). Decode / feature-extract / resize /
 frame-sample run as Arrow-batched `mapInPandas` stages: the Spark-side
 contract (schema, batch iteration, partition sizing) is real and tested.
 
-Codecs: audio (RIFF/WAVE PCM) decodes for real via the stdlib `wave`
-module (`wav_decode` — header parse + windowed energy over every PCM
-width: u8 / int16 / int24 / int32, multi-channel mono-mixed);
-video (uncompressed RIFF/AVI, 24-bit DIB frames) decodes for real via a
-pure-stdlib chunk walker (`avi_decode` — avih/strf header parse, per-
-frame luminance-sum features with row-padding awareness); PNG decodes
-for real via a pure-stdlib parser (`png_decode` — chunk walk, zlib
-inflate, full five-filter scanline reconstruction, every color type:
-gray/RGB/PALETTE at packed depths 1/2/4/8/gray+alpha/RGBA, sample
-depths 8 and 16, and ADAM7 interlace with per-pass filtering);
-baseline AND progressive JPEG decode for real via
-`operators/jpeg.py` (marker parse, Huffman, dequant, IDCT; SOF2
-multi-scan coefficient accumulation), with Pillow as the optional
-general-format fallback (`pil_decode`). Compressed video (mp4/h264) and
-other formats without Pillow stay documented NotImplementedError seams —
-but every modality's container plumbing is exercised by a real codec,
-not a fake.
+Codecs: audio (RIFF/WAVE) decodes for real via the stdlib `wave` module
+plus a non-PCM RIFF fallback (`wav_decode` — every PCM width
+u8/int16/int24/int32 multi-channel mono-mixed, IEEE float32/64, G.711
+mu-law/A-law expansions bit-identical to audioop, and mono IMA ADPCM
+block decode); video (RIFF/AVI: uncompressed 24-bit DIB and MJPEG
+frames) decodes for real via a pure-stdlib chunk walker (`avi_decode`),
+with compressed formats (mp4/h264, webm) routed through the optional
+PyAV seam (`pyav_video_decode`); PNG decodes for real via a pure-stdlib
+parser (`png_decode` — chunk walk, zlib inflate, full five-filter
+scanline reconstruction, every color type at depths 1/2/4/8/16, ADAM7);
+JPEG decodes for real via `operators/jpeg.py` (baseline, extended
+sequential incl. 12-bit, progressive, and lossless SOF3 at 2-16 bits),
+with Pillow as the optional general-image fallback (`pil_decode`). The
+remaining documented NotImplementedError seams are the genuinely
+library-bound ones: MS ADPCM / GSM audio, arithmetic-coded JPEG, and
+compressed video without PyAV — every modality's container plumbing is
+exercised by a real codec, not a fake.
 
 Scale notes: binary payloads make wide rows — `maxPartitionBytes` governs
 scan parallelism, and mapInPandas keeps peak memory at one Arrow batch per
