@@ -36,13 +36,14 @@ accumulated to EOI, a missing component scan failing loudly), and so
 does the LOSSLESS Huffman process (SOF3, T.81 Annex H): all seven
 Annex H predictors, DC-category-coded differences, modulo-2^16
 reconstruction — precision-generic (2-16 bits per sample), so deep
-12/16-bit images are exact there. Exotic sampling factors (3x1, 4x1,
-non-1x1 chroma), partially interleaved scans, and the remaining
-non-Huffman / deep-DCT processes (arithmetic coding, 12-bit extended
-DCT, multi-component / point-transformed / restart-marked lossless)
-stay documented NotImplementedError seams, mirroring the PNG codec's
-depth gates; extended-sequential SOF1 at 8-bit precision decodes (it
-is bitstream-identical to baseline there).
+12/16-bit images are exact there. Extended-sequential SOF1 decodes at
+both of its legal precisions: 8-bit (bitstream-identical to baseline)
+and 12-bit (precision-generic level shift/clamp, Annex F extended
+coefficient categories). Exotic sampling factors (3x1, 4x1, non-1x1
+chroma), partially interleaved scans, and the remaining non-Huffman
+processes (arithmetic coding, multi-component / point-transformed /
+restart-marked lossless) stay documented NotImplementedError seams,
+mirroring the PNG codec's depth gates.
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
 from coefficient patterns whose IDCT is integral — constant blocks
@@ -53,9 +54,9 @@ formula bit-for-bit, which is what lets the DuckDB oracle recompute the
 histogram analytically (see plans/queries_documents.py
 `multimodal_jpeg_features`).
 
-Reference parity: the reference has no image path (media are opaque
-payloads, FinanceDatabase/db/handlers/media_handler.py routes bytes
-unparsed); this is the brief's LLM-pipeline image stage, not a port.
+Reference parity: the reference has no media path at all — nothing
+under /root/reference parses image bytes; this is the brief's
+LLM-pipeline image stage, not a port of anything.
 """
 
 from __future__ import annotations
@@ -1638,6 +1639,15 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                             diff = 0
                         pred = _lossless_predict(samples, w, x, y, predictor, prec)
                         samples[base + x] = (pred + diff) & 0xFFFF
+                # Reconstruction is modulo 2^16 regardless of precision
+                # (H.1.2.1), so a corrupt-but-parseable stream can land
+                # samples >= 2^prec; fail loudly here instead of letting
+                # downstream histogram binning overrun (v*dim >> prec).
+                if prec < 16 and max(samples, default=0) >> prec:
+                    raise ValueError(
+                        f"lossless JPEG sample exceeds declared precision "
+                        f"{prec} (corrupt stream)"
+                    )
                 return w, h, [samples], prec
             if progressive:
                 if prog_coefs is None:

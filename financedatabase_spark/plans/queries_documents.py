@@ -1911,10 +1911,12 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       -- corpus + seeded verbatim train copies of every benchmark doc
-      -- (ids offset by 1e7; 1e7 % 97 = 76, so no clone re-enters bench)
+      -- (clones live in the negative id namespace, -doc_id-1: disjoint
+      -- from genuine nonnegative ids at any corpus size, and -97k-1 is
+      -- never ≡ 0 mod 97, so no clone re-enters bench)
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 97 = 0
+      SELECT -doc_id - 1 AS doc_id, text FROM documents WHERE doc_id % 97 = 0
     ),
     norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
              FROM base),
@@ -1952,16 +1954,20 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination audit at 100 TB.
 
     POSITIVE CONTROL: the train side is the corpus plus a verbatim
-    clone of every benchmark doc (ids offset by 1e7, so clones never
-    re-enter the benchmark slice: 1e7 % 97 = 76). Each clone of a
-    bench doc with >= 8 tokens scores contamination 1.0, so the result
-    is guaranteed NONZERO at sf0.01 — the oracle row proves the
-    shared-shingle join and the ratio arithmetic agree, not merely
-    that both engines return empty."""
+    clone of every benchmark doc, in the NEGATIVE id namespace
+    (clone_id = -doc_id - 1): genuine doc ids are nonnegative, so
+    clones can never collide with a real train doc at ANY corpus size
+    (a fixed +1e7 offset would collide past ~10M docs), and a bench
+    doc's id is 97k so its clone -97k-1 is ≡ -1 (mod 97) and never
+    re-enters the benchmark slice. Each clone of a bench doc with
+    >= 8 tokens scores contamination 1.0, so the result is guaranteed
+    NONZERO at sf0.01 — the oracle row proves the shared-shingle join
+    and the ratio arithmetic agree, not merely that both engines
+    return empty."""
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     clones = bench.select(
-        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+        (-F.col("doc_id") - F.lit(1)).alias("doc_id"), "text"
     )
     train = docs.select("doc_id", "text").unionByName(clones)
     return dd.contamination_pairs(train, bench, k=8, min_ratio=0.2)

@@ -1102,34 +1102,58 @@ def test_wav_float_formats_and_seams():
     data64 = struct.pack("<2d", -0.75, 0.5)
     assert wav_decode(riff(3, 1, 64, data64), dim=2) == [0.75, 0.5]
 
-    # G.711 mu-law/A-law (tags 7/6): segmented expansions, bit-identical
-    # to audioop's tables (validated exhaustively below)
-    import audioop  # stdlib in 3.11; removal-slated, test-only use
-
-    for tag, name in ((7, "ulaw2lin"), (6, "alaw2lin")):
-        data = bytes(range(0, 256, 16))  # 16 samples spanning segments
-        want = [
-            abs(struct.unpack("<h", getattr(audioop, name)(bytes([b]), 2))[0])
-            for b in data
-        ]
-        got = wav_decode(riff(tag, 1, 8, data), dim=16)
-        assert got == [float(v) for v in want]
+    # G.711 mu-law/A-law (tags 7/6): segmented expansions, validated
+    # exhaustively against a SHA-256 of the full 256-entry table
+    # precomputed from CPython 3.11's audioop (removed in 3.13, so the
+    # digest is the portable oracle; audioop itself is cross-checked
+    # below when the interpreter still ships it).
+    import hashlib
 
     from financedatabase_spark.operators.multimodal import (
         alaw_to_linear,
         ulaw_to_linear,
     )
 
-    for b in range(256):
-        assert ulaw_to_linear(b) == struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))[0]
-        assert alaw_to_linear(b) == struct.unpack("<h", audioop.alaw2lin(bytes([b]), 2))[0]
+    table_sha = {
+        # sha256(struct.pack("<256h", *[law(b) for b in range(256)]))
+        ulaw_to_linear: (
+            "3dab54339e520bb2c924826e3b72a917a2b612e9fd12fc867500f1d983a75827"
+        ),
+        alaw_to_linear: (
+            "e04788d110e58ff8c70c93b8480190d973e3b67876b6119abbaec766cc75c174"
+        ),
+    }
+    for law, digest in table_sha.items():
+        blob = struct.pack("<256h", *[law(b) for b in range(256)])
+        assert hashlib.sha256(blob).hexdigest() == digest
+
+    # Spot values straight off the ITU-T G.711 segment tables
+    assert ulaw_to_linear(0x00) == -32124
+    assert ulaw_to_linear(0xFF) == 0
+    assert alaw_to_linear(0x00) == -5504
+    assert alaw_to_linear(0xFF) == 848
+
+    try:  # exhaustive cross-check while the stdlib still ships audioop
+        import audioop  # removed in Python 3.13
+    except ImportError:
+        audioop = None
+    if audioop is not None:
+        for b in range(256):
+            assert ulaw_to_linear(b) == struct.unpack(
+                "<h", audioop.ulaw2lin(bytes([b]), 2))[0]
+            assert alaw_to_linear(b) == struct.unpack(
+                "<h", audioop.alaw2lin(bytes([b]), 2))[0]
+
+    for tag, law in ((7, ulaw_to_linear), (6, alaw_to_linear)):
+        data = bytes(range(0, 256, 16))  # 16 samples spanning segments
+        want = [abs(law(b)) for b in data]
+        got = wav_decode(riff(tag, 1, 8, data), dim=16)
+        assert got == [float(v) for v in want]
 
     # G.711 STEREO mixes with integer truncation toward zero, matching
     # the PCM branch — the same audio must mix identically whichever
     # container carries it (review r12): ulaw bytes 0x00,0x13 decode to
     # -32124, -27388 -> trunc((-32124 + -27388)/2) = -29756
-    from financedatabase_spark.operators.multimodal import ulaw_to_linear
-
     l0, r0 = ulaw_to_linear(0x00), ulaw_to_linear(0x13)
     assert (l0 + r0) % 2 != 0 or True  # fixture sanity only
     got = wav_decode(riff(7, 2, 8, bytes([0x00, 0x13])), dim=1)
@@ -1234,6 +1258,20 @@ def test_jpeg_lossless_seams_and_validation():
     soi_end = raw.index(b"\xff\xc3")
     with pytest.raises(NotImplementedError, match="restart"):
         jpeg_planes(raw[:soi_end] + dri + raw[soi_end:])
+
+    # Corrupt-but-parseable: reconstruction is modulo 2^16, so a stream
+    # whose SOF precision lies low can land samples >= 2^prec — decode
+    # must raise a NAMED error, not let histogram binning IndexError.
+    # Build a valid 16-bit all-zeros stream, then patch the SOF
+    # precision byte to 8: the first-pixel prediction changes from
+    # 2^15 to 2^7 so the decoded sample lands way above 255.
+    raw16 = assemble_jpeg_lossless(4, 4, [0] * 16, predictor=1, prec=16)
+    sof_at = raw16.index(b"\xff\xc3")
+    patched = bytearray(raw16)
+    assert patched[sof_at + 4] == 16  # SOF payload precision byte
+    patched[sof_at + 4] = 8
+    with pytest.raises(ValueError, match="exceeds declared precision"):
+        jpeg_planes(bytes(patched))
 
 
 def test_jpeg_12bit_extended_sequential():
