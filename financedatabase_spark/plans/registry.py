@@ -55,7 +55,10 @@ from financedatabase_spark.plans import (  # noqa: E402,F401
 # so every round's budget re-verifies the stalest evidence. The green sets
 # are derived from the CORRECTNESS_r*.json files at import time when
 # present; the literals below are the fallback (and are asserted in sync by
-# tests/test_registry_parity.py).
+# tests/test_registry_parity.py). Since r13, green evidence is also gated
+# on the ORACLE_HASHES.json ledger (tools/update_oracle_hashes.py): a green
+# row earned under an OLDER oracle/fixture than the current one no longer
+# counts, so changed queries rotate back to the front immediately.
 # ---------------------------------------------------------------------------
 
 # Green in CORRECTNESS_r01.json (22) — still valid evidence on file.
@@ -122,7 +125,66 @@ def _green_by_round(max_files: int = 8) -> dict[str, int]:
     return newest
 
 
-_GREEN_ROUND = _green_by_round()
+def oracle_fingerprint(name: str) -> str:
+    """sha256 of the query's verification surface: the oracle SQL when
+    one exists (the fixture formulas live in it — any fixture-mix or
+    semantics change shows up here), else the query callable's source
+    (rows-only queries have no oracle, so the source is the only
+    change signal)."""
+    import hashlib
+    import inspect
+
+    src = ORACLE_SQL.get(name)
+    if src is None:
+        src = inspect.getsource(QUERIES[name])
+    return hashlib.sha256(src.encode()).hexdigest()
+
+
+def _load_hash_snapshot() -> dict[str, dict]:
+    """ORACLE_HASHES.json: name -> {"hash": fingerprint, "since": round}
+    meaning 'this query's current oracle has been in effect since
+    <round>'. Refreshed by tools/update_oracle_hashes.py whenever an
+    oracle changes; missing file -> empty (everything sorts as
+    never-verified, the safe direction)."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        with open(os.path.join(root, "ORACLE_HASHES.json")) as f:
+            return json.load(f).get("hashes", {})
+    except (OSError, ValueError):
+        return {}
+
+
+def _effective_green(
+    green: dict[str, int],
+    snapshot: dict[str, dict],
+    fingerprints: dict[str, str],
+) -> dict[str, int]:
+    """Drop green evidence that predates the query's CURRENT oracle: a
+    name whose snapshot hash differs from its live fingerprint (oracle
+    edited after the last snapshot refresh), or whose newest green row
+    is older than the round the current oracle took effect, counts as
+    never-verified and sorts to the front of the driver's budget —
+    closing the r12 gap where a fixture change after a green row was
+    indistinguishable from stable verification."""
+    out: dict[str, int] = {}
+    for name, rnd in green.items():
+        entry = snapshot.get(name)
+        if not entry or entry.get("hash") != fingerprints.get(name):
+            continue
+        if rnd < int(entry.get("since", 1)):
+            continue
+        out[name] = rnd
+    return out
+
+
+_GREEN_ROUND = _effective_green(
+    _green_by_round(),
+    _load_hash_snapshot(),
+    {n: oracle_fingerprint(n) for n in QUERIES},
+)
 _ordered = sorted(QUERIES, key=lambda n: _GREEN_ROUND.get(n, 0))
 QUERIES = {n: QUERIES[n] for n in _ordered}
 ORACLE_SQL = {n: ORACLE_SQL[n] for n in _ordered if n in ORACLE_SQL}

@@ -375,3 +375,59 @@ def test_green_round_cap_preserves_ordering():
 
     capped, full = _green_by_round(max_files=8), _green_by_round(max_files=10**6)
     assert capped == full
+
+
+def test_hash_invalidation_ordering():
+    """Green evidence older than the query's CURRENT oracle must not
+    count: a hash mismatch (oracle edited after the last ledger
+    refresh) or a green row earned before `since` maps the query to
+    never-verified, sorting it to the front of the driver's budget."""
+    from financedatabase_spark.plans.registry import _effective_green
+
+    green = {"stable": 11, "edited_unrefreshed": 12,
+             "edited_refreshed": 10, "reverified": 12}
+    snapshot = {
+        "stable": {"hash": "aa", "since": 1},
+        "edited_unrefreshed": {"hash": "old", "since": 1},
+        "edited_refreshed": {"hash": "bb", "since": 12},   # green r10 < since
+        "reverified": {"hash": "cc", "since": 12},          # green r12 >= since
+        "never_green": {"hash": "dd", "since": 1},
+    }
+    fp = {"stable": "aa", "edited_unrefreshed": "new",
+          "edited_refreshed": "bb", "reverified": "cc", "never_green": "dd",
+          "unledgered": "ee"}
+    eff = _effective_green(green, snapshot, fp)
+    assert eff == {"stable": 11, "reverified": 12}
+    # never-verified (dropped or absent) sorts strictly before any green
+    order = sorted(fp, key=lambda n: eff.get(n, 0))
+    front = set(order[:4])
+    assert front == {"edited_unrefreshed", "edited_refreshed",
+                     "never_green", "unledgered"}
+
+
+def test_oracle_hash_snapshot_fresh():
+    """Every registered query must have a ledger entry whose hash
+    matches its LIVE fingerprint — i.e. whoever changes an oracle (or a
+    rows-only query body) must run tools/update_oracle_hashes.py so the
+    change invalidates stale green evidence. A missing or stale entry
+    here means rotation would silently trust outdated rows."""
+    import json
+    import os
+
+    from financedatabase_spark.plans import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "ORACLE_HASHES.json")) as f:
+        ledger = json.load(f)["hashes"]
+
+    stale = sorted(
+        n for n in registry.QUERIES
+        if n not in ledger
+        or ledger[n]["hash"] != registry.oracle_fingerprint(n)
+    )
+    assert not stale, (
+        f"oracle changed without ledger refresh for {stale}; "
+        f"run: python tools/update_oracle_hashes.py"
+    )
+    # and the ledger carries no ghosts of unregistered queries
+    assert sorted(set(ledger) - set(registry.QUERIES)) == []
