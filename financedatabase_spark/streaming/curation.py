@@ -155,7 +155,21 @@ def run_admission_with_refresh(
             f"publish a snapshot of a truncated drain"
         )
     q.stop()
-    if state["batches"] % refresh_every != 0:
+    if state["batches"] == 0:
+        # Empty drain: no micro-batch landed, so no refit ran and no
+        # pointer was (re)written. If a prior drain published a
+        # snapshot, that snapshot is still current — return it with
+        # batches=0 so the caller sees nothing new arrived. On a
+        # FIRST-EVER drain there is nothing to publish: raise a named
+        # error instead of the bare FileNotFoundError / opaque Spark
+        # read failure this path used to hit.
+        if not os.path.exists(pointer):
+            raise ValueError(
+                "admission drain processed no micro-batches and no prior "
+                "snapshot exists — the source directory is empty; nothing "
+                "to publish"
+            )
+    elif state["batches"] % refresh_every != 0:
         _refit()
     with open(pointer) as fh:
         current = fh.read().strip()

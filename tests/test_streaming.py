@@ -680,3 +680,54 @@ def test_curation_refresh_timeout_raises(spark, sf_dir, tmp_path):
             str(tmp_path / "work"), refresh_every=10,
             checkpoint=str(tmp_path / "ckpt"), timeout_sec=1,
         )
+
+
+def test_curation_zero_batch_drain(spark, sf_dir, tmp_path):
+    """An EMPTY drain must fail loudly on a first run (no snapshot to
+    publish -> named ValueError, not a bare FileNotFoundError on the
+    pointer) and, after a successful drain, must return the still-valid
+    prior snapshot with batches=0 instead of crashing."""
+    import pytest as _pytest
+
+    from financedatabase_spark.sources.readers import load_table
+    from financedatabase_spark.streaming.curation import (
+        current_admitted,
+        run_admission_with_refresh,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "src"
+    src.mkdir()  # exists but EMPTY: the drain processes no micro-batch
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    work = str(tmp_path / "work")
+    with _pytest.raises(ValueError, match="no micro-batches"):
+        run_admission_with_refresh(
+            spark, stream, lambda df: df, lambda acc: acc, work,
+            refresh_every=1, checkpoint=str(tmp_path / "ckpt"),
+        )
+
+    # now land real data, drain, then drain AGAIN with nothing new:
+    # the prior snapshot stays published and the call reports 0 batches
+    docs.limit(50).coalesce(1).write.mode("append").parquet(str(src))
+    stats1 = run_admission_with_refresh(
+        spark, stream, lambda df: df, lambda acc: acc, work,
+        refresh_every=1, checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert stats1["batches"] == 1 and stats1["refreshes"] == 1
+    before = sorted(
+        r.doc_id for r in current_admitted(spark, work).select("doc_id").collect()
+    )
+    stats2 = run_admission_with_refresh(
+        spark, stream, lambda df: df, lambda acc: acc, work,
+        refresh_every=1, checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert stats2["batches"] == 0 and stats2["refreshes"] == 0
+    assert stats2["admitted"] == stats1["admitted"]
+    after = sorted(
+        r.doc_id for r in current_admitted(spark, work).select("doc_id").collect()
+    )
+    assert after == before and after
