@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 from dataclasses import dataclass
 from functools import reduce
 from typing import Protocol
@@ -64,6 +65,17 @@ class TableLease(Protocol):
     TABLE: two writers of the same table must contend on the same
     underlying resource however they were constructed.
 
+    **Max-hold contract.** Staleness is judged by the lease's last
+    write: a hold that outlives ``stale_after`` without renewal can be
+    legitimately broken mid-write by another writer. A rewrite that may
+    run longer must heartbeat `renew(token)` — which re-stamps the
+    lease and returns the REPLACEMENT token (etag-based leases mint a
+    new one) — at some fraction of ``stale_after``;
+    `ParquetTable.rewrite(renew_every=...)` wires this up. `renew`
+    raises `ConcurrentWriteError` when the lease was already broken and
+    re-taken: the writer has LOST exclusivity and must abort, not
+    publish.
+
     `DirectoryLease` is the built-in filesystem implementation;
     `sources/objectstore.ConditionalPutLease` is the object-store one,
     backed by conditional puts (S3 If-None-Match / If-Match, GCS
@@ -74,6 +86,8 @@ class TableLease(Protocol):
     acquire/release."""
 
     def acquire(self, stale_after: float = 3600.0) -> object: ...
+
+    def renew(self, token: object) -> object: ...
 
     def release(self, token: object) -> None: ...
 
@@ -135,9 +149,46 @@ class DirectoryLease:
                 f"rewrite lease on {self.table_path} held by another writer "
                 f"(lock {lock}, age {age:.0f}s)"
             ) from None
+        self._owner_line = f"{os.getpid()} {time.time():.0f} {uuid.uuid4().hex[:8]}"
         with open(os.path.join(lock, "owner"), "w") as f:
-            f.write(f"{os.getpid()} {time.time():.0f}")
+            f.write(self._owner_line)
         return lock
+
+    def renew(self, token: object) -> object:
+        """Re-stamp the lock directory's mtime so staleness is measured
+        from the last heartbeat, not the original acquire. Raises
+        `ConcurrentWriteError` if the lease is no longer this writer's
+        (broken by a staleness takeover and possibly re-taken) — checked
+        via the owner file before AND after the utime, which narrows
+        (but, unlike the conditional-put lease's CAS, cannot fully
+        close) the rename race window; acceptable for the local/NFS dev
+        tier this lease serves. Returns the SAME token."""
+        lock = str(token)
+
+        def _owned() -> bool:
+            try:
+                with open(os.path.join(lock, "owner")) as f:
+                    return f.read() == getattr(self, "_owner_line", None)
+            except OSError:
+                return False
+
+        if not _owned():
+            raise ConcurrentWriteError(
+                f"rewrite lease on {self.table_path} was broken by another "
+                f"writer during the hold — abort, do not publish"
+            )
+        try:
+            os.utime(lock, None)
+        except OSError:
+            raise ConcurrentWriteError(
+                f"rewrite lease on {self.table_path} vanished during renew"
+            ) from None
+        if not _owned():
+            raise ConcurrentWriteError(
+                f"rewrite lease on {self.table_path} was broken by another "
+                f"writer during the hold — abort, do not publish"
+            )
+        return token
 
     def release(self, token: object) -> None:
         import shutil as _sh
@@ -297,15 +348,43 @@ class ParquetTable:
             w = w.partitionBy(*self.partition_by)
         w.parquet(self._current_dir())
 
-    def rewrite(self, df: DataFrame, retain: int = 1) -> None:
+    def rewrite(
+        self, df: DataFrame, retain: int = 1,
+        stale_after: float = 3600.0, renew_every: float | None = None,
+    ) -> None:
         """Commit ``df`` as the table's new contents atomically (see class
         docstring for the crash-safety argument). ``retain`` keeps that
         many newest version dirs after the commit (>=1; higher values
         enable `read(version=...)` time travel at the cost of storage —
-        the same retention/VACUUM trade Delta exposes)."""
-        import shutil
+        the same retention/VACUUM trade Delta exposes).
 
-        lock = self._acquire_lock()
+        **Max-hold.** The lease judges staleness from its last write, so
+        a rewrite that runs longer than ``stale_after`` without renewal
+        can be legitimately broken mid-write by another writer. For
+        rewrites that may outlive it (100 TB compactions), pass
+        ``renew_every`` (seconds, typically ``stale_after/4``): a
+        heartbeat thread then re-stamps the lease while the write runs.
+        A heartbeat that finds the lease broken records the loss and the
+        rewrite raises `ConcurrentWriteError` BEFORE the pointer swap —
+        losing exclusivity mid-write must abort, never publish."""
+        import shutil
+        import threading
+
+        lock = self._acquire_lock(stale_after)
+        cell = {"token": lock, "lost": None}
+        stop = threading.Event()
+        beater = None
+        if renew_every is not None:
+            def _beat() -> None:
+                while not stop.wait(renew_every):
+                    try:
+                        cell["token"] = self.lease.renew(cell["token"])
+                    except Exception as exc:  # noqa: BLE001 - recorded, re-raised below
+                        cell["lost"] = exc
+                        return
+
+            beater = threading.Thread(target=_beat, daemon=True)
+            beater.start()
         try:
             cur = self._current_dir()
             base = os.path.basename(cur)
@@ -319,6 +398,11 @@ class ParquetTable:
                 w = w.partitionBy(*self.partition_by)
             w.parquet(new_dir)
 
+            if cell["lost"] is not None:
+                raise ConcurrentWriteError(
+                    f"rewrite of {self.path} lost its lease mid-write; "
+                    f"aborting before the commit point"
+                ) from cell["lost"]
             tmp = self._pointer() + ".tmp"
             with open(tmp, "w") as f:
                 f.write(new_name)
@@ -346,7 +430,11 @@ class ParquetTable:
             except OSError:
                 pass
         finally:
-            self._release_lock(lock)
+            stop.set()
+            if beater is not None:
+                beater.join()
+            if cell["lost"] is None:
+                self._release_lock(cell["token"])
 
 
 def eq_predicate(filters: dict[str, object]) -> Column:

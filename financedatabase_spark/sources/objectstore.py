@@ -16,12 +16,14 @@ on:
 
 `ConditionalPutLease` maps the lease contract onto exactly three such
 calls — create-if-absent, replace-if-etag-matches (the stale takeover;
-one breaker's CAS wins, every other racer gets 412 and retries), and
+one breaker's CAS wins, every other racer gets 412 and retries — and
+`renew`, the heartbeat that re-stamps a long hold at its own etag), and
 delete-if-etag-matches (release; a 412 means the lease was already
 broken, which the `TableLease` contract defines as a non-error). The
-store specifics live behind the tiny `ObjectStoreClient` protocol, so
-the production adapter is a ~20-line boto3/google-cloud-storage shim
-(not shipped here — no cloud SDKs in this environment), while tests run
+store specifics live behind the tiny `ObjectStoreClient` protocol; the
+S3 production adapter is SHIPPED (`sources/objectstore_s3.py` — boto3
+IfNoneMatch/IfMatch parameters, 412/409/404 mapping, the full lease
+conformance suite run against a botocore-shaped fake). Tests also run
 the same lease logic against `FileObjectStore`, a local mock whose
 operations are made atomic ACROSS PROCESSES with an ``fcntl.flock``
 around each conditional op — the mock stands in for the store's
@@ -88,11 +90,10 @@ class ConditionalPutLease:
     ) -> None:
         self.client = client
         self.key = table_key.rstrip("/") + "/" + lock_name
+        self._owner = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
 
     def _body(self) -> bytes:
-        return json.dumps(
-            {"owner": f"{os.getpid()}-{uuid.uuid4().hex[:8]}", "ts": time.time()}
-        ).encode()
+        return json.dumps({"owner": self._owner, "ts": time.time()}).encode()
 
     def acquire(self, stale_after: float = 3600.0, _attempts: int = 8) -> tuple[str, str]:
         if _attempts <= 0:
@@ -124,6 +125,26 @@ class ConditionalPutLease:
         raise ConcurrentWriteError(
             f"rewrite lease on {self.key} held by another writer (age {age:.0f}s)"
         )
+
+    def renew(self, token: object) -> tuple[str, str]:
+        """Heartbeat for holds that may outlive ``stale_after``: CAS-
+        replace the lease AT THE TOKEN'S ETAG with a fresh timestamp.
+        The conditional put makes this exactly as safe as acquire —
+        either this writer still holds the lease (the etag matches, the
+        store re-stamps it, a NEW token comes back) or someone broke and
+        re-took it (412), in which case exclusivity is GONE and the only
+        correct move is to abort the rewrite: raises
+        `ConcurrentWriteError`. Renew at stale_after/4 or faster; see
+        `TableLease` max-hold contract."""
+        key, etag = token  # type: ignore[misc]
+        try:
+            new_etag = self.client.put(key, self._body(), if_match=etag)
+        except PreconditionFailedError:
+            raise ConcurrentWriteError(
+                f"rewrite lease on {key} was broken by another writer during "
+                f"the hold — abort, do not publish"
+            ) from None
+        return (key, new_etag)
 
     def release(self, token: object) -> None:
         key, etag = token  # type: ignore[misc]

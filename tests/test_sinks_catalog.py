@@ -476,6 +476,62 @@ def test_pluggable_table_lease(spark, tmp_path):
     assert sorted(r.id for r in t2.read().collect()) == before  # untouched
 
 
+class FakeS3Client:
+    """boto3-shaped S3 stub with conditional-write semantics: same call
+    signatures and response/exception SHAPES as botocore (quoted ETags,
+    ``response['Error']['Code']`` / HTTPStatusCode), so the
+    `S3ObjectStore` adapter's translation layer is tested for real."""
+
+    class ClientError(Exception):
+        def __init__(self, status, code):
+            super().__init__(code)
+            self.response = {
+                "ResponseMetadata": {"HTTPStatusCode": status},
+                "Error": {"Code": code},
+            }
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._objs = {}  # (bucket, key) -> (body, etag)
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None, IfMatch=None):
+        import uuid as _uuid
+
+        with self._lock:
+            cur = self._objs.get((Bucket, Key))
+            if IfNoneMatch == "*" and cur is not None:
+                raise self.ClientError(412, "PreconditionFailed")
+            if IfMatch is not None:
+                if cur is None:
+                    raise self.ClientError(404, "NoSuchKey")
+                if cur[1] != IfMatch:
+                    raise self.ClientError(412, "PreconditionFailed")
+            etag = _uuid.uuid4().hex
+            self._objs[(Bucket, Key)] = (bytes(Body), etag)
+            return {"ETag": f'"{etag}"'}
+
+    def get_object(self, Bucket, Key):
+        import io
+
+        with self._lock:
+            cur = self._objs.get((Bucket, Key))
+            if cur is None:
+                raise self.ClientError(404, "NoSuchKey")
+            return {"Body": io.BytesIO(cur[0]), "ETag": f'"{cur[1]}"'}
+
+    def delete_object(self, Bucket, Key, IfMatch=None):
+        with self._lock:
+            cur = self._objs.get((Bucket, Key))
+            if cur is None:
+                return {}  # S3 delete of an absent key succeeds
+            if IfMatch is not None and cur[1] != IfMatch:
+                raise self.ClientError(412, "PreconditionFailed")
+            del self._objs[(Bucket, Key)]
+            return {}
+
+
 def _lease_factories(tmp_path):
     """Every TableLease implementation behind one conformance suite."""
     from financedatabase_spark.operators.io_sinks import DirectoryLease
@@ -484,15 +540,18 @@ def _lease_factories(tmp_path):
         FileObjectStore,
         InMemoryObjectStore,
     )
+    from financedatabase_spark.sources.objectstore_s3 import S3ObjectStore
 
     local = tmp_path / "conf_local"
     local.mkdir()
     mem = InMemoryObjectStore()
     fs = FileObjectStore(str(tmp_path / "conf_store"))
+    s3 = S3ObjectStore("bucket", client=FakeS3Client())
     return {
         "directory": lambda: DirectoryLease(str(local)),
         "condput-mem": lambda: ConditionalPutLease(mem, "s3://bucket/tbl"),
         "condput-file": lambda: ConditionalPutLease(fs, "s3://bucket/tbl"),
+        "condput-s3": lambda: ConditionalPutLease(s3, "s3://bucket/tbl"),
     }
 
 
@@ -512,6 +571,19 @@ def test_lease_protocol_conformance(tmp_path):
         b.release(tok2)
         tok3 = a.acquire()
         a.release(tok3)
+
+        # renew: re-stamps a held lease (exclusion persists, the
+        # REPLACEMENT token releases cleanly) and refuses a lease this
+        # writer no longer holds
+        tok4 = a.acquire()
+        tok5 = a.renew(tok4)
+        with pytest.raises(ConcurrentWriteError):
+            b.acquire()
+        a.release(tok5)
+        with pytest.raises(ConcurrentWriteError):
+            a.renew(tok5)  # released: no longer ours to renew
+        tok6 = b.acquire()  # renewed-then-released lease left no debris
+        b.release(tok6)
 
 
 def test_conditional_put_lease_stale_takeover():
@@ -550,6 +622,48 @@ def test_conditional_put_lease_stale_takeover():
     store.put("k", b"w1", if_match=e1)
     with pytest.raises(PreconditionFailedError):
         store.put("k", b"w2", if_match=e1)
+
+
+def test_conditional_put_lease_renewal_vs_racing_breaker():
+    """The max-hold contract: renewal keeps a long hold alive (a breaker
+    keyed to the ORIGINAL acquire time finds the lease fresh), and a
+    holder whose lease WAS broken learns it at the next renew — the CAS
+    put at the old etag 412s and surfaces as ConcurrentWriteError."""
+    import json
+
+    from financedatabase_spark.operators.io_sinks import ConcurrentWriteError
+    from financedatabase_spark.sources.objectstore import (
+        ConditionalPutLease,
+        InMemoryObjectStore,
+    )
+
+    store = InMemoryObjectStore()
+    holder = ConditionalPutLease(store, "s3://b/t")
+    tok = holder.acquire()
+
+    # backdate, renew, and the breaker must STILL see a fresh lease:
+    # staleness is measured from the renewal's ts, not acquire's
+    body, etag = store.get(holder.key)
+    store.put(holder.key, json.dumps(dict(json.loads(body), ts=0.0)).encode(),
+              if_match=etag)
+    tok = (tok[0], store.get(holder.key)[1])  # etag moved with the backdate
+    tok = holder.renew(tok)
+    with pytest.raises(ConcurrentWriteError):
+        ConditionalPutLease(store, "s3://b/t").acquire(stale_after=60.0)
+
+    # now the breaker wins first (lease left stale, no renewal in time):
+    # the holder's next heartbeat must report the loss, and the taker's
+    # lease must survive the loser's renew attempt untouched
+    body, etag = store.get(holder.key)
+    store.put(holder.key, json.dumps(dict(json.loads(body), ts=0.0)).encode(),
+              if_match=etag)
+    stale_tok = (tok[0], store.get(holder.key)[1])
+    taker = ConditionalPutLease(store, "s3://b/t")
+    taker_tok = taker.acquire(stale_after=60.0)
+    with pytest.raises(ConcurrentWriteError):
+        holder.renew(stale_tok)
+    assert json.loads(store.get(holder.key)[0])["owner"] == taker._owner
+    taker.release(taker_tok)
 
 
 def test_conditional_put_lease_two_process_contention(tmp_path):
@@ -620,3 +734,112 @@ def test_rewrite_with_conditional_put_lease(spark, tmp_path):
         t.rewrite(t.read().limit(0))
     assert [r.id for r in t.read().collect()] == [2]  # untouched
     blocker.release(tok)
+
+
+def test_s3_adapter_error_mapping():
+    """The boto3 shim's translation layer: quoted-ETag normalization,
+    412/409 -> PreconditionFailedError, 404 -> absent (get None, delete
+    no-op), unknown errors re-raised untouched."""
+    from financedatabase_spark.sources.objectstore import PreconditionFailedError
+    from financedatabase_spark.sources.objectstore_s3 import S3ObjectStore
+
+    store = S3ObjectStore("b", client=FakeS3Client())
+    assert store.get("k") is None
+    store.delete("k")  # absent: no-op
+    e1 = store.put("k", b"v1", if_none_match=True)
+    assert '"' not in e1  # quotes stripped
+    assert store.get("k") == (b"v1", e1)
+    with pytest.raises(PreconditionFailedError):
+        store.put("k", b"v2", if_none_match=True)
+    e2 = store.put("k", b"v2", if_match=e1)
+    with pytest.raises(PreconditionFailedError):
+        store.put("k", b"v3", if_match=e1)  # stale etag
+    with pytest.raises(PreconditionFailedError):
+        store.put("absent", b"v", if_match=e2)  # If-Match on absent key
+    with pytest.raises(PreconditionFailedError):
+        store.delete("k", if_match=e1)  # stale etag
+    store.delete("k", if_match=e2)
+    assert store.get("k") is None
+
+    # 409 ConditionalRequestConflict (concurrent conditional write in
+    # flight) maps to PreconditionFailedError so acquire/renew retry
+    class Conflicting(FakeS3Client):
+        def put_object(self, **kw):
+            raise self.ClientError(409, "ConditionalRequestConflict")
+
+    with pytest.raises(PreconditionFailedError):
+        S3ObjectStore("b", client=Conflicting()).put("k", b"v", if_none_match=True)
+
+    # non-conditional failures pass through untouched
+    class Throttled(FakeS3Client):
+        def put_object(self, **kw):
+            raise self.ClientError(503, "SlowDown")
+
+    with pytest.raises(FakeS3Client.ClientError):
+        S3ObjectStore("b", client=Throttled()).put("k", b"v", if_none_match=True)
+
+
+def test_s3_adapter_default_client_requires_boto3():
+    """Constructing without an injected client goes through
+    boto3.client('s3') — exercised only where the SDK exists."""
+    pytest.importorskip("boto3")
+    from financedatabase_spark.sources.objectstore_s3 import S3ObjectStore
+
+    assert S3ObjectStore("bucket").client is not None
+
+
+def test_rewrite_heartbeat_renews_and_aborts_on_loss(spark, tmp_path):
+    """The max-hold contract wired into rewrite: with renew_every set, a
+    heartbeat re-stamps the lease while the write runs (observed renew
+    count > 0, lease stays fresh, lock released after commit); when the
+    heartbeat finds the lease BROKEN, the rewrite aborts before the
+    pointer swap and the table is untouched."""
+    import threading
+
+    from financedatabase_spark.operators.io_sinks import (
+        ConcurrentWriteError,
+        ParquetTable,
+    )
+    from financedatabase_spark.sources.objectstore import (
+        ConditionalPutLease,
+        InMemoryObjectStore,
+    )
+
+    class CountingLease(ConditionalPutLease):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.renews = 0
+
+        def renew(self, token):
+            self.renews += 1
+            return super().renew(token)
+
+    store = InMemoryObjectStore()
+    path = str(tmp_path / "hb")
+    lease = CountingLease(store, path)
+    t = ParquetTable(spark, path, lease=lease)
+    t.write(spark.createDataFrame([(i, "x") for i in range(10)], "id long, v string"))
+    t.rewrite(t.read().filter("id < 5"), renew_every=0.02)
+    assert sorted(r.id for r in t.read().collect()) == list(range(5))
+    assert lease.renews >= 1  # the heartbeat actually beat
+    assert store.get(path + "/_LOCK.json") is None  # released after commit
+
+    class LosingLease(ConditionalPutLease):
+        """Simulates a breaker winning mid-hold: the first renew finds
+        the lease re-taken."""
+
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.beat = threading.Event()
+
+        def renew(self, token):
+            self.beat.set()
+            raise ConcurrentWriteError("lease broken by another writer")
+
+    lost = LosingLease(store, path)
+    t2 = ParquetTable(spark, path, lease=lost)
+    before = sorted(r.id for r in t2.read().collect())
+    with pytest.raises(ConcurrentWriteError, match="lost its lease"):
+        t2.rewrite(t2.read().limit(0), renew_every=0.01)
+    assert lost.beat.is_set()
+    assert sorted(r.id for r in t2.read().collect()) == before  # no publish
