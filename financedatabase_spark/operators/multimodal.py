@@ -9,8 +9,8 @@ contract (schema, batch iteration, partition sizing) is real and tested.
 Codecs: audio (RIFF/WAVE) decodes for real via the stdlib `wave` module
 plus a non-PCM RIFF fallback (`wav_decode` — every PCM width
 u8/int16/int24/int32 multi-channel mono-mixed, IEEE float32/64, G.711
-mu-law/A-law expansions bit-identical to audioop, and mono IMA ADPCM
-block decode); video (RIFF/AVI: uncompressed 24-bit DIB and MJPEG
+mu-law/A-law expansions bit-identical to audioop, and mono IMA and
+MICROSOFT ADPCM block decodes); video (RIFF/AVI: uncompressed 24-bit DIB and MJPEG
 frames) decodes for real via a pure-stdlib chunk walker (`avi_decode`),
 with compressed formats (mp4/h264, webm) routed through the optional
 PyAV seam (`pyav_video_decode`); PNG decodes for real via a pure-stdlib
@@ -20,7 +20,7 @@ JPEG decodes for real via `operators/jpeg.py` (baseline, extended
 sequential incl. 12-bit, progressive, and lossless SOF3 at 2-16 bits),
 with Pillow as the optional general-image fallback (`pil_decode`). The
 remaining documented NotImplementedError seams are the genuinely
-library-bound ones: MS ADPCM / GSM audio, arithmetic-coded JPEG, and
+library-bound ones: GSM audio, arithmetic-coded JPEG, and
 compressed video without PyAV — every modality's container plumbing is
 exercised by a real codec, not a fake.
 
@@ -353,13 +353,118 @@ def _decode_ima_adpcm(data: bytes, block_align: int, samples_per_block: int) -> 
     return out
 
 
+#: Microsoft ADPCM (WAV format tag 2) public spec tables: the 16-entry
+#: delta-adaptation table and the 7 standard predictor coefficient
+#: pairs every encoder writes into the fmt extension (RIFF/WAVE
+#: multimedia spec; identical tables in ffmpeg/sox/libsndfile).
+MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+            768, 614, 512, 409, 307, 230, 230, 230]
+MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64),
+            (240, 0), (460, -208), (392, -232)]
+
+
+def _trunc_div256(a: int) -> int:
+    """C-style integer division by 256 (truncate toward ZERO — Python's
+    ``//`` floors, which differs on negatives; the MS ADPCM predictor
+    base is a C int division, so sign matters)."""
+    return a // 256 if a >= 0 else -((-a) // 256)
+
+
+def synth_wav_msadpcm(doc_id: int) -> bytes:
+    """Deterministic Microsoft ADPCM (WAV format tag 2) fixture: mono,
+    ONE block. The 7-byte block header carries the coefficient-pair
+    selector doc_id % 7 (all seven standard pairs exercised), initial
+    delta 16 + (doc_id*31) % 4000, and the two seed samples
+    (doc_id*7919) % 65536 - 32768 and (doc_id*104729) % 65536 - 32768 —
+    which ARE the first two output samples (sample2 first). The
+    remaining n-2 samples are nibbles nib[t]: with
+    x = (doc_id*11 + t*5) % 64, nib = x when x < 16 else x % 4 — each
+    of the 16 codes appears once per 64 plus 48 small codes, so the
+    delta recurrence (growth up to 3x per code 8) stays bounded
+    (~2^20 peak) instead of overflowing the oracle's BIGINT, while
+    every adaptation-table entry and both predictor clamps are hit.
+    Nibbles pack HIGH first (the MS convention, opposite of IMA).
+    n = 2 + 2*k, k = 60 + doc_id % 40 nibble bytes; block_align =
+    7 + k. The fmt extension is the spec-faithful tag-2 form:
+    samplesPerBlock, numCoef=7, then the seven (iCoef1, iCoef2)
+    pairs; plus a fact chunk."""
+    doc_id = int(doc_id)
+    k = 60 + doc_id % 40
+    n = 2 + 2 * k
+    rate = 8000
+    ci = doc_id % 7
+    delta0 = 16 + (doc_id * 31) % 4000
+    s1 = (doc_id * 7919) % 65536 - 32768
+    s2 = (doc_id * 104729) % 65536 - 32768
+
+    def nib(t: int) -> int:
+        x = (doc_id * 11 + t * 5) % 64
+        return x if x < 16 else x % 4
+
+    data = bytearray([ci]) + struct.pack("<hhh", delta0, s1, s2)
+    for i in range(k):
+        data.append((nib(2 * i) << 4) | nib(2 * i + 1))
+    block_align = 7 + k
+    ext = struct.pack("<HH", n, len(MS_COEFS)) + b"".join(
+        struct.pack("<hh", c1, c2) for c1, c2 in MS_COEFS
+    )
+    fmt = struct.pack(
+        "<HHIIHHH", 2, 1, rate, rate * block_align // n, block_align, 4, len(ext)
+    ) + ext
+    return _riff_nonpcm(fmt, n, bytes(data))
+
+
+def _decode_ms_adpcm(
+    data: bytes, block_align: int, samples_per_block: int,
+    coefs: list[tuple[int, int]],
+) -> list[int]:
+    """Expand mono Microsoft ADPCM blocks: each block's 7-byte header
+    selects a coefficient pair and seeds (delta, sample1, sample2) —
+    sample2 is emitted first, then sample1 — after which each 4-bit
+    code (HIGH nibble first) steps the second-order predictor:
+    pred = clamp(trunc((s1*c1 + s2*c2)/256) + signed_code*delta),
+    delta = max(16, adapt[code]*delta // 256)."""
+    out: list[int] = []
+    for boff in range(0, len(data), block_align):
+        block = data[boff:boff + block_align]
+        if len(block) < 7:
+            break
+        ci = block[0]
+        if ci >= len(coefs):
+            raise ValueError(
+                f"MS ADPCM block predictor {ci} outside the {len(coefs)}-entry "
+                f"coefficient table"
+            )
+        c1, c2 = coefs[ci]
+        delta, s1, s2 = struct.unpack_from("<hhh", block, 1)
+        if delta <= 0:
+            raise ValueError(f"MS ADPCM block iDelta must be positive, got {delta}")
+        out.append(s2)
+        out.append(s1)
+        emitted = 2
+        for byte in block[7:]:
+            for code in (byte >> 4, byte & 0xF):  # HIGH nibble first
+                if emitted >= samples_per_block:
+                    break
+                base = _trunc_div256(s1 * c1 + s2 * c2)
+                signed = code - 16 if code >= 8 else code
+                pred = max(-32768, min(32767, base + signed * delta))
+                out.append(pred)
+                s2, s1 = s1, pred
+                delta = max(16, (MS_ADAPT[code] * delta) >> 8)
+                emitted += 1
+    return out
+
+
 def _parse_nonpcm_wav(raw: bytes) -> tuple[list, int, int]:
     """RIFF fallback for formats stdlib `wave` rejects: walks the chunk
     stream (skipping fact/LIST/etc.), reads the fmt tag, and decodes
     IEEE-float data (tag 3, 32- or 64-bit), A-law (tag 6) and mu-law
-    (tag 7) — both stateless G.711 byte expansions. Returns (samples,
-    n_frames, n_channels). Stateful compressed tags (ADPCM 2/17, GSM,
-    mp3-in-WAV) raise NotImplementedError — the documented codec seam."""
+    (tag 7) — both stateless G.711 byte expansions — plus the two
+    stateful block codecs, mono IMA ADPCM (tag 17) and mono Microsoft
+    ADPCM (tag 2). Returns (samples, n_frames, n_channels). The
+    remaining compressed tags (GSM, mp3-in-WAV) raise
+    NotImplementedError — the documented codec seam."""
     if raw[:4] != b"RIFF" or len(raw) < 12 or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     off, fmt, data = 12, None, None
@@ -389,11 +494,28 @@ def _parse_nonpcm_wav(raw: bytes) -> tuple[list, int, int]:
         (spb,) = struct.unpack_from("<H", fmt, 18)
         samples = _decode_ima_adpcm(data, ba, spb)
         return samples, len(samples), 1
+    if tag == 2:  # Microsoft ADPCM
+        if ch != 1:
+            raise NotImplementedError("only mono MS ADPCM supported")
+        if bits != 4:
+            raise ValueError(f"MS ADPCM WAV must be 4 bits/sample, got {bits}")
+        if len(fmt) < 22:
+            raise ValueError("MS ADPCM fmt chunk missing extension")
+        spb, ncoef = struct.unpack_from("<HH", fmt, 18)
+        if ncoef < 7 or len(fmt) < 22 + 4 * ncoef:
+            raise ValueError(
+                f"MS ADPCM fmt extension must carry >= 7 coefficient pairs, "
+                f"got {ncoef} in {len(fmt)} bytes"
+            )
+        coefs = [struct.unpack_from("<hh", fmt, 22 + 4 * i) for i in range(ncoef)]
+        samples = _decode_ms_adpcm(data, ba, spb, coefs)
+        return samples, len(samples), 1
     if tag != 3:
         raise NotImplementedError(
             f"WAV format tag {tag} not supported (PCM=1 via stdlib wave; "
-            f"IEEE float=3, A-law=6, mu-law=7, IMA ADPCM=17 here; other "
-            f"compressed tags need an audio library)"
+            f"IEEE float=3, A-law=6, mu-law=7, MS ADPCM=2, IMA ADPCM=17 "
+            f"here; other compressed tags — GSM=49, mp3-in-WAV=85 — need "
+            f"an audio library)"
         )
     if bits == 32:
         count = len(data) // 4

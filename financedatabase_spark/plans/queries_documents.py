@@ -1235,6 +1235,108 @@ def multimodal_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ms_coefs_values() -> str:
+    """The 7 standard MS ADPCM coefficient pairs as a VALUES list."""
+    from financedatabase_spark.operators.multimodal import MS_COEFS
+
+    return ", ".join(f"({i}, {c1}, {c2})" for i, (c1, c2) in enumerate(MS_COEFS))
+
+
+@register(
+    "multimodal_msadpcm_features",
+    oracle=f"""
+    WITH RECURSIVE
+    coefs(cidx, c1, c2) AS (VALUES {_ms_coefs_values()}),
+    d AS (
+      SELECT doc_id,
+             2 + 2 * (60 + doc_id % 40) AS n,
+             doc_id % 7 AS cidx,
+             16 + (doc_id * 31) % 4000 AS delta0,
+             (doc_id * 7919) % 65536 - 32768 AS s1_0,
+             (doc_id * 104729) % 65536 - 32768 AS s2_0
+      FROM documents
+    ),
+    dec AS (
+      SELECT doc_id, n, cidx, 1 AS t,
+             s1_0 AS out, s1_0 AS s1, s2_0 AS s2, delta0 AS delta
+      FROM d
+      UNION ALL
+      SELECT doc_id, n, cidx, t + 1,
+             greatest(-32768, least(32767,
+               base + CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END * delta)),
+             greatest(-32768, least(32767,
+               base + CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END * delta)),
+             s1,
+             greatest(16,
+               (CASE nib WHEN 4 THEN 307 WHEN 5 THEN 409 WHEN 6 THEN 512
+                         WHEN 7 THEN 614 WHEN 8 THEN 768 WHEN 9 THEN 614
+                         WHEN 10 THEN 512 WHEN 11 THEN 409 WHEN 12 THEN 307
+                         ELSE 230 END * delta) // 256)
+      FROM (
+        SELECT r.doc_id, r.n, r.cidx, r.t, r.s1, r.s2, r.delta,
+               CASE WHEN (r.doc_id * 11 + (r.t - 1) * 5) % 64 < 16
+                    THEN (r.doc_id * 11 + (r.t - 1) * 5) % 64
+                    ELSE ((r.doc_id * 11 + (r.t - 1) * 5) % 64) % 4 END AS nib,
+               CAST(trunc((r.s1 * c.c1 + r.s2 * c.c2) / 256.0) AS BIGINT) AS base
+        FROM dec r JOIN coefs c ON c.cidx = r.cidx
+      )
+      WHERE t + 1 < n
+    )
+    SELECT doc_id, (97 + (n - 2) // 2)::BIGINT AS n_bytes,
+           ((t * 8) // n)::INT AS win, sum(abs(out))::DOUBLE AS abs_sum
+    FROM (
+      SELECT doc_id, n, 0 AS t, s2_0 AS out FROM d
+      UNION ALL
+      SELECT doc_id, n, t, out FROM dec
+    )
+    GROUP BY doc_id, n, (t * 8) // n
+    """,
+)
+def multimodal_msadpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features through the MICROSOFT ADPCM decoder (WAV format
+    tag 2 — operators/multimodal.synth_wav_msadpcm / _decode_ms_adpcm):
+    every doc ships a one-block mono container whose 7-byte header
+    selects one of the seven standard coefficient pairs (doc_id % 7
+    covers all) and seeds (delta, sample1, sample2) spanning the int16
+    range, then each HIGH-first nibble steps the second-order predictor
+    pred = clamp(trunc((s1*c1 + s2*c2)/256) + signed*delta) with the
+    16-entry delta-adaptation recurrence (floor 16). The oracle mirrors
+    the full recursion as a RECURSIVE CTE joined against the
+    coefficient table — every decoded sample verified, with C-style
+    truncate-toward-zero division written as trunc(x/256.0) (Python's
+    floor ``//`` would differ on negative predictor bases). The
+    fixture's nibble mix (each code once per 64 plus 48 small codes)
+    keeps the delta recurrence bounded so the oracle's BIGINT
+    arithmetic cannot overflow. Like the IMA and tick-bar oracles the
+    per-sample recursion is the BASELINE's cost — excluded from the 50x
+    sweeps — while the Spark side stays linear (one mapInPandas decode).
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.multimodal import synth_wav_msadpcm
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_wav_msadpcm(int(i))),
+                    "media_type": "audio/wav",
+                }
+            )
+
+    wavs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(wavs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("feature").alias("win", "abs_sum")
+    )
+
+
 @register(
     "multimodal_image_resize",
     oracle="""

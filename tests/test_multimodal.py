@@ -1159,9 +1159,9 @@ def test_wav_float_formats_and_seams():
     got = wav_decode(riff(7, 2, 8, bytes([0x00, 0x13])), dim=1)
     assert got == [float(abs(int((l0 + r0) / 2)))]
 
-    # MS ADPCM (tag 2) stays a loud seam; IMA (tag 17) decodes now
-    with pytest.raises(NotImplementedError, match="format tag 2"):
-        wav_decode(riff(2, 1, 4, b"\x00\x00"))
+    # GSM (tag 49) stays a loud seam; IMA (17) and MS (2) decode now
+    with pytest.raises(NotImplementedError, match="format tag 49"):
+        wav_decode(riff(49, 1, 0, b"\x00\x00"))
 
 
 def test_wav_ima_adpcm_round_trip():
@@ -1187,6 +1187,51 @@ def test_wav_ima_adpcm_round_trip():
             want[t * 8 // n] += abs(s)
         assert wav_decode(synth_wav_adpcm(d)) == want
         assert len(synth_wav_adpcm(d)) == 64 + (n - 1) // 2
+
+
+def test_wav_ms_adpcm_round_trip():
+    """The Microsoft ADPCM second-order predictor must round-trip the
+    synth fixture: the two header samples are emitted verbatim (sample2
+    first), each HIGH-first nibble steps pred = clamp(trunc((s1*c1 +
+    s2*c2)/256) + signed*delta) with the 16-entry adaptation recurrence
+    on delta (floor 16). The recomputation here is written from the
+    spec, independent of the decoder's code, and the delta trajectory is
+    asserted bounded (the fixture's nibble mix is designed so the
+    oracle's BIGINT recurrence cannot overflow)."""
+    from financedatabase_spark.operators.multimodal import (
+        MS_ADAPT,
+        MS_COEFS,
+        synth_wav_msadpcm,
+        wav_decode,
+    )
+
+    for d in (0, 1, 2, 6, 7, 39, 40, 127, 12345):
+        k = 60 + d % 40
+        n = 2 + 2 * k
+        c1, c2 = MS_COEFS[d % 7]
+        delta = 16 + (d * 31) % 4000
+        s1 = (d * 7919) % 65536 - 32768
+        s2 = (d * 104729) % 65536 - 32768
+        samples = [s2, s1]
+        max_delta = delta
+        for t in range(n - 2):
+            x = (d * 11 + t * 5) % 64
+            code = x if x < 16 else x % 4
+            prod = s1 * c1 + s2 * c2
+            base = prod // 256 if prod >= 0 else -((-prod) // 256)
+            signed = code - 16 if code >= 8 else code
+            pred = max(-32768, min(32767, base + signed * delta))
+            samples.append(pred)
+            s2, s1 = s1, pred
+            delta = max(16, (MS_ADAPT[code] * delta) // 256)
+            max_delta = max(max_delta, delta)
+        assert max_delta < 2**22  # oracle BIGINT recurrence stays tiny
+        want = [0.0] * 8
+        for t, s in enumerate(samples):
+            want[t * 8 // n] += abs(s)
+        payload = synth_wav_msadpcm(d)
+        assert wav_decode(payload) == want
+        assert len(payload) == 97 + k  # 40 container + 50 fmt + 7 + k
 
 
 def test_jpeg_lossless_round_trip_all_predictors():

@@ -225,6 +225,7 @@ def test_pii_redaction_is_pure_map(spark, sf_dir):
         "multimodal_jpeg_lossless_features",
         "multimodal_jpeg12_features",
         "multimodal_adpcm_features",
+        "multimodal_msadpcm_features",
     ],
 )
 def test_media_pipelines_stay_map_side(spark, sf_dir, name):

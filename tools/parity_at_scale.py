@@ -53,10 +53,11 @@ SKIP = {
     # Only the intentionally quadratic n-gram Jaccard baseline is
     # unrunnable at 50x by construction.
     "ngram_jaccard_dups",
-    # Per-sample recursive CTE oracle (like the tick bars, the recursion
+    # Per-sample recursive CTE oracles (like the tick bars, the recursion
     # is the BASELINE's cost, not the operator's — the Spark side is one
     # linear mapInPandas decode, covered by the other media sweeps).
     "multimodal_adpcm_features",
+    "multimodal_msadpcm_features",
 }
 
 _DUCK_SNIPPET = r"""
