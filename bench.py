@@ -43,6 +43,11 @@ HEADLINE = [
     # r10 flagships (r11: benched, not just plan-digest-gated)
     "corpus_curation_pipeline_v2",
     "ivf_pq_residual_rerank_topk",
+    # r13: the heaviest Python-side (Arrow mapInPandas codec) work in the
+    # engine — the richest JPEG mix (baseline/progressive/420/multiscan)
+    # over every document; none of the 7 media pipelines was benched
+    # round-over-round before this
+    "multimodal_jpeg_features",
 ]
 
 
