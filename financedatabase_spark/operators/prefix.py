@@ -110,9 +110,15 @@ def attach_running_total_before(
     # `_p` join then silently dropped or misplaced rows at scale.
     # Known cost: the two consumers above the ReusedExchange each run
     # the Python prefix map, so the Arrow-serialized scan executes
-    # TWICE per query. Benchmarked acceptable (the totals consumer
-    # reduces map-side); if it ever dominates, localCheckpoint/persist
-    # `local` here — correctness wins over the double pass until then.
+    # TWICE per query. MEASURED at 50x (r13, shuffled_shard_packing,
+    # interleaved best-of-3 with the cache cleared per run): reused
+    # 10.3 s, persist(MEMORY_AND_DISK) 10.2 s, localCheckpoint 9.7 s —
+    # a <=10% spread, inside this host's documented noise band. Kept
+    # as-is: localCheckpoint truncates lineage (an executor loss on a
+    # real cluster fails the job instead of recomputing) and persist
+    # leaks cache entries across queries via logical-plan matching;
+    # neither buys enough to pay for that at 100 TB, where the reused
+    # shuffle files are the only extra storage this design needs.
     totals = local.groupBy("_p", *keys).agg(F.sum(vname).alias("_ptot"))
     w_off = (
         (Window.partitionBy(*keys) if keys else Window.partitionBy())
