@@ -36,14 +36,16 @@ accumulated to EOI, a missing component scan failing loudly), and so
 does the LOSSLESS Huffman process (SOF3, T.81 Annex H): all seven
 Annex H predictors, DC-category-coded differences, modulo-2^16
 reconstruction — precision-generic (2-16 bits per sample), so deep
-12/16-bit images are exact there. Extended-sequential SOF1 decodes at
+12/16-bit images are exact there — including MULTI-COMPONENT streams
+(one sequential single-component scan per plane, accumulating to EOI)
+and the POINT TRANSFORM (Al > 0: samples coded at P-Al bits, output
+shifted back up). Extended-sequential SOF1 decodes at
 both of its legal precisions: 8-bit (bitstream-identical to baseline)
 and 12-bit (precision-generic level shift/clamp, Annex F extended
 coefficient categories). Exotic sampling factors (3x1, 4x1, non-1x1
-chroma), partially interleaved scans, and the remaining non-Huffman
-processes (arithmetic coding, multi-component / point-transformed /
-restart-marked lossless) stay documented NotImplementedError seams,
-mirroring the PNG codec's depth gates.
+chroma), partially interleaved scans, restart-marked or interleaved
+lossless scans, and arithmetic coding stay documented
+NotImplementedError seams, mirroring the PNG codec's depth gates.
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
 from coefficient patterns whose IDCT is integral — constant blocks
@@ -334,52 +336,71 @@ def assemble_jpeg(
 
 
 def assemble_jpeg_lossless(
-    w: int, h: int, samples: list[int], predictor: int, prec: int = 8
+    w: int, h: int, samples: list, predictor: int, prec: int = 8,
+    point_transform: int = 0,
 ) -> bytes:
-    """Assemble a spec-valid single-component LOSSLESS JPEG (SOF3 —
-    T.81 Annex H): sample differences against the Annex H predictor are
-    category-coded exactly like sequential DC coefficients, under the
-    `LL_BITS` difference table. No DQT (the lossless process has no
+    """Assemble a spec-valid LOSSLESS JPEG (SOF3 — T.81 Annex H):
+    sample differences against the Annex H predictor are category-coded
+    exactly like sequential DC coefficients, under the `LL_BITS`
+    difference table. No DQT (the lossless process has no
     quantization), no MCU padding (samples are a raw w x h raster),
     ``prec`` bits per sample (2-16; the process is precision-generic —
-    this is where 12/16-bit deep images are exact)."""
+    this is where 12/16-bit deep images are exact).
+
+    ``samples`` is one flat plane (grayscale) or a LIST of 1 or 3
+    planes (the multi-component stream is one single-component scan per
+    plane, the non-interleaved layout every lossless encoder emits).
+    ``point_transform`` (Al, 0 <= Al < prec) codes samples in the
+    REDUCED domain — pass reduced samples (< 2^(prec-Al)); decoders
+    output them shifted back up by Al."""
     if not 1 <= predictor <= 7:
         raise ValueError(f"lossless predictor must be 1-7, got {predictor}")
     if not 2 <= prec <= 16:
         raise ValueError(f"lossless sample precision must be 2-16, got {prec}")
-    bw = _BitWriter()
-    for y in range(h):
-        for x in range(w):
-            # differences are modulo-2^16 (T.81 H.1.2.1): map into
-            # [-32767, 32768], where +32768 is category 16 with no
-            # appended bits — the only representation that stays in
-            # 16 categories when prec = 16 predictors overshoot
-            diff = (
-                samples[y * w + x]
-                - _lossless_predict(samples, w, x, y, predictor, prec)
-            ) & 0xFFFF
-            if diff > 32768:
-                diff -= 65536
-            if diff == 32768:
-                code, length = _LL_ENC[16]
+    if not 0 <= point_transform < prec:
+        raise ValueError(
+            f"lossless point transform must be in [0, prec), got {point_transform}"
+        )
+    planes = samples if samples and isinstance(samples[0], list) else [samples]
+    if len(planes) not in (1, 3):
+        raise ValueError(f"lossless encoder takes 1 or 3 planes, got {len(planes)}")
+    prec_r = prec - point_transform
+
+    def _encode_plane(plane: list[int]) -> bytes:
+        bw = _BitWriter()
+        for y in range(h):
+            for x in range(w):
+                # differences are modulo-2^16 (T.81 H.1.2.1): map into
+                # [-32767, 32768], where +32768 is category 16 with no
+                # appended bits — the only representation that stays in
+                # 16 categories when prec = 16 predictors overshoot
+                diff = (
+                    plane[y * w + x]
+                    - _lossless_predict(plane, w, x, y, predictor, prec_r)
+                ) & 0xFFFF
+                if diff > 32768:
+                    diff -= 65536
+                if diff == 32768:
+                    code, length = _LL_ENC[16]
+                    bw.put(code, length)
+                    continue
+                size, bits = _mag_bits(diff)
+                code, length = _LL_ENC[size]
                 bw.put(code, length)
-                continue
-            size, bits = _mag_bits(diff)
-            code, length = _LL_ENC[size]
-            bw.put(code, length)
-            if size:
-                bw.put(bits, size)
-    sof3 = struct.pack(">BHHB", prec, h, w, 1) + bytes([1, 0x11, 0])
-    dht = bytes([0x00]) + bytes(LL_BITS) + bytes(LL_VALS)
-    sos = bytes([1, 1, 0x00, predictor, 0, 0])  # Ss=predictor, Se=0, AhAl=0
-    return (
-        b"\xff\xd8"
-        + _seg(0xFFC4, dht)
-        + _seg(0xFFC3, sof3)
-        + _seg(0xFFDA, sos)
-        + bw.flush()
-        + b"\xff\xd9"
+                if size:
+                    bw.put(bits, size)
+        return bw.flush()
+
+    sof3 = struct.pack(">BHHB", prec, h, w, len(planes)) + b"".join(
+        bytes([ci + 1, 0x11, 0]) for ci in range(len(planes))
     )
+    dht = bytes([0x00]) + bytes(LL_BITS) + bytes(LL_VALS)
+    out = bytearray(b"\xff\xd8" + _seg(0xFFC4, dht) + _seg(0xFFC3, sof3))
+    for ci, plane in enumerate(planes):
+        # Ss=predictor, Se=0, Ah=0, Al=point transform
+        sos = bytes([1, ci + 1, 0x00, predictor, 0, point_transform])
+        out += _seg(0xFFDA, sos) + _encode_plane(plane)
+    return bytes(out + b"\xff\xd9")
 
 
 def synth_jpeg12(doc_id: int) -> bytes:
@@ -425,6 +446,34 @@ def synth_jpeg_lossless(doc_id: int, prec: int = 8) -> bytes:
         for x in range(w)
     ]
     return assemble_jpeg_lossless(w, h, samples, 1 + doc_id % 7, prec)
+
+
+def synth_jpeg_lossless_rgb(doc_id: int) -> bytes:
+    """Deterministic THREE-COMPONENT lossless fixture with a POINT
+    TRANSFORM: SOF3 at precision 12, Al = doc%3 (0/1/2 — identity plus
+    both nontrivial shifts), predictor 1 + doc%7, width 16/24/32 by
+    doc%3, height 16, one sequential single-component scan per plane.
+    Reduced-domain pixel of plane k:
+    r_k(y, x) = (doc_id*31 + k*59 + y*17 + x*7) % 2^(12-Al); the decoder
+    must emit r_k << Al, so a SQL oracle recomputes every decoded value
+    (and the downstream histogram/means) from this formula exactly —
+    lossless end to end."""
+    doc_id = int(doc_id)
+    w = 16 + (doc_id % 3) * 8
+    h = JPEG_H
+    prec, al = 12, doc_id % 3
+    m = 1 << (prec - al)
+    planes = [
+        [
+            (doc_id * 31 + k * 59 + y * 17 + x * 7) % m
+            for y in range(h)
+            for x in range(w)
+        ]
+        for k in range(3)
+    ]
+    return assemble_jpeg_lossless(
+        w, h, planes, 1 + doc_id % 7, prec, point_transform=al
+    )
 
 
 #: Fixture quant table (zigzag order): 8 at the two coefficient positions
@@ -1475,6 +1524,7 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
     prog_coefs: list[list[list[int]]] | None = None  # [comp][block][64] zigzag
     prog_grid: tuple[int, int, int, int] | None = None  # hmax, vmax, mcus_x, mcus_y
     seq_state: tuple[int, int, list, set] | None = None  # hmax, vmax, planes, seen
+    ll_planes: list[list[int] | None] | None = None  # lossless: one per component
     while pos + 2 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -1592,16 +1642,17 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
             ns = body[0]
             if lossless:
                 # T.81 Annex H scan: Ss carries the predictor selector,
-                # Se = 0, Al the point transform; differences are
-                # DC-category coded, reconstruction is modulo 2^16.
-                # Gate on the FRAME's component count, not just the
-                # scan's: a multi-component lossless stream normally
-                # arrives as sequential single-component scans, and
-                # returning after the first would silently decode one
-                # plane as if it were the whole image.
-                if len(comps) != 1 or ns != 1:
+                # Se = 0, Al the POINT TRANSFORM (samples coded at
+                # precision P - Al, output shifted back up); differences
+                # are DC-category coded, reconstruction is modulo 2^16.
+                # Multi-component streams arrive as one single-component
+                # scan per component (the non-interleaved layout),
+                # planes accumulating to EOI like the sequential path.
+                if ns != 1:
                     raise NotImplementedError(
-                        "multi-component lossless JPEG not supported"
+                        "interleaved lossless JPEG scan not supported "
+                        "(multi-component streams decode as sequential "
+                        "single-component scans)"
                     )
                 if restart_interval:
                     raise NotImplementedError(
@@ -1609,6 +1660,7 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                     )
                 if len(body) < 6:
                     raise ValueError("JPEG lossless SOS truncated")
+                cs = body[1]
                 td = body[2] >> 4
                 predictor = body[3]
                 al = body[5] & 0xF
@@ -1616,16 +1668,28 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                     raise ValueError(
                         f"lossless predictor selector must be 1-7, got {predictor}"
                     )
-                if al != 0:
-                    raise NotImplementedError(
-                        "lossless point transform (Al > 0) not supported"
+                if al >= prec:
+                    raise ValueError(
+                        f"lossless point transform Al={al} must be below the "
+                        f"sample precision {prec}"
                     )
                 if td not in dcs:
                     raise ValueError(
                         "JPEG SOS references undefined quant/Huffman table"
                     )
+                match = [i for i, c in enumerate(comps) if c[0] == cs]
+                if not match:
+                    raise ValueError("JPEG SOS references unknown component id")
+                ci = match[0]
+                if any((hs, vs) != (1, 1) for _, hs, vs, _ in comps):
+                    raise NotImplementedError(
+                        "lossless JPEG requires 1x1 sampling on every component"
+                    )
+                if ll_planes is None:
+                    ll_planes = [None] * len(comps)
                 dec = dcs[td]
                 r = _BitReader(raw, pos + 2 + seglen)
+                prec_r = prec - al  # reduced-domain precision (H.1)
                 samples = [0] * (w * h)
                 for y in range(h):
                     base = y * w
@@ -1637,18 +1701,29 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                             diff = _extend(r.bits(ssss), ssss)
                         else:
                             diff = 0
-                        pred = _lossless_predict(samples, w, x, y, predictor, prec)
+                        pred = _lossless_predict(samples, w, x, y, predictor, prec_r)
                         samples[base + x] = (pred + diff) & 0xFFFF
                 # Reconstruction is modulo 2^16 regardless of precision
                 # (H.1.2.1), so a corrupt-but-parseable stream can land
-                # samples >= 2^prec; fail loudly here instead of letting
-                # downstream histogram binning overrun (v*dim >> prec).
-                if prec < 16 and max(samples, default=0) >> prec:
+                # samples >= 2^(prec-Al); fail loudly here instead of
+                # letting downstream histogram binning overrun
+                # (v*dim >> prec).
+                if prec_r < 16 and max(samples, default=0) >> prec_r:
                     raise ValueError(
                         f"lossless JPEG sample exceeds declared precision "
-                        f"{prec} (corrupt stream)"
+                        f"{prec} - Al {al} (corrupt stream)"
                     )
-                return w, h, [samples], prec
+                # output = reduced sample << Pt (H.2.2's inverse)
+                ll_planes[ci] = [v << al for v in samples] if al else samples
+                p = r.pos
+                while p + 1 < len(raw) and not (
+                    raw[p] == 0xFF
+                    and raw[p + 1] != 0x00
+                    and not (0xD0 <= raw[p + 1] <= 0xD7)
+                ):
+                    p += 1
+                pos = p
+                continue
             if progressive:
                 if prog_coefs is None:
                     hmax = max(hs for _, hs, _, _ in comps)
@@ -1783,6 +1858,17 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                 planes_raw, [(hs, vs) for hs, vs, _, _ in scan], w, h, hmax, vmax
             ), prec
         pos += 2 + seglen
+    if ll_planes is not None:
+        # EOI after lossless scans: every component must have been
+        # scanned (a missing scan is a malformed stream, not a zero
+        # plane — same contract as the sequential accumulate path)
+        if any(p is None for p in ll_planes):
+            missing = [i for i, p in enumerate(ll_planes) if p is None]
+            raise ValueError(
+                f"JPEG lossless stream is missing scans for component "
+                f"index(es) {missing}"
+            )
+        return w, h, ll_planes, prec
     if seq_state is not None:
         # EOI after non-interleaved sequential scans: every component
         # must have been scanned (T.81 — a missing scan is a truncated/

@@ -1151,6 +1151,87 @@ def multimodal_jpeg12_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_jpeg_lossless_rgb_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w,
+             doc_id % 3 AS al,
+             1 << (12 - doc_id % 3) AS m,
+             1 << (doc_id % 3) AS scale
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w,
+             ((doc_id * 31 + y * 17 + x * 7) % m) * scale AS v
+      FROM d,
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, w - 1)) ux(x)
+    ),
+    hist AS (SELECT doc_id, w, (v * 8) // 4096 AS bin, count(*) AS c
+             FROM px GROUP BY 1, 2, 3),
+    grid AS (SELECT doc_id, w, unnest(generate_series(0, 7)) AS pos FROM d),
+    hfeat AS (
+      SELECT g.doc_id, g.pos, coalesce(h.c, 0)::DOUBLE / (g.w * 16) AS x
+      FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.pos
+    ),
+    mfeat AS (
+      SELECT doc_id, 7 + k AS pos,
+             sum(((doc_id * 31 + k * 59 + y * 17 + x * 7) % m) * scale)::DOUBLE
+               / (w * 16) AS x
+      FROM d,
+           UNNEST(generate_series(1, 2)) uk(k),
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, w - 1)) ux(x)
+      GROUP BY doc_id, k, w
+    )
+    SELECT doc_id, (doc_id % 3)::INT AS al, pos::INT AS pos, x FROM hfeat
+    UNION ALL
+    SELECT doc_id, (doc_id % 3)::INT, pos::INT, x FROM mfeat
+    """,
+)
+def multimodal_jpeg_lossless_rgb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-image features through the MULTI-COMPONENT lossless JPEG
+    path with a POINT TRANSFORM (operators/jpeg.synth_jpeg_lossless_rgb:
+    SOF3 at precision 12, three sequential single-component scans, Al =
+    doc%3 so both nontrivial shifts are exercised alongside identity,
+    predictor 1 + doc%7). Decode is lossless — plane k equals the
+    reduced-domain synthesis formula shifted up by Al — so the oracle
+    recomputes the luma histogram (12-bit binning, v*8 >> 12) and the
+    two chroma means from the formula exactly; a decoder that ignored
+    the point transform, mixed up scan-to-component routing, or
+    returned after the first scan cannot match.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.jpeg import synth_jpeg_lossless_rgb
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(
+                        lambda i: synth_jpeg_lossless_rgb(int(i))
+                    ),
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    jpgs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(jpgs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 3).cast("int").alias("al"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+
+
 def _ima_steps_values() -> str:
     """The 89-entry IMA step table as a VALUES list for the oracle."""
     from financedatabase_spark.operators.multimodal import IMA_STEPS

@@ -1285,18 +1285,19 @@ def test_jpeg_lossless_seams_and_validation():
             + _seg(0xFFDA, sos_payload) + b"\x00" * 8 + b"\xff\xd9"
         )
 
-    # point transform Al=1
-    with pytest.raises(NotImplementedError, match="point transform"):
-        jpeg_planes(rebuild(bytes([1, 1, 0x00, 1, 0, 1])))
+    # point transform at/above the precision is malformed (Al=9, prec=8)
+    with pytest.raises(ValueError, match="point transform"):
+        jpeg_planes(rebuild(bytes([1, 1, 0x00, 1, 0, 9])))
     # bad predictor selector in the stream
     with pytest.raises(ValueError, match="selector"):
         jpeg_planes(rebuild(bytes([1, 1, 0x00, 0, 0, 0])))
-    # multi-component lossless (3 comps passes the SOF gate, fails at SOS)
+    # INTERLEAVED lossless (one SOS naming 3 components) stays a seam —
+    # multi-component streams decode as sequential single-component scans
     sof3c = struct.pack(">BHHB", 8, 4, 4, 3) + bytes(
         [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
     )
     sos3c = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 1, 0, 0])
-    with pytest.raises(NotImplementedError, match="multi-component"):
+    with pytest.raises(NotImplementedError, match="interleaved lossless"):
         jpeg_planes(rebuild(sos3c, sof3c))
     # restart markers in a lossless scan
     dri = _seg(0xFFDD, struct.pack(">H", 4))
@@ -1385,18 +1386,47 @@ def test_jpeg_decode_precision_aware_through_dispatch():
         assert feats == [c / (w * h) for c in want]
 
 
-def test_jpeg_lossless_multicomponent_sequential_scans_raise():
-    """A 3-component SOF3 frame followed by SINGLE-component scans (the
-    normal non-interleaved lossless layout) must raise, not silently
-    return the first plane as the whole image (review r12)."""
+def test_jpeg_lossless_multicomponent_round_trip():
+    """3-component lossless with a point transform must round-trip: one
+    sequential single-component scan per plane, decoded planes equal
+    the reduced-domain synthesis shifted up by Al, for every Al and
+    predictor the fixture cycles through. A stream MISSING a component
+    scan must still raise (r12's silent-first-plane hazard), and an
+    incomplete stream must never return partial planes."""
     import struct
 
     from financedatabase_spark.operators.jpeg import (
-        LL_BITS,
-        LL_VALS,
-        _seg,
+        JPEG_H,
+        assemble_jpeg_lossless,
+        jpeg_frame,
         jpeg_planes,
+        synth_jpeg_lossless_rgb,
     )
+
+    for doc_id in range(9):  # Al 0/1/2 x three widths; predictors 1-7+
+        w = 16 + (doc_id % 3) * 8
+        al = doc_id % 3
+        m = 1 << (12 - al)
+        gw, gh, planes, prec = jpeg_frame(synth_jpeg_lossless_rgb(doc_id))
+        assert (gw, gh, prec, len(planes)) == (w, JPEG_H, 12, 3)
+        for k in range(3):
+            assert planes[k] == [
+                ((doc_id * 31 + k * 59 + y * 17 + x * 7) % m) << al
+                for y in range(JPEG_H)
+                for x in range(w)
+            ]
+
+    # a stream missing its third scan raises with the missing index
+    full = assemble_jpeg_lossless(
+        4, 4, [[v % 256 for v in range(16)]] * 3, predictor=1
+    )
+    third_sos = full.rindex(b"\xff\xda")
+    truncated = full[:third_sos] + b"\xff\xd9"
+    with pytest.raises(ValueError, match=r"missing scans.*\[2\]"):
+        jpeg_planes(truncated)
+
+    # interleaved lossless (one SOS naming all 3 components) stays loud
+    from financedatabase_spark.operators.jpeg import LL_BITS, LL_VALS, _seg
 
     sof3c = struct.pack(">BHHB", 8, 4, 4, 3) + bytes(
         [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
@@ -1404,10 +1434,10 @@ def test_jpeg_lossless_multicomponent_sequential_scans_raise():
     dht = bytes([0x00]) + bytes(LL_BITS) + bytes(LL_VALS)
     stream = (
         b"\xff\xd8" + _seg(0xFFC4, dht) + _seg(0xFFC3, sof3c)
-        + _seg(0xFFDA, bytes([1, 1, 0x00, 1, 0, 0]))  # ONE component scan
+        + _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 1, 0, 0]))
         + b"\x00" * 8 + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="multi-component"):
+    with pytest.raises(NotImplementedError, match="interleaved lossless"):
         jpeg_planes(stream)
 
 
