@@ -24,9 +24,11 @@ restart markers inside progressive scans (predictors AND EOB run
 reset). Coefficients accumulate across scans in quantized form and are
 dequantized + IDCT'd once at EOI.
 
-Color layouts: all standard YCbCr chroma samplings decode — 4:4:4,
-4:2:2, 4:4:0, and 4:2:0 (Y sampling in {1,2}x{1,2} against 1x1 chroma;
-the MCU walk, plane allocation, and replication upsampler are
+Color layouts: every T.81-legal YCbCr sampling grid with integer
+replication ratios decodes — the standard 4:4:4 / 4:2:2 / 4:4:0 /
+4:2:0 AND the exotic factors (3x1, 4x1, 1x3, 4x2 / 4:1:1; factors 1-4,
+MCU <= 10 blocks, each component's factor dividing the max — the MCU
+walk, plane allocation, and replication upsampler are
 sampling-generic). Quant tables parse in both DQT precisions (8-bit
 Pq=0 and 16-bit big-endian Pq=1).
 
@@ -42,9 +44,9 @@ and the POINT TRANSFORM (Al > 0: samples coded at P-Al bits, output
 shifted back up). Extended-sequential SOF1 decodes at
 both of its legal precisions: 8-bit (bitstream-identical to baseline)
 and 12-bit (precision-generic level shift/clamp, Annex F extended
-coefficient categories). Exotic sampling factors (3x1, 4x1, non-1x1
-chroma), partially interleaved scans, restart-marked or interleaved
-lossless scans, and arithmetic coding stay documented
+coefficient categories). Non-integer replication samplings (e.g. 3x1 Y
+against 2x1 chroma), partially interleaved scans, restart-marked or
+interleaved lossless scans, and arithmetic coding stay documented
 NotImplementedError seams, mirroring the PNG codec's depth gates.
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
@@ -723,6 +725,24 @@ def synth_jpeg_color(
         w, h, _FIXTURE_QT, _FIXTURE_QT_C, y_blocks, cb, cr,
         sampling=sampling, restart_interval=ri, multiscan=multiscan,
     )
+
+
+#: exotic-sampling fixture grid by doc_id % 4: every non-standard layout
+#: the generic MCU walk admits (Y factors 3/4 and vertical subsampling),
+#: all against 1x1 chroma — 4:1:1 (4,1) is the DV/video-capture layout.
+EXOTIC_SAMPLINGS = [(3, 1), (4, 1), (1, 3), (4, 2)]
+
+
+def synth_jpeg_exotic(doc_id: int) -> bytes:
+    """Deterministic EXOTIC-sampling color fixture: the same luma/chroma
+    formulas as every color fixture (shared oracle), but the Y sampling
+    cycles `EXOTIC_SAMPLINGS` by doc%4 — 3x1, 4:1:1 (4x1), 1x3, and the
+    10-block-MCU maximum 4x2. Half the docs (doc%8 >= 4) ship the
+    NON-interleaved layout (one sequential scan per component) of the
+    same pixels, so both walks are exercised against one formula."""
+    doc_id = int(doc_id)
+    sampling = EXOTIC_SAMPLINGS[doc_id % 4]
+    return synth_jpeg_color(doc_id, sampling, multiscan=(doc_id % 8 >= 4))
 
 
 def synth_jpeg_progressive(doc_id: int) -> bytes:
@@ -1619,16 +1639,30 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                         "grayscale JPEG with non-1x1 sampling not supported"
                     )
             elif ncomp == 3:
-                # 4:4:4 (1,1), 4:2:2 (2,1), 4:4:0 (1,2), 4:2:0 (2,2) —
-                # every standard YCbCr layout with full-resolution-or-
-                # halved chroma; the MCU walk, plane allocation, and
-                # replication upsampler are sampling-generic
-                if samplings[1:] != [(1, 1), (1, 1)] or samplings[0] not in (
-                    (1, 1), (2, 1), (1, 2), (2, 2),
-                ):
+                # Any T.81-legal sampling grid the replication upsampler
+                # can reconstruct: factors 1-4 with the MCU holding at
+                # most 10 blocks (B.2.2 — both are SPEC limits, so
+                # violations are ValueError), and every component's
+                # factor dividing the max (integer replication ratio;
+                # e.g. 3x1 Y against 2x1 chroma would need fractional
+                # interpolation — the stated seam). This admits the
+                # standard layouts (4:4:4/4:2:2/4:4:0/4:2:0) AND the
+                # exotic ones (3x1, 4x1, 1x3, 4x2 / 4:1:1) — the MCU
+                # walk, plane allocation, and upsampler are
+                # sampling-generic.
+                if any(
+                    not (1 <= hs <= 4 and 1 <= vs <= 4) for hs, vs in samplings
+                ) or sum(hs * vs for hs, vs in samplings) > 10:
+                    raise ValueError(
+                        f"JPEG sampling factors outside T.81 limits "
+                        f"(1-4, <= 10 blocks per MCU): {samplings}"
+                    )
+                hmax_ = max(hs for hs, _ in samplings)
+                vmax_ = max(vs for _, vs in samplings)
+                if any(hmax_ % hs or vmax_ % vs for hs, vs in samplings):
                     raise NotImplementedError(
-                        f"color JPEG supports Y sampling 1x1/2x1/1x2/2x2 "
-                        f"with 1x1 chroma, got {samplings}"
+                        f"non-integer replication ratio in JPEG sampling "
+                        f"{samplings} (needs fractional chroma interpolation)"
                     )
             else:
                 raise NotImplementedError(

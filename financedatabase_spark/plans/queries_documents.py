@@ -1152,6 +1152,91 @@ def multimodal_jpeg12_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_exotic_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w,
+             CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 1
+                             ELSE 4 END AS hs,
+             CASE doc_id % 4 WHEN 2 THEN 3 WHEN 3 THEN 2 ELSE 1 END AS vs
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, hs, vs, x, y,
+             (((doc_id*17 + (y // 8)*31 + (x // 8)*7) % 251 + 2)
+              + CASE WHEN y >= 8
+                     THEN ((doc_id + (x // 8)) % 5 - 2)
+                          * (CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+                     ELSE 0 END) AS p
+      FROM d,
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, w - 1)) ux(x)
+    ),
+    hist AS (SELECT doc_id, w, (p * 8) // 256 AS bin, count(*) AS c
+             FROM px GROUP BY 1, 2, 3),
+    grid AS (SELECT doc_id, w, unnest(generate_series(0, 7)) AS pos FROM d),
+    lum AS (
+      SELECT g.doc_id, g.w::BIGINT AS width, g.pos::INT AS pos,
+             coalesce(h.c, 0) / (g.w * 16) AS x
+      FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.pos
+    ),
+    chroma AS (
+      SELECT doc_id, w::BIGINT AS width, 8 AS pos,
+             sum((doc_id*29 + (x // (8*hs))*13 + (y // (8*vs))*11) % 251 + 2
+                 )::DOUBLE / (w * 16) AS x
+      FROM px GROUP BY doc_id, w
+      UNION ALL
+      SELECT doc_id, w::BIGINT AS width, 9 AS pos,
+             sum((doc_id*23 + (x // (8*hs))*7 + (y // (8*vs))*19) % 251 + 2
+                 )::DOUBLE / (w * 16) AS x
+      FROM px GROUP BY doc_id, w
+    )
+    SELECT doc_id, width, pos, x FROM lum
+    UNION ALL
+    SELECT doc_id, width, pos::INT AS pos, x FROM chroma
+    """,
+)
+def multimodal_jpeg_exotic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through the EXOTIC sampling grids (operators/jpeg
+    .synth_jpeg_exotic): Y sampling cycles 3x1 / 4:1:1 (4x1) / 1x3 /
+    4x2 (the 10-block-MCU maximum) by doc%4, against 1x1 chroma —
+    T.81-legal layouts real capture hardware emits that most toy
+    decoders reject. The luma pixel formula is the SAME as the standard
+    color mix (the walk is sampling-generic), and the chroma means at
+    pos 8/9 follow the per-variant cell geometry
+    val(x // (8*hs), y // (8*vs)) — a decoder replicating at the wrong
+    ratio or walking the wrong MCU shape cannot match. Half the docs
+    (doc%8 >= 4) ship the non-interleaved layout of the same pixels.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.jpeg import synth_jpeg_exotic
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_jpeg_exotic(int(i))),
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    jpgs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(jpgs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 3 * 8 + 16).cast("long").alias("width"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+
+
+@register(
     "multimodal_jpeg_lossless_rgb_features",
     oracle="""
     WITH d AS (

@@ -640,15 +640,36 @@ def test_jpeg_failure_modes():
     with pytest.raises(ValueError, match="missing scans"):
         jpeg_pixels(c422)
 
-    # exotic sampling factors (3x1 luma) stay a stated seam
+    # 3x1 luma is SUPPORTED now — this frankenstream decodes its Y scan
+    # then fails loudly at EOI for the missing chroma scans
     c31 = (
         bytes(good[:sof_at + 2])
         + struct.pack(">HBHHB", 17, prec, h, w, 3)
         + bytes([1, 0x31, 0, 2, 0x11, 1, 3, 0x11, 1])
         + bytes(good[sof_at + 2 + seglen:])
     )
-    with pytest.raises(NotImplementedError, match="1x1/2x1/1x2/2x2"):
+    with pytest.raises(ValueError, match="missing scans"):
         jpeg_pixels(c31)
+
+    # NON-INTEGER replication (3x1 Y against 2x1 Cb) stays a stated seam
+    c32 = (
+        bytes(good[:sof_at + 2])
+        + struct.pack(">HBHHB", 17, prec, h, w, 3)
+        + bytes([1, 0x31, 0, 2, 0x21, 1, 3, 0x11, 1])
+        + bytes(good[sof_at + 2 + seglen:])
+    )
+    with pytest.raises(NotImplementedError, match="non-integer replication"):
+        jpeg_pixels(c32)
+
+    # factors past the T.81 limit are malformed, not a seam
+    c5 = (
+        bytes(good[:sof_at + 2])
+        + struct.pack(">HBHHB", 17, prec, h, w, 3)
+        + bytes([1, 0x51, 0, 2, 0x11, 1, 3, 0x11, 1])
+        + bytes(good[sof_at + 2 + seglen:])
+    )
+    with pytest.raises(ValueError, match="T.81 limits"):
+        jpeg_pixels(c5)
 
     # 2-component streams stay a stated seam
     c2 = (
@@ -1384,6 +1405,42 @@ def test_jpeg_decode_precision_aware_through_dispatch():
         for v in planes[0]:
             want[(v * 8) >> prec] += 1
         assert feats == [c / (w * h) for c in want]
+
+
+def test_jpeg_exotic_sampling_round_trip():
+    """Exotic (but T.81-legal) sampling grids decode through the same
+    generic MCU walk as the standard layouts: 3x1 / 4x1 / 1x3 / 4x2 Y
+    against 1x1 chroma. Luma must equal the shared pixel formula and
+    chroma at (x, y) must equal the per-MCU value at
+    (x // (8*hs), y // (8*vs)) — a decoder walking the wrong grid or
+    replicating at the wrong ratio cannot match. Interleaved and
+    non-interleaved layouts must agree."""
+    from financedatabase_spark.operators.jpeg import (
+        JPEG_H,
+        _U4_SIGN,
+        jpeg_planes,
+        synth_jpeg_color,
+    )
+
+    def lum(d, x, y):
+        v = (d * 17 + (y // 8) * 31 + (x // 8) * 7) % 251 + 2
+        if y >= 8:
+            v += ((d + x // 8) % 5 - 2) * _U4_SIGN[x % 8]
+        return v
+
+    for d, (hs, vs) in [(2, (3, 1)), (7, (4, 1)), (5, (1, 3)), (11, (4, 2)),
+                        (13, (3, 1)), (9, (4, 2))]:
+        w = 16 + (d % 3) * 8
+        pw, ph, planes = jpeg_planes(synth_jpeg_color(d, (hs, vs)))
+        assert (pw, ph, len(planes)) == (w, JPEG_H, 3)
+        for y in range(JPEG_H):
+            for x in range(w):
+                assert planes[0][y * w + x] == lum(d, x, y), (d, hs, vs, x, y)
+                mx, my = x // (8 * hs), y // (8 * vs)
+                assert planes[1][y * w + x] == (d * 29 + mx * 13 + my * 11) % 251 + 2
+                assert planes[2][y * w + x] == (d * 23 + mx * 7 + my * 19) % 251 + 2
+        ms = synth_jpeg_color(d, (hs, vs), multiscan=True)
+        assert jpeg_planes(ms) == (pw, ph, planes)
 
 
 def test_jpeg_lossless_multicomponent_round_trip():

@@ -224,6 +224,7 @@ def test_pii_redaction_is_pure_map(spark, sf_dir):
         "multimodal_jpeg_features",
         "multimodal_jpeg_lossless_features",
         "multimodal_jpeg12_features",
+        "multimodal_jpeg_exotic_features",
         "multimodal_jpeg_lossless_rgb_features",
         "multimodal_adpcm_features",
         "multimodal_msadpcm_features",
