@@ -379,9 +379,19 @@ class ParquetTable:
                 while not stop.wait(renew_every):
                     try:
                         cell["token"] = self.lease.renew(cell["token"])
-                    except Exception as exc:  # noqa: BLE001 - recorded, re-raised below
+                    except ConcurrentWriteError as exc:
+                        # ONLY this means exclusivity is gone (the lease
+                        # was broken and re-taken) — record and stop.
                         cell["lost"] = exc
                         return
+                    except Exception:  # noqa: BLE001
+                        # Transient store error (throttling 503, network
+                        # blip): the lease is still ours — keep beating
+                        # with the same token and retry next interval. A
+                        # renewal that actually landed server-side but
+                        # lost its response surfaces as a 412 on the
+                        # NEXT beat and is handled above.
+                        continue
 
             beater = threading.Thread(target=_beat, daemon=True)
             beater.start()

@@ -1640,22 +1640,24 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                     )
             elif ncomp == 3:
                 # Any T.81-legal sampling grid the replication upsampler
-                # can reconstruct: factors 1-4 with the MCU holding at
-                # most 10 blocks (B.2.2 — both are SPEC limits, so
-                # violations are ValueError), and every component's
-                # factor dividing the max (integer replication ratio;
-                # e.g. 3x1 Y against 2x1 chroma would need fractional
-                # interpolation — the stated seam). This admits the
-                # standard layouts (4:4:4/4:2:2/4:4:0/4:2:0) AND the
-                # exotic ones (3x1, 4x1, 1x3, 4x2 / 4:1:1) — the MCU
-                # walk, plane allocation, and upsampler are
-                # sampling-generic.
+                # can reconstruct: factors 1-4 (Table B.2 — a FRAME
+                # limit, so violations are ValueError) and every
+                # component's factor dividing the max (integer
+                # replication ratio; e.g. 3x1 Y against 2x1 chroma
+                # would need fractional interpolation — the stated
+                # seam). The 10-blocks-per-MCU limit (B.2.3) applies to
+                # INTERLEAVED SCANS only and is enforced at SOS — a
+                # frame summing past 10 is legal when delivered as
+                # non-interleaved scans. This admits the standard
+                # layouts (4:4:4/4:2:2/4:4:0/4:2:0) AND the exotic ones
+                # (3x1, 4x1, 1x3, 4x2 / 4:1:1) — the MCU walk, plane
+                # allocation, and upsampler are sampling-generic.
                 if any(
                     not (1 <= hs <= 4 and 1 <= vs <= 4) for hs, vs in samplings
-                ) or sum(hs * vs for hs, vs in samplings) > 10:
+                ):
                     raise ValueError(
-                        f"JPEG sampling factors outside T.81 limits "
-                        f"(1-4, <= 10 blocks per MCU): {samplings}"
+                        f"JPEG sampling factors outside the T.81 1-4 "
+                        f"limit: {samplings}"
                     )
                 hmax_ = max(hs for hs, _ in samplings)
                 vmax_ = max(vs for _, vs in samplings)
@@ -1857,6 +1859,14 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                         "JPEG SOS references undefined quant/Huffman table"
                     )
                 scan.append((hs, vs, tq, [td, ta]))
+            # B.2.3: an INTERLEAVED scan's MCU holds at most 10 data
+            # units — a scan-level limit (frames summing past 10 are
+            # legal when delivered as non-interleaved scans)
+            if sum(hs * vs for hs, vs, _, _ in scan) > 10:
+                raise ValueError(
+                    f"interleaved JPEG scan exceeds the T.81 limit of 10 "
+                    f"blocks per MCU: {[(hs, vs) for hs, vs, _, _ in scan]}"
+                )
             hmax = max(hs for hs, _, _, _ in scan)
             vmax = max(vs for _, vs, _, _ in scan)
             mcus_x = (w + 8 * hmax - 1) // (8 * hmax)

@@ -122,12 +122,27 @@ def run_admission_with_refresh(
     admitted_root = os.path.join(work_dir, "admitted")
     pointer = os.path.join(work_dir, "ADMITTED_CURRENT")
     os.makedirs(admitted_root, exist_ok=True)
+    # Snapshot numbering must survive ACROSS drains on the same
+    # work_dir (the steady-state pattern): restarting at v00001 would
+    # make a second drain's refit OVERWRITE the directory the live
+    # pointer still references, in place — exactly the torn read the
+    # versioned-snapshot + atomic-pointer design exists to prevent.
+    # Resume from the highest committed version, like ParquetTable's
+    # _v numbering.
+    base_version = max(
+        (
+            int(e[1:])
+            for e in os.listdir(admitted_root)
+            if e.startswith("v") and e[1:].isdigit()
+        ),
+        default=0,
+    )
     state = {"batches": 0, "refreshes": 0}
 
     def _refit() -> None:
         state["refreshes"] += 1
         acc = read_front(spark, front)
-        snap = os.path.join(admitted_root, f"v{state['refreshes']:05d}")
+        snap = os.path.join(admitted_root, f"v{base_version + state['refreshes']:05d}")
         refit_fn(acc).write.mode("overwrite").parquet(snap)
         tmp = pointer + ".tmp"
         with open(tmp, "w") as fh:

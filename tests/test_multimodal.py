@@ -668,7 +668,7 @@ def test_jpeg_failure_modes():
         + bytes([1, 0x51, 0, 2, 0x11, 1, 3, 0x11, 1])
         + bytes(good[sof_at + 2 + seglen:])
     )
-    with pytest.raises(ValueError, match="T.81 limits"):
+    with pytest.raises(ValueError, match="T.81 1-4"):
         jpeg_pixels(c5)
 
     # 2-component streams stay a stated seam
@@ -1441,6 +1441,18 @@ def test_jpeg_exotic_sampling_round_trip():
                 assert planes[2][y * w + x] == (d * 23 + mx * 7 + my * 19) % 251 + 2
         ms = synth_jpeg_color(d, (hs, vs), multiscan=True)
         assert jpeg_planes(ms) == (pw, ph, planes)
+
+    # the 10-blocks-per-MCU limit is a SCAN limit (T.81 B.2.3), not a
+    # frame limit: a (4,4) frame (sum 18) decodes when delivered as
+    # non-interleaved scans, and raises only on the interleaved layout
+    big_ms = synth_jpeg_color(3, (4, 4), multiscan=True)
+    pw, ph, planes = jpeg_planes(big_ms)
+    assert (pw, ph) == (16 + 3 % 3 * 8, JPEG_H) and len(planes) == 3
+    for y in range(ph):
+        for x in range(pw):
+            assert planes[0][y * pw + x] == lum(3, x, y)
+    with pytest.raises(ValueError, match="10 .*blocks per MCU|blocks per MCU"):
+        jpeg_planes(synth_jpeg_color(3, (4, 4), multiscan=False))
 
 
 def test_jpeg_lossless_multicomponent_round_trip():

@@ -843,3 +843,28 @@ def test_rewrite_heartbeat_renews_and_aborts_on_loss(spark, tmp_path):
         t2.rewrite(t2.read().limit(0), renew_every=0.01)
     assert lost.beat.is_set()
     assert sorted(r.id for r in t2.read().collect()) == before  # no publish
+
+    class FlakyLease(ConditionalPutLease):
+        """Transient store errors (throttling, network blips) must NOT
+        abort the rewrite — only ConcurrentWriteError means the lease is
+        gone. The first renew throws a generic error; later ones work."""
+
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.calls = 0
+
+        def renew(self, token):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("503 SlowDown")
+            return super().renew(token)
+
+    store2 = InMemoryObjectStore()
+    path2 = str(tmp_path / "flaky")
+    flaky = FlakyLease(store2, path2)
+    t3 = ParquetTable(spark, path2, lease=flaky)
+    t3.write(spark.createDataFrame([(1, "x")], "id long, v string"))
+    t3.rewrite(t3.read(), renew_every=0.01)  # completes despite the blip
+    assert flaky.calls >= 2  # the beater kept beating after the error
+    assert [r.id for r in t3.read().collect()] == [1]
+    assert store2.get(path2 + "/_LOCK.json") is None  # released cleanly

@@ -712,7 +712,7 @@ def test_curation_zero_batch_drain(spark, sf_dir, tmp_path):
 
     # now land real data, drain, then drain AGAIN with nothing new:
     # the prior snapshot stays published and the call reports 0 batches
-    docs.limit(50).coalesce(1).write.mode("append").parquet(str(src))
+    docs.filter("doc_id < 50").coalesce(1).write.mode("append").parquet(str(src))
     stats1 = run_admission_with_refresh(
         spark, stream, lambda df: df, lambda acc: acc, work,
         refresh_every=1, checkpoint=str(tmp_path / "ckpt"),
@@ -731,3 +731,25 @@ def test_curation_zero_batch_drain(spark, sf_dir, tmp_path):
         r.doc_id for r in current_admitted(spark, work).select("doc_id").collect()
     )
     assert after == before and after
+
+    # a LATER drain with new data must publish a NEW version directory,
+    # never overwrite the one the live pointer references in place (the
+    # version counter resumes across drains) — and the old snapshot
+    # stays readable until the pointer flips
+    docs.filter("doc_id >= 50 AND doc_id < 75").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stats3 = run_admission_with_refresh(
+        spark, stream, lambda df: df, lambda acc: acc, work,
+        refresh_every=1, checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert stats3["batches"] == 1
+    assert stats3["admitted"] != stats1["admitted"]
+    assert stats3["admitted"].endswith("v00002")
+    old = sorted(
+        r.doc_id for r in spark.read.parquet(stats1["admitted"]).select("doc_id").collect()
+    )
+    assert old == before  # prior snapshot untouched
+    assert len(
+        set(r.doc_id for r in current_admitted(spark, work).select("doc_id").collect())
+    ) == 75

@@ -16,6 +16,17 @@ Run AFTER changing any oracle/fixture (and before committing):
     python tools/update_oracle_hashes.py            # since = newest CORRECTNESS round + 1
     python tools/update_oracle_hashes.py --round N  # explicit upcoming round
     python tools/update_oracle_hashes.py --bootstrap-since 1  # first-ever snapshot
+    python tools/update_oracle_hashes.py --touch q1 q2  # force re-verification
+
+SCOPE: the fingerprint covers the VERIFICATION SURFACE (oracle SQL —
+which embeds the fixture formulas — or the query callable for
+rows-only queries). It does NOT cover the operator/decoder source the
+query exercises: a decoder rewrite that leaves every oracle unchanged
+is invisible to the hash. That class of change is covered by the unit
+suites, and whoever rewrites a shared decode path must ALSO run
+`--touch` on the already-green queries that exercise it, bumping their
+`since` so the driver re-verifies them end-to-end (r13 did this for
+the four JPEG-path queries after the sampling-gate/lossless rework).
 
 `tests/test_registry_parity.py::test_oracle_hash_snapshot_fresh` fails
 when a registered query's live fingerprint differs from the ledger —
@@ -50,6 +61,10 @@ def main(argv: list[str]) -> int:
                     help="round changed entries take effect (default: newest CORRECTNESS round + 1)")
     ap.add_argument("--bootstrap-since", type=int, default=None,
                     help="'since' for entries NEW to the ledger (first snapshot only)")
+    ap.add_argument("--touch", nargs="*", default=[],
+                    help="queries to force-bump to the upcoming round even though "
+                         "their fingerprint is unchanged (use after rewriting a "
+                         "shared operator/decoder path they exercise)")
     args = ap.parse_args(argv)
 
     sys.path.insert(0, ROOT)
@@ -63,7 +78,11 @@ def main(argv: list[str]) -> int:
     except (OSError, ValueError):
         hashes = {}
 
-    changed, added = [], []
+    unknown = sorted(set(args.touch) - set(registry.QUERIES))
+    if unknown:
+        raise SystemExit(f"--touch names not in the registry: {unknown}")
+
+    changed, added, touched = [], [], []
     out: dict[str, dict] = {}
     for name in sorted(registry.QUERIES):
         fp = registry.oracle_fingerprint(name)
@@ -75,6 +94,9 @@ def main(argv: list[str]) -> int:
         elif prev.get("hash") != fp:
             out[name] = {"hash": fp, "since": next_round}
             changed.append(name)
+        elif name in args.touch:
+            out[name] = {"hash": fp, "since": next_round}
+            touched.append(name)
         else:
             out[name] = prev
     dropped = sorted(set(hashes) - set(out))
@@ -84,8 +106,12 @@ def main(argv: list[str]) -> int:
         f.write("\n")
 
     print(f"round={next_round} entries={len(out)} "
-          f"added={len(added)} changed={len(changed)} dropped={len(dropped)}")
-    for label, names in (("added", added), ("changed", changed), ("dropped", dropped)):
+          f"added={len(added)} changed={len(changed)} "
+          f"touched={len(touched)} dropped={len(dropped)}")
+    for label, names in (
+        ("added", added), ("changed", changed),
+        ("touched", touched), ("dropped", dropped),
+    ):
         for n in names:
             print(f"  {label}: {n}")
     return 0
