@@ -44,10 +44,13 @@ and the POINT TRANSFORM (Al > 0: samples coded at P-Al bits, output
 shifted back up). Extended-sequential SOF1 decodes at
 both of its legal precisions: 8-bit (bitstream-identical to baseline)
 and 12-bit (precision-generic level shift/clamp, Annex F extended
-coefficient categories). Non-integer replication samplings (e.g. 3x1 Y
-against 2x1 chroma), partially interleaved scans, restart-marked or
-interleaved lossless scans, and arithmetic coding stay documented
-NotImplementedError seams, mirroring the PNG codec's depth gates.
+coefficient categories). Sequential subset scans decode in BOTH
+layouts: non-interleaved (one component per scan, A.2.2 grid) and
+PARTIALLY interleaved (2-3 components per scan interleaving inside the
+frame MCU grid, A.2.3). Non-integer replication samplings (e.g. 3x1 Y
+against 2x1 chroma), restart-marked or interleaved lossless scans, and
+arithmetic coding stay documented NotImplementedError seams, mirroring
+the PNG codec's depth gates.
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
 from coefficient patterns whose IDCT is integral — constant blocks
@@ -537,6 +540,7 @@ def assemble_jpeg_color(
     sampling: tuple[int, int] = (2, 2),
     restart_interval: int = 0,
     multiscan: bool = False,
+    partial: bool = False,
 ) -> bytes:
     """Assemble a spec-valid 3-component YCbCr baseline JPEG for ANY of
     the standard chroma layouts — ``sampling`` is Y's (hs, vs) against
@@ -553,7 +557,14 @@ def assemble_jpeg_color(
     geometry this grid is SMALLER than the interleaved one, so a decoder
     iterating the wrong grid desyncs). Per-scan DC predictors; the same
     ``restart_interval`` applies within each scan (RSTn index restarts
-    at 0 per scan)."""
+    at 0 per scan).
+
+    ``partial=True`` emits the PARTIALLY interleaved layout: a Y-only
+    scan (non-interleaved grid) followed by ONE two-component Cb+Cr
+    scan whose MCUs interleave one Cb and one Cr block over the frame
+    MCU grid (T.81 A.2.3 subset-scan interleave)."""
+    if multiscan and partial:
+        raise ValueError("multiscan and partial are mutually exclusive")
     hs, vs = sampling
     mcu_w, mcu_h = len(cb_blocks[0]), len(cb_blocks)
     app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
@@ -584,6 +595,21 @@ def assemble_jpeg_color(
         ):
             scans += _seg(0xFFDA, bytes([1, cid, 0x00, 0, 63, 0]))
             scans += _encode_scan_mcus([[(0, bz)] for bz in grid], restart_interval)
+        return head + scans + b"\xff\xd9"
+    if partial:
+        # Y alone over its non-interleaved grid, then Cb+Cr interleaved
+        # one block each per frame-grid MCU
+        ybw, ybh = (w + 7) // 8, (h + 7) // 8
+        y_grid = [y_blocks[by][bx] for by in range(ybh) for bx in range(ybw)]
+        scans = _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        scans += _encode_scan_mcus([[(0, bz)] for bz in y_grid], restart_interval)
+        cc_mcus = [
+            [(0, cb_blocks[my][mx]), (1, cr_blocks[my][mx])]
+            for my in range(mcu_h)
+            for mx in range(mcu_w)
+        ]
+        scans += _seg(0xFFDA, bytes([2, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        scans += _encode_scan_mcus(cc_mcus, restart_interval)
         return head + scans + b"\xff\xd9"
     sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
     mcus: list[list[tuple[int, list[int]]]] = []
@@ -701,7 +727,8 @@ def _chroma_blocks(
 
 
 def synth_jpeg_color(
-    doc_id: int, sampling: tuple[int, int], multiscan: bool = False
+    doc_id: int, sampling: tuple[int, int], multiscan: bool = False,
+    partial: bool = False,
 ) -> bytes:
     """Deterministic color fixture at ANY standard chroma layout: the
     same luma pattern as every other fixture (shared oracle formula) and
@@ -724,6 +751,7 @@ def synth_jpeg_color(
     return assemble_jpeg_color(
         w, h, _FIXTURE_QT, _FIXTURE_QT_C, y_blocks, cb, cr,
         sampling=sampling, restart_interval=ri, multiscan=multiscan,
+        partial=partial,
     )
 
 
@@ -737,12 +765,17 @@ def synth_jpeg_exotic(doc_id: int) -> bytes:
     """Deterministic EXOTIC-sampling color fixture: the same luma/chroma
     formulas as every color fixture (shared oracle), but the Y sampling
     cycles `EXOTIC_SAMPLINGS` by doc%4 — 3x1, 4:1:1 (4x1), 1x3, and the
-    10-block-MCU maximum 4x2. Half the docs (doc%8 >= 4) ship the
-    NON-interleaved layout (one sequential scan per component) of the
-    same pixels, so both walks are exercised against one formula."""
+    10-block-MCU maximum 4x2. The scan layout cycles by doc%16//4 over
+    all THREE sequential layouts of the same pixels: fully interleaved
+    (0), non-interleaved scan-per-component (1), and PARTIALLY
+    interleaved — a Y-only scan then one Cb+Cr subset scan (2 and 3) —
+    so every walk is exercised against one oracle formula."""
     doc_id = int(doc_id)
     sampling = EXOTIC_SAMPLINGS[doc_id % 4]
-    return synth_jpeg_color(doc_id, sampling, multiscan=(doc_id % 8 >= 4))
+    layout = (doc_id % 16) // 4
+    return synth_jpeg_color(
+        doc_id, sampling, multiscan=(layout == 1), partial=(layout >= 2)
+    )
 
 
 def synth_jpeg_progressive(doc_id: int) -> bytes:
@@ -1520,11 +1553,12 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
     predictors (and the progressive EOB run) reset and the bit reader
     re-aligns at every marker, honoring mid-stream DRI rebinding. Both
     DQT precisions parse (8-bit and 16-bit entries), and color streams
-    decode at every standard chroma layout (4:4:4 / 4:2:2 / 4:4:0 /
-    4:2:0), in interleaved or non-interleaved (scan-per-component)
-    layouts. Raises NotImplementedError on the documented seams
-    (sampling factors outside {1,2}x{1,2}, non-1x1 chroma, partially
-    interleaved scans, other SOF processes) and
+    decode at every integer-replication sampling grid (standard 4:4:4 /
+    4:2:2 / 4:4:0 / 4:2:0 and exotic 3x1 / 4x1 / 1x3 / 4x2), in
+    interleaved, non-interleaved (scan-per-component), or PARTIALLY
+    interleaved (subset-scan) layouts. Raises NotImplementedError on
+    the documented seams (non-integer replication ratios, other SOF
+    processes) and
     ValueError on malformed streams (including a SOS that references an
     undefined quant/Huffman table).
     """
@@ -1777,15 +1811,15 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                 )
                 continue
             if ns != len(comps):
-                if ns != 1:
-                    raise NotImplementedError(
-                        "partially interleaved sequential JPEG not supported"
-                    )
-                # non-interleaved sequential scan: ONE component, full
-                # band, over the component's ceil(comp_size/8) grid
-                # (T.81 A.2.2) — one such scan per component, pixels
-                # accumulate until EOI
-                if len(body) < 1 + 2 + 3:
+                # SUBSET scan (1 <= ns < ncomp): pixels accumulate per
+                # component until EOI. ns == 1 is the non-interleaved
+                # layout over the component's ceil(comp_size/8) grid
+                # (T.81 A.2.2); 1 < ns < ncomp is the PARTIALLY
+                # interleaved layout — the scan's components interleave
+                # by their sampling factors inside the FRAME MCU grid
+                # (A.2.3; the grid dims come from the frame's hmax/vmax,
+                # same as progressive interleaved DC scans).
+                if len(body) < 1 + 2 * ns + 3:
                     raise ValueError("JPEG SOS truncated (component specs short)")
                 if seq_state is None:
                     hmax = max(hs for _, hs, _, _ in comps)
@@ -1803,38 +1837,81 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                     )
                 hmax, vmax, seq_planes, seq_seen = seq_state
                 mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-                cs = body[1]
-                td, ta = body[2] >> 4, body[2] & 0xF
-                match = [i for i, c in enumerate(comps) if c[0] == cs]
-                if not match:
-                    raise ValueError("JPEG SOS references unknown component id")
-                ci = match[0]
-                seq_seen.add(ci)
-                _, hs, vs, tq = comps[ci]
-                if tq not in qts or td not in dcs or ta not in acs:
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                sscan: list[tuple[int, int]] = []  # (comp index, td<<4|ta)
+                for si in range(ns):
+                    cs = body[1 + 2 * si]
+                    tdta = body[2 + 2 * si]
+                    match = [i for i, c in enumerate(comps) if c[0] == cs]
+                    if not match:
+                        raise ValueError("JPEG SOS references unknown component id")
+                    ci = match[0]
+                    td, ta = tdta >> 4, tdta & 0xF
+                    if comps[ci][3] not in qts or td not in dcs or ta not in acs:
+                        raise ValueError(
+                            "JPEG SOS references undefined quant/Huffman table"
+                        )
+                    seq_seen.add(ci)
+                    sscan.append((ci, tdta))
+                if ns > 1 and sum(
+                    comps[ci][1] * comps[ci][2] for ci, _ in sscan
+                ) > 10:
                     raise ValueError(
-                        "JPEG SOS references undefined quant/Huffman table"
+                        f"interleaved JPEG scan exceeds the T.81 limit of 10 "
+                        f"blocks per MCU: "
+                        f"{[(comps[ci][1], comps[ci][2]) for ci, _ in sscan]}"
                     )
-                bw_n, bh_n = _nonint_grid(w, h, hs, vs, hmax, vmax)
-                plane = seq_planes[ci]
-                pred = 0
                 r = _BitReader(raw, pos + 2 + seglen)
                 rst = 0
-                idx = 0
-                for by in range(bh_n):
-                    for bx in range(bw_n):
-                        if restart_interval and idx and idx % restart_interval == 0:
-                            r.restart(rst)
-                            rst = (rst + 1) % 8
-                            pred = 0
-                        idx += 1
-                        px, pred = _decode_block(
-                            r, dcs[td], acs[ta], qts[tq], pred, prec
-                        )
-                        py0, px0 = by * 8, bx * 8
-                        for y in range(8):
-                            row = plane[py0 + y]
-                            row[px0:px0 + 8] = px[y * 8:y * 8 + 8]
+                if ns == 1:
+                    ci, tdta = sscan[0]
+                    td, ta = tdta >> 4, tdta & 0xF
+                    _, hs, vs, tq = comps[ci]
+                    bw_n, bh_n = _nonint_grid(w, h, hs, vs, hmax, vmax)
+                    plane = seq_planes[ci]
+                    pred = 0
+                    idx = 0
+                    for by in range(bh_n):
+                        for bx in range(bw_n):
+                            if restart_interval and idx and idx % restart_interval == 0:
+                                r.restart(rst)
+                                rst = (rst + 1) % 8
+                                pred = 0
+                            idx += 1
+                            px, pred = _decode_block(
+                                r, dcs[td], acs[ta], qts[tq], pred, prec
+                            )
+                            py0, px0 = by * 8, bx * 8
+                            for y in range(8):
+                                row = plane[py0 + y]
+                                row[px0:px0 + 8] = px[y * 8:y * 8 + 8]
+                else:
+                    preds = [0] * ns
+                    mcu_idx = 0
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            if restart_interval and mcu_idx and (
+                                mcu_idx % restart_interval == 0
+                            ):
+                                r.restart(rst)
+                                rst = (rst + 1) % 8
+                                preds = [0] * ns
+                            mcu_idx += 1
+                            for si, (ci, tdta) in enumerate(sscan):
+                                td, ta = tdta >> 4, tdta & 0xF
+                                _, hs, vs, tq = comps[ci]
+                                plane = seq_planes[ci]
+                                for byy in range(vs):
+                                    for bxx in range(hs):
+                                        px, preds[si] = _decode_block(
+                                            r, dcs[td], acs[ta], qts[tq],
+                                            preds[si], prec,
+                                        )
+                                        py0 = (my * vs + byy) * 8
+                                        px0 = (mx * hs + bxx) * 8
+                                        for y in range(8):
+                                            row = plane[py0 + y]
+                                            row[px0:px0 + 8] = px[y * 8:y * 8 + 8]
                 p = r.pos
                 while p + 1 < len(raw) and not (
                     raw[p] == 0xFF

@@ -1205,8 +1205,10 @@ def multimodal_jpeg_exotic_features(spark: SparkSession, sf_dir: str) -> DataFra
     color mix (the walk is sampling-generic), and the chroma means at
     pos 8/9 follow the per-variant cell geometry
     val(x // (8*hs), y // (8*vs)) — a decoder replicating at the wrong
-    ratio or walking the wrong MCU shape cannot match. Half the docs
-    (doc%8 >= 4) ship the non-interleaved layout of the same pixels.
+    ratio or walking the wrong MCU shape cannot match. The scan layout
+    cycles (doc%16//4) over all THREE sequential layouts of the same
+    pixels — fully interleaved, non-interleaved, and PARTIALLY
+    interleaved (Y-only scan + one Cb+Cr subset scan, T.81 A.2.3).
 
     Scale shape: scan → mapInPandas synth → mapInPandas decode →
     posexplode; one id-only shuffle (spread_ids) before synth so decode

@@ -1442,6 +1442,17 @@ def test_jpeg_exotic_sampling_round_trip():
         ms = synth_jpeg_color(d, (hs, vs), multiscan=True)
         assert jpeg_planes(ms) == (pw, ph, planes)
 
+    # PARTIALLY interleaved (Y-only scan + one Cb+Cr subset scan) must
+    # agree with both other layouts — including with restart markers
+    # (d % 6 == 5 puts DRI+RSTn in both scans) and the padded-MCU
+    # width-24 geometry where the Y scan's non-interleaved grid differs
+    # from the frame MCU grid
+    for d, (hs, vs) in [(2, (3, 1)), (7, (4, 1)), (5, (1, 3)), (11, (4, 2)),
+                        (1, (2, 2)), (9, (2, 1)), (17, (1, 1)), (23, (2, 2))]:
+        il = jpeg_planes(synth_jpeg_color(d, (hs, vs)))
+        pt = jpeg_planes(synth_jpeg_color(d, (hs, vs), partial=True))
+        assert pt == il, (d, hs, vs)
+
     # the 10-blocks-per-MCU limit is a SCAN limit (T.81 B.2.3), not a
     # frame limit: a (4,4) frame (sum 18) decodes when delivered as
     # non-interleaved scans, and raises only on the interleaved layout
