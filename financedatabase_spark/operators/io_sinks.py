@@ -366,12 +366,32 @@ class ParquetTable:
         heartbeat thread then re-stamps the lease while the write runs.
         A heartbeat that finds the lease broken records the loss and the
         rewrite raises `ConcurrentWriteError` BEFORE the pointer swap —
-        losing exclusivity mid-write must abort, never publish."""
+        losing exclusivity mid-write must abort, never publish.
+
+        **Commit-point re-validation.** Heartbeats alone cannot fence
+        the commit: if the lease store is unreachable for longer than
+        ``stale_after`` while the parquet write runs, the lease goes
+        stale without the beater ever observing a 412, a competing
+        writer legitimately breaks and re-takes it, and both would
+        publish. Two guards close this: (a) the beater records the
+        monotonic time of each successful renew, and the commit refuses
+        when the last one is older than ``stale_after`` (the lease may
+        have been broken during the blackout, whether or not a 412 was
+        seen); (b) a SYNCHRONOUS ``lease.renew`` runs immediately before
+        the pointer swap — on a CAS lease this proves exclusivity at the
+        commit point, on `DirectoryLease` it re-checks the owner file
+        (its check-then-stamp TOCTOU residue is documented there)."""
         import shutil
         import threading
 
+        if renew_every is not None and renew_every >= stale_after:
+            raise ValueError(
+                f"renew_every ({renew_every}s) must be < stale_after "
+                f"({stale_after}s), or the lease goes stale between beats; "
+                f"use stale_after/4 or faster"
+            )
         lock = self._acquire_lock(stale_after)
-        cell = {"token": lock, "lost": None}
+        cell = {"token": lock, "lost": None, "renewed_at": time.monotonic()}
         stop = threading.Event()
         beater = None
         if renew_every is not None:
@@ -379,6 +399,7 @@ class ParquetTable:
                 while not stop.wait(renew_every):
                     try:
                         cell["token"] = self.lease.renew(cell["token"])
+                        cell["renewed_at"] = time.monotonic()
                     except ConcurrentWriteError as exc:
                         # ONLY this means exclusivity is gone (the lease
                         # was broken and re-taken) — record and stop.
@@ -390,7 +411,10 @@ class ParquetTable:
                         # with the same token and retry next interval. A
                         # renewal that actually landed server-side but
                         # lost its response surfaces as a 412 on the
-                        # NEXT beat and is handled above.
+                        # NEXT beat and the lease disambiguates it by
+                        # owner (ConditionalPutLease.renew). An outage
+                        # longer than stale_after is caught by the
+                        # commit-point fence below — not here.
                         continue
 
             beater = threading.Thread(target=_beat, daemon=True)
@@ -408,11 +432,31 @@ class ParquetTable:
                 w = w.partitionBy(*self.partition_by)
             w.parquet(new_dir)
 
+            # The data write is done; quiesce the heartbeat so the
+            # commit-point re-validation cannot race it on the token.
+            stop.set()
+            if beater is not None:
+                beater.join()
             if cell["lost"] is not None:
                 raise ConcurrentWriteError(
                     f"rewrite of {self.path} lost its lease mid-write; "
                     f"aborting before the commit point"
                 ) from cell["lost"]
+            if time.monotonic() - cell["renewed_at"] > stale_after:
+                # Self-fence: the lease store was unreachable for longer
+                # than the staleness horizon, so another writer may have
+                # legitimately broken and re-taken the lease without this
+                # process ever observing a 412. Exclusivity is unproven;
+                # abort rather than risk a torn publish.
+                raise ConcurrentWriteError(
+                    f"rewrite of {self.path}: no successful lease renewal "
+                    f"within stale_after ({stale_after}s); exclusivity "
+                    f"unproven at the commit point — aborting, not publishing"
+                )
+            # Synchronous re-validation at the commit point: a CAS lease
+            # proves exclusivity right here; DirectoryLease re-checks the
+            # owner file (narrower residual window, documented there).
+            cell["token"] = self.lease.renew(cell["token"])
             tmp = self._pointer() + ".tmp"
             with open(tmp, "w") as f:
                 f.write(new_name)

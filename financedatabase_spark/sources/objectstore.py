@@ -140,6 +140,25 @@ class ConditionalPutLease:
         try:
             new_etag = self.client.put(key, self._body(), if_match=etag)
         except PreconditionFailedError:
+            # A renew whose conditional PUT landed server-side but lost
+            # its RESPONSE leaves the held token's etag one generation
+            # behind: the next beat 412s even though exclusivity was
+            # never lost. Disambiguate by reading the lease back — if
+            # the stored owner is still this writer, the mismatched
+            # etag was our own successful write, so adopt the current
+            # etag and keep the hold (a breaker arriving after this GET
+            # still loses: our next CAS at the adopted etag 412s with
+            # THEIR owner and aborts). Any other owner, or a vanished
+            # lease, means it was genuinely broken and re-taken.
+            cur = self.client.get(key)
+            if cur is not None:
+                body, cur_etag = cur
+                try:
+                    owner = json.loads(body).get("owner")
+                except (ValueError, TypeError, AttributeError):
+                    owner = None
+                if owner == self._owner:
+                    return (key, cur_etag)
             raise ConcurrentWriteError(
                 f"rewrite lease on {key} was broken by another writer during "
                 f"the hold — abort, do not publish"

@@ -439,12 +439,17 @@ def test_pluggable_table_lease(spark, tmp_path):
         ParquetTable,
     )
 
-    calls = {"acquire": 0, "release": 0}
+    calls = {"acquire": 0, "release": 0, "renew": 0}
 
     class RecordingLease:
         def acquire(self, stale_after: float = 3600.0) -> object:
             calls["acquire"] += 1
             return "token-1"
+
+        def renew(self, token: object) -> object:
+            assert token == "token-1"
+            calls["renew"] += 1
+            return token
 
         def release(self, token: object) -> None:
             assert token == "token-1"
@@ -455,7 +460,8 @@ def test_pluggable_table_lease(spark, tmp_path):
     t = ParquetTable(spark, path, lease=RecordingLease())
     t.write(df)
     t.rewrite(t.read().filter("id = 1"))
-    assert calls == {"acquire": 1, "release": 1}
+    # renew == 1 is the commit-point re-validation (no heartbeat here)
+    assert calls == {"acquire": 1, "release": 1, "renew": 1}
     assert [r.id for r in t.read().collect()] == [1]
     # no DirectoryLease artifacts: the custom lease fully replaced it
     import os
@@ -868,3 +874,123 @@ def test_rewrite_heartbeat_renews_and_aborts_on_loss(spark, tmp_path):
     assert flaky.calls >= 2  # the beater kept beating after the error
     assert [r.id for r in t3.read().collect()] == [1]
     assert store2.get(path2 + "/_LOCK.json") is None  # released cleanly
+
+
+def test_rewrite_commit_point_revalidates_lease(spark, tmp_path):
+    """Breaking the lease BETWEEN write-complete and commit must abort
+    the publish: the synchronous commit-point renew (run even without a
+    heartbeat) proves exclusivity right before the pointer swap. The
+    lease here renews fine during any heartbeat but is broken by the
+    time the commit-point call arrives — rewrite must raise and leave
+    the committed snapshot untouched."""
+    from financedatabase_spark.operators.io_sinks import (
+        ConcurrentWriteError,
+        ParquetTable,
+    )
+
+    class BrokenAtCommitLease:
+        def acquire(self, stale_after: float = 3600.0) -> object:
+            return "tok"
+
+        def renew(self, token: object) -> object:
+            # the one and only renew call IS the commit-point one
+            # (renew_every is None below) — simulate a breaker having
+            # re-taken the lease while the parquet write ran
+            raise ConcurrentWriteError("lease re-taken before the commit")
+
+        def release(self, token: object) -> None:
+            pass
+
+    path = str(tmp_path / "commitfence")
+    t = ParquetTable(spark, path, lease=BrokenAtCommitLease())
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    before = sorted(r.id for r in t.read().collect())
+    with pytest.raises(ConcurrentWriteError, match="re-taken"):
+        t.rewrite(t.read().limit(0))
+    assert sorted(r.id for r in t.read().collect()) == before  # no publish
+
+
+def test_rewrite_self_fence_on_renewal_blackout(spark, tmp_path):
+    """If the lease store is unreachable for longer than stale_after
+    while the write runs, NO 412 is ever observed — but the lease may
+    have been legitimately broken and re-taken. The commit must refuse
+    when the last successful renewal is older than stale_after, even
+    though the beater never reported a loss."""
+    from financedatabase_spark.operators.io_sinks import (
+        ConcurrentWriteError,
+        ParquetTable,
+    )
+
+    class UnreachableStoreLease:
+        def acquire(self, stale_after: float = 3600.0) -> object:
+            return "tok"
+
+        def renew(self, token: object) -> object:
+            raise RuntimeError("503 SlowDown: store unreachable")
+
+        def release(self, token: object) -> None:
+            pass
+
+    path = str(tmp_path / "blackout")
+    t = ParquetTable(spark, path, lease=UnreachableStoreLease())
+    t.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    # stale_after far below the parquet-write wall time: every beat
+    # errors transiently, renewed_at never advances past acquire, and
+    # the commit-point fence must fire with exclusivity unproven
+    with pytest.raises(ConcurrentWriteError, match="exclusivity unproven"):
+        t.rewrite(t.read(), stale_after=0.05, renew_every=0.01)
+    assert [r.id for r in t.read().collect()] == [1]  # no publish
+
+
+def test_rewrite_renew_every_must_beat_stale_after(spark, tmp_path):
+    """renew_every >= stale_after guarantees the lease goes stale
+    between beats — rejected up front, before any lock or write."""
+    from financedatabase_spark.operators.io_sinks import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "cfg"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(ValueError, match="renew_every"):
+        t.rewrite(df, stale_after=60.0, renew_every=60.0)
+    with pytest.raises(ValueError, match="renew_every"):
+        t.rewrite(df, stale_after=60.0, renew_every=120.0)
+
+
+def test_condput_renew_lost_response_adopts_etag():
+    """A renew whose conditional PUT lands server-side but loses its
+    response leaves the token one etag behind. The NEXT renew's 412
+    must be disambiguated by owner: still-ours -> adopt the stored etag
+    and keep the hold (no spurious abort); another owner -> abort."""
+    import json
+
+    from financedatabase_spark.operators.io_sinks import ConcurrentWriteError
+    from financedatabase_spark.sources.objectstore import (
+        ConditionalPutLease,
+        InMemoryObjectStore,
+    )
+
+    store = InMemoryObjectStore()
+    holder = ConditionalPutLease(store, "s3://b/t")
+    tok = holder.acquire()
+
+    # simulate the lost response: re-stamp the lease with the HOLDER'S
+    # own body (what the dropped renew wrote server-side) so the store
+    # etag advances while the held token stays at the old one
+    body, etag = store.get(holder.key)
+    store.put(holder.key, holder._body(), if_match=etag)
+    assert store.get(holder.key)[1] != tok[1]  # token now stale
+
+    tok2 = holder.renew(tok)  # 412 -> GET -> owner matches -> adopt
+    assert tok2[1] == store.get(holder.key)[1]
+    tok3 = holder.renew(tok2)  # and the adopted etag renews normally
+    assert json.loads(store.get(holder.key)[0])["owner"] == holder._owner
+
+    # genuinely broken: another writer's lease at the key -> abort
+    other = ConditionalPutLease(store, "s3://b/t")
+    body, etag = store.get(holder.key)
+    store.put(holder.key, other._body(), if_match=etag)
+    with pytest.raises(ConcurrentWriteError):
+        holder.renew(tok3)
+    # vanished lease (released + deleted under us) -> also abort
+    store.delete(holder.key)
+    with pytest.raises(ConcurrentWriteError):
+        holder.renew(tok3)
