@@ -1851,6 +1851,20 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                         raise ValueError(
                             "JPEG SOS references undefined quant/Huffman table"
                         )
+                    # T.81 B.2.3: the Csj in one scan must be distinct, and
+                    # in sequential DCT each component belongs to exactly
+                    # one scan — a duplicate would decode the same plane
+                    # twice with independent DC predictors; reject loudly
+                    if any(ci == prev_ci for prev_ci, _ in sscan):
+                        raise ValueError(
+                            f"JPEG SOS lists component id {cs} twice in one "
+                            f"scan (T.81 B.2.3 requires distinct Csj)"
+                        )
+                    if ci in seq_seen:
+                        raise ValueError(
+                            f"JPEG SOS re-scans component id {cs} already "
+                            f"decoded by an earlier sequential scan"
+                        )
                     seq_seen.add(ci)
                     sscan.append((ci, tdta))
                 if ns > 1 and sum(

@@ -337,7 +337,13 @@ def _decode_ima_adpcm(data: bytes, block_align: int, samples_per_block: int) -> 
     for boff in range(0, len(data), block_align):
         block = data[boff:boff + block_align]
         if len(block) < 4:
-            break
+            # a tail too short to even hold the block header cannot be a
+            # final short block (those still carry the 4-byte seed) — the
+            # stream was truncated mid-header; fail loud, don't drop it
+            raise ValueError(
+                f"IMA ADPCM data truncated: {len(block)}-byte tail at "
+                f"offset {boff} is shorter than the 4-byte block header"
+            )
         pred, index = struct.unpack_from("<hB", block, 0)
         if index > 88:
             raise ValueError(f"IMA ADPCM step index {index} out of range")
@@ -428,7 +434,13 @@ def _decode_ms_adpcm(
     for boff in range(0, len(data), block_align):
         block = data[boff:boff + block_align]
         if len(block) < 7:
-            break
+            # the 7-byte header (coef selector, iDelta, two seed samples)
+            # is mandatory in every block including a final short one — a
+            # shorter tail is a truncated stream; fail loud, don't drop it
+            raise ValueError(
+                f"MS ADPCM data truncated: {len(block)}-byte tail at "
+                f"offset {boff} is shorter than the 7-byte block header"
+            )
         ci = block[0]
         if ci >= len(coefs):
             raise ValueError(

@@ -726,6 +726,37 @@ def test_jpeg_truncated_segments_raise_valueerror():
         jpeg_pixels(p)
 
 
+def test_jpeg_duplicate_scan_component_rejected():
+    """T.81 B.2.3 requires distinct Csj within one scan, and sequential
+    DCT assigns each component to exactly one scan — a malformed stream
+    that lists a component twice (or re-scans an already-decoded one)
+    must raise, not decode the same plane twice with independent DC
+    predictors."""
+    from financedatabase_spark.operators.jpeg import jpeg_planes, synth_jpeg_color
+
+    # partially interleaved layout: the Cb+Cr scan header is
+    # FFDA len=10 [ns=2, (2, tdta), (3, tdta), ss, se, ahal]
+    good = synth_jpeg_color(2, (2, 2), partial=True)
+    assert jpeg_planes(good)  # the pristine fixture decodes
+    cc_sos = b"\xff\xda\x00\x0a\x02\x02\x00\x03\x00\x00\x3f\x00"
+    at = good.index(cc_sos)
+    dup = bytearray(good)
+    dup[at + 7] = 2  # component ids become (2, 2): duplicate Csj
+    with pytest.raises(ValueError, match="twice in one scan"):
+        jpeg_planes(bytes(dup))
+
+    # non-interleaved layout: three one-component scans (cids 1,2,3);
+    # rewriting the second scan's cid to 1 re-scans component 1
+    good = synth_jpeg_color(2, (2, 2), multiscan=True)
+    assert jpeg_planes(good)
+    scan2 = b"\xff\xda\x00\x08\x01\x02\x00\x00\x3f\x00"
+    at = good.index(scan2)
+    rescan = bytearray(good)
+    rescan[at + 5] = 1  # cid 2 -> 1, already decoded by scan 1
+    with pytest.raises(ValueError, match="re-scans component"):
+        jpeg_planes(bytes(rescan))
+
+
 def test_jpeg_progressive_round_trip():
     """Progressive (SOF2) fixtures must decode to EXACTLY the pixels of
     the baseline container carrying the same quantized coefficients —
@@ -1253,6 +1284,38 @@ def test_wav_ms_adpcm_round_trip():
         payload = synth_wav_msadpcm(d)
         assert wav_decode(payload) == want
         assert len(payload) == 97 + k  # 40 container + 50 fmt + 7 + k
+
+
+def test_adpcm_truncated_block_raises():
+    """A data chunk whose tail is shorter than the block HEADER is a
+    truncated stream, not a short final block — both stateful block
+    codecs must fail loud instead of silently dropping the tail (the
+    fail-loud posture the rest of the codec tier follows)."""
+    from financedatabase_spark.operators.multimodal import (
+        MS_COEFS,
+        _decode_ima_adpcm,
+        _decode_ms_adpcm,
+    )
+
+    # one exactly-full IMA block (align 8: 4-byte header + 4 nibble
+    # bytes) decodes; the same stream cut 3 bytes into the next block's
+    # header must raise the named truncation error
+    full = bytes([0, 0, 0, 0, 0x21, 0x43, 0x65, 0x87])
+    assert len(_decode_ima_adpcm(full, 8, 9)) == 9
+    for tail in range(1, 4):
+        with pytest.raises(ValueError, match="IMA ADPCM data truncated"):
+            _decode_ima_adpcm(full + full[:tail], 8, 9)
+    # a short-but-complete final block (header + fewer nibble bytes)
+    # still decodes: samples_per_block caps emission, no error
+    assert len(_decode_ima_adpcm(full + full[:6], 8, 9)) == 9 + 5
+
+    # same contract for MS ADPCM (7-byte header, align 9)
+    msfull = bytes([0]) + b"\x10\x00\x01\x00\x02\x00" + bytes([0x10, 0x32])
+    assert len(_decode_ms_adpcm(msfull, 9, 6, MS_COEFS)) == 6
+    for tail in range(1, 7):
+        with pytest.raises(ValueError, match="MS ADPCM data truncated"):
+            _decode_ms_adpcm(msfull + msfull[:tail], 9, 6, MS_COEFS)
+    assert len(_decode_ms_adpcm(msfull + msfull[:8], 9, 6, MS_COEFS)) == 6 + 4
 
 
 def test_jpeg_lossless_round_trip_all_predictors():
