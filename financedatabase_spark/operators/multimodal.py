@@ -9,8 +9,10 @@ contract (schema, batch iteration, partition sizing) is real and tested.
 Codecs: audio (RIFF/WAVE) decodes for real via the stdlib `wave` module
 plus a non-PCM RIFF fallback (`wav_decode` — every PCM width
 u8/int16/int24/int32 multi-channel mono-mixed, IEEE float32/64, G.711
-mu-law/A-law expansions bit-identical to audioop, and mono IMA and
-MICROSOFT ADPCM block decodes); video (RIFF/AVI: uncompressed 24-bit DIB and MJPEG
+mu-law/A-law expansions bit-identical to audioop, mono IMA and
+MICROSOFT ADPCM block decodes, and GSM 06.10 full-rate RPE-LTP —
+the complete ETSI decode chain in pure integer arithmetic); video
+(RIFF/AVI: uncompressed 24-bit DIB and MJPEG
 frames) decodes for real via a pure-stdlib chunk walker (`avi_decode`),
 with compressed formats (mp4/h264, webm) routed through the optional
 PyAV seam (`pyav_video_decode`); PNG decodes for real via a pure-stdlib
@@ -20,9 +22,9 @@ JPEG decodes for real via `operators/jpeg.py` (baseline, extended
 sequential incl. 12-bit, progressive, and lossless SOF3 at 2-16 bits),
 with Pillow as the optional general-image fallback (`pil_decode`). The
 remaining documented NotImplementedError seams are the genuinely
-library-bound ones: GSM audio, arithmetic-coded JPEG, and
-compressed video without PyAV — every modality's container plumbing is
-exercised by a real codec, not a fake.
+library-bound ones: arithmetic-coded JPEG and compressed video without
+PyAV — every modality's container plumbing is exercised by a real
+codec, not a fake.
 
 Scale notes: binary payloads make wide rows — `maxPartitionBytes` governs
 scan parallelism, and mapInPandas keeps peak memory at one Arrow batch per
@@ -468,6 +470,263 @@ def _decode_ms_adpcm(
     return out
 
 
+#: GSM 06.10 full-rate (WAV format tag 49) public spec tables — ETSI
+#: EN 300 961 (RPE-LTP); identical constants in every implementation
+#: (libgsm/sox/ffmpeg). FAC = normalized xmax mantissa factors, QLB =
+#: quantized LTP gain levels, and the LAR quantizer's MIC/B/INVA rows.
+GSM_FAC = [18431, 20479, 22527, 24575, 26623, 28671, 30719, 32767]
+GSM_QLB = [3277, 11469, 21299, 32767]
+GSM_LAR_MIC = [-32, -32, -16, -16, -8, -8, -4, -4]
+GSM_LAR_B = [0, 0, 2048, -2560, 94, -1792, -341, -1144]
+GSM_LAR_INVA = [13107, 13107, 13107, 13107, 19223, 17476, 31454, 29708]
+#: transmitted LARc bit widths (6,6,5,5,4,4,3,3) — 36 bits, then 4
+#: subframes x (Nc 7, bc 2, Mc 2, xmaxc 6, 13 x xmc 3) = 56 -> 260 bits
+GSM_LAR_BITS = [6, 6, 5, 5, 4, 4, 3, 3]
+
+
+def _gsm_add(a: int, b: int) -> int:
+    """Saturating 16-bit add (ETSI 06.10 §3.1.1 GSM_ADD)."""
+    return max(-32768, min(32767, a + b))
+
+
+def _gsm_mult_r(a: int, b: int) -> int:
+    """Rounded fixed-point multiply (GSM_MULT_R): (a*b + 16384) >> 15
+    with the spec's single special case mult_r(-32768, -32768) = 32767.
+    Python's ``>>`` floors, matching the arithmetic shift."""
+    if a == -32768 and b == -32768:
+        return 32767
+    return (a * b + 16384) >> 15
+
+
+def _gsm_larc_to_larpp(larc: list[int]) -> list[int]:
+    """Decode the 8 transmitted LAR codes to LARpp (§3.1.7): add the
+    MIC offset, scale by 2^10, subtract 2*B, multiply by INVA, double.
+    Every step saturating 16-bit."""
+    out = []
+    for i in range(8):
+        t = _gsm_add(larc[i], GSM_LAR_MIC[i]) << 10  # fits 16 bits exactly
+        t = _gsm_add(t, -(GSM_LAR_B[i] << 1))  # GSM_SUB
+        t = _gsm_mult_r(GSM_LAR_INVA[i], t)
+        out.append(_gsm_add(t, t))
+    return out
+
+
+def _gsm_larp_to_rp(larp: int) -> int:
+    """LARp -> reflection coefficient (§3.1.8): piecewise companding,
+    |rp| = 2L below 11059, L+11059 below 20070, else sat(L/4 + 26112)."""
+    neg = larp < 0
+    t = 32767 if larp == -32768 else abs(larp)
+    if t < 11059:
+        v = t << 1
+    elif t < 20070:
+        v = t + 11059
+    else:
+        v = _gsm_add(t >> 2, 26112)
+    return -v if neg else v
+
+
+#: short-term LAR interpolation zones over each 160-sample frame
+#: (§3.1.7): (start, end, mix) where mix(old, new) uses floor shifts
+_GSM_ZONES = (
+    (0, 13, lambda o, n: _gsm_add(_gsm_add(o >> 2, n >> 2), o >> 1)),
+    (13, 27, lambda o, n: _gsm_add(o >> 1, n >> 1)),
+    (27, 40, lambda o, n: _gsm_add(_gsm_add(o >> 2, n >> 2), n >> 1)),
+    (40, 160, lambda o, n: n),
+)
+
+
+def _gsm_apcm_dequant(xmaxc: int, xmcs: list[int]) -> list[int]:
+    """APCM inverse quantization (§3.1.16): split xmaxc into
+    exponent/mantissa (normalizing small mantissas), then expand each
+    3-bit code via xmp = asr(mult_r(FAC[mant], (2*xmc - 7) << 12) +
+    2^(temp2-1), temp2)."""
+    exp = (xmaxc >> 3) - 1 if xmaxc > 15 else 0
+    mant = xmaxc - (exp << 3)
+    if mant == 0:
+        exp, mant = -4, 7
+    else:
+        while mant <= 7:
+            mant = (mant << 1) | 1
+            exp -= 1
+        mant -= 8
+    fac = GSM_FAC[mant]
+    temp2 = 6 - exp
+    temp3 = (1 << (temp2 - 1)) if temp2 > 0 else 0
+    out = []
+    for xmc in xmcs:
+        t = _gsm_mult_r(fac, ((xmc << 1) - 7) << 12)
+        out.append(_gsm_add(t, temp3) >> temp2)
+    return out
+
+
+class _GsmState:
+    """Decoder state that persists across frames: the 120-sample LTP
+    history ring, the 9-node lattice vector, the de-emphasis register,
+    the previous frame's LARpp (zone interpolation) and the previous
+    valid LTP lag (fallback for out-of-range Nc)."""
+
+    def __init__(self) -> None:
+        self.hist: list[int] = [0] * 120
+        self.v: list[int] = [0] * 9
+        self.msr = 0
+        self.larpp_prev: list[int] = [0] * 8
+        self.nrp = 40
+
+
+def _gsm_decode_frame(state: _GsmState, larc: list[int],
+                      subs: list[tuple[int, int, int, int, list[int]]]) -> list[int]:
+    """Decode one 160-sample GSM 06.10 frame given its unpacked
+    parameters (§3.1.15-3.1.21): per subframe RPE dequant + grid
+    positioning + long-term synthesis, then the frame-wide short-term
+    lattice (LAR interpolation over 4 zones) and de-emphasis with
+    upscale/truncate. ``subs`` is [(Nc, bc, Mc, xmaxc, xmc[13])] x 4."""
+    wt: list[int] = []
+    for nc, bc, mc, xmaxc, xmcs in subs:
+        xmp = _gsm_apcm_dequant(xmaxc, xmcs)
+        erp = [0] * 40
+        for i, val in enumerate(xmp):
+            erp[mc + 3 * i] = val
+        nr = nc if 40 <= nc <= 120 else state.nrp
+        state.nrp = nr
+        brp = GSM_QLB[bc]
+        for k in range(40):
+            drp = _gsm_add(erp[k], _gsm_mult_r(brp, state.hist[-nr]))
+            state.hist.append(drp)
+            wt.append(drp)
+    del state.hist[:-120]
+
+    larpp = _gsm_larc_to_larpp(larc)
+    out = []
+    v = state.v
+    for k0, k1, mix in _GSM_ZONES:
+        rp = [_gsm_larp_to_rp(mix(state.larpp_prev[i], larpp[i])) for i in range(8)]
+        for k in range(k0, k1):
+            sri = wt[k]
+            for i in range(7, -1, -1):
+                sri = _gsm_add(sri, -_gsm_mult_r(rp[i], v[i]))
+                v[i + 1] = _gsm_add(v[i], _gsm_mult_r(rp[i], sri))
+            v[0] = sri
+            msr = _gsm_add(sri, _gsm_mult_r(state.msr, 28180))
+            state.msr = msr
+            out.append(_gsm_add(msr, msr) & ~7)
+    state.larpp_prev = larpp
+    return out
+
+
+class _MSBReader:
+    """MSB-first bit reader over a bytes buffer (GSM frame packing)."""
+
+    def __init__(self, buf: bytes, pos: int = 0) -> None:
+        self.buf = buf
+        self.pos = pos
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | ((self.buf[self.pos >> 3] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+def _gsm_unpack_frame(r: _MSBReader) -> tuple[list[int], list]:
+    larc = [r.read(b) for b in GSM_LAR_BITS]
+    subs = []
+    for _ in range(4):
+        nc, bc, mc, xmaxc = r.read(7), r.read(2), r.read(2), r.read(6)
+        subs.append((nc, bc, mc, xmaxc, [r.read(3) for _ in range(13)]))
+    return larc, subs
+
+
+def _decode_gsm(data: bytes, block_align: int, samples_per_block: int) -> list[int]:
+    """Expand mono GSM 06.10 blocks (WAV format tag 49): each 65-byte
+    block packs TWO 260-bit RPE-LTP frames MSB-first back to back
+    (2 x 160 = 320 samples). Decoder state (LTP history, lattice,
+    de-emphasis, previous LARpp) is continuous across frames and
+    blocks, per the spec — a GSM stream is one session, not independent
+    blocks. A tail shorter than block_align is a truncated stream and
+    raises (blocks are fixed-size; there is no short final block)."""
+    if block_align * 8 < 520:
+        raise ValueError(
+            f"GSM block_align {block_align} cannot hold two 260-bit frames"
+        )
+    out: list[int] = []
+    state = _GsmState()
+    for boff in range(0, len(data), block_align):
+        block = data[boff:boff + block_align]
+        if len(block) < block_align:
+            raise ValueError(
+                f"GSM data truncated: {len(block)}-byte tail at offset "
+                f"{boff} is shorter than the {block_align}-byte block"
+            )
+        r = _MSBReader(block)
+        emitted = 0
+        for _ in range(2):
+            larc, subs = _gsm_unpack_frame(r)
+            frame = _gsm_decode_frame(state, larc, subs)
+            take = min(160, samples_per_block - emitted)
+            out.extend(frame[:take])
+            emitted += take
+    return out
+
+
+class _MSBWriter:
+    """MSB-first bit writer (fixture assembly twin of `_MSBReader`)."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def write(self, val: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((val >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i:i + 8]:
+                b = (b << 1) | bit
+            b <<= (8 - min(8, len(self.bits) - i))
+            out.append(b)
+        return bytes(out)
+
+
+def synth_wav_gsm(doc_id: int) -> bytes:
+    """Deterministic GSM 06.10 (WAV format tag 49) fixture: mono, ONE
+    65-byte block = two 260-bit frames = 320 samples. Both frames share
+    the doc's LAR codes LARc[i] = (doc_id * P[i]) % R[i] with
+    P = (17, 29, 13, 7, 11, 23, 5, 3) over the transmitted ranges
+    R = (64, 64, 32, 32, 16, 16, 8, 8); per global subframe j = 0..7:
+    Nc = 40 + (doc_id*5 + j*17) % 81 (every legal lag), bc =
+    (doc_id + j) % 4 (all four QLB gains), Mc = (doc_id*3 + j) % 4
+    (all grids), xmaxc = 16 + (doc_id*7 + j*11) % 48 (exponent 1..6,
+    mantissa field unnormalized — the closed-form dequant regime the
+    oracle mirrors; sub-16 xmaxc normalization is unit-tested
+    separately), xmc[i] = (doc_id*11 + j*7 + i*5) % 8 (all codes).
+    The fmt chunk is the spec-faithful tag-49 form: wBitsPerSample 0,
+    block_align 65, cbSize=2 extension carrying samplesPerBlock=320,
+    plus a fact chunk."""
+    doc_id = int(doc_id)
+    larc = [(doc_id * p) % (1 << b) for p, b in zip(
+        (17, 29, 13, 7, 11, 23, 5, 3), GSM_LAR_BITS)]
+    w = _MSBWriter()
+    for f in range(2):
+        for val, bits in zip(larc, GSM_LAR_BITS):
+            w.write(val, bits)
+        for s in range(4):
+            j = 4 * f + s
+            w.write(40 + (doc_id * 5 + j * 17) % 81, 7)
+            w.write((doc_id + j) % 4, 2)
+            w.write((doc_id * 3 + j) % 4, 2)
+            w.write(16 + (doc_id * 7 + j * 11) % 48, 6)
+            for i in range(13):
+                w.write((doc_id * 11 + j * 7 + i * 5) % 8, 3)
+    data = w.tobytes()
+    assert len(data) == 65
+    rate = 8000
+    fmt = struct.pack("<HHIIHHHH", 0x31, 1, rate, rate * 65 // 320, 65, 0, 2, 320)
+    return _riff_nonpcm(fmt, 320, data)
+
+
 def _parse_nonpcm_wav(raw: bytes) -> tuple[list, int, int]:
     """RIFF fallback for formats stdlib `wave` rejects: walks the chunk
     stream (skipping fact/LIST/etc.), reads the fmt tag, and decodes
@@ -522,12 +781,20 @@ def _parse_nonpcm_wav(raw: bytes) -> tuple[list, int, int]:
         coefs = [struct.unpack_from("<hh", fmt, 22 + 4 * i) for i in range(ncoef)]
         samples = _decode_ms_adpcm(data, ba, spb, coefs)
         return samples, len(samples), 1
+    if tag == 0x31:  # GSM 06.10 full-rate (WAV49)
+        if ch != 1:
+            raise NotImplementedError("only mono GSM 06.10 supported")
+        if len(fmt) < 20:
+            raise ValueError("GSM fmt chunk missing samplesPerBlock")
+        (spb,) = struct.unpack_from("<H", fmt, 18)
+        samples = _decode_gsm(data, ba, spb)
+        return samples, len(samples), 1
     if tag != 3:
         raise NotImplementedError(
             f"WAV format tag {tag} not supported (PCM=1 via stdlib wave; "
-            f"IEEE float=3, A-law=6, mu-law=7, MS ADPCM=2, IMA ADPCM=17 "
-            f"here; other compressed tags — GSM=49, mp3-in-WAV=85 — need "
-            f"an audio library)"
+            f"IEEE float=3, A-law=6, mu-law=7, MS ADPCM=2, IMA ADPCM=17, "
+            f"GSM 06.10=49 here; other compressed tags — mp3-in-WAV=85 — "
+            f"need an audio library)"
         )
     if bits == 32:
         count = len(data) // 4

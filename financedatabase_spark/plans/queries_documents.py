@@ -1505,6 +1505,195 @@ def multimodal_msadpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gsm_oracle_sql() -> str:
+    """Build the GSM 06.10 oracle: a recursive CTE that re-runs the
+    ENTIRE RPE-LTP decode chain (ETSI EN 300 961) sample by sample in
+    SQL — APCM inverse quantization, RPE grid positioning, long-term
+    synthesis against a 120-sample history list, the 8-stage short-term
+    lattice (reflection coefficients precomputed per interpolation
+    zone in the ``rp`` CTE), de-emphasis, and the upscale/truncate —
+    using DuckDB's ARITHMETIC ``>>`` everywhere the spec's SASR/MULT_R
+    floor-shifts appear (``//`` truncates toward zero and would differ
+    on negatives). Generated programmatically: the lattice unrolls into
+    8 nested subquery layers so text growth stays linear."""
+    from financedatabase_spark.operators.multimodal import (
+        GSM_LAR_B,
+        GSM_LAR_INVA,
+        GSM_LAR_MIC,
+    )
+
+    mults, rng = (17, 29, 13, 7, 11, 23, 5, 3), (64, 64, 32, 32, 16, 16, 8, 8)
+
+    def sat(x: str) -> str:
+        return f"greatest(-32768, least(32767, {x}))"
+
+    def mult_r(a: str, b: str) -> str:
+        # the spec's mult_r(-32768, -32768) special case cannot fire
+        # here: rp > -32768 always and brp/INVA/FAC/28180 are positive
+        return sat(f"((({a}) * ({b}) + 16384) >> 15)")
+
+    def larpp(i: int) -> str:
+        larc = f"((doc_id * {mults[i]}) % {rng[i]})"
+        x = sat(f"({larc} + {GSM_LAR_MIC[i]}) * 1024 - {2 * GSM_LAR_B[i]}")
+        return sat(f"2 * ({mult_r(str(GSM_LAR_INVA[i]), x)})")
+
+    def rp_of(l: str) -> str:
+        a = f"(CASE WHEN {l} = -32768 THEN 32767 ELSE abs({l}) END)"
+        v = (f"(CASE WHEN {a} < 11059 THEN {a} * 2 "
+             f"WHEN {a} < 20070 THEN {a} + 11059 "
+             f"ELSE least(32767, (({a}) >> 2) + 26112) END)")
+        return f"(CASE WHEN {l} < 0 THEN -{v} ELSE {v} END)"
+
+    def zone_mix(zone: int, old: str, new: str) -> str:
+        quarters = sat(f"(({old}) >> 2) + (({new}) >> 2)")
+        if zone == 0:
+            return sat(f"{quarters} + (({old}) >> 1)")
+        if zone == 1:
+            return sat(f"(({old}) >> 1) + (({new}) >> 1)")
+        if zone == 2:
+            return sat(f"{quarters} + (({new}) >> 1)")
+        return new
+
+    lar_cols = ",\n             ".join(f"{larpp(i)} AS la{i}" for i in range(8))
+    # 7 phases: 0-2 = frame-0 zones 1-3 (previous LARpp = 0), 3 = zone 4
+    # (= LARpp), 4-6 = steady-state zones 1-3 (old = new)
+    phase_rows = []
+    for ph in range(7):
+        if ph < 3:
+            cols = ", ".join(
+                f"{rp_of(zone_mix(ph, '0', f'la{i}'))} AS rp{i}" for i in range(8))
+        elif ph == 3:
+            cols = ", ".join(f"{rp_of(f'la{i}')} AS rp{i}" for i in range(8))
+        else:
+            cols = ", ".join(
+                f"{rp_of(zone_mix(ph - 4, f'la{i}', f'la{i}'))} AS rp{i}"
+                for i in range(8))
+        phase_rows.append(f"SELECT doc_id, {ph} AS phase, {cols} FROM lar")
+    rp_cte = "\n      UNION ALL\n      ".join(phase_rows)
+
+    j = "((r.t + 1) // 40)"   # global subframe 0..7 (two frames)
+    k = "((r.t + 1) % 40)"    # sample within the subframe
+    mc = f"((r.doc_id * 3 + {j}) % 4)"
+    xmaxc = f"(16 + (r.doc_id * 7 + {j} * 11) % 48)"
+    nc = f"(40 + (r.doc_id * 5 + {j} * 17) % 81)"
+    brp = (f"(CASE (r.doc_id + {j}) % 4 WHEN 0 THEN 3277 WHEN 1 THEN 11469 "
+           f"WHEN 2 THEN 21299 ELSE 32767 END)")
+    fac = (f"(CASE {xmaxc} % 8 WHEN 0 THEN 18431 WHEN 1 THEN 20479 "
+           f"WHEN 2 THEN 22527 WHEN 3 THEN 24575 WHEN 4 THEN 26623 "
+           f"WHEN 5 THEN 28671 WHEN 6 THEN 30719 ELSE 32767 END)")
+    # fixture keeps xmaxc >= 16: exponent = xmaxc//8 - 1, mantissa field
+    # unnormalized -> FAC index = xmaxc % 8 (sub-16 normalization is the
+    # Python decoder's general path, unit-tested separately)
+    temp2 = f"(7 - {xmaxc} // 8)"
+    temp3 = f"(CASE WHEN {temp2} = 0 THEN 0 ELSE (1 << ({temp2} - 1)) END)"
+    pulse = f"({k} - {mc})"
+    xmc = f"((r.doc_id * 11 + {j} * 7 + ({pulse} // 3) * 5) % 8)"
+    dq = sat(f"{mult_r(fac, f'({xmc} * 2 - 7) * 4096')} + {temp3}")
+    erp = (f"(CASE WHEN {pulse} >= 0 AND {pulse} % 3 = 0 AND {pulse} <= 36 "
+           f"THEN (({dq}) >> {temp2}) ELSE 0 END)")
+    drp = sat(f"{erp} + {mult_r(brp, f'r.hist[121 - {nc}]')}")
+    tif = "((r.t + 1) % 160)"
+    phase_new = (f"(CASE WHEN {tif} >= 40 THEN 3 "
+                 f"WHEN (r.t + 1) < 160 THEN (CASE WHEN {tif} < 13 THEN 0 "
+                 f"WHEN {tif} < 27 THEN 1 ELSE 2 END) "
+                 f"ELSE (CASE WHEN {tif} < 13 THEN 4 WHEN {tif} < 27 THEN 5 "
+                 f"ELSE 6 END) END)")
+
+    layers = f"""
+        SELECT r.doc_id, r.t + 1 AS t, r.msr AS msr0, r.v AS v,
+               {drp} AS wt,
+               list_append(r.hist[2:], {drp}) AS hist2,
+               p.rp0, p.rp1, p.rp2, p.rp3, p.rp4, p.rp5, p.rp6, p.rp7
+        FROM dec r JOIN rp p
+          ON p.doc_id = r.doc_id AND p.phase = {phase_new}
+        WHERE r.t < 319
+      """
+    prev = "wt"
+    for i in range(7, -1, -1):
+        s = sat(f"{prev} - {mult_r(f'rp{i}', f'v[{i + 1}]')}")
+        layers = f"SELECT *, {s} AS s{i} FROM (\n{layers}) L{i}"
+        prev = f"s{i}"
+    vparts = ["s0"] + [
+        sat(f"v[{i + 1}] + {mult_r(f'rp{i}', f's{i}')}") for i in range(8)
+    ]
+    msr1 = sat(f"s0 + {mult_r('msr0', '28180')}")
+    up = sat(f"({msr1}) + ({msr1})")
+
+    return f"""
+    WITH RECURSIVE
+    lar AS (
+      SELECT doc_id,
+             {lar_cols}
+      FROM documents
+    ),
+    rp AS (
+      {rp_cte}
+    ),
+    dec AS (
+      SELECT doc_id, -1 AS t, 0 AS sro,
+             (SELECT list(0::BIGINT) FROM range(120)) AS hist,
+             (SELECT list(0::BIGINT) FROM range(9)) AS v,
+             0 AS msr
+      FROM lar
+      UNION ALL
+      SELECT doc_id, t,
+             (({up}) - ((({up}) % 8 + 8) % 8)) AS sro,
+             hist2 AS hist,
+             [{", ".join(vparts)}] AS v,
+             {msr1} AS msr
+      FROM (
+{layers}
+      ) q
+    )
+    SELECT doc_id, 125::BIGINT AS n_bytes, (t // 40)::INT AS win,
+           sum(abs(sro))::DOUBLE AS abs_sum
+    FROM dec WHERE t >= 0
+    GROUP BY doc_id, t // 40
+    """
+
+
+@register("multimodal_gsm_features", oracle=_gsm_oracle_sql())
+def multimodal_gsm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features through the GSM 06.10 full-rate decoder (WAV
+    format tag 49 — operators/multimodal.synth_wav_gsm / _decode_gsm):
+    every doc ships a one-block mono container (two 260-bit RPE-LTP
+    frames, 320 samples) whose parameters sweep the codec — all four
+    QLB long-term gains, every legal LTP lag 40..120, all four RPE
+    grids, every mantissa field and 3-bit pulse code, and doc-keyed LAR
+    codes driving the 8-stage short-term lattice through all four
+    interpolation zones. The oracle (see `_gsm_oracle_sql`) replays the
+    entire ETSI decode chain as a recursive CTE — every one of the 320
+    decoded samples per doc verified bit-exact. Like the ADPCM and
+    tick-bar oracles the per-sample recursion is the BASELINE's cost —
+    SKIP-listed at 50x — while the Spark side stays linear (one
+    mapInPandas decode).
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.multimodal import synth_wav_gsm
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_wav_gsm(int(i))),
+                    "media_type": "audio/wav",
+                }
+            )
+
+    wavs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(wavs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("feature").alias("win", "abs_sum")
+    )
+
+
 @register(
     "multimodal_image_resize",
     oracle="""

@@ -1286,6 +1286,149 @@ def test_wav_ms_adpcm_round_trip():
         assert len(payload) == 97 + k  # 40 container + 50 fmt + 7 + k
 
 
+def test_wav_gsm_round_trip():
+    """The GSM 06.10 RPE-LTP decoder must round-trip the synth fixture:
+    the recomputation here is written straight from the ETSI spec
+    formulas (LAR decode -> zone-interpolated reflection coefficients,
+    APCM dequant, RPE grid, long-term synthesis, 8-stage lattice,
+    de-emphasis with upscale/truncate), independent of the decoder's
+    own helpers except the public constant tables."""
+    from financedatabase_spark.operators.multimodal import (
+        GSM_FAC,
+        GSM_LAR_B,
+        GSM_LAR_INVA,
+        GSM_LAR_MIC,
+        GSM_QLB,
+        synth_wav_gsm,
+        wav_decode,
+    )
+
+    def sat(x):
+        return max(-32768, min(32767, x))
+
+    def mr(a, b):
+        return sat((a * b + 16384) >> 15)
+
+    for d in (0, 1, 2, 3, 7, 63, 88, 12345, 49_000_123):
+        larc = [(d * p) % r for p, r in zip(
+            (17, 29, 13, 7, 11, 23, 5, 3), (64, 64, 32, 32, 16, 16, 8, 8))]
+        larpp = []
+        for i in range(8):
+            t = sat((larc[i] + GSM_LAR_MIC[i]) * 1024 - 2 * GSM_LAR_B[i])
+            larpp.append(sat(2 * mr(GSM_LAR_INVA[i], t)))
+
+        def rp_of(l):
+            a = 32767 if l == -32768 else abs(l)
+            v = a * 2 if a < 11059 else (a + 11059 if a < 20070
+                                         else sat((a >> 2) + 26112))
+            return -v if l < 0 else v
+
+        hist, v, msr = [0] * 120, [0] * 9, 0
+        samples = []
+        for t in range(320):
+            j, k = t // 40, t % 40
+            mc = (d * 3 + j) % 4
+            xmaxc = 16 + (d * 7 + j * 11) % 48
+            nc = 40 + (d * 5 + j * 17) % 81
+            brp = GSM_QLB[(d + j) % 4]
+            temp2 = 7 - xmaxc // 8
+            temp3 = (1 << (temp2 - 1)) if temp2 else 0
+            erp = 0
+            if k >= mc and (k - mc) % 3 == 0 and (k - mc) // 3 <= 12:
+                xmc = (d * 11 + j * 7 + ((k - mc) // 3) * 5) % 8
+                erp = sat(mr(GSM_FAC[xmaxc % 8], (xmc * 2 - 7) << 12)
+                          + temp3) >> temp2
+            drp = sat(erp + mr(brp, hist[-nc]))
+            hist = (hist + [drp])[-120:]
+            tif = t % 160
+            if tif >= 40:
+                rp = [rp_of(x) for x in larpp]
+            else:
+                old = [0] * 8 if t < 160 else larpp
+                if tif < 13:
+                    mix = [sat(sat((o >> 2) + (n >> 2)) + (o >> 1))
+                           for o, n in zip(old, larpp)]
+                elif tif < 27:
+                    mix = [sat((o >> 1) + (n >> 1)) for o, n in zip(old, larpp)]
+                else:
+                    mix = [sat(sat((o >> 2) + (n >> 2)) + (n >> 1))
+                           for o, n in zip(old, larpp)]
+                rp = [rp_of(x) for x in mix]
+            sri = drp
+            for i in range(7, -1, -1):
+                sri = sat(sri - mr(rp[i], v[i]))
+                v[i + 1] = sat(v[i] + mr(rp[i], sri))
+            v[0] = sri
+            msr = sat(sri + mr(msr, 28180))
+            samples.append(sat(msr + msr) & ~7)
+        want = [0.0] * 8
+        for t, s in enumerate(samples):
+            want[t // 40] += abs(s)
+        payload = synth_wav_gsm(d)
+        assert wav_decode(payload) == want
+        assert len(payload) == 125  # 40 container + 20 fmt + 65 data
+
+
+def test_gsm_decoder_edges():
+    """General-path coverage the fixture's oracle regime skips: sub-16
+    xmaxc (mantissa normalization loop), xmaxc == 0 (the exp=-4/mant=7
+    silence case), out-of-range LTP lag falling back to the previous
+    valid lag, state continuity across blocks, and truncated streams
+    failing loud."""
+    from financedatabase_spark.operators.multimodal import (
+        _decode_gsm,
+        _gsm_apcm_dequant,
+        _GsmState,
+        _gsm_decode_frame,
+    )
+
+    # normalization: xmaxc = 5 -> mant 5 -> (11, exp-1) -> FAC[3];
+    # against the spec recomputation for all sub-16 values
+    for xmaxc in range(16):
+        exp, mant = 0, xmaxc
+        if mant == 0:
+            exp, mant = -4, 7
+        else:
+            while mant <= 7:
+                mant = (mant << 1) | 1
+                exp -= 1
+            mant -= 8
+        got = _gsm_apcm_dequant(xmaxc, list(range(8)))
+        assert len(got) == 8 and all(isinstance(x, int) for x in got)
+        # reference value for code 7 (max positive)
+        from financedatabase_spark.operators.multimodal import GSM_FAC
+        t2 = 6 - exp
+        t3 = (1 << (t2 - 1)) if t2 > 0 else 0
+        t = (GSM_FAC[mant] * (7 * 2 - 7 << 12) + 16384) >> 15
+        assert got[7] == (max(-32768, min(32767, t + t3))) >> t2
+
+    # out-of-range Nc (< 40 or > 120) falls back to the previous lag
+    st = _GsmState()
+    sub_ok = (60, 1, 0, 20, [3] * 13)
+    sub_bad = (7, 1, 0, 20, [3] * 13)  # illegal lag 7
+    _gsm_decode_frame(st, [32] * 8, [sub_ok] * 4)
+    assert st.nrp == 60
+    _gsm_decode_frame(st, [32] * 8, [sub_bad] * 4)
+    assert st.nrp == 60  # kept the previous valid lag
+
+    # state continuity: two one-block streams decoded separately differ
+    # from the same two blocks decoded as one stream (LTP history, the
+    # lattice and de-emphasis all carry across the block boundary)
+    from financedatabase_spark.operators.multimodal import synth_wav_gsm
+
+    raw = synth_wav_gsm(9)
+    data = raw[raw.index(b"data") + 8:]
+    assert len(data) == 65
+    one = _decode_gsm(data, 65, 320)
+    two = _decode_gsm(data + data, 65, 320)
+    assert two[:320] == one and two[320:] != one
+
+    with pytest.raises(ValueError, match="GSM data truncated"):
+        _decode_gsm(data + data[:64], 65, 320)
+    with pytest.raises(ValueError, match="cannot hold"):
+        _decode_gsm(data, 32, 320)
+
+
 def test_adpcm_truncated_block_raises():
     """A data chunk whose tail is shorter than the block HEADER is a
     truncated stream, not a short final block — both stateful block

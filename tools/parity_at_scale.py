@@ -58,6 +58,7 @@ SKIP = {
     # linear mapInPandas decode, covered by the other media sweeps).
     "multimodal_adpcm_features",
     "multimodal_msadpcm_features",
+    "multimodal_gsm_features",
 }
 
 _DUCK_SNIPPET = r"""
