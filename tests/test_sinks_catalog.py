@@ -538,6 +538,93 @@ class FakeS3Client:
             return {}
 
 
+class FakeGcsClient:
+    """google-cloud-storage-shaped stub with generation preconditions:
+    same call surface as the SDK (client.bucket -> bucket.blob /
+    get_blob, blob.upload_from_string(if_generation_match=N),
+    blob.download_as_bytes, blob.delete, blob.generation) and
+    exceptions carrying the SDK's integer ``code``, so the
+    `GcsObjectStore` translation layer is tested for real."""
+
+    class ApiError(Exception):
+        def __init__(self, code, msg=""):
+            super().__init__(msg or str(code))
+            self.code = code
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._objs = {}  # (bucket, key) -> (body, generation)
+        self._gen = 0
+
+    def bucket(self, name):
+        return FakeGcsBucket(self, name)
+
+
+class FakeGcsBucket:
+    def __init__(self, client, name):
+        self._c = client
+        self.name = name
+
+    def blob(self, key):
+        return FakeGcsBlob(self._c, self.name, key)
+
+    def get_blob(self, key):
+        with self._c._lock:
+            cur = self._c._objs.get((self.name, key))
+            if cur is None:
+                return None
+            b = FakeGcsBlob(self._c, self.name, key)
+            b.generation = cur[1]
+            return b
+
+
+class FakeGcsBlob:
+    def __init__(self, client, bucket, key):
+        self._c = client
+        self._bucket = bucket
+        self._key = key
+        self.generation = None
+
+    def upload_from_string(self, body, if_generation_match=None):
+        c = self._c
+        with c._lock:
+            cur = c._objs.get((self._bucket, self._key))
+            if if_generation_match is not None:
+                if if_generation_match == 0:
+                    if cur is not None:
+                        raise c.ApiError(412, "conditionNotMet")
+                elif cur is None:
+                    raise c.ApiError(404, "notFound")
+                elif cur[1] != if_generation_match:
+                    raise c.ApiError(412, "conditionNotMet")
+            c._gen += 1
+            body = body.encode() if isinstance(body, str) else bytes(body)
+            c._objs[(self._bucket, self._key)] = (body, c._gen)
+            self.generation = c._gen
+
+    def download_as_bytes(self, if_generation_match=None):
+        c = self._c
+        with c._lock:
+            cur = c._objs.get((self._bucket, self._key))
+            if cur is None:
+                raise c.ApiError(404, "notFound")
+            if if_generation_match is not None and cur[1] != if_generation_match:
+                raise c.ApiError(412, "conditionNotMet")
+            return cur[0]
+
+    def delete(self, if_generation_match=None):
+        c = self._c
+        with c._lock:
+            cur = c._objs.get((self._bucket, self._key))
+            if cur is None:
+                raise c.ApiError(404, "notFound")
+            if if_generation_match is not None and cur[1] != if_generation_match:
+                raise c.ApiError(412, "conditionNotMet")
+            del c._objs[(self._bucket, self._key)]
+
+
 def _lease_factories(tmp_path):
     """Every TableLease implementation behind one conformance suite."""
     from financedatabase_spark.operators.io_sinks import DirectoryLease
@@ -546,6 +633,7 @@ def _lease_factories(tmp_path):
         FileObjectStore,
         InMemoryObjectStore,
     )
+    from financedatabase_spark.sources.objectstore_gcs import GcsObjectStore
     from financedatabase_spark.sources.objectstore_s3 import S3ObjectStore
 
     local = tmp_path / "conf_local"
@@ -553,11 +641,13 @@ def _lease_factories(tmp_path):
     mem = InMemoryObjectStore()
     fs = FileObjectStore(str(tmp_path / "conf_store"))
     s3 = S3ObjectStore("bucket", client=FakeS3Client())
+    gcs = GcsObjectStore("bucket", client=FakeGcsClient())
     return {
         "directory": lambda: DirectoryLease(str(local)),
         "condput-mem": lambda: ConditionalPutLease(mem, "s3://bucket/tbl"),
         "condput-file": lambda: ConditionalPutLease(fs, "s3://bucket/tbl"),
         "condput-s3": lambda: ConditionalPutLease(s3, "s3://bucket/tbl"),
+        "condput-gcs": lambda: ConditionalPutLease(gcs, "gs://bucket/tbl"),
     }
 
 
@@ -783,6 +873,63 @@ def test_s3_adapter_error_mapping():
 
     with pytest.raises(FakeS3Client.ClientError):
         S3ObjectStore("b", client=Throttled()).put("k", b"v", if_none_match=True)
+
+
+def test_gcs_adapter_error_mapping():
+    """The google-cloud-storage shim's translation layer: generation ->
+    etag-slot stringification, 412 -> PreconditionFailedError, 404 ->
+    absent (get None, delete no-op), CAS-against-deleted -> precondition
+    failure, unknown errors re-raised untouched."""
+    from financedatabase_spark.sources.objectstore import PreconditionFailedError
+    from financedatabase_spark.sources.objectstore_gcs import GcsObjectStore
+
+    store = GcsObjectStore("b", client=FakeGcsClient())
+    assert store.get("k") is None
+    store.delete("k")  # absent: no-op
+    g1 = store.put("k", b"v1", if_none_match=True)
+    assert g1.isdigit()  # generation stringified into the etag slot
+    assert store.get("k") == (b"v1", g1)
+    with pytest.raises(PreconditionFailedError):
+        store.put("k", b"v2", if_none_match=True)  # generation 0 conflict
+    g2 = store.put("k", b"v2", if_match=g1)
+    assert int(g2) > int(g1)  # generations are monotonic
+    with pytest.raises(PreconditionFailedError):
+        store.put("k", b"v3", if_match=g1)  # stale generation
+    with pytest.raises(PreconditionFailedError):
+        store.put("absent", b"v", if_match=g2)  # CAS on an absent key
+    with pytest.raises(PreconditionFailedError):
+        store.delete("k", if_match=g1)  # stale generation
+    store.delete("k", if_match=g2)
+    assert store.get("k") is None
+
+    # non-conditional failures pass through untouched
+    class Throttled(FakeGcsClient):
+        def bucket(self, name):
+            b = super().bucket(name)
+            orig = b.blob
+
+            def blob(key):
+                bl = orig(key)
+                def boom(body, **kw):
+                    raise self.ApiError(503, "backendError")
+                bl.upload_from_string = boom
+                return bl
+
+            b.blob = blob
+            return b
+
+    with pytest.raises(FakeGcsClient.ApiError):
+        GcsObjectStore("b", client=Throttled()).put("k", b"v", if_none_match=True)
+
+
+def test_gcs_adapter_default_client_requires_sdk():
+    """Constructing without an injected client goes through
+    google.cloud.storage.Client() — exercised only where the SDK
+    exists."""
+    pytest.importorskip("google.cloud.storage")
+    from financedatabase_spark.sources.objectstore_gcs import GcsObjectStore
+
+    assert GcsObjectStore("bucket").bucket is not None
 
 
 def test_s3_adapter_default_client_requires_boto3():
