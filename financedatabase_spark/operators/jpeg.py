@@ -47,10 +47,15 @@ and 12-bit (precision-generic level shift/clamp, Annex F extended
 coefficient categories). Sequential subset scans decode in BOTH
 layouts: non-interleaved (one component per scan, A.2.2 grid) and
 PARTIALLY interleaved (2-3 components per scan interleaving inside the
-frame MCU grid, A.2.3). Non-integer replication samplings (e.g. 3x1 Y
-against 2x1 chroma), restart-marked or interleaved lossless scans, and
-arithmetic coding stay documented NotImplementedError seams, mirroring
-the PNG codec's depth gates.
+frame MCU grid, A.2.3). ARITHMETIC-coded extended sequential frames
+(SOF9 + DAC) decode for real via the T.81 Annex D QM-coder in
+operators/jpeg_arith.py (Table D.3 state machine, Annex F DC/AC
+conditioning, restart re-initialization — cross-validated in both
+directions against libjpeg), for fully interleaved scans. Non-integer
+replication samplings (e.g. 3x1 Y against 2x1 chroma), restart-marked
+or interleaved lossless scans, and the progressive/lossless/
+non-interleaved arithmetic processes stay documented
+NotImplementedError seams, mirroring the PNG codec's depth gates.
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
 from coefficient patterns whose IDCT is integral — constant blocks
@@ -284,6 +289,124 @@ def _encode_scan_mcus(
 
 def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _encode_arith_scan_mcus(
+    mcus: list[list[tuple[int, int, int, list[int]]]],
+    restart_interval: int,
+    ncomp: int,
+) -> bytes:
+    """Arithmetic twin of `_encode_scan_mcus`: each MCU is its
+    component-order list of (component index, DC bank id, AC bank id,
+    zigzag quantized block), entropy-coded with the Annex D QM-coder at
+    the DEFAULT conditioning (L=0, U=1, Kx=5 — exactly what the DAC
+    segment the assemblers emit declares). A restart boundary flushes
+    the coder (D.1.8), emits the cycling RSTn marker, and restarts with
+    fresh registers and statistics (F.1.4.4)."""
+    from financedatabase_spark.operators.jpeg_arith import (
+        ArithEncoder,
+        ArithStats,
+        encode_block_arith,
+    )
+
+    chunks: list[bytes] = []
+    enc, stats = ArithEncoder(), ArithStats(ncomp)
+    rst = 0
+    for idx, mcu in enumerate(mcus):
+        if restart_interval and idx and idx % restart_interval == 0:
+            chunks.append(enc.finish())
+            chunks.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            enc, stats = ArithEncoder(), ArithStats(ncomp)
+        for ci, td, ta, bz in mcu:
+            encode_block_arith(enc, stats, ci, td, ta, {}, bz)
+    chunks.append(enc.finish())
+    return b"".join(chunks)
+
+
+def assemble_jpeg_arith(
+    w: int,
+    h: int,
+    qt_zz: list[int],
+    blocks_zz: list[list[int]],
+    restart_interval: int = 0,
+    prec: int = 8,
+) -> bytes:
+    """Assemble a spec-valid grayscale ARITHMETIC-coded JPEG (SOF9,
+    extended sequential DCT — T.81 Annex D/F) from the same zigzag
+    quant table + quantized blocks `assemble_jpeg` takes: identical
+    pixels, arithmetic entropy layer. Emits the DAC segment with the
+    default conditioning (DC L=0/U=1, AC Kx=5). Cross-validated against
+    libjpeg in tests/test_multimodal.py."""
+    if prec not in (8, 12):
+        raise ValueError(f"DCT sample precision must be 8 or 12, got {prec}")
+    app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
+    dqt = bytes([0x00]) + bytes(qt_zz)
+    sof9 = struct.pack(">BHHB", prec, h, w, 1) + bytes([1, 0x11, 0])
+    dac = bytes([0x00, 0x10, 0x10, 5])  # DC0: (U=1)<<4|(L=0); AC0: Kx=5
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return (
+        b"\xff\xd8"
+        + _seg(0xFFE0, app0)
+        + _seg(0xFFDB, dqt)
+        + dri
+        + _seg(0xFFC9, sof9)
+        + _seg(0xFFCC, dac)
+        + _seg(0xFFDA, sos)
+        + _encode_arith_scan_mcus(
+            [[(0, 0, 0, bz)] for bz in blocks_zz], restart_interval, 1
+        )
+        + b"\xff\xd9"
+    )
+
+
+def assemble_jpeg_arith_color(
+    w: int,
+    h: int,
+    qt_y_zz: list[int],
+    qt_c_zz: list[int],
+    y_blocks: list[list[list[int]]],
+    cb_blocks: list[list[list[int]]],
+    cr_blocks: list[list[list[int]]],
+    sampling: tuple[int, int] = (2, 2),
+    restart_interval: int = 0,
+) -> bytes:
+    """Arithmetic twin of `assemble_jpeg_color`'s fully interleaved
+    layout: SOF9 + DAC (default conditioning for bank 0 = luma and
+    bank 1 = chroma), the same MCU interleave order (T.81 A.2.3),
+    QM-coded entropy."""
+    hs, vs = sampling
+    mcu_w, mcu_h = len(cb_blocks[0]), len(cb_blocks)
+    app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
+    dqt = bytes([0x00]) + bytes(qt_y_zz) + bytes([0x01]) + bytes(qt_c_zz)
+    sof9 = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dac = bytes([0x00, 0x10, 0x01, 0x10, 0x10, 5, 0x11, 5])
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    mcus: list[list[tuple[int, int, int, list[int]]]] = []
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            mcu: list[tuple[int, int, int, list[int]]] = []
+            for byy in range(vs):
+                for bxx in range(hs):
+                    mcu.append((0, 0, 0, y_blocks[my * vs + byy][mx * hs + bxx]))
+            mcu.append((1, 1, 1, cb_blocks[my][mx]))
+            mcu.append((2, 1, 1, cr_blocks[my][mx]))
+            mcus.append(mcu)
+    return (
+        b"\xff\xd8"
+        + _seg(0xFFE0, app0)
+        + _seg(0xFFDB, dqt)
+        + dri
+        + _seg(0xFFC9, sof9)
+        + _seg(0xFFCC, dac)
+        + _seg(0xFFDA, sos)
+        + _encode_arith_scan_mcus(mcus, restart_interval, 3)
+        + b"\xff\xd9"
+    )
 
 
 def assemble_jpeg(
@@ -842,6 +965,48 @@ def synth_jpeg_420(doc_id: int) -> bytes:
     ri = 1 if doc_id % 6 == 5 else 0
     return assemble_jpeg_420(
         w, h, _FIXTURE_QT, _FIXTURE_QT_C, y_blocks, cb, cr, restart_interval=ri
+    )
+
+
+def synth_jpeg_arith(doc_id: int) -> bytes:
+    """Deterministic ARITHMETIC-coded JPEG fixture mix keyed by
+    doc_id % 4, carrying the SAME pixels as the Huffman fixtures (the
+    shared `_y_block_zz` / `_chroma_blocks` formulas, so the oracle is
+    unchanged — only the entropy layer differs):
+
+      0: grayscale SOF9
+      1: 4:2:0 color SOF9 (interleaved, luma bank 0 + chroma bank 1)
+      2: grayscale SOF9 with DRI=3 restarts (QM registers + statistics
+         re-initialized per boundary, RSTn indices verified)
+      3: 4:4:4 color SOF9 (1x1 sampling, 3 blocks per MCU)
+
+    Color docs with doc_id % 8 == 5 are width 32 and restart every MCU
+    (the tightest legal DRI) — the arithmetic twin of the 4:2:0 Huffman
+    restart variant."""
+    doc_id = int(doc_id)
+    w, h = 16 + (doc_id % 3) * 8, JPEG_H
+    variant = doc_id % 4
+    if variant in (0, 2):
+        blocks = [
+            _y_block_zz(doc_id, bx, by)
+            for by in range(h // 8)
+            for bx in range(w // 8)
+        ]
+        return assemble_jpeg_arith(
+            w, h, _FIXTURE_QT, blocks, restart_interval=3 if variant == 2 else 0
+        )
+    hs, vs = (2, 2) if variant == 1 else (1, 1)
+    mcu_w = (w + 8 * hs - 1) // (8 * hs)
+    mcu_h = (h + 8 * vs - 1) // (8 * vs)
+    y_blocks = [
+        [_y_block_zz(doc_id, bx, by) for bx in range(mcu_w * hs)]
+        for by in range(mcu_h * vs)
+    ]
+    cb, cr = _chroma_blocks(doc_id, mcu_w, mcu_h)
+    ri = 1 if doc_id % 8 == 5 else 0
+    return assemble_jpeg_arith_color(
+        w, h, _FIXTURE_QT, _FIXTURE_QT_C, y_blocks, cb, cr,
+        sampling=(hs, vs), restart_interval=ri,
     )
 
 
@@ -1574,6 +1739,8 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
     progressive = False
     lossless = False
     prec = 8
+    arith = False  # SOF9: extended sequential DCT, arithmetic coding
+    arith_cond: dict = {}  # DAC conditioning: ("dc",Tb)->(L,U), ("ac",Tb)->Kx
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     prog_coefs: list[list[list[int]]] | None = None  # [comp][block][64] zigzag
     prog_grid: tuple[int, int, int, int] | None = None  # hmax, vmax, mcus_x, mcus_y
@@ -1585,10 +1752,10 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
         marker = raw[pos + 1]
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only sequential (SOF0/SOF1), progressive (SOF2) and "
-                f"lossless (SOF3) Huffman processes supported, got SOF "
+                f"only sequential (SOF0/SOF1/SOF9-arithmetic), progressive "
+                f"(SOF2) and lossless (SOF3) processes supported, got SOF "
                 f"marker 0xFF{marker:02X}"
             )
         if pos + 4 > len(raw):
@@ -1635,7 +1802,31 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                 vals = list(body[off + 17:off + 17 + n])
                 (dcs if tc == 0 else acs)[th] = _HuffDec(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0 / SOF1 / SOF2 / SOF3
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            off = 0
+            while off + 2 <= len(body):
+                tc, tb = body[off] >> 4, body[off] & 0xF
+                cs = body[off + 1]
+                if tb > 3:
+                    raise ValueError(f"JPEG DAC table id {tb} outside 0-3")
+                if tc == 0:
+                    low, up = cs & 0xF, cs >> 4
+                    if low > up or up > 15:
+                        raise ValueError(
+                            f"JPEG DAC DC conditioning L={low} U={up} "
+                            f"violates 0 <= L <= U <= 15"
+                        )
+                    arith_cond[("dc", tb)] = (low, up)
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(f"JPEG DAC AC Kx={cs} outside 1-63")
+                    arith_cond[("ac", tb)] = cs
+                else:
+                    raise ValueError(f"JPEG DAC has invalid class Tc={tc}")
+                off += 2
+            if off != len(body):
+                raise ValueError("JPEG DAC truncated (odd parameter bytes)")
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # SOFn
             # SOF1 (extended sequential, Huffman) at 8-bit precision is
             # decode-identical to baseline — it only widens the limits
             # (12-bit samples, 4 Huffman table slots) this decoder
@@ -1645,13 +1836,14 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
             # (12/16-bit) images are in scope there.
             progressive = marker == 0xC2
             lossless = marker == 0xC3
+            arith = marker == 0xC9  # extended sequential, ARITHMETIC coding
             if len(body) < 6:
                 raise ValueError("JPEG SOF truncated")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError(f"bad lossless JPEG precision {prec}")
-            elif marker == 0xC1 and prec == 12:
+            elif marker in (0xC1, 0xC9) and prec == 12:
                 pass  # extended sequential admits 12-bit (T.81 Table B.2)
             elif prec != 8:
                 raise NotImplementedError(
@@ -1810,6 +2002,12 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                     restart_interval, prog_grid, prog_coefs,
                 )
                 continue
+            if arith and ns != len(comps):
+                raise NotImplementedError(
+                    "arithmetic-coded JPEG supports the fully interleaved "
+                    "scan layout here; non-interleaved/partial arithmetic "
+                    "scans are the remaining seam"
+                )
             if ns != len(comps):
                 # SUBSET scan (1 <= ns < ncomp): pixels accumulate per
                 # component until EOI. ns == 1 is the non-interleaved
@@ -1945,7 +2143,20 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                 if not match:
                     raise ValueError("JPEG SOS references unknown component id")
                 _, hs, vs, tq = match[0]
-                if tq not in qts or td not in dcs or ta not in acs:
+                if tq not in qts:
+                    raise ValueError(
+                        "JPEG SOS references undefined quant/Huffman table"
+                    )
+                if arith:
+                    # arithmetic scans carry statistics-bank ids (0-3),
+                    # not DHT ids; banks start at the uniform state so
+                    # no DAC/DHT prerequisite exists (defaults apply)
+                    if td > 3 or ta > 3:
+                        raise ValueError(
+                            f"JPEG arithmetic SOS table ids ({td},{ta}) "
+                            f"outside the 0-3 statistics-bank range"
+                        )
+                elif td not in dcs or ta not in acs:
                     raise ValueError(
                         "JPEG SOS references undefined quant/Huffman table"
                     )
@@ -1967,22 +2178,62 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                 for hs, vs, _, _ in scan
             ]
             preds = [0] * ns
-            r = _BitReader(raw, pos + 2 + seglen)
+            adec = astats = None
+            if arith:
+                from financedatabase_spark.operators.jpeg_arith import (
+                    ArithDecoder,
+                    ArithStats,
+                    decode_block_arith,
+                )
+
+                adec = ArithDecoder(raw, pos + 2 + seglen)
+                astats = ArithStats(ns)
+            else:
+                r = _BitReader(raw, pos + 2 + seglen)
             mcu_idx = 0
             rst = 0
             for my in range(mcus_y):
                 for mx in range(mcus_x):
                     if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                        r.restart(rst)
+                        if arith:
+                            # E.2.4 boundary: the decoder stops at the
+                            # marker; verify the cycling RSTn index, then
+                            # re-init registers AND statistics (F.1.4.4)
+                            p = adec.marker_start()
+                            if not (
+                                p + 1 < len(raw)
+                                and raw[p] == 0xFF
+                                and raw[p + 1] == 0xD0 + rst
+                            ):
+                                raise ValueError(
+                                    f"JPEG expected restart marker RST{rst} at "
+                                    f"a restart boundary (corrupt stream or "
+                                    f"interleave mismatch)"
+                                )
+                            adec.pos = p + 2
+                            adec.restart()
+                            astats.reset()
+                        else:
+                            r.restart(rst)
+                            preds = [0] * ns
                         rst = (rst + 1) % 8
-                        preds = [0] * ns
                     mcu_idx += 1
                     for ci, (hs, vs, tq, (td, ta)) in enumerate(scan):
                         for byy in range(vs):
                             for bxx in range(hs):
-                                px, preds[ci] = _decode_block(
-                                    r, dcs[td], acs[ta], qts[tq], preds[ci], prec
-                                )
+                                if arith:
+                                    zz = decode_block_arith(
+                                        adec, astats, ci, td, ta, arith_cond, prec
+                                    )
+                                    qt = qts[tq]
+                                    coef = [0] * 64
+                                    for zi, ri in enumerate(ZIGZAG):
+                                        coef[ri] = zz[zi] * qt[zi]
+                                    px = _idct_block(coef, prec)
+                                else:
+                                    px, preds[ci] = _decode_block(
+                                        r, dcs[td], acs[ta], qts[tq], preds[ci], prec
+                                    )
                                 plane = planes_raw[ci]
                                 py0 = (my * vs + byy) * 8
                                 px0 = (mx * hs + bxx) * 8

@@ -1505,6 +1505,104 @@ def multimodal_msadpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_jpeg_arith_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w,
+             (((doc_id*17 + (y // 8)*31 + (x // 8)*7) % 251 + 2)
+              + CASE WHEN y >= 8
+                     THEN ((doc_id + (x // 8)) % 5 - 2)
+                          * (CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+                     ELSE 0 END) AS p
+      FROM d,
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, w - 1)) ux(x)
+    ),
+    hist AS (SELECT doc_id, w, (p * 8) // 256 AS bin, count(*) AS c
+             FROM px GROUP BY 1, 2, 3),
+    grid AS (SELECT doc_id, w, unnest(generate_series(0, 7)) AS pos FROM d),
+    lum AS (
+      SELECT g.doc_id, g.w::BIGINT AS width, g.pos::INT AS pos,
+             coalesce(h.c, 0) / (g.w * 16) AS x
+      FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.pos
+    ),
+    cpx AS (
+      SELECT doc_id, w, xi
+      FROM d, UNNEST(generate_series(0, w - 1)) ux(xi)
+      WHERE doc_id % 4 IN (1, 3)
+    ),
+    chroma AS (
+      -- chroma cell geometry by variant (doc_id % 4): 1 = 4:2:0 (cell
+      -- 16x16 -> one cy row at h=16), 3 = 4:4:4 (8x8 -> cy in {0,1})
+      SELECT doc_id, w::BIGINT AS width, 8 AS pos,
+             (sum(CASE
+               WHEN doc_id % 4 = 3 THEN
+                 8 * (((doc_id*29 + (xi // 8)*13) % 251 + 2)
+                    + ((doc_id*29 + (xi // 8)*13 + 11) % 251 + 2))
+               ELSE 16 * ((doc_id*29 + (xi // 16)*13) % 251 + 2)
+             END))::DOUBLE / (w * 16) AS x
+      FROM cpx GROUP BY doc_id, w
+      UNION ALL
+      SELECT doc_id, w::BIGINT AS width, 9 AS pos,
+             (sum(CASE
+               WHEN doc_id % 4 = 3 THEN
+                 8 * (((doc_id*23 + (xi // 8)*7) % 251 + 2)
+                    + ((doc_id*23 + (xi // 8)*7 + 19) % 251 + 2))
+               ELSE 16 * ((doc_id*23 + (xi // 16)*7) % 251 + 2)
+             END))::DOUBLE / (w * 16) AS x
+      FROM cpx GROUP BY doc_id, w
+    )
+    SELECT doc_id, width, pos, x FROM lum
+    UNION ALL
+    SELECT doc_id, width, pos::INT AS pos, x FROM chroma
+    """,
+)
+def multimodal_jpeg_arith_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through the ARITHMETIC-coded JPEG path (T.81
+    Annex D QM-coder + Annex F sequential conditioning —
+    operators/jpeg_arith.py, cross-validated in BOTH directions against
+    libjpeg): the doc_id % 4 mix cycles grayscale SOF9, 4:2:0
+    interleaved color, grayscale with DRI=3 restarts (QM registers +
+    statistics re-initialized per boundary), and 4:4:4 color. The
+    pixels are the SAME `_y_block_zz` / `_chroma_blocks` formulas as
+    the Huffman mix, so the oracle recomputes the 8-bin luminance
+    histogram — and mean-Cb/mean-Cr at pos 8/9 for color docs — in
+    closed form; only the entropy layer differs. A decoder with a
+    wrong Table D.3 entry, broken conditional exchange, bad byte
+    stuffing, or unreset restart statistics cannot match.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.jpeg import synth_jpeg_arith
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_jpeg_arith(int(i))),
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    jpgs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(jpgs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 3 * 8 + 16).cast("long").alias("width"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+
+
 def _gsm_oracle_sql() -> str:
     """Build the GSM 06.10 oracle: a recursive CTE that re-runs the
     ENTIRE RPE-LTP decode chain (ETSI EN 300 961) sample by sample in

@@ -229,6 +229,7 @@ def test_pii_redaction_is_pure_map(spark, sf_dir):
         "multimodal_adpcm_features",
         "multimodal_msadpcm_features",
         "multimodal_gsm_features",
+        "multimodal_jpeg_arith_features",
     ],
 )
 def test_media_pipelines_stay_map_side(spark, sf_dir, name):
