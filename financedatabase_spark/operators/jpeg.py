@@ -51,11 +51,13 @@ frame MCU grid, A.2.3). ARITHMETIC-coded extended sequential frames
 (SOF9 + DAC) decode for real via the T.81 Annex D QM-coder in
 operators/jpeg_arith.py (Table D.3 state machine, Annex F DC/AC
 conditioning, restart re-initialization — cross-validated in both
-directions against libjpeg), for fully interleaved scans. Non-integer
-replication samplings (e.g. 3x1 Y against 2x1 chroma), restart-marked
-or interleaved lossless scans, and the progressive/lossless/
-non-interleaved arithmetic processes stay documented
-NotImplementedError seams, mirroring the PNG codec's depth gates.
+directions against libjpeg), for fully interleaved scans. NON-INTEGER
+replication samplings (e.g. 3x1 Y against 2x1 chroma, ratio 3/2)
+decode via the A.1.1 sample-grid map x -> x*hs//hmax in all three
+sequential layouts. Restart-marked or interleaved lossless scans and
+the progressive/lossless/non-interleaved arithmetic processes stay
+documented NotImplementedError seams, mirroring the PNG codec's depth
+gates.
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
 from coefficient patterns whose IDCT is integral — constant blocks
@@ -664,15 +666,19 @@ def assemble_jpeg_color(
     restart_interval: int = 0,
     multiscan: bool = False,
     partial: bool = False,
+    chroma_sampling: tuple[int, int] = (1, 1),
 ) -> bytes:
     """Assemble a spec-valid 3-component YCbCr baseline JPEG for ANY of
     the standard chroma layouts — ``sampling`` is Y's (hs, vs) against
-    1x1 chroma: (2,2) = 4:2:0, (2,1) = 4:2:2, (1,2) = 4:4:0, (1,1) =
-    4:4:4. The MCU is hs*vs Y blocks (left-to-right then top-to-bottom)
-    followed by 1 Cb and 1 Cr block (T.81 A.2.3 interleave order).
+    ``chroma_sampling`` (default 1x1): (2,2)/(1,1) = 4:2:0, (2,1) =
+    4:2:2, (1,2) = 4:4:0, (1,1) = 4:4:4; a chroma factor that does NOT
+    divide Y's (e.g. Y 3x1 against chroma 2x1) produces the
+    NON-INTEGER-ratio layout. The MCU is hs*vs Y blocks (left-to-right
+    then top-to-bottom) followed by the Cb then Cr blocks at their own
+    factors (T.81 A.2.3 interleave order).
     ``y_blocks`` is [block_row][block_col] over the PADDED
     (8*vs)-/(8*hs)-aligned grid; ``cb_blocks``/``cr_blocks`` are
-    [mcu_row][mcu_col].
+    [mcu_row * ch_vs][mcu_col * ch_hs].
 
     ``multiscan=True`` emits the NON-interleaved layout instead: three
     sequential scans, one full-band scan per component, each over the
@@ -689,11 +695,15 @@ def assemble_jpeg_color(
     if multiscan and partial:
         raise ValueError("multiscan and partial are mutually exclusive")
     hs, vs = sampling
-    mcu_w, mcu_h = len(cb_blocks[0]), len(cb_blocks)
+    ch_hs, ch_vs = chroma_sampling
+    if ch_hs > hs or ch_vs > vs:
+        raise ValueError("Y must carry the max sampling factor in this fixture")
+    mcu_w, mcu_h = len(cb_blocks[0]) // ch_hs, len(cb_blocks) // ch_vs
     app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
     dqt = bytes([0x00]) + bytes(qt_y_zz) + bytes([0x01]) + bytes(qt_c_zz)
+    chv = (ch_hs << 4) | ch_vs
     sof0 = struct.pack(">BHHB", 8, h, w, 3) + bytes(
-        [1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]
+        [1, (hs << 4) | vs, 0, 2, chv, 1, 3, chv, 1]
     )
     dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
     dht_ac = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
@@ -708,8 +718,11 @@ def assemble_jpeg_color(
     )
     if multiscan:
         ybw, ybh = (w + 7) // 8, (h + 7) // 8
-        cbw = ((w + hs - 1) // hs + 7) // 8
-        cbh = ((h + vs - 1) // vs + 7) // 8
+        # chroma non-interleaved grid: ceil(ceil(dim*ch/hmax)/8), with Y
+        # carrying the max factor (T.81 A.2.2) — handles fractional
+        # ratios like 2x1 chroma against 3x1 Y
+        cbw = ((w * ch_hs + hs - 1) // hs + 7) // 8
+        cbh = ((h * ch_vs + vs - 1) // vs + 7) // 8
         scans = b""
         for cid, grid in (
             (1, [y_blocks[by][bx] for by in range(ybh) for bx in range(ybw)]),
@@ -727,7 +740,10 @@ def assemble_jpeg_color(
         scans = _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
         scans += _encode_scan_mcus([[(0, bz)] for bz in y_grid], restart_interval)
         cc_mcus = [
-            [(0, cb_blocks[my][mx]), (1, cr_blocks[my][mx])]
+            [(0, cb_blocks[my * ch_vs + byy][mx * ch_hs + bxx])
+             for byy in range(ch_vs) for bxx in range(ch_hs)]
+            + [(1, cr_blocks[my * ch_vs + byy][mx * ch_hs + bxx])
+               for byy in range(ch_vs) for bxx in range(ch_hs)]
             for my in range(mcu_h)
             for mx in range(mcu_w)
         ]
@@ -742,8 +758,12 @@ def assemble_jpeg_color(
             for byy in range(vs):
                 for bxx in range(hs):
                     mcu.append((0, y_blocks[my * vs + byy][mx * hs + bxx]))
-            mcu.append((1, cb_blocks[my][mx]))
-            mcu.append((2, cr_blocks[my][mx]))
+            for byy in range(ch_vs):
+                for bxx in range(ch_hs):
+                    mcu.append((1, cb_blocks[my * ch_vs + byy][mx * ch_hs + bxx]))
+            for byy in range(ch_vs):
+                for bxx in range(ch_hs):
+                    mcu.append((2, cr_blocks[my * ch_vs + byy][mx * ch_hs + bxx]))
             mcus.append(mcu)
     return (
         head
@@ -851,17 +871,20 @@ def _chroma_blocks(
 
 def synth_jpeg_color(
     doc_id: int, sampling: tuple[int, int], multiscan: bool = False,
-    partial: bool = False,
+    partial: bool = False, chroma_sampling: tuple[int, int] = (1, 1),
 ) -> bytes:
     """Deterministic color fixture at ANY standard chroma layout: the
     same luma pattern as every other fixture (shared oracle formula) and
-    the same per-MCU DC-only chroma values — but the chroma MCU grid
-    geometry follows ``sampling``, so the upsampled chroma at pixel
-    (x, y) is val(x // (8*hs), y // (8*vs)): the oracle proves the
-    decoder walked the right grid. Same restart cadence as 4:2:0
-    (doc%6 == 5)."""
+    the same per-chroma-block DC-only values — the chroma grid geometry
+    follows ``sampling`` against ``chroma_sampling``, so the upsampled
+    chroma at pixel (x, y) is val((x*ch_hs//hs) // 8, (y*ch_vs//vs) // 8)
+    (for the default 1x1 chroma that is the classic
+    val(x // (8*hs), y // (8*vs))): the oracle proves the decoder
+    walked the right grid AND replicated at the right — possibly
+    FRACTIONAL — ratio. Same restart cadence as 4:2:0 (doc%6 == 5)."""
     doc_id = int(doc_id)
     hs, vs = sampling
+    ch_hs, ch_vs = chroma_sampling
     w, h = 16 + (doc_id % 3) * 8, JPEG_H
     mcu_w = (w + 8 * hs - 1) // (8 * hs)
     mcu_h = (h + 8 * vs - 1) // (8 * vs)
@@ -869,35 +892,46 @@ def synth_jpeg_color(
         [_y_block_zz(doc_id, bx, by) for bx in range(mcu_w * hs)]
         for by in range(mcu_h * vs)
     ]
-    cb, cr = _chroma_blocks(doc_id, mcu_w, mcu_h)
+    cb, cr = _chroma_blocks(doc_id, mcu_w * ch_hs, mcu_h * ch_vs)
     ri = 1 if doc_id % 6 == 5 else 0
     return assemble_jpeg_color(
         w, h, _FIXTURE_QT, _FIXTURE_QT_C, y_blocks, cb, cr,
         sampling=sampling, restart_interval=ri, multiscan=multiscan,
-        partial=partial,
+        partial=partial, chroma_sampling=chroma_sampling,
     )
 
 
-#: exotic-sampling fixture grid by doc_id % 4: every non-standard layout
-#: the generic MCU walk admits (Y factors 3/4 and vertical subsampling),
-#: all against 1x1 chroma — 4:1:1 (4,1) is the DV/video-capture layout.
-EXOTIC_SAMPLINGS = [(3, 1), (4, 1), (1, 3), (4, 2)]
+#: exotic-sampling fixture grid by doc_id % 5: every non-standard layout
+#: the generic MCU walk admits (Y factors 3/4, vertical subsampling, and
+#: the FRACTIONAL 3x1-Y-against-2x1-chroma ratio 3/2) — 4:1:1 (4,1) is
+#: the DV/video-capture layout. Each entry is (Y sampling, chroma
+#: sampling).
+EXOTIC_SAMPLINGS = [
+    ((3, 1), (1, 1)),
+    ((4, 1), (1, 1)),
+    ((1, 3), (1, 1)),
+    ((4, 2), (1, 1)),
+    ((3, 1), (2, 1)),
+]
 
 
 def synth_jpeg_exotic(doc_id: int) -> bytes:
     """Deterministic EXOTIC-sampling color fixture: the same luma/chroma
-    formulas as every color fixture (shared oracle), but the Y sampling
-    cycles `EXOTIC_SAMPLINGS` by doc%4 — 3x1, 4:1:1 (4x1), 1x3, and the
-    10-block-MCU maximum 4x2. The scan layout cycles by doc%16//4 over
-    all THREE sequential layouts of the same pixels: fully interleaved
-    (0), non-interleaved scan-per-component (1), and PARTIALLY
-    interleaved — a Y-only scan then one Cb+Cr subset scan (2 and 3) —
-    so every walk is exercised against one oracle formula."""
+    formulas as every color fixture (shared oracle), but the sampling
+    cycles `EXOTIC_SAMPLINGS` by doc%5 — 3x1, 4:1:1 (4x1), 1x3, the
+    10-block-MCU maximum 4x2, and the NON-INTEGER-ratio 3x1 Y against
+    2x1 chroma (replication ratio 3/2 — the fractional-upsampling case).
+    The scan layout cycles by doc%20//5 over all THREE sequential
+    layouts of the same pixels: fully interleaved (0), non-interleaved
+    scan-per-component (1), and PARTIALLY interleaved — a Y-only scan
+    then one Cb+Cr subset scan (2 and 3) — so every walk is exercised
+    against one oracle formula."""
     doc_id = int(doc_id)
-    sampling = EXOTIC_SAMPLINGS[doc_id % 4]
-    layout = (doc_id % 16) // 4
+    sampling, chroma_sampling = EXOTIC_SAMPLINGS[doc_id % 5]
+    layout = (doc_id % 20) // 5
     return synth_jpeg_color(
-        doc_id, sampling, multiscan=(layout == 1), partial=(layout >= 2)
+        doc_id, sampling, multiscan=(layout == 1), partial=(layout >= 2),
+        chroma_sampling=chroma_sampling,
     )
 
 
@@ -1546,16 +1580,19 @@ def _crop_planes(
     vmax: int,
 ) -> list[list[int]]:
     """Crop each component's padded block grid to the SOF geometry and
-    upsample subsampled components by pixel replication (the standard
-    nearest-neighbor chroma reconstruction)."""
+    upsample subsampled components by nearest-neighbor replication:
+    full-resolution pixel (x, y) reads component sample
+    (x*hs // hmax, y*vs // vmax) — the T.81 A.1.1 sample-grid map,
+    which reduces to classic x // (hmax/hs) replication for integer
+    ratios and handles FRACTIONAL ratios (e.g. 3x1 Y against 2x1
+    chroma, ratio 3/2) the same way."""
     out: list[list[int]] = []
     for ci, (hs, vs) in enumerate(samplings):
         plane = planes_raw[ci]
-        fx, fy = hmax // hs, vmax // vs
         flat: list[int] = []
         for y in range(h):
-            src = plane[y // fy]
-            flat.extend(src[x // fx] for x in range(w))
+            src = plane[y * vs // vmax]
+            flat.extend(src[x * hs // hmax] for x in range(w))
         out.append(flat)
     return out
 
@@ -1718,11 +1755,12 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
     predictors (and the progressive EOB run) reset and the bit reader
     re-aligns at every marker, honoring mid-stream DRI rebinding. Both
     DQT precisions parse (8-bit and 16-bit entries), and color streams
-    decode at every integer-replication sampling grid (standard 4:4:4 /
-    4:2:2 / 4:4:0 / 4:2:0 and exotic 3x1 / 4x1 / 1x3 / 4x2), in
-    interleaved, non-interleaved (scan-per-component), or PARTIALLY
-    interleaved (subset-scan) layouts. Raises NotImplementedError on
-    the documented seams (non-integer replication ratios, other SOF
+    decode at every T.81-legal sampling grid (standard 4:4:4 / 4:2:2 /
+    4:4:0 / 4:2:0, exotic 3x1 / 4x1 / 1x3 / 4x2, and NON-INTEGER
+    ratios like 3x1 Y against 2x1 chroma via the A.1.1 sample-grid
+    map), in interleaved, non-interleaved (scan-per-component), or
+    PARTIALLY interleaved (subset-scan) layouts. Raises
+    NotImplementedError on the documented seams (remaining SOF
     processes) and
     ValueError on malformed streams (including a SOS that references an
     undefined quant/Huffman table).
@@ -1885,13 +1923,10 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                         f"JPEG sampling factors outside the T.81 1-4 "
                         f"limit: {samplings}"
                     )
-                hmax_ = max(hs for hs, _ in samplings)
-                vmax_ = max(vs for _, vs in samplings)
-                if any(hmax_ % hs or vmax_ % vs for hs, vs in samplings):
-                    raise NotImplementedError(
-                        f"non-integer replication ratio in JPEG sampling "
-                        f"{samplings} (needs fractional chroma interpolation)"
-                    )
+                # non-integer ratios (e.g. 3x1 Y against 2x1 chroma) are
+                # in scope: the MCU walk is sampling-generic and the
+                # upsampler maps x -> x*hs//hmax (A.1.1), so no integer
+                # divisibility constraint applies beyond the 1-4 limit
             else:
                 raise NotImplementedError(
                     f"only 1- or 3-component JPEG supported, got {ncomp} components"

@@ -1155,19 +1155,27 @@ def multimodal_jpeg12_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_jpeg_exotic_features",
     oracle="""
     WITH d AS (
+      -- doc%5 sampling cycle: (Y hs, Y vs, chroma hs) with 1x1 chroma
+      -- except variant 4 = 3x1 Y against 2x1 chroma (fractional 3/2)
       SELECT doc_id, 16 + (doc_id % 3) * 8 AS w,
-             CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 1
-                             ELSE 4 END AS hs,
-             CASE doc_id % 4 WHEN 2 THEN 3 WHEN 3 THEN 2 ELSE 1 END AS vs
+             CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 1
+                             WHEN 3 THEN 4 ELSE 3 END AS hs,
+             CASE doc_id % 5 WHEN 2 THEN 3 WHEN 3 THEN 2 ELSE 1 END AS vs,
+             CASE doc_id % 5 WHEN 4 THEN 2 ELSE 1 END AS chs
       FROM documents
     ),
     px AS (
+      -- chroma cell indices follow the A.1.1 sample-grid map
+      -- (x*chs // hs) // 8 — for 1x1 chroma that is x // (8*hs); the
+      -- fractional variant reads (x*2 // 3) // 8
       SELECT doc_id, w, hs, vs, x, y,
              (((doc_id*17 + (y // 8)*31 + (x // 8)*7) % 251 + 2)
               + CASE WHEN y >= 8
                      THEN ((doc_id + (x // 8)) % 5 - 2)
                           * (CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
-                     ELSE 0 END) AS p
+                     ELSE 0 END) AS p,
+             ((x * chs) // hs) // 8 AS ccx,
+             (y // vs) // 8 AS ccy
       FROM d,
            UNNEST(generate_series(0, 15)) uy(y),
            UNNEST(generate_series(0, w - 1)) ux(x)
@@ -1182,12 +1190,12 @@ def multimodal_jpeg12_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     chroma AS (
       SELECT doc_id, w::BIGINT AS width, 8 AS pos,
-             sum((doc_id*29 + (x // (8*hs))*13 + (y // (8*vs))*11) % 251 + 2
+             sum((doc_id*29 + ccx*13 + ccy*11) % 251 + 2
                  )::DOUBLE / (w * 16) AS x
       FROM px GROUP BY doc_id, w
       UNION ALL
       SELECT doc_id, w::BIGINT AS width, 9 AS pos,
-             sum((doc_id*23 + (x // (8*hs))*7 + (y // (8*vs))*19) % 251 + 2
+             sum((doc_id*23 + ccx*7 + ccy*19) % 251 + 2
                  )::DOUBLE / (w * 16) AS x
       FROM px GROUP BY doc_id, w
     )
@@ -1198,17 +1206,20 @@ def multimodal_jpeg12_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_jpeg_exotic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image features through the EXOTIC sampling grids (operators/jpeg
-    .synth_jpeg_exotic): Y sampling cycles 3x1 / 4:1:1 (4x1) / 1x3 /
-    4x2 (the 10-block-MCU maximum) by doc%4, against 1x1 chroma —
-    T.81-legal layouts real capture hardware emits that most toy
-    decoders reject. The luma pixel formula is the SAME as the standard
-    color mix (the walk is sampling-generic), and the chroma means at
-    pos 8/9 follow the per-variant cell geometry
-    val(x // (8*hs), y // (8*vs)) — a decoder replicating at the wrong
-    ratio or walking the wrong MCU shape cannot match. The scan layout
-    cycles (doc%16//4) over all THREE sequential layouts of the same
-    pixels — fully interleaved, non-interleaved, and PARTIALLY
-    interleaved (Y-only scan + one Cb+Cr subset scan, T.81 A.2.3).
+    .synth_jpeg_exotic): the sampling cycles 3x1 / 4:1:1 (4x1) / 1x3 /
+    4x2 (the 10-block-MCU maximum) against 1x1 chroma, PLUS the
+    NON-INTEGER-ratio layout 3x1 Y against 2x1 chroma (replication
+    ratio 3/2 — fractional upsampling via the A.1.1 sample-grid map
+    x -> x*chs//hs), by doc%5 — T.81-legal layouts real capture
+    hardware emits that most toy decoders reject. The luma pixel
+    formula is the SAME as the standard color mix (the walk is
+    sampling-generic), and the chroma means at pos 8/9 follow the
+    per-variant cell geometry val((x*chs//hs) // 8, (y//vs) // 8) — a
+    decoder replicating at the wrong (or integer-floored) ratio or
+    walking the wrong MCU shape cannot match. The scan layout cycles
+    (doc%20//5) over all THREE sequential layouts of the same pixels —
+    fully interleaved, non-interleaved, and PARTIALLY interleaved
+    (Y-only scan + one Cb+Cr subset scan, T.81 A.2.3).
 
     Scale shape: scan → mapInPandas synth → mapInPandas decode →
     posexplode; one id-only shuffle (spread_ids) before synth so decode

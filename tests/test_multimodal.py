@@ -651,14 +651,16 @@ def test_jpeg_failure_modes():
     with pytest.raises(ValueError, match="missing scans"):
         jpeg_pixels(c31)
 
-    # NON-INTEGER replication (3x1 Y against 2x1 Cb) stays a stated seam
+    # NON-INTEGER replication (3x1 Y against 2x1 Cb) is in scope since
+    # r14 — the SOF is accepted and this crafted stream now fails for
+    # the honest reason (its body carries no scans for the components)
     c32 = (
         bytes(good[:sof_at + 2])
         + struct.pack(">HBHHB", 17, prec, h, w, 3)
         + bytes([1, 0x31, 0, 2, 0x21, 1, 3, 0x11, 1])
         + bytes(good[sof_at + 2 + seglen:])
     )
-    with pytest.raises(NotImplementedError, match="non-integer replication"):
+    with pytest.raises(ValueError, match="missing scans"):
         jpeg_pixels(c32)
 
     # factors past the T.81 limit are malformed, not a seam
@@ -2056,6 +2058,28 @@ def test_jpeg_exotic_sampling_round_trip():
         il = jpeg_planes(synth_jpeg_color(d, (hs, vs)))
         pt = jpeg_planes(synth_jpeg_color(d, (hs, vs), partial=True))
         assert pt == il, (d, hs, vs)
+
+    # NON-INTEGER replication ratio (3x1 Y against 2x1 chroma, ratio
+    # 3/2): full-resolution chroma at (x, y) must read component sample
+    # (x*2//3, y) — the A.1.1 sample-grid map — in ALL three scan
+    # layouts; a decoder flooring to an integer ratio cannot match
+    for d in (2, 7, 5, 11, 13):
+        w = 16 + (d % 3) * 8
+        il = jpeg_planes(synth_jpeg_color(d, (3, 1), chroma_sampling=(2, 1)))
+        pw, ph, planes = il
+        assert (pw, ph, len(planes)) == (w, JPEG_H, 3)
+        for y in range(JPEG_H):
+            for x in range(w):
+                assert planes[0][y * w + x] == lum(d, x, y), (d, x, y)
+                cx, cy = (x * 2 // 3) // 8, y // 8
+                assert planes[1][y * w + x] == (d * 29 + cx * 13 + cy * 11) % 251 + 2
+                assert planes[2][y * w + x] == (d * 23 + cx * 7 + cy * 19) % 251 + 2
+        assert jpeg_planes(
+            synth_jpeg_color(d, (3, 1), multiscan=True, chroma_sampling=(2, 1))
+        ) == il
+        assert jpeg_planes(
+            synth_jpeg_color(d, (3, 1), partial=True, chroma_sampling=(2, 1))
+        ) == il
 
     # the 10-blocks-per-MCU limit is a SCAN limit (T.81 B.2.3), not a
     # frame limit: a (4,4) frame (sum 18) decodes when delivered as
