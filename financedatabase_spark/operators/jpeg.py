@@ -51,11 +51,16 @@ frame MCU grid, A.2.3). ARITHMETIC-coded extended sequential frames
 (SOF9 + DAC) decode for real via the T.81 Annex D QM-coder in
 operators/jpeg_arith.py (Table D.3 state machine, Annex F DC/AC
 conditioning, restart re-initialization — cross-validated in both
-directions against libjpeg), for fully interleaved scans. NON-INTEGER
+directions against libjpeg), for fully interleaved scans — and so do
+ARITHMETIC PROGRESSIVE frames (SOF10): the full Annex G scan taxonomy
+(interleaved/single-component DC first + fixed-state refinement bits,
+single-component AC band first + G.2.2 correction passes) over the
+same QM-coder, per-scan statistics, also libjpeg-cross-validated both
+directions. NON-INTEGER
 replication samplings (e.g. 3x1 Y against 2x1 chroma, ratio 3/2)
 decode via the A.1.1 sample-grid map x -> x*hs//hmax in all three
 sequential layouts. Restart-marked or interleaved lossless scans and
-the progressive/lossless/non-interleaved arithmetic processes stay
+the lossless/non-interleaved-sequential arithmetic processes stay
 documented NotImplementedError seams, mirroring the PNG codec's depth
 gates.
 
@@ -1004,32 +1009,41 @@ def synth_jpeg_420(doc_id: int) -> bytes:
 
 def synth_jpeg_arith(doc_id: int) -> bytes:
     """Deterministic ARITHMETIC-coded JPEG fixture mix keyed by
-    doc_id % 4, carrying the SAME pixels as the Huffman fixtures (the
+    doc_id % 6, carrying the SAME pixels as the Huffman fixtures (the
     shared `_y_block_zz` / `_chroma_blocks` formulas, so the oracle is
     unchanged — only the entropy layer differs):
 
-      0: grayscale SOF9
+      0: grayscale SOF9 (extended sequential)
       1: 4:2:0 color SOF9 (interleaved, luma bank 0 + chroma bank 1)
       2: grayscale SOF9 with DRI=3 restarts (QM registers + statistics
          re-initialized per boundary, RSTn indices verified)
       3: 4:4:4 color SOF9 (1x1 sampling, 3 blocks per MCU)
+      4: grayscale PROGRESSIVE SOF10 (the full Annex G scan script —
+         DC first Al=1 + fixed-state refinement, split-band AC first +
+         correction passes; DRI=3 on the DC scan when doc % 12 == 4)
+      5: 4:2:0 color PROGRESSIVE SOF10
 
-    Color docs with doc_id % 8 == 5 are width 32 and restart every MCU
-    (the tightest legal DRI) — the arithmetic twin of the 4:2:0 Huffman
-    restart variant."""
+    Sequential color docs with doc_id % 12 == 7 are width 32 and
+    restart every MCU (the tightest legal DRI) — the arithmetic twin of
+    the 4:2:0 Huffman restart variant."""
     doc_id = int(doc_id)
     w, h = 16 + (doc_id % 3) * 8, JPEG_H
-    variant = doc_id % 4
-    if variant in (0, 2):
+    variant = doc_id % 6
+    if variant in (0, 2, 4):
         blocks = [
             _y_block_zz(doc_id, bx, by)
             for by in range(h // 8)
             for bx in range(w // 8)
         ]
+        if variant == 4:
+            return assemble_jpeg_progressive(
+                w, h, _FIXTURE_QT, blocks,
+                dc_restart_interval=3 if doc_id % 12 == 4 else 0, arith=True,
+            )
         return assemble_jpeg_arith(
             w, h, _FIXTURE_QT, blocks, restart_interval=3 if variant == 2 else 0
         )
-    hs, vs = (2, 2) if variant == 1 else (1, 1)
+    hs, vs = (1, 1) if variant == 3 else (2, 2)
     mcu_w = (w + 8 * hs - 1) // (8 * hs)
     mcu_h = (h + 8 * vs - 1) // (8 * vs)
     y_blocks = [
@@ -1037,7 +1051,11 @@ def synth_jpeg_arith(doc_id: int) -> bytes:
         for by in range(mcu_h * vs)
     ]
     cb, cr = _chroma_blocks(doc_id, mcu_w, mcu_h)
-    ri = 1 if doc_id % 8 == 5 else 0
+    if variant == 5:
+        return assemble_jpeg_progressive(
+            w, h, _FIXTURE_QT, y_blocks, _FIXTURE_QT_C, cb, cr, arith=True
+        )
+    ri = 1 if doc_id % 12 == 7 else 0
     return assemble_jpeg_arith_color(
         w, h, _FIXTURE_QT, _FIXTURE_QT_C, y_blocks, cb, cr,
         sampling=(hs, vs), restart_interval=ri,
@@ -1227,6 +1245,69 @@ def _sos_seg(comps_spec: list[tuple[int, int, int]], ss: int, se: int, ah: int, 
     return _seg(0xFFDA, body)
 
 
+def _encode_dc_first_scan_arith(
+    mcus: list[list[tuple[int, int]]], al: int, restart_interval: int,
+    ncomp: int,
+) -> bytes:
+    """Arithmetic twin of `_encode_dc_first_scan`: the sequential DC
+    model (statistics bank 0) over point-transformed values, restart
+    boundaries flushing the coder and resetting statistics."""
+    from financedatabase_spark.operators.jpeg_arith import (
+        ArithEncoder,
+        ArithStats,
+        encode_dc_arith,
+    )
+
+    chunks: list[bytes] = []
+    enc, stats = ArithEncoder(), ArithStats(ncomp)
+    rst = 0
+    for idx, mcu in enumerate(mcus):
+        if restart_interval and idx and idx % restart_interval == 0:
+            chunks.append(enc.finish())
+            chunks.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            enc, stats = ArithEncoder(), ArithStats(ncomp)
+        for comp, dc in mcu:
+            encode_dc_arith(enc, stats, comp, 0, {}, dc >> al)
+    chunks.append(enc.finish())
+    return b"".join(chunks)
+
+
+def _encode_dc_refine_scan_arith(
+    mcus: list[list[tuple[int, int]]], al: int, ncomp: int
+) -> bytes:
+    """Arithmetic DC refinement: one FIXED-state bit per block — bit Al
+    of the DC coefficient (G.1.2.1 / the decoder's fixed-bin read)."""
+    from financedatabase_spark.operators.jpeg_arith import ArithEncoder, ArithStats
+
+    enc, stats = ArithEncoder(), ArithStats(ncomp)
+    for mcu in mcus:
+        for _comp, dc in mcu:
+            enc.encode(stats.fixed, 0, (dc >> al) & 1)
+    return enc.finish()
+
+
+def _encode_ac_scan_arith(
+    blocks: list[list[int]], ss: int, se: int, ah: int, al: int, refine: bool
+) -> bytes:
+    """Arithmetic AC band scan (first or refinement), statistics bank 0,
+    fresh coder + statistics per scan (F.1.4.4)."""
+    from financedatabase_spark.operators.jpeg_arith import (
+        ArithEncoder,
+        ArithStats,
+        encode_ac_first_arith,
+        encode_ac_refine_arith,
+    )
+
+    enc, stats = ArithEncoder(), ArithStats(1)
+    for bz in blocks:
+        if refine:
+            encode_ac_refine_arith(enc, stats, 0, bz, ss, se, ah, al)
+        else:
+            encode_ac_first_arith(enc, stats, 0, {}, bz, ss, se, al)
+    return enc.finish()
+
+
 def assemble_jpeg_progressive(
     w: int,
     h: int,
@@ -1236,12 +1317,17 @@ def assemble_jpeg_progressive(
     cb_blocks: list[list[list[int]]] | None = None,
     cr_blocks: list[list[list[int]]] | None = None,
     dc_restart_interval: int = 0,
+    arith: bool = False,
 ) -> bytes:
-    """Assemble a spec-valid PROGRESSIVE (SOF2) JPEG carrying the same
+    """Assemble a spec-valid PROGRESSIVE JPEG carrying the same
     quantized coefficients as the baseline assemblers — grayscale when
     ``cb_blocks`` is None (``y_blocks`` a flat raster list, like
     `assemble_jpeg`), 4:2:0 YCbCr otherwise (``y_blocks`` the padded
     [block_row][block_col] grid, like `assemble_jpeg_420`).
+    ``arith=True`` emits the ARITHMETIC progressive process (SOF10 +
+    DAC, T.81 Annex G over the Annex D QM-coder) with the SAME scan
+    script — per-scan coder and statistics, fixed-state DC refinement
+    bits, the G.2.2 AC correction pass.
 
     Scan script (the shape real encoders emit — spectral selection AND
     successive approximation on both DC and AC):
@@ -1276,6 +1362,7 @@ def assemble_jpeg_progressive(
         sof2 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
     dht_ac_prog = bytes([0x11]) + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS)
+    ac_tbl = 0 if arith else 1  # arithmetic scans use statistics bank 0
 
     # interleaved MCU list of (component, DC value) for the DC scans, and
     # per-component NON-interleaved block lists for the AC scans
@@ -1311,27 +1398,44 @@ def assemble_jpeg_progressive(
     out += _seg(0xFFDB, dqt)
     if dc_restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", dc_restart_interval))
-    out += _seg(0xFFC2, sof2)
-    out += _seg(0xFFC4, dht_dc)
-    out += _seg(0xFFC4, dht_ac_prog)
+    if arith:
+        out += _seg(0xFFCA, sof2)
+        out += _seg(0xFFCC, bytes([0x00, 0x10, 0x10, 5]))  # DC L0/U1, AC Kx5
+    else:
+        out += _seg(0xFFC2, sof2)
+        out += _seg(0xFFC4, dht_dc)
+        out += _seg(0xFFC4, dht_ac_prog)
+    ncomp = 3 if color else 1
     # 1. DC first (Al=1), interleaved, optionally restart-segmented
     out += _sos_seg(dc_sos_comps, 0, 0, 0, 1)
-    out += _encode_dc_first_scan(dc_mcus, 1, dc_restart_interval)
+    if arith:
+        out += _encode_dc_first_scan_arith(dc_mcus, 1, dc_restart_interval, ncomp)
+    else:
+        out += _encode_dc_first_scan(dc_mcus, 1, dc_restart_interval)
     if dc_restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", 0))  # later scans restart-free
     # 2./3. AC first scans (Al=1) per component, split spectral bands
     for ss, se in ((1, 5), (6, 63)):
         for ci, blocks in enumerate(comp_blocks):
-            out += _sos_seg([(comp_ids[ci], 0, 1)], ss, se, 0, 1)
-            out += _encode_ac_scan(blocks, ss, se, 1, refine=False)
-    # 4. DC refinement (raw bits), interleaved
+            out += _sos_seg([(comp_ids[ci], 0, ac_tbl)], ss, se, 0, 1)
+            if arith:
+                out += _encode_ac_scan_arith(blocks, ss, se, 0, 1, refine=False)
+            else:
+                out += _encode_ac_scan(blocks, ss, se, 1, refine=False)
+    # 4. DC refinement (raw bits / fixed-state bits), interleaved
     out += _sos_seg(dc_sos_comps, 0, 0, 1, 0)
-    out += _encode_dc_refine_scan(dc_mcus, 0)
+    if arith:
+        out += _encode_dc_refine_scan_arith(dc_mcus, 0, ncomp)
+    else:
+        out += _encode_dc_refine_scan(dc_mcus, 0)
     # 5./6. AC refinement scans (Ah=1 → Al=0) per component
     for ss, se in ((1, 5), (6, 63)):
         for ci, blocks in enumerate(comp_blocks):
-            out += _sos_seg([(comp_ids[ci], 0, 1)], ss, se, 1, 0)
-            out += _encode_ac_scan(blocks, ss, se, 0, refine=True)
+            out += _sos_seg([(comp_ids[ci], 0, ac_tbl)], ss, se, 1, 0)
+            if arith:
+                out += _encode_ac_scan_arith(blocks, ss, se, 1, 0, refine=True)
+            else:
+                out += _encode_ac_scan(blocks, ss, se, 0, refine=True)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1608,6 +1712,157 @@ def _nonint_grid(
     return (cw + 7) // 8, (ch + 7) // 8
 
 
+def _decode_progressive_arith_scan(
+    raw: bytes,
+    pos: int,
+    seglen: int,
+    body: bytes,
+    w: int,
+    h: int,
+    comps: list[tuple[int, int, int, int]],
+    arith_cond: dict,
+    restart_interval: int,
+    prog_grid: tuple[int, int, int, int],
+    prog_coefs: list[list[list[int]]],
+    prec: int,
+) -> int:
+    """Decode ONE progressive ARITHMETIC scan (T.81 Annex G over the
+    Annex D QM-coder — SOF10) into the quantized-coefficient store and
+    return the position of the next marker. Same scan taxonomy as the
+    Huffman twin `_decode_progressive_scan`: interleaved or
+    single-component DC scans (first pass = the sequential DC model
+    point-transformed by Al, refinement = one fixed-state bit per
+    block), single-component AC band scans (first pass = the sequential
+    AC model scaled by 2^Al, refinement = the G.2.2 correction pass).
+    Registers AND statistics re-initialize per scan and per restart."""
+    from financedatabase_spark.operators.jpeg_arith import (
+        ArithDecoder,
+        ArithStats,
+        decode_ac_first_arith,
+        decode_ac_refine_arith,
+        decode_dc_arith,
+    )
+
+    hmax, vmax, mcus_x, mcus_y = prog_grid
+    ns = body[0]
+    if len(body) < 1 + 2 * ns + 3:
+        raise ValueError("JPEG SOS truncated (component specs short)")
+    scan: list[tuple[int, int, int]] = []  # (comp index, td, ta)
+    for si in range(ns):
+        cs = body[1 + 2 * si]
+        td, ta = body[2 + 2 * si] >> 4, body[2 + 2 * si] & 0xF
+        match = [i for i, c in enumerate(comps) if c[0] == cs]
+        if not match:
+            raise ValueError("JPEG SOS references unknown component id")
+        if td > 3 or ta > 3:
+            raise ValueError(
+                f"JPEG arithmetic SOS table ids ({td},{ta}) outside the "
+                f"0-3 statistics-bank range"
+            )
+        scan.append((match[0], td, ta))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ahal = body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    dec = ArithDecoder(raw, pos + 2 + seglen)
+    stats = ArithStats(len(comps))
+
+    def _restart(rst: int) -> None:
+        p = dec.marker_start()
+        if not (
+            p + 1 < len(raw) and raw[p] == 0xFF and raw[p + 1] == 0xD0 + rst
+        ):
+            raise ValueError(
+                f"JPEG expected restart marker RST{rst} at a restart "
+                f"boundary (corrupt stream or interleave mismatch)"
+            )
+        dec.pos = p + 2
+        dec.restart()
+        stats.reset()
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG progressive DC scan must have Se=0")
+        if ns == len(comps):
+            rst = 0
+            mcu_idx = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                        _restart(rst)
+                        rst = (rst + 1) % 8
+                    mcu_idx += 1
+                    for ci, td, _ta in scan:
+                        _, hs, vs, _ = comps[ci]
+                        stride = mcus_x * hs
+                        for byy in range(vs):
+                            for bxx in range(hs):
+                                blk = prog_coefs[ci][
+                                    (my * vs + byy) * stride + (mx * hs + bxx)
+                                ]
+                                if ah == 0:
+                                    blk[0] = decode_dc_arith(
+                                        dec, stats, ci, td, arith_cond, prec
+                                    ) << al
+                                else:
+                                    if dec.decode(stats.fixed, 0):
+                                        blk[0] |= 1 << al
+        elif ns == 1:
+            ci, td, _ta = scan[0]
+            _, hs, vs, _ = comps[ci]
+            bw_n, bh_n = _nonint_grid(w, h, hs, vs, hmax, vmax)
+            stride = mcus_x * hs
+            rst = 0
+            idx = 0
+            for by in range(bh_n):
+                for bx in range(bw_n):
+                    if restart_interval and idx and idx % restart_interval == 0:
+                        _restart(rst)
+                        rst = (rst + 1) % 8
+                    idx += 1
+                    blk = prog_coefs[ci][by * stride + bx]
+                    if ah == 0:
+                        blk[0] = decode_dc_arith(
+                            dec, stats, ci, td, arith_cond, prec
+                        ) << al
+                    else:
+                        if dec.decode(stats.fixed, 0):
+                            blk[0] |= 1 << al
+        else:
+            raise NotImplementedError(
+                "partially interleaved progressive DC scan not supported"
+            )
+    else:
+        if ns != 1:
+            raise ValueError("JPEG progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError("JPEG progressive scan has invalid spectral band")
+        ci, _td, ta = scan[0]
+        _, hs, vs, _ = comps[ci]
+        bw_n, bh_n = _nonint_grid(w, h, hs, vs, hmax, vmax)
+        stride = mcus_x * hs
+        rst = 0
+        idx = 0
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                if restart_interval and idx and idx % restart_interval == 0:
+                    _restart(rst)
+                    rst = (rst + 1) % 8
+                idx += 1
+                blk = prog_coefs[ci][by * stride + bx]
+                if ah == 0:
+                    decode_ac_first_arith(
+                        dec, stats, ta, arith_cond, blk, ss, se, al
+                    )
+                else:
+                    decode_ac_refine_arith(dec, stats, ta, blk, ss, se, al)
+    p = dec.marker_start()
+    while p + 1 < len(raw) and not (
+        raw[p] == 0xFF and raw[p + 1] != 0x00 and not (0xD0 <= raw[p + 1] <= 0xD7)
+    ):
+        p += 1
+    return p
+
+
 def _decode_progressive_scan(
     raw: bytes,
     pos: int,
@@ -1790,11 +2045,11 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
         marker = raw[pos + 1]
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"only sequential (SOF0/SOF1/SOF9-arithmetic), progressive "
-                f"(SOF2) and lossless (SOF3) processes supported, got SOF "
-                f"marker 0xFF{marker:02X}"
+                f"(SOF2/SOF10-arithmetic) and lossless (SOF3) processes "
+                f"supported, got SOF marker 0xFF{marker:02X}"
             )
         if pos + 4 > len(raw):
             raise ValueError("JPEG segment truncated (declared length exceeds stream)")
@@ -1864,7 +2119,7 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                 off += 2
             if off != len(body):
                 raise ValueError("JPEG DAC truncated (odd parameter bytes)")
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # SOFn
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):  # SOFn
             # SOF1 (extended sequential, Huffman) at 8-bit precision is
             # decode-identical to baseline — it only widens the limits
             # (12-bit samples, 4 Huffman table slots) this decoder
@@ -1872,17 +2127,17 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
             # (T.81 Annex H): no DCT/quantization, predictor-coded
             # sample differences — and precision-generic, so deep
             # (12/16-bit) images are in scope there.
-            progressive = marker == 0xC2
+            progressive = marker in (0xC2, 0xCA)
             lossless = marker == 0xC3
-            arith = marker == 0xC9  # extended sequential, ARITHMETIC coding
+            arith = marker in (0xC9, 0xCA)  # ARITHMETIC entropy coding
             if len(body) < 6:
                 raise ValueError("JPEG SOF truncated")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError(f"bad lossless JPEG precision {prec}")
-            elif marker in (0xC1, 0xC9) and prec == 12:
-                pass  # extended sequential admits 12-bit (T.81 Table B.2)
+            elif marker in (0xC1, 0xC9, 0xCA) and prec == 12:
+                pass  # extended/progressive admit 12-bit (T.81 Table B.2)
             elif prec != 8:
                 raise NotImplementedError(
                     "only 8-bit JPEG samples supported here (12-bit needs "
@@ -2032,10 +2287,16 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                         [[0] * 64 for _ in range(mcus_x * hs * mcus_y * vs)]
                         for _, hs, vs, _ in comps
                     ]
-                pos = _decode_progressive_scan(
-                    raw, pos, seglen, body, w, h, comps, dcs, acs,
-                    restart_interval, prog_grid, prog_coefs,
-                )
+                if arith:
+                    pos = _decode_progressive_arith_scan(
+                        raw, pos, seglen, body, w, h, comps, arith_cond,
+                        restart_interval, prog_grid, prog_coefs, prec,
+                    )
+                else:
+                    pos = _decode_progressive_scan(
+                        raw, pos, seglen, body, w, h, comps, dcs, acs,
+                        restart_interval, prog_grid, prog_coefs,
+                    )
                 continue
             if arith and ns != len(comps):
                 raise NotImplementedError(

@@ -2,7 +2,9 @@
 Annex F sequential DC/AC conditioning, pure stdlib.
 
 This closes the last big image-codec seam: frames marked SOF9 (extended
-sequential DCT, arithmetic coding) decode for real. Everything here is
+sequential DCT, arithmetic coding) and SOF10 (PROGRESSIVE DCT,
+arithmetic coding — the Annex G scan taxonomy via the progressive
+stage coders at the bottom of this module) decode for real. Everything here is
 from the PUBLIC standard: the probability-estimation state machine is
 ITU-T T.81 Table D.3 (the 113-state Qe ladder plus the non-adaptive
 state used for AC signs), the decoder is the Annex D flowcharts
@@ -287,17 +289,15 @@ class ArithStats:
         self.dc_context = [0] * len(self.dc_context)
 
 
-def decode_block_arith(
-    dec: ArithDecoder, stats: ArithStats, ci: int, dc_tbl: int, ac_tbl: int,
-    cond: dict, prec: int,
-) -> list[int]:
-    """Decode one block's QUANTIZED coefficients in zigzag order
-    (F.2.4.1 Decode_DC_DIFF + F.2.4.2 Decode_AC_coefficients).
-    ``cond`` carries the DAC conditioning: dc (L, U) per DC table,
-    ac Kx per AC table."""
-    zz = [0] * 64
+def decode_dc_arith(
+    dec: ArithDecoder, stats: ArithStats, ci: int, dc_tbl: int, cond: dict,
+    prec: int,
+) -> int:
+    """Decode one DC difference (F.2.4.1 Decode_DC_DIFF) and return the
+    accumulated DC value for component ``ci``. Shared by the sequential
+    block decode and the progressive DC-first scan (G.2.1 — identical
+    statistical model, the caller applies the point transform)."""
     dc_l, dc_u = cond.get(("dc", dc_tbl), (0, 1))
-    kx = cond.get(("ac", ac_tbl), 5)
     dcs = stats.dc_bank(dc_tbl)
     base = stats.dc_context[ci]
     if dec.decode(dcs, base):  # diff != 0
@@ -337,7 +337,20 @@ def decode_block_arith(
     lim = 1 << (prec + 3)
     if not -lim < stats.last_dc[ci] < lim:
         raise ValueError("JPEG arithmetic DC predictor out of range")
-    zz[0] = stats.last_dc[ci]
+    return stats.last_dc[ci]
+
+
+def decode_block_arith(
+    dec: ArithDecoder, stats: ArithStats, ci: int, dc_tbl: int, ac_tbl: int,
+    cond: dict, prec: int,
+) -> list[int]:
+    """Decode one block's QUANTIZED coefficients in zigzag order
+    (F.2.4.1 Decode_DC_DIFF + F.2.4.2 Decode_AC_coefficients).
+    ``cond`` carries the DAC conditioning: dc (L, U) per DC table,
+    ac Kx per AC table."""
+    zz = [0] * 64
+    kx = cond.get(("ac", ac_tbl), 5)
+    zz[0] = decode_dc_arith(dec, stats, ci, dc_tbl, cond, prec)
 
     acs = stats.ac_bank(ac_tbl)
     k = 1
@@ -376,18 +389,18 @@ def decode_block_arith(
     return zz
 
 
-def encode_block_arith(
-    enc: ArithEncoder, stats: ArithStats, ci: int, dc_tbl: int, ac_tbl: int,
-    cond: dict, zz: list[int],
+def encode_dc_arith(
+    enc: ArithEncoder, stats: ArithStats, ci: int, dc_tbl: int, cond: dict,
+    value: int,
 ) -> None:
-    """Encode one block's quantized zigzag coefficients — the encoder
-    twin of `decode_block_arith` (F.1.4.1/F.1.4.2, Figures F.4-F.9)."""
+    """Encode the DC difference that brings component ``ci`` to
+    ``value`` (F.1.4.1, Figures F.4/F.6-F.9). Shared by the sequential
+    block encode and the progressive DC-first scan."""
     dc_l, dc_u = cond.get(("dc", dc_tbl), (0, 1))
-    kx = cond.get(("ac", ac_tbl), 5)
     dcs = stats.dc_bank(dc_tbl)
     base = stats.dc_context[ci]
-    v = zz[0] - stats.last_dc[ci]
-    stats.last_dc[ci] = zz[0]
+    v = value - stats.last_dc[ci]
+    stats.last_dc[ci] = value
     if v == 0:
         enc.encode(dcs, base, 0)
         stats.dc_context[ci] = 0
@@ -419,6 +432,16 @@ def encode_block_arith(
         while m:
             enc.encode(dcs, st, 1 if m & sz else 0)
             m >>= 1
+
+
+def encode_block_arith(
+    enc: ArithEncoder, stats: ArithStats, ci: int, dc_tbl: int, ac_tbl: int,
+    cond: dict, zz: list[int],
+) -> None:
+    """Encode one block's quantized zigzag coefficients — the encoder
+    twin of `decode_block_arith` (F.1.4.1/F.1.4.2, Figures F.4-F.9)."""
+    kx = cond.get(("ac", ac_tbl), 5)
+    encode_dc_arith(enc, stats, ci, dc_tbl, cond, zz[0])
 
     acs = stats.ac_bank(ac_tbl)
     ke = 63
@@ -459,4 +482,170 @@ def encode_block_arith(
             m >>= 1
         k += 1
     if k <= 63:
+        enc.encode(acs, 3 * (k - 1), 1)  # EOB
+
+
+# -- progressive stages (T.81 Annex G over the Annex D coder) -----------------
+
+
+def decode_ac_first_arith(
+    dec: ArithDecoder, stats: ArithStats, ac_tbl: int, cond: dict,
+    blk: list[int], ss: int, se: int, al: int,
+) -> None:
+    """Progressive AC FIRST scan for one block (G.2.2 over F.2.4.2):
+    the sequential AC model band-limited to Ss..Se, decoded magnitudes
+    scaled by 2^Al into the zigzag coefficient store."""
+    kx = cond.get(("ac", ac_tbl), 5)
+    acs = stats.ac_bank(ac_tbl)
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(acs, st):  # EOB
+            return
+        while dec.decode(acs, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("JPEG arithmetic AC coefficient overrun")
+        sign = dec.decode(stats.fixed, 0)
+        st += 2
+        m = 0
+        if dec.decode(acs, st):
+            m = 1
+            if dec.decode(acs, st):
+                m = 2
+                st = 189 if k <= kx else 217
+                while dec.decode(acs, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("JPEG arithmetic AC magnitude overflow")
+                    st += 1
+        v = m
+        st += 14
+        m >>= 1
+        while m:
+            if dec.decode(acs, st):
+                v |= m
+            m >>= 1
+        v += 1
+        blk[k] = (-v if sign else v) << al
+        k += 1
+
+
+def decode_ac_refine_arith(
+    dec: ArithDecoder, stats: ArithStats, ac_tbl: int,
+    blk: list[int], ss: int, se: int, al: int,
+) -> None:
+    """Progressive AC REFINEMENT scan for one block (G.2.2 correction
+    pass): per coefficient, history-nonzero entries get one correction
+    bit at the SE+2 station, newly nonzero entries are signalled at the
+    significance station with a fixed-state sign; the EOB decision is
+    asked only past the previous stage's end-of-block index."""
+    acs = stats.ac_bank(ac_tbl)
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = se
+    while kex >= ss and blk[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(acs, st):
+                return  # EOB
+        while True:
+            if blk[k]:  # previously nonzero: one correction bit
+                if dec.decode(acs, st + 2):
+                    blk[k] += m1 if blk[k] < 0 else p1
+                break
+            if dec.decode(acs, st + 1):  # newly nonzero
+                blk[k] = m1 if dec.decode(stats.fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("JPEG arithmetic AC refinement overrun")
+        k += 1
+
+
+def encode_ac_first_arith(
+    enc: ArithEncoder, stats: ArithStats, ac_tbl: int, cond: dict,
+    blk: list[int], ss: int, se: int, al: int,
+) -> None:
+    """Encoder twin of `decode_ac_first_arith` (G.1.2.3 over F.1.4.2):
+    codes the band's coefficients at magnitude (|v| >> Al)."""
+    kx = cond.get(("ac", ac_tbl), 5)
+    acs = stats.ac_bank(ac_tbl)
+    ke = se
+    while ke >= ss and (abs(blk[ke]) >> al) == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(acs, st, 0)  # not EOB yet
+        while (abs(blk[k]) >> al) == 0:
+            enc.encode(acs, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(acs, st + 1, 1)
+        sign = 1 if blk[k] < 0 else 0
+        enc.encode(stats.fixed, 0, sign)
+        st += 2
+        sz = (abs(blk[k]) >> al) - 1
+        m = 0
+        if sz:
+            enc.encode(acs, st, 1)
+            m = 1
+            v2 = sz
+            if v2 := v2 >> 1:
+                enc.encode(acs, st, 1)
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while v2 := v2 >> 1:
+                    enc.encode(acs, st, 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(acs, st, 0)
+        st += 14
+        m >>= 1
+        while m:
+            enc.encode(acs, st, 1 if m & sz else 0)
+            m >>= 1
+        k += 1
+    if k <= se:
+        enc.encode(acs, 3 * (k - 1), 1)  # EOB
+
+
+def encode_ac_refine_arith(
+    enc: ArithEncoder, stats: ArithStats, ac_tbl: int,
+    blk: list[int], ss: int, se: int, ah: int, al: int,
+) -> None:
+    """Encoder twin of `decode_ac_refine_arith` (G.1.2.3 correction
+    pass): Ah is the previous scan's low bit position, Al this one's."""
+    acs = stats.ac_bank(ac_tbl)
+    ke = se
+    while ke >= ss and (abs(blk[ke]) >> al) == 0:
+        ke -= 1
+    kex = ke
+    while kex >= ss and (abs(blk[kex]) >> ah) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(acs, st, 0)  # not EOB yet
+        while True:
+            mag = abs(blk[k]) >> al
+            if mag:
+                if mag >> 1:  # previously nonzero: correction bit
+                    enc.encode(acs, st + 2, mag & 1)
+                else:  # newly nonzero at this bit position
+                    enc.encode(acs, st + 1, 1)
+                    enc.encode(stats.fixed, 0, 1 if blk[k] < 0 else 0)
+                break
+            enc.encode(acs, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if k <= se:
         enc.encode(acs, 3 * (k - 1), 1)  # EOB

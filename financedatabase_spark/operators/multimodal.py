@@ -20,8 +20,9 @@ parser (`png_decode` — chunk walk, zlib inflate, full five-filter
 scanline reconstruction, every color type at depths 1/2/4/8/16, ADAM7);
 JPEG decodes for real via `operators/jpeg.py` (baseline, extended
 sequential incl. 12-bit, progressive, lossless SOF3 at 2-16 bits, and
-ARITHMETIC-coded SOF9 via the T.81 Annex D QM-coder in
-`operators/jpeg_arith.py`, libjpeg-cross-validated), with Pillow as
+ARITHMETIC-coded SOF9 + progressive SOF10 via the T.81 Annex D
+QM-coder in `operators/jpeg_arith.py`, libjpeg-cross-validated), with
+Pillow as
 the optional general-image fallback (`pil_decode`). The remaining
 documented NotImplementedError seams are the genuinely library-bound
 ones: compressed video without PyAV (plus the exotic arithmetic scan

@@ -760,11 +760,12 @@ def test_jpeg_duplicate_scan_component_rejected():
 
 
 def test_jpeg_arith_fixtures_match_huffman_twins():
-    """SOF9 arithmetic fixtures must decode to EXACTLY the pixels of the
+    """Arithmetic fixtures must decode to EXACTLY the pixels of the
     Huffman containers carrying the same quantized coefficients — all
-    four variants (gray / 4:2:0 / gray+DRI restarts / 4:4:4), all three
-    widths including the padded-MCU column, and the restart-every-MCU
-    color docs."""
+    six variants (gray / 4:2:0 / gray+DRI restarts / 4:4:4 /
+    PROGRESSIVE SOF10 gray / progressive 4:2:0), all three widths
+    including the padded-MCU column, and the restart-every-MCU color
+    docs."""
     from financedatabase_spark.operators.jpeg import (
         _FIXTURE_QT,
         JPEG_H,
@@ -775,17 +776,17 @@ def test_jpeg_arith_fixtures_match_huffman_twins():
         synth_jpeg_color,
     )
 
-    for d in range(48):
+    for d in range(72):
         got = jpeg_planes(synth_jpeg_arith(d))
-        v = d % 4
+        v = d % 6
         w, h = 16 + (d % 3) * 8, JPEG_H
-        if v in (0, 2):
+        if v in (0, 2, 4):
             blocks = [
                 _y_block_zz(d, bx, by) for by in range(h // 8) for bx in range(w // 8)
             ]
             want = jpeg_planes(assemble_jpeg(w, h, _FIXTURE_QT, blocks))
         else:
-            want = jpeg_planes(synth_jpeg_color(d, (2, 2) if v == 1 else (1, 1)))
+            want = jpeg_planes(synth_jpeg_color(d, (1, 1) if v == 3 else (2, 2)))
         assert got == want, f"doc {d}"
 
 
@@ -869,6 +870,7 @@ int main(void){
 #include <jpeglib.h>
 int main(int argc, char**argv){
   int w=atoi(argv[1]), h=atoi(argv[2]), nc=atoi(argv[3]), q=atoi(argv[4]), rst=argc>5?atoi(argv[5]):0;
+  int prog=argc>6?atoi(argv[6]):0;
   struct jpeg_compress_struct cinfo; struct jpeg_error_mgr jerr;
   cinfo.err=jpeg_std_error(&jerr);
   jpeg_create_compress(&cinfo);
@@ -880,6 +882,7 @@ int main(int argc, char**argv){
   jpeg_set_quality(&cinfo, q, TRUE);
   cinfo.arith_code = TRUE;
   cinfo.restart_interval = rst;
+  if (prog) jpeg_simple_progression(&cinfo);
   jpeg_start_compress(&cinfo, TRUE);
   int stride=w*nc; unsigned char *row=malloc(stride);
   JSAMPROW rp[1]; rp[0]=row;
@@ -1048,8 +1051,8 @@ def test_jpeg_arith_encoder_validated_by_libjpeg(libjpeg_tools):
         synth_jpeg_arith,
     )
 
-    for d in range(0, 24, 2):  # gray variants (pixels comparable 1:1)
-        if d % 4 not in (0, 2):
+    for d in range(0, 36):  # gray variants (pixels comparable 1:1),
+        if d % 6 not in (0, 2, 4):  # incl. PROGRESSIVE SOF10 (v = 4)
             continue
         w, h = 16 + (d % 3) * 8, JPEG_H
         blocks = [
@@ -1058,15 +1061,17 @@ def test_jpeg_arith_encoder_validated_by_libjpeg(libjpeg_tools):
         want = jpeg_planes(assemble_jpeg(w, h, _FIXTURE_QT, blocks))[2][0]
         r = _sp.run([str(libjpeg_tools / "jdec")],
                     input=synth_jpeg_arith(d), capture_output=True, timeout=120)
-        assert r.returncode == 0, r.stderr[:300]
+        assert r.returncode == 0, (d, r.stderr[:300])
         hdr, _, body = r.stdout.partition(b"\n")
         gw, gh, gc = map(int, hdr.split())
         assert (gw, gh, gc) == (w, h, 1)
-        assert list(body) == want
+        assert list(body) == want, d
     # color variants: entropy-layer comparison via jpeg_read_coefficients
     # (libjpeg's fancy chroma upsampler differs from replication, so
-    # pixel comparison would conflate IDCT/upsample flavor with entropy)
-    for d in (1, 3, 5, 7, 13):
+    # pixel comparison would conflate IDCT/upsample flavor with entropy);
+    # sequential only — the progressive fixtures are pixel-checked above
+    # and coefficient-checked in the progressive cross test
+    for d in (1, 3, 7, 9, 13):
         jpg = synth_jpeg_arith(d)
         mine = _decode_arith_stream_coeffs(jpg)
         theirs = _coef_dump(libjpeg_tools, jpg)
@@ -1114,6 +1119,127 @@ def test_jpeg_arith_decoder_validated_by_libjpeg(libjpeg_tools):
             for bi, wv in enumerate(dump["blocks"]):
                 by, bx = divmod(bi, bw)
                 assert mine[ci][(by, bx)] == wv, (w, h, nc, rst, q, mode, ci, by, bx)
+
+
+def _decode_prog_arith_stream_coeffs(jpg: bytes):
+    """Test-local parse of a PROGRESSIVE arithmetic JPEG (SOF10) into
+    per-component natural-order coefficient grids via the public scan
+    decoder — the entropy-layer view, no IDCT."""
+    import struct as _struct
+
+    from financedatabase_spark.operators.jpeg import (
+        ZIGZAG,
+        _decode_progressive_arith_scan,
+    )
+
+    pos, comps, cond, ri = 2, [], {}, 0
+    fw = fh = 0
+    prog_coefs = prog_grid = None
+    while pos < len(jpg):
+        m = jpg[pos + 1]
+        if m == 0xD9:
+            break
+        (ln,) = _struct.unpack_from(">H", jpg, pos + 2)
+        body = jpg[pos + 4:pos + 2 + ln]
+        if m == 0xCA:
+            _, fh, fw, ncomp = _struct.unpack_from(">BHHB", body, 0)
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif m == 0xCC:
+            i = 0
+            while i < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0xF
+                cs = body[i + 1]
+                cond[("dc", tb) if tc == 0 else ("ac", tb)] = (
+                    (cs & 0xF, cs >> 4) if tc == 0 else cs
+                )
+                i += 2
+        elif m == 0xDD:
+            (ri,) = _struct.unpack_from(">H", body, 0)
+        elif m == 0xDA:
+            if prog_coefs is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mx = (fw + 8 * hmax - 1) // (8 * hmax)
+                my = (fh + 8 * vmax - 1) // (8 * vmax)
+                prog_grid = (hmax, vmax, mx, my)
+                prog_coefs = [
+                    [[0] * 64 for _ in range(mx * c[1] * my * c[2])] for c in comps
+                ]
+            pos = _decode_progressive_arith_scan(
+                jpg, pos, ln, body, fw, fh, comps, cond, ri,
+                prog_grid, prog_coefs, 8,
+            )
+            continue
+        pos += 2 + ln
+    got = {}
+    hmax, vmax, mx, _my = prog_grid
+    for ci, (_cid, hs, _vs, _tq) in enumerate(comps):
+        stride = mx * hs
+        got[ci] = {}
+        for bi, zz in enumerate(prog_coefs[ci]):
+            by, bx = divmod(bi, stride)
+            nat = [0] * 64
+            for zi, rix in enumerate(ZIGZAG):
+                nat[rix] = zz[zi]
+            got[ci][(by, bx)] = nat
+    return got
+
+
+def test_jpeg_arith_progressive_validated_by_libjpeg(libjpeg_tools):
+    """CONFORMANCE for the PROGRESSIVE arithmetic process (SOF10):
+    direction 1 — this encoder's full Annex G scan scripts (incl. the
+    DRI-on-DC-scan variant) decode in libjpeg to exact fixture pixels;
+    direction 2 — libjpeg's own progressive arithmetic streams
+    (jpeg_simple_progression: spectral selection + successive
+    approximation) decode here to libjpeg's coefficient dump."""
+    import random as _random
+    import subprocess as _sp
+
+    from financedatabase_spark.operators.jpeg import (
+        _FIXTURE_QT,
+        JPEG_H,
+        _y_block_zz,
+        assemble_jpeg,
+        assemble_jpeg_progressive,
+        jpeg_planes,
+    )
+
+    for d in (0, 1, 2, 3, 6):
+        w, h = 16 + (d % 3) * 8, JPEG_H
+        blocks = [
+            _y_block_zz(d, bx, by) for by in range(h // 8) for bx in range(w // 8)
+        ]
+        want = jpeg_planes(assemble_jpeg(w, h, _FIXTURE_QT, blocks))[2][0]
+        ar = assemble_jpeg_progressive(
+            w, h, _FIXTURE_QT, blocks,
+            dc_restart_interval=3 if d % 6 == 0 else 0, arith=True,
+        )
+        r = _sp.run([str(libjpeg_tools / "jdec")], input=ar,
+                    capture_output=True, timeout=120)
+        assert r.returncode == 0, (d, r.stderr[:300])
+        hdr, _, body = r.stdout.partition(b"\n")
+        assert tuple(map(int, hdr.split())) == (w, h, 1)
+        assert list(body) == want, d
+
+    rng = _random.Random(11)
+    for _ in range(4):
+        w = rng.choice([16, 24, 32, 40])
+        h = rng.choice([16, 24, 32])
+        nc = rng.choice([1, 3])
+        q = rng.choice([50, 75, 95])
+        raw = bytes(rng.randrange(256) for _ in range(w * h * nc))
+        jpg = _sp.run([str(libjpeg_tools / "jenc"), str(w), str(h), str(nc),
+                       str(q), "0", "1"],
+                      input=raw, capture_output=True, timeout=120).stdout
+        mine = _decode_prog_arith_stream_coeffs(jpg)
+        theirs = _coef_dump(libjpeg_tools, jpg)
+        for ci, dump in theirs.items():
+            bw = dump["bw"]
+            for bi, wv in enumerate(dump["blocks"]):
+                by, bx = divmod(bi, bw)
+                assert mine[ci][(by, bx)] == wv, (w, h, nc, q, ci, by, bx)
 
 
 def test_jpeg_arith_deep_state_coverage(libjpeg_tools):
