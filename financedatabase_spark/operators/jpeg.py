@@ -59,10 +59,14 @@ same QM-coder, per-scan statistics, also libjpeg-cross-validated both
 directions. NON-INTEGER
 replication samplings (e.g. 3x1 Y against 2x1 chroma, ratio 3/2)
 decode via the A.1.1 sample-grid map x -> x*hs//hmax in all three
-sequential layouts. Restart-marked or interleaved lossless scans and
-the lossless/non-interleaved-sequential arithmetic processes stay
-documented NotImplementedError seams, mirroring the PNG codec's depth
-gates.
+sequential layouts. Lossless streams decode in BOTH layouts too —
+non-interleaved scan-per-plane and fully INTERLEAVED (MCU = one sample
+per component) — with whole-row RESTART intervals (each interval's
+first line restarts prediction at default + Ra per H.1.1, so intervals
+decode independently; mid-row intervals are refused loudly). The
+lossless-arithmetic and non-interleaved-sequential-arithmetic
+processes stay documented NotImplementedError seams, mirroring the PNG
+codec's depth gates.
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
 from coefficient patterns whose IDCT is integral — constant blocks
@@ -162,18 +166,24 @@ _LL_ENC = _canonical_codes(LL_BITS, LL_VALS)
 
 
 def _lossless_predict(
-    samples: list[int], w: int, x: int, y: int, predictor: int, prec: int
+    samples: list[int], w: int, x: int, y: int, predictor: int, prec: int,
+    row0: int = 0,
 ) -> int:
     """T.81 Annex H.1.1 sample prediction over the already-reconstructed
     row-major ``samples``: the very first sample predicts 2^(P-1), the
     rest of the first line uses Ra (left), the first column uses Rb
     (above), and interior samples use the scan-selected predictor 1-7.
-    Shifts are arithmetic (Python ``>>`` floors negatives), matching the
-    spec's one-bit right shift on two's-complement values."""
-    if y == 0 and x == 0:
+    ``row0`` is the first row of the current RESTART INTERVAL: per
+    H.1.1 the interval's first line behaves like the scan's first line
+    (default + Ra), so an interval never references samples across the
+    restart boundary and stays independently decodable — the point of
+    restarts. Shifts are arithmetic (Python ``>>`` floors negatives),
+    matching the spec's one-bit right shift on two's-complement
+    values."""
+    if y == row0 and x == 0:
         return 1 << (prec - 1)
-    if y == 0:
-        return samples[x - 1]
+    if y == row0:
+        return samples[y * w + x - 1]
     if x == 0:
         return samples[(y - 1) * w]
     a = samples[y * w + x - 1]
@@ -472,7 +482,8 @@ def assemble_jpeg(
 
 def assemble_jpeg_lossless(
     w: int, h: int, samples: list, predictor: int, prec: int = 8,
-    point_transform: int = 0,
+    point_transform: int = 0, interleaved: bool = False,
+    restart_rows: int = 0,
 ) -> bytes:
     """Assemble a spec-valid LOSSLESS JPEG (SOF3 — T.81 Annex H):
     sample differences against the Annex H predictor are category-coded
@@ -487,7 +498,13 @@ def assemble_jpeg_lossless(
     plane, the non-interleaved layout every lossless encoder emits).
     ``point_transform`` (Al, 0 <= Al < prec) codes samples in the
     REDUCED domain — pass reduced samples (< 2^(prec-Al)); decoders
-    output them shifted back up by Al."""
+    output them shifted back up by Al.
+
+    ``interleaved=True`` emits ONE multi-component scan whose MCU is a
+    single sample per component (all factors 1x1 — the A.2.3 degenerate
+    MCU); ``restart_rows`` > 0 emits DRI = restart_rows * w MCUs and
+    RSTn markers, each interval's first line restarting prediction at
+    the default + Ra per H.1.1 so intervals decode independently."""
     if not 1 <= predictor <= 7:
         raise ValueError(f"lossless predictor must be 1-7, got {predictor}")
     if not 2 <= prec <= 16:
@@ -501,40 +518,63 @@ def assemble_jpeg_lossless(
         raise ValueError(f"lossless encoder takes 1 or 3 planes, got {len(planes)}")
     prec_r = prec - point_transform
 
-    def _encode_plane(plane: list[int]) -> bytes:
+    def _put_diff(bw: _BitWriter, plane: list[int], x: int, y: int, row0: int) -> None:
+        # differences are modulo-2^16 (T.81 H.1.2.1): map into
+        # [-32767, 32768], where +32768 is category 16 with no
+        # appended bits — the only representation that stays in
+        # 16 categories when prec = 16 predictors overshoot
+        diff = (
+            plane[y * w + x]
+            - _lossless_predict(plane, w, x, y, predictor, prec_r, row0)
+        ) & 0xFFFF
+        if diff > 32768:
+            diff -= 65536
+        if diff == 32768:
+            code, length = _LL_ENC[16]
+            bw.put(code, length)
+            return
+        size, bits = _mag_bits(diff)
+        code, length = _LL_ENC[size]
+        bw.put(code, length)
+        if size:
+            bw.put(bits, size)
+
+    def _encode_scan(scan_planes: list[list[int]]) -> bytes:
+        out = bytearray()
         bw = _BitWriter()
+        row0 = 0
+        rst = 0
         for y in range(h):
+            if restart_rows and y and y % restart_rows == 0:
+                out += bw.flush()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                row0 = y
             for x in range(w):
-                # differences are modulo-2^16 (T.81 H.1.2.1): map into
-                # [-32767, 32768], where +32768 is category 16 with no
-                # appended bits — the only representation that stays in
-                # 16 categories when prec = 16 predictors overshoot
-                diff = (
-                    plane[y * w + x]
-                    - _lossless_predict(plane, w, x, y, predictor, prec_r)
-                ) & 0xFFFF
-                if diff > 32768:
-                    diff -= 65536
-                if diff == 32768:
-                    code, length = _LL_ENC[16]
-                    bw.put(code, length)
-                    continue
-                size, bits = _mag_bits(diff)
-                code, length = _LL_ENC[size]
-                bw.put(code, length)
-                if size:
-                    bw.put(bits, size)
-        return bw.flush()
+                for plane in scan_planes:
+                    _put_diff(bw, plane, x, y, row0)
+        out += bw.flush()
+        return bytes(out)
 
     sof3 = struct.pack(">BHHB", prec, h, w, len(planes)) + b"".join(
         bytes([ci + 1, 0x11, 0]) for ci in range(len(planes))
     )
     dht = bytes([0x00]) + bytes(LL_BITS) + bytes(LL_VALS)
     out = bytearray(b"\xff\xd8" + _seg(0xFFC4, dht) + _seg(0xFFC3, sof3))
-    for ci, plane in enumerate(planes):
-        # Ss=predictor, Se=0, Ah=0, Al=point transform
-        sos = bytes([1, ci + 1, 0x00, predictor, 0, point_transform])
-        out += _seg(0xFFDA, sos) + _encode_plane(plane)
+    if restart_rows:
+        out += _seg(0xFFDD, struct.pack(">H", restart_rows * w))
+    if interleaved:
+        sos = bytes([len(planes)])
+        for ci in range(len(planes)):
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([predictor, 0, point_transform])
+        out += _seg(0xFFDA, sos) + _encode_scan(planes)
+    else:
+        for ci, plane in enumerate(planes):
+            # Ss=predictor, Se=0, Ah=0, Al=point transform
+            sos = bytes([1, ci + 1, 0x00, predictor, 0, point_transform])
+            out += _seg(0xFFDA, sos) + _encode_scan([plane])
     return bytes(out + b"\xff\xd9")
 
 
@@ -587,7 +627,12 @@ def synth_jpeg_lossless_rgb(doc_id: int) -> bytes:
     """Deterministic THREE-COMPONENT lossless fixture with a POINT
     TRANSFORM: SOF3 at precision 12, Al = doc%3 (0/1/2 — identity plus
     both nontrivial shifts), predictor 1 + doc%7, width 16/24/32 by
-    doc%3, height 16, one sequential single-component scan per plane.
+    doc%3, height 16. The SCAN LAYOUT cycles doc%4 over every lossless
+    delivery shape: non-interleaved scan-per-plane (0), non-interleaved
+    with whole-row restarts every 8 rows (1), one fully INTERLEAVED
+    scan — MCU = a sample per component (2), and interleaved with
+    restarts every 4 rows (3; each interval's first line restarts
+    prediction at default + Ra per H.1.1). The layout changes NO pixel.
     Reduced-domain pixel of plane k:
     r_k(y, x) = (doc_id*31 + k*59 + y*17 + x*7) % 2^(12-Al); the decoder
     must emit r_k << Al, so a SQL oracle recomputes every decoded value
@@ -606,8 +651,11 @@ def synth_jpeg_lossless_rgb(doc_id: int) -> bytes:
         ]
         for k in range(3)
     ]
+    layout = doc_id % 4
     return assemble_jpeg_lossless(
-        w, h, planes, 1 + doc_id % 7, prec, point_transform=al
+        w, h, planes, 1 + doc_id % 7, prec, point_transform=al,
+        interleaved=layout >= 2,
+        restart_rows={1: 8, 3: 4}.get(layout, 0),
     )
 
 
@@ -2197,25 +2245,32 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                 # Se = 0, Al the POINT TRANSFORM (samples coded at
                 # precision P - Al, output shifted back up); differences
                 # are DC-category coded, reconstruction is modulo 2^16.
-                # Multi-component streams arrive as one single-component
-                # scan per component (the non-interleaved layout),
-                # planes accumulating to EOI like the sequential path.
-                if ns != 1:
+                # Multi-component streams arrive either as one
+                # single-component scan per component (non-interleaved)
+                # or as ONE INTERLEAVED scan whose MCU is one sample per
+                # component (all factors 1x1, A.2.3 degenerate MCU).
+                # Restart markers are supported when each interval is a
+                # whole number of sample ROWS: H.1.1 treats an
+                # interval's first line like the scan's first line
+                # (default + Ra), so whole-row intervals never reference
+                # across the boundary and stay independently decodable;
+                # a mid-row interval would make "first line" ambiguous
+                # and is refused loudly.
+                if ns not in (1, len(comps)):
                     raise NotImplementedError(
-                        "interleaved lossless JPEG scan not supported "
-                        "(multi-component streams decode as sequential "
-                        "single-component scans)"
+                        "lossless JPEG scans decode single-component or "
+                        "fully interleaved; partial subsets not supported"
                     )
-                if restart_interval:
+                if restart_interval and restart_interval % w:
                     raise NotImplementedError(
-                        "restart markers in a lossless scan not supported"
+                        f"lossless restart interval {restart_interval} is "
+                        f"not a whole number of {w}-MCU sample rows"
                     )
-                if len(body) < 6:
+                restart_rows = restart_interval // w if restart_interval else 0
+                if len(body) < 1 + 2 * ns + 3:
                     raise ValueError("JPEG lossless SOS truncated")
-                cs = body[1]
-                td = body[2] >> 4
-                predictor = body[3]
-                al = body[5] & 0xF
+                predictor = body[1 + 2 * ns]
+                al = body[3 + 2 * ns] & 0xF
                 if not 1 <= predictor <= 7:
                     raise ValueError(
                         f"lossless predictor selector must be 1-7, got {predictor}"
@@ -2225,48 +2280,68 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                         f"lossless point transform Al={al} must be below the "
                         f"sample precision {prec}"
                     )
-                if td not in dcs:
-                    raise ValueError(
-                        "JPEG SOS references undefined quant/Huffman table"
-                    )
-                match = [i for i, c in enumerate(comps) if c[0] == cs]
-                if not match:
-                    raise ValueError("JPEG SOS references unknown component id")
-                ci = match[0]
                 if any((hs, vs) != (1, 1) for _, hs, vs, _ in comps):
                     raise NotImplementedError(
                         "lossless JPEG requires 1x1 sampling on every component"
                     )
+                lscan: list[tuple[int, _HuffDec]] = []
+                for si in range(ns):
+                    cs = body[1 + 2 * si]
+                    td = body[2 + 2 * si] >> 4
+                    if td not in dcs:
+                        raise ValueError(
+                            "JPEG SOS references undefined quant/Huffman table"
+                        )
+                    match = [i for i, c in enumerate(comps) if c[0] == cs]
+                    if not match:
+                        raise ValueError("JPEG SOS references unknown component id")
+                    if any(match[0] == prev for prev, _ in lscan):
+                        raise ValueError(
+                            f"JPEG SOS lists component id {cs} twice in one "
+                            f"scan (T.81 B.2.3 requires distinct Csj)"
+                        )
+                    lscan.append((match[0], dcs[td]))
                 if ll_planes is None:
                     ll_planes = [None] * len(comps)
-                dec = dcs[td]
                 r = _BitReader(raw, pos + 2 + seglen)
                 prec_r = prec - al  # reduced-domain precision (H.1)
-                samples = [0] * (w * h)
+                scan_planes = {ci: [0] * (w * h) for ci, _ in lscan}
+                row0 = 0
+                rst = 0
                 for y in range(h):
+                    if restart_rows and y and y % restart_rows == 0:
+                        r.restart(rst)
+                        rst = (rst + 1) % 8
+                        row0 = y
                     base = y * w
                     for x in range(w):
-                        ssss = dec.decode(r)
-                        if ssss == 16:  # H.1.2.2: no appended bits
-                            diff = 32768
-                        elif ssss:
-                            diff = _extend(r.bits(ssss), ssss)
-                        else:
-                            diff = 0
-                        pred = _lossless_predict(samples, w, x, y, predictor, prec_r)
-                        samples[base + x] = (pred + diff) & 0xFFFF
-                # Reconstruction is modulo 2^16 regardless of precision
-                # (H.1.2.1), so a corrupt-but-parseable stream can land
-                # samples >= 2^(prec-Al); fail loudly here instead of
-                # letting downstream histogram binning overrun
-                # (v*dim >> prec).
-                if prec_r < 16 and max(samples, default=0) >> prec_r:
-                    raise ValueError(
-                        f"lossless JPEG sample exceeds declared precision "
-                        f"{prec} - Al {al} (corrupt stream)"
-                    )
-                # output = reduced sample << Pt (H.2.2's inverse)
-                ll_planes[ci] = [v << al for v in samples] if al else samples
+                        for ci, dec in lscan:
+                            ssss = dec.decode(r)
+                            if ssss == 16:  # H.1.2.2: no appended bits
+                                diff = 32768
+                            elif ssss:
+                                diff = _extend(r.bits(ssss), ssss)
+                            else:
+                                diff = 0
+                            samples = scan_planes[ci]
+                            pred = _lossless_predict(
+                                samples, w, x, y, predictor, prec_r, row0
+                            )
+                            samples[base + x] = (pred + diff) & 0xFFFF
+                for ci, _dec in lscan:
+                    samples = scan_planes[ci]
+                    # Reconstruction is modulo 2^16 regardless of
+                    # precision (H.1.2.1), so a corrupt-but-parseable
+                    # stream can land samples >= 2^(prec-Al); fail loudly
+                    # here instead of letting downstream histogram
+                    # binning overrun (v*dim >> prec).
+                    if prec_r < 16 and max(samples, default=0) >> prec_r:
+                        raise ValueError(
+                            f"lossless JPEG sample exceeds declared precision "
+                            f"{prec} - Al {al} (corrupt stream)"
+                        )
+                    # output = reduced sample << Pt (H.2.2's inverse)
+                    ll_planes[ci] = [v << al for v in samples] if al else samples
                 p = r.pos
                 while p + 1 < len(raw) and not (
                     raw[p] == 0xFF

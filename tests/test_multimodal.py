@@ -2044,18 +2044,23 @@ def test_jpeg_lossless_seams_and_validation():
     # bad predictor selector in the stream
     with pytest.raises(ValueError, match="selector"):
         jpeg_planes(rebuild(bytes([1, 1, 0x00, 0, 0, 0])))
-    # INTERLEAVED lossless (one SOS naming 3 components) stays a seam —
-    # multi-component streams decode as sequential single-component scans
+    # PARTIAL lossless subsets (2 of 3 components in one scan) stay a
+    # seam; fully interleaved and single-component scans decode (r14)
     sof3c = struct.pack(">BHHB", 8, 4, 4, 3) + bytes(
         [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
     )
-    sos3c = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 1, 0, 0])
-    with pytest.raises(NotImplementedError, match="interleaved lossless"):
-        jpeg_planes(rebuild(sos3c, sof3c))
-    # restart markers in a lossless scan
-    dri = _seg(0xFFDD, struct.pack(">H", 4))
+    sos2c = bytes([2, 1, 0x00, 2, 0x00, 1, 0, 0])
+    with pytest.raises(NotImplementedError, match="partial subsets"):
+        jpeg_planes(rebuild(sos2c, sof3c))
+    # a duplicate component id within one lossless scan is malformed
+    sosdup = bytes([3, 1, 0x00, 1, 0x00, 3, 0x00, 1, 0, 0])
+    with pytest.raises(ValueError, match="twice in one scan"):
+        jpeg_planes(rebuild(sosdup, sof3c))
+    # a restart interval that is NOT a whole number of sample rows has
+    # no well-defined "first line of the interval" (H.1.1) — refused
+    dri = _seg(0xFFDD, struct.pack(">H", 3))  # w=4: 3 MCUs is mid-row
     soi_end = raw.index(b"\xff\xc3")
-    with pytest.raises(NotImplementedError, match="restart"):
+    with pytest.raises(NotImplementedError, match="sample rows"):
         jpeg_planes(raw[:soi_end] + dri + raw[soi_end:])
 
     # Corrupt-but-parseable: reconstruction is modulo 2^16, so a stream
@@ -2259,20 +2264,18 @@ def test_jpeg_lossless_multicomponent_round_trip():
     with pytest.raises(ValueError, match=r"missing scans.*\[2\]"):
         jpeg_planes(truncated)
 
-    # interleaved lossless (one SOS naming all 3 components) stays loud
-    from financedatabase_spark.operators.jpeg import LL_BITS, LL_VALS, _seg
-
-    sof3c = struct.pack(">BHHB", 8, 4, 4, 3) + bytes(
-        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    # INTERLEAVED lossless (one SOS naming all 3 components, MCU = one
+    # sample per component) decodes since r14 — identical planes to the
+    # non-interleaved layout, with and without whole-row restarts
+    il = assemble_jpeg_lossless(
+        4, 4, [[v % 256 for v in range(16)]] * 3, predictor=1, interleaved=True
     )
-    dht = bytes([0x00]) + bytes(LL_BITS) + bytes(LL_VALS)
-    stream = (
-        b"\xff\xd8" + _seg(0xFFC4, dht) + _seg(0xFFC3, sof3c)
-        + _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 1, 0, 0]))
-        + b"\x00" * 8 + b"\xff\xd9"
+    assert jpeg_planes(il) == jpeg_planes(full)
+    il_rst = assemble_jpeg_lossless(
+        4, 4, [[v % 256 for v in range(16)]] * 3, predictor=1,
+        interleaved=True, restart_rows=2,
     )
-    with pytest.raises(NotImplementedError, match="interleaved lossless"):
-        jpeg_planes(stream)
+    assert jpeg_planes(il_rst) == jpeg_planes(full)
 
 
 def test_curation_refresh_requires_checkpoint(spark, tmp_path):
