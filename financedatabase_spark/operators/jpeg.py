@@ -51,7 +51,10 @@ frame MCU grid, A.2.3). ARITHMETIC-coded extended sequential frames
 (SOF9 + DAC) decode for real via the T.81 Annex D QM-coder in
 operators/jpeg_arith.py (Table D.3 state machine, Annex F DC/AC
 conditioning, restart re-initialization — cross-validated in both
-directions against libjpeg), for fully interleaved scans — and so do
+directions against libjpeg), in ALL THREE sequential scan layouts
+(fully interleaved, non-interleaved scan-per-component, and partially
+interleaved subset scans, each with per-scan coder/statistics) — and
+so do
 ARITHMETIC PROGRESSIVE frames (SOF10): the full Annex G scan taxonomy
 (interleaved/single-component DC first + fixed-state refinement bits,
 single-component AC band first + G.2.2 correction passes) over the
@@ -59,14 +62,14 @@ same QM-coder, per-scan statistics, also libjpeg-cross-validated both
 directions. NON-INTEGER
 replication samplings (e.g. 3x1 Y against 2x1 chroma, ratio 3/2)
 decode via the A.1.1 sample-grid map x -> x*hs//hmax in all three
-sequential layouts. Lossless streams decode in BOTH layouts too —
+sequential layouts (Huffman AND arithmetic). Lossless streams decode
+in BOTH layouts too —
 non-interleaved scan-per-plane and fully INTERLEAVED (MCU = one sample
 per component) — with whole-row RESTART intervals (each interval's
 first line restarts prediction at default + Ra per H.1.1, so intervals
 decode independently; mid-row intervals are refused loudly). The
-lossless-arithmetic and non-interleaved-sequential-arithmetic
-processes stay documented NotImplementedError seams, mirroring the PNG
-codec's depth gates.
+lossless-arithmetic process stays the one documented
+NotImplementedError JPEG seam, mirroring the PNG codec's depth gates.
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
 from coefficient patterns whose IDCT is integral — constant blocks
@@ -388,11 +391,17 @@ def assemble_jpeg_arith_color(
     cr_blocks: list[list[list[int]]],
     sampling: tuple[int, int] = (2, 2),
     restart_interval: int = 0,
+    multiscan: bool = False,
+    partial: bool = False,
 ) -> bytes:
-    """Arithmetic twin of `assemble_jpeg_color`'s fully interleaved
-    layout: SOF9 + DAC (default conditioning for bank 0 = luma and
-    bank 1 = chroma), the same MCU interleave order (T.81 A.2.3),
-    QM-coded entropy."""
+    """Arithmetic twin of `assemble_jpeg_color`: SOF9 + DAC (default
+    conditioning for bank 0 = luma and bank 1 = chroma), QM-coded
+    entropy, in any of the three sequential layouts — fully interleaved
+    MCUs (T.81 A.2.3), ``multiscan`` non-interleaved (one full-band
+    scan per component over its A.2.2 grid), or ``partial`` (a Y-only
+    scan then one Cb+Cr subset scan). Per-scan coder and statistics."""
+    if multiscan and partial:
+        raise ValueError("multiscan and partial are mutually exclusive")
     hs, vs = sampling
     mcu_w, mcu_h = len(cb_blocks[0]), len(cb_blocks)
     app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
@@ -401,8 +410,46 @@ def assemble_jpeg_arith_color(
         [1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
     dac = bytes([0x00, 0x10, 0x01, 0x10, 0x10, 5, 0x11, 5])
-    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    head = (
+        b"\xff\xd8"
+        + _seg(0xFFE0, app0)
+        + _seg(0xFFDB, dqt)
+        + dri
+        + _seg(0xFFC9, sof9)
+        + _seg(0xFFCC, dac)
+    )
+    if multiscan:
+        ybw, ybh = (w + 7) // 8, (h + 7) // 8
+        cbw = ((w + hs - 1) // hs + 7) // 8
+        cbh = ((h + vs - 1) // vs + 7) // 8
+        scans = b""
+        for cid, tbl, grid in (
+            (1, 0, [y_blocks[by][bx] for by in range(ybh) for bx in range(ybw)]),
+            (2, 1, [cb_blocks[by][bx] for by in range(cbh) for bx in range(cbw)]),
+            (3, 1, [cr_blocks[by][bx] for by in range(cbh) for bx in range(cbw)]),
+        ):
+            scans += _seg(0xFFDA, bytes([1, cid, (tbl << 4) | tbl, 0, 63, 0]))
+            scans += _encode_arith_scan_mcus(
+                [[(0, tbl, tbl, bz)] for bz in grid], restart_interval, 1
+            )
+        return head + scans + b"\xff\xd9"
+    if partial:
+        ybw, ybh = (w + 7) // 8, (h + 7) // 8
+        y_grid = [y_blocks[by][bx] for by in range(ybh) for bx in range(ybw)]
+        scans = _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        scans += _encode_arith_scan_mcus(
+            [[(0, 0, 0, bz)] for bz in y_grid], restart_interval, 1
+        )
+        cc_mcus = [
+            [(0, 1, 1, cb_blocks[my][mx]), (1, 1, 1, cr_blocks[my][mx])]
+            for my in range(mcu_h)
+            for mx in range(mcu_w)
+        ]
+        scans += _seg(0xFFDA, bytes([2, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        scans += _encode_arith_scan_mcus(cc_mcus, restart_interval, 2)
+        return head + scans + b"\xff\xd9"
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     mcus: list[list[tuple[int, int, int, list[int]]]] = []
     for my in range(mcu_h):
         for mx in range(mcu_w):
@@ -414,12 +461,7 @@ def assemble_jpeg_arith_color(
             mcu.append((2, 1, 1, cr_blocks[my][mx]))
             mcus.append(mcu)
     return (
-        b"\xff\xd8"
-        + _seg(0xFFE0, app0)
-        + _seg(0xFFDB, dqt)
-        + dri
-        + _seg(0xFFC9, sof9)
-        + _seg(0xFFCC, dac)
+        head
         + _seg(0xFFDA, sos)
         + _encode_arith_scan_mcus(mcus, restart_interval, 3)
         + b"\xff\xd9"
@@ -1057,7 +1099,7 @@ def synth_jpeg_420(doc_id: int) -> bytes:
 
 def synth_jpeg_arith(doc_id: int) -> bytes:
     """Deterministic ARITHMETIC-coded JPEG fixture mix keyed by
-    doc_id % 6, carrying the SAME pixels as the Huffman fixtures (the
+    doc_id % 8, carrying the SAME pixels as the Huffman fixtures (the
     shared `_y_block_zz` / `_chroma_blocks` formulas, so the oracle is
     unchanged — only the entropy layer differs):
 
@@ -1068,15 +1110,19 @@ def synth_jpeg_arith(doc_id: int) -> bytes:
       3: 4:4:4 color SOF9 (1x1 sampling, 3 blocks per MCU)
       4: grayscale PROGRESSIVE SOF10 (the full Annex G scan script —
          DC first Al=1 + fixed-state refinement, split-band AC first +
-         correction passes; DRI=3 on the DC scan when doc % 12 == 4)
+         correction passes; DRI=3 on the DC scan when doc % 16 == 4)
       5: 4:2:0 color PROGRESSIVE SOF10
+      6: 4:2:0 color SOF9 NON-INTERLEAVED (one full-band scan per
+         component over its A.2.2 grid, per-scan coder/statistics)
+      7: 4:2:0 color SOF9 PARTIALLY interleaved (a Y-only scan then one
+         Cb+Cr subset scan; restart every MCU when doc % 16 == 7)
 
-    Sequential color docs with doc_id % 12 == 7 are width 32 and
+    Interleaved color docs with doc_id % 16 == 1 are width 24 and
     restart every MCU (the tightest legal DRI) — the arithmetic twin of
     the 4:2:0 Huffman restart variant."""
     doc_id = int(doc_id)
     w, h = 16 + (doc_id % 3) * 8, JPEG_H
-    variant = doc_id % 6
+    variant = doc_id % 8
     if variant in (0, 2, 4):
         blocks = [
             _y_block_zz(doc_id, bx, by)
@@ -1086,7 +1132,7 @@ def synth_jpeg_arith(doc_id: int) -> bytes:
         if variant == 4:
             return assemble_jpeg_progressive(
                 w, h, _FIXTURE_QT, blocks,
-                dc_restart_interval=3 if doc_id % 12 == 4 else 0, arith=True,
+                dc_restart_interval=3 if doc_id % 16 == 4 else 0, arith=True,
             )
         return assemble_jpeg_arith(
             w, h, _FIXTURE_QT, blocks, restart_interval=3 if variant == 2 else 0
@@ -1103,10 +1149,11 @@ def synth_jpeg_arith(doc_id: int) -> bytes:
         return assemble_jpeg_progressive(
             w, h, _FIXTURE_QT, y_blocks, _FIXTURE_QT_C, cb, cr, arith=True
         )
-    ri = 1 if doc_id % 12 == 7 else 0
+    ri = 1 if doc_id % 16 in (1, 7) else 0
     return assemble_jpeg_arith_color(
         w, h, _FIXTURE_QT, _FIXTURE_QT_C, y_blocks, cb, cr,
         sampling=(hs, vs), restart_interval=ri,
+        multiscan=variant == 6, partial=variant == 7,
     )
 
 
@@ -2373,12 +2420,6 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                         restart_interval, prog_grid, prog_coefs,
                     )
                 continue
-            if arith and ns != len(comps):
-                raise NotImplementedError(
-                    "arithmetic-coded JPEG supports the fully interleaved "
-                    "scan layout here; non-interleaved/partial arithmetic "
-                    "scans are the remaining seam"
-                )
             if ns != len(comps):
                 # SUBSET scan (1 <= ns < ncomp): pixels accumulate per
                 # component until EOI. ns == 1 is the non-interleaved
@@ -2416,7 +2457,17 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                         raise ValueError("JPEG SOS references unknown component id")
                     ci = match[0]
                     td, ta = tdta >> 4, tdta & 0xF
-                    if comps[ci][3] not in qts or td not in dcs or ta not in acs:
+                    if comps[ci][3] not in qts:
+                        raise ValueError(
+                            "JPEG SOS references undefined quant/Huffman table"
+                        )
+                    if arith:
+                        if td > 3 or ta > 3:
+                            raise ValueError(
+                                f"JPEG arithmetic SOS table ids ({td},{ta}) "
+                                f"outside the 0-3 statistics-bank range"
+                            )
+                    elif td not in dcs or ta not in acs:
                         raise ValueError(
                             "JPEG SOS references undefined quant/Huffman table"
                         )
@@ -2444,8 +2495,49 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                         f"blocks per MCU: "
                         f"{[(comps[ci][1], comps[ci][2]) for ci, _ in sscan]}"
                     )
-                r = _BitReader(raw, pos + 2 + seglen)
+                adec = astats = None
+                if arith:
+                    from financedatabase_spark.operators.jpeg_arith import (
+                        ArithDecoder,
+                        ArithStats,
+                        decode_block_arith,
+                    )
+
+                    adec = ArithDecoder(raw, pos + 2 + seglen)
+                    astats = ArithStats(ns)
+                else:
+                    r = _BitReader(raw, pos + 2 + seglen)
                 rst = 0
+
+                def _sub_restart(rst: int) -> None:
+                    # arithmetic restart: verify the cycling RSTn at the
+                    # marker the decoder stopped at, re-init registers
+                    # AND statistics (F.1.4.4)
+                    p = adec.marker_start()
+                    if not (
+                        p + 1 < len(raw)
+                        and raw[p] == 0xFF
+                        and raw[p + 1] == 0xD0 + rst
+                    ):
+                        raise ValueError(
+                            f"JPEG expected restart marker RST{rst} at a "
+                            f"restart boundary (corrupt stream or "
+                            f"interleave mismatch)"
+                        )
+                    adec.pos = p + 2
+                    adec.restart()
+                    astats.reset()
+
+                def _sub_block(si: int, ci: int, td: int, ta: int, tq: int):
+                    zz = decode_block_arith(
+                        adec, astats, si, td, ta, arith_cond, prec
+                    )
+                    qt = qts[tq]
+                    coef = [0] * 64
+                    for zi, ri_ in enumerate(ZIGZAG):
+                        coef[ri_] = zz[zi] * qt[zi]
+                    return _idct_block(coef, prec)
+
                 if ns == 1:
                     ci, tdta = sscan[0]
                     td, ta = tdta >> 4, tdta & 0xF
@@ -2457,13 +2549,19 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                     for by in range(bh_n):
                         for bx in range(bw_n):
                             if restart_interval and idx and idx % restart_interval == 0:
-                                r.restart(rst)
+                                if arith:
+                                    _sub_restart(rst)
+                                else:
+                                    r.restart(rst)
+                                    pred = 0
                                 rst = (rst + 1) % 8
-                                pred = 0
                             idx += 1
-                            px, pred = _decode_block(
-                                r, dcs[td], acs[ta], qts[tq], pred, prec
-                            )
+                            if arith:
+                                px = _sub_block(0, ci, td, ta, tq)
+                            else:
+                                px, pred = _decode_block(
+                                    r, dcs[td], acs[ta], qts[tq], pred, prec
+                                )
                             py0, px0 = by * 8, bx * 8
                             for y in range(8):
                                 row = plane[py0 + y]
@@ -2476,9 +2574,12 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                             if restart_interval and mcu_idx and (
                                 mcu_idx % restart_interval == 0
                             ):
-                                r.restart(rst)
+                                if arith:
+                                    _sub_restart(rst)
+                                else:
+                                    r.restart(rst)
+                                    preds = [0] * ns
                                 rst = (rst + 1) % 8
-                                preds = [0] * ns
                             mcu_idx += 1
                             for si, (ci, tdta) in enumerate(sscan):
                                 td, ta = tdta >> 4, tdta & 0xF
@@ -2486,16 +2587,19 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                                 plane = seq_planes[ci]
                                 for byy in range(vs):
                                     for bxx in range(hs):
-                                        px, preds[si] = _decode_block(
-                                            r, dcs[td], acs[ta], qts[tq],
-                                            preds[si], prec,
-                                        )
+                                        if arith:
+                                            px = _sub_block(si, ci, td, ta, tq)
+                                        else:
+                                            px, preds[si] = _decode_block(
+                                                r, dcs[td], acs[ta], qts[tq],
+                                                preds[si], prec,
+                                            )
                                         py0 = (my * vs + byy) * 8
                                         px0 = (mx * hs + bxx) * 8
                                         for y in range(8):
                                             row = plane[py0 + y]
                                             row[px0:px0 + 8] = px[y * 8:y * 8 + 8]
-                p = r.pos
+                p = adec.marker_start() if arith else r.pos
                 while p + 1 < len(raw) and not (
                     raw[p] == 0xFF
                     and raw[p + 1] != 0x00

@@ -1544,14 +1544,14 @@ def multimodal_msadpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cpx AS (
       SELECT doc_id, w, xi
       FROM d, UNNEST(generate_series(0, w - 1)) ux(xi)
-      WHERE doc_id % 6 IN (1, 3, 5)
+      WHERE doc_id % 8 IN (1, 3, 5, 6, 7)
     ),
     chroma AS (
-      -- chroma cell geometry by variant (doc_id % 6): 1/5 = 4:2:0 (cell
-      -- 16x16 -> one cy row at h=16), 3 = 4:4:4 (8x8 -> cy in {0,1})
+      -- chroma cell geometry by variant (doc_id % 8): 1/5/6/7 = 4:2:0
+      -- (cell 16x16 -> one cy row at h=16), 3 = 4:4:4 (cy in {0,1})
       SELECT doc_id, w::BIGINT AS width, 8 AS pos,
              (sum(CASE
-               WHEN doc_id % 6 = 3 THEN
+               WHEN doc_id % 8 = 3 THEN
                  8 * (((doc_id*29 + (xi // 8)*13) % 251 + 2)
                     + ((doc_id*29 + (xi // 8)*13 + 11) % 251 + 2))
                ELSE 16 * ((doc_id*29 + (xi // 16)*13) % 251 + 2)
@@ -1560,7 +1560,7 @@ def multimodal_msadpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT doc_id, w::BIGINT AS width, 9 AS pos,
              (sum(CASE
-               WHEN doc_id % 6 = 3 THEN
+               WHEN doc_id % 8 = 3 THEN
                  8 * (((doc_id*23 + (xi // 8)*7) % 251 + 2)
                     + ((doc_id*23 + (xi // 8)*7 + 19) % 251 + 2))
                ELSE 16 * ((doc_id*23 + (xi // 16)*7) % 251 + 2)
@@ -1576,13 +1576,15 @@ def multimodal_jpeg_arith_features(spark: SparkSession, sf_dir: str) -> DataFram
     """Image features through the ARITHMETIC-coded JPEG path (T.81
     Annex D QM-coder + Annex F sequential conditioning —
     operators/jpeg_arith.py, cross-validated in BOTH directions against
-    libjpeg): the doc_id % 6 mix cycles grayscale SOF9, 4:2:0
+    libjpeg): the doc_id % 8 mix cycles grayscale SOF9, 4:2:0
     interleaved color, grayscale with DRI=3 restarts (QM registers +
     statistics re-initialized per boundary), 4:4:4 color, grayscale
     PROGRESSIVE SOF10 (the full Annex G scan script over the QM-coder:
     DC first + fixed-state refinement, split-band AC first + G.2.2
-    correction passes, DRI on the DC scan for a third of them), and
-    4:2:0 PROGRESSIVE SOF10. The
+    correction passes, DRI on the DC scan for a share of them), 4:2:0
+    PROGRESSIVE SOF10, 4:2:0 NON-INTERLEAVED (scan-per-component), and
+    4:2:0 PARTIALLY interleaved (Y then Cb+Cr subset, restart-marked
+    for a share) — every sequential scan layout plus progressive. The
     pixels are the SAME `_y_block_zz` / `_chroma_blocks` formulas as
     the Huffman mix, so the oracle recomputes the 8-bin luminance
     histogram — and mean-Cb/mean-Cr at pos 8/9 for color docs — in

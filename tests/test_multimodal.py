@@ -762,10 +762,10 @@ def test_jpeg_duplicate_scan_component_rejected():
 def test_jpeg_arith_fixtures_match_huffman_twins():
     """Arithmetic fixtures must decode to EXACTLY the pixels of the
     Huffman containers carrying the same quantized coefficients — all
-    six variants (gray / 4:2:0 / gray+DRI restarts / 4:4:4 /
-    PROGRESSIVE SOF10 gray / progressive 4:2:0), all three widths
-    including the padded-MCU column, and the restart-every-MCU color
-    docs."""
+    eight variants (gray / 4:2:0 / gray+DRI restarts / 4:4:4 /
+    PROGRESSIVE SOF10 gray / progressive 4:2:0 / 4:2:0 NON-INTERLEAVED
+    / 4:2:0 PARTIAL), all three widths including the padded-MCU column,
+    and the restart-every-MCU color docs."""
     from financedatabase_spark.operators.jpeg import (
         _FIXTURE_QT,
         JPEG_H,
@@ -776,9 +776,9 @@ def test_jpeg_arith_fixtures_match_huffman_twins():
         synth_jpeg_color,
     )
 
-    for d in range(72):
+    for d in range(96):
         got = jpeg_planes(synth_jpeg_arith(d))
-        v = d % 6
+        v = d % 8
         w, h = 16 + (d % 3) * 8, JPEG_H
         if v in (0, 2, 4):
             blocks = [
@@ -792,8 +792,9 @@ def test_jpeg_arith_fixtures_match_huffman_twins():
 
 def test_jpeg_arith_malformed_streams():
     """Error contract for the arithmetic path: bad DAC conditioning is
-    ValueError; non-interleaved arithmetic scans are the documented
-    NotImplementedError seam."""
+    ValueError; a stream whose interleaved entropy data is re-labelled
+    as a subset scan desyncs LOUDLY (the subset layout itself decodes
+    since r14), and statistics-bank ids past 3 are rejected."""
     import struct as _struct
 
     from financedatabase_spark.operators.jpeg import jpeg_planes, synth_jpeg_arith
@@ -811,9 +812,10 @@ def test_jpeg_arith_malformed_streams():
     with pytest.raises(ValueError, match="DAC AC Kx"):
         jpeg_planes(bytes(bad))
 
-    # rewrite the color fixture's interleaved SOS into a 1-component
-    # subset scan: the stated seam must raise, not desync
-    color = synth_jpeg_arith(1)
+    # rewrite a color fixture's interleaved SOS into a 1-component
+    # subset scan: the layout is legal now, so the mislabeled entropy
+    # data must fail loudly (missing-scan / desync), never decode
+    color = synth_jpeg_arith(3)  # 4:4:4, no restart markers
     sos = b"\xff\xda" + _struct.pack(">H", 12) + bytes(
         [3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
     )
@@ -823,8 +825,16 @@ def test_jpeg_arith_malformed_streams():
         + b"\xff\xda" + _struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
         + color[at + 14:]
     )
-    with pytest.raises(NotImplementedError, match="arithmetic-coded JPEG"):
+    with pytest.raises(ValueError):
         jpeg_planes(subset)
+
+    # statistics-bank ids are 0-3; a DHT-style id 4 is malformed
+    gray = bytearray(good)
+    gsos = b"\xff\xda" + _struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    at = good.index(gsos)
+    gray[at + 6] = 0x44
+    with pytest.raises(ValueError, match="statistics-bank"):
+        jpeg_planes(bytes(gray))
 
 
 def _libjpeg_helpers(tmp_path_factory):
@@ -1051,8 +1061,8 @@ def test_jpeg_arith_encoder_validated_by_libjpeg(libjpeg_tools):
         synth_jpeg_arith,
     )
 
-    for d in range(0, 36):  # gray variants (pixels comparable 1:1),
-        if d % 6 not in (0, 2, 4):  # incl. PROGRESSIVE SOF10 (v = 4)
+    for d in range(0, 48):  # gray variants (pixels comparable 1:1),
+        if d % 8 not in (0, 2, 4):  # incl. PROGRESSIVE SOF10 (v = 4)
             continue
         w, h = 16 + (d % 3) * 8, JPEG_H
         blocks = [
@@ -1069,9 +1079,9 @@ def test_jpeg_arith_encoder_validated_by_libjpeg(libjpeg_tools):
     # color variants: entropy-layer comparison via jpeg_read_coefficients
     # (libjpeg's fancy chroma upsampler differs from replication, so
     # pixel comparison would conflate IDCT/upsample flavor with entropy);
-    # sequential only — the progressive fixtures are pixel-checked above
-    # and coefficient-checked in the progressive cross test
-    for d in (1, 3, 7, 9, 13):
+    # sequential interleaved — the progressive fixtures are pixel-checked
+    # above and coefficient-checked in the progressive cross test
+    for d in (1, 3, 9, 11):
         jpg = synth_jpeg_arith(d)
         mine = _decode_arith_stream_coeffs(jpg)
         theirs = _coef_dump(libjpeg_tools, jpg)
@@ -1080,6 +1090,31 @@ def test_jpeg_arith_encoder_validated_by_libjpeg(libjpeg_tools):
             for bi, wv in enumerate(dump["blocks"]):
                 by, bx = divmod(bi, bw)
                 assert mine[ci][(by, bx)] == wv, (d, ci, by, bx)
+    # NON-INTERLEAVED (14, 22) and PARTIAL (15, 23 — 23 restart-marked)
+    # layouts: libjpeg must decode this encoder's subset-scan streams to
+    # the exact fixture coefficients (my-decoder pixels are covered by
+    # the Huffman-twin test; this proves the per-scan coder/statistics
+    # and the subset SOS shapes against the independent codec)
+    from financedatabase_spark.operators.jpeg import ZIGZAG, _chroma_blocks
+
+    for d in (14, 15, 22, 23):
+        jpg = synth_jpeg_arith(d)
+        theirs = _coef_dump(libjpeg_tools, jpg)
+        w = 16 + (d % 3) * 8
+        mcu_w = (w + 15) // 16
+        cb, cr = _chroma_blocks(d, mcu_w, 1)
+        for ci, dump in theirs.items():
+            bw = dump["bw"]
+            for bi, wv in enumerate(dump["blocks"]):
+                by, bx = divmod(bi, bw)
+                if ci == 0:
+                    zz = _y_block_zz(d, bx, by)
+                else:
+                    zz = (cb if ci == 1 else cr)[by][bx]
+                nat = [0] * 64
+                for zi, rix in enumerate(ZIGZAG):
+                    nat[rix] = zz[zi]
+                assert nat == wv, (d, ci, by, bx)
 
 
 def test_jpeg_arith_decoder_validated_by_libjpeg(libjpeg_tools):
