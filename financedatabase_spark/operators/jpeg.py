@@ -525,7 +525,8 @@ def assemble_jpeg(
 def assemble_jpeg_lossless(
     w: int, h: int, samples: list, predictor: int, prec: int = 8,
     point_transform: int = 0, interleaved: bool = False,
-    restart_rows: int = 0,
+    restart_rows: int = 0, arith: bool = False,
+    cond: tuple[int, int] = (0, 1),
 ) -> bytes:
     """Assemble a spec-valid LOSSLESS JPEG (SOF3 — T.81 Annex H):
     sample differences against the Annex H predictor are category-coded
@@ -546,7 +547,14 @@ def assemble_jpeg_lossless(
     single sample per component (all factors 1x1 — the A.2.3 degenerate
     MCU); ``restart_rows`` > 0 emits DRI = restart_rows * w MCUs and
     RSTn markers, each interval's first line restarting prediction at
-    the default + Ra per H.1.1 so intervals decode independently."""
+    the default + Ra per H.1.1 so intervals decode independently.
+
+    ``arith=True`` emits the ARITHMETIC lossless process (SOF11): the
+    same differences coded through the Annex D QM-coder under the
+    Annex H two-dimensional (Da, Db) conditioning, with a DAC segment
+    carrying ``cond`` = (L, U) for statistics table 0 (all planes share
+    table 0, hence one statistics bank, per F.1.4.4.1). Restart
+    intervals flush the coder and zero the bank."""
     if not 1 <= predictor <= 7:
         raise ValueError(f"lossless predictor must be 1-7, got {predictor}")
     if not 2 <= prec <= 16:
@@ -599,11 +607,67 @@ def assemble_jpeg_lossless(
         out += bw.flush()
         return bytes(out)
 
+    def _encode_scan_arith(scan_planes: list[list[int]]) -> bytes:
+        from financedatabase_spark.operators.jpeg_arith import (
+            LL_STAT_BINS,
+            ArithEncoder,
+            encode_lossless_diff_arith,
+            ll_classify,
+        )
+
+        low, up = cond
+        out = bytearray()
+        enc = ArithEncoder()
+        bank = bytearray(LL_STAT_BINS)
+        prev_d = [[0] * w for _ in scan_planes]
+        cur_d = [[0] * w for _ in scan_planes]
+        row0 = 0
+        rst = 0
+        for y in range(h):
+            if restart_rows and y and y % restart_rows == 0:
+                out += enc.finish()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                enc = ArithEncoder()
+                bank = bytearray(LL_STAT_BINS)
+                row0 = y
+            for x in range(w):
+                for pi, plane in enumerate(scan_planes):
+                    diff = (
+                        plane[y * w + x]
+                        - _lossless_predict(plane, w, x, y, predictor, prec_r, row0)
+                    ) & 0xFFFF
+                    if diff > 32767:
+                        diff -= 65536  # arithmetic path: [-32768, 32767]
+                    da = cur_d[pi][x - 1] if x else 0
+                    db = prev_d[pi][x] if y > row0 else 0
+                    encode_lossless_diff_arith(
+                        enc,
+                        bank,
+                        ll_classify(da, low, up),
+                        ll_classify(db, low, up),
+                        diff,
+                    )
+                    cur_d[pi][x] = diff
+            for pi in range(len(scan_planes)):
+                prev_d[pi], cur_d[pi] = cur_d[pi], prev_d[pi]
+        out += enc.finish()
+        return bytes(out)
+
+    encode_scan = _encode_scan_arith if arith else _encode_scan
     sof3 = struct.pack(">BHHB", prec, h, w, len(planes)) + b"".join(
         bytes([ci + 1, 0x11, 0]) for ci in range(len(planes))
     )
-    dht = bytes([0x00]) + bytes(LL_BITS) + bytes(LL_VALS)
-    out = bytearray(b"\xff\xd8" + _seg(0xFFC4, dht) + _seg(0xFFC3, sof3))
+    out = bytearray(b"\xff\xd8")
+    if arith:
+        low, up = cond
+        if not 0 <= low <= up <= 15:
+            raise ValueError(f"DAC DC conditioning L={low} U={up} invalid")
+        out += _seg(0xFFCC, bytes([0x00, (up << 4) | low]))
+        out += _seg(0xFFCB, sof3)
+    else:
+        dht = bytes([0x00]) + bytes(LL_BITS) + bytes(LL_VALS)
+        out += _seg(0xFFC4, dht) + _seg(0xFFC3, sof3)
     if restart_rows:
         out += _seg(0xFFDD, struct.pack(">H", restart_rows * w))
     if interleaved:
@@ -611,12 +675,12 @@ def assemble_jpeg_lossless(
         for ci in range(len(planes)):
             sos += bytes([ci + 1, 0x00])
         sos += bytes([predictor, 0, point_transform])
-        out += _seg(0xFFDA, sos) + _encode_scan(planes)
+        out += _seg(0xFFDA, sos) + encode_scan(planes)
     else:
         for ci, plane in enumerate(planes):
             # Ss=predictor, Se=0, Ah=0, Al=point transform
             sos = bytes([1, ci + 1, 0x00, predictor, 0, point_transform])
-            out += _seg(0xFFDA, sos) + _encode_scan([plane])
+            out += _seg(0xFFDA, sos) + encode_scan([plane])
     return bytes(out + b"\xff\xd9")
 
 
@@ -663,6 +727,45 @@ def synth_jpeg_lossless(doc_id: int, prec: int = 8) -> bytes:
         for x in range(w)
     ]
     return assemble_jpeg_lossless(w, h, samples, 1 + doc_id % 7, prec)
+
+
+def synth_jpeg_lossless_arith(doc_id: int) -> bytes:
+    """Deterministic SOF11 fixture — the LOSSLESS process under
+    ARITHMETIC entropy coding (T.81 Annex H over the Annex D QM-coder):
+    precision 12, point transform Al = doc%3, predictor 1 + doc%7 (all
+    seven across the corpus), width 16/24/32 by doc%3, height 16.
+    doc%2 picks the layout — grayscale single scan vs THREE planes in
+    ONE interleaved scan (the A.2.3 degenerate MCU, all planes sharing
+    statistics table 0 and hence ONE bank) — doc%5==0 adds 4-row
+    restart intervals (QM flush + statistics reset per interval), and
+    doc%11==0 swaps the DAC conditioning from the default (0,1) to
+    (1,3), moving the small/large classification boundary of the
+    two-dimensional (Da, Db) context model. Plane k's reduced-domain
+    pixel is (doc_id*31 + k*97 + y*17 + x*7 + 3*x*y) % 2^(12-Al) — the
+    x*y cross term keeps the coded differences position-dependent so
+    every context row and both magnitude ladders see traffic. Decode is
+    lossless: the decoded plane equals the formula << Al exactly."""
+    doc_id = int(doc_id)
+    w = 16 + (doc_id % 3) * 8
+    h = JPEG_H
+    al = doc_id % 3
+    m = 1 << (12 - al)
+    nplanes = 3 if doc_id % 2 else 1
+    planes = [
+        [
+            (doc_id * 31 + k * 97 + y * 17 + x * 7 + 3 * x * y) % m
+            for y in range(h)
+            for x in range(w)
+        ]
+        for k in range(nplanes)
+    ]
+    return assemble_jpeg_lossless(
+        w, h, planes if nplanes == 3 else planes[0], 1 + doc_id % 7, 12, al,
+        interleaved=nplanes == 3,
+        restart_rows=4 if doc_id % 5 == 0 else 0,
+        arith=True,
+        cond=(1, 3) if doc_id % 11 == 0 else (0, 1),
+    )
 
 
 def synth_jpeg_lossless_rgb(doc_id: int) -> bytes:
@@ -2140,11 +2243,12 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
         marker = raw[pos + 1]
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"only sequential (SOF0/SOF1/SOF9-arithmetic), progressive "
-                f"(SOF2/SOF10-arithmetic) and lossless (SOF3) processes "
-                f"supported, got SOF marker 0xFF{marker:02X}"
+                f"(SOF2/SOF10-arithmetic) and lossless (SOF3/SOF11-arithmetic) "
+                f"processes supported, got hierarchical SOF marker "
+                f"0xFF{marker:02X}"
             )
         if pos + 4 > len(raw):
             raise ValueError("JPEG segment truncated (declared length exceeds stream)")
@@ -2214,7 +2318,7 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                 off += 2
             if off != len(body):
                 raise ValueError("JPEG DAC truncated (odd parameter bytes)")
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):  # SOFn
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):  # SOFn
             # SOF1 (extended sequential, Huffman) at 8-bit precision is
             # decode-identical to baseline — it only widens the limits
             # (12-bit samples, 4 Huffman table slots) this decoder
@@ -2223,8 +2327,8 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
             # sample differences — and precision-generic, so deep
             # (12/16-bit) images are in scope there.
             progressive = marker in (0xC2, 0xCA)
-            lossless = marker == 0xC3
-            arith = marker in (0xC9, 0xCA)  # ARITHMETIC entropy coding
+            lossless = marker in (0xC3, 0xCB)  # SOF11 = lossless, arithmetic
+            arith = marker in (0xC9, 0xCA, 0xCB)  # ARITHMETIC entropy coding
             if len(body) < 6:
                 raise ValueError("JPEG SOF truncated")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -2331,11 +2435,17 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                     raise NotImplementedError(
                         "lossless JPEG requires 1x1 sampling on every component"
                     )
-                lscan: list[tuple[int, _HuffDec]] = []
+                lscan: list[tuple[int, int]] = []  # (comp index, td)
                 for si in range(ns):
                     cs = body[1 + 2 * si]
                     td = body[2 + 2 * si] >> 4
-                    if td not in dcs:
+                    if arith:
+                        if td > 3:
+                            raise ValueError(
+                                f"JPEG arithmetic SOS table id {td} outside "
+                                f"the 0-3 statistics-bank range"
+                            )
+                    elif td not in dcs:
                         raise ValueError(
                             "JPEG SOS references undefined quant/Huffman table"
                         )
@@ -2347,34 +2457,98 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                             f"JPEG SOS lists component id {cs} twice in one "
                             f"scan (T.81 B.2.3 requires distinct Csj)"
                         )
-                    lscan.append((match[0], dcs[td]))
+                    lscan.append((match[0], td))
                 if ll_planes is None:
                     ll_planes = [None] * len(comps)
-                r = _BitReader(raw, pos + 2 + seglen)
                 prec_r = prec - al  # reduced-domain precision (H.1)
                 scan_planes = {ci: [0] * (w * h) for ci, _ in lscan}
                 row0 = 0
                 rst = 0
-                for y in range(h):
-                    if restart_rows and y and y % restart_rows == 0:
-                        r.restart(rst)
-                        rst = (rst + 1) % 8
-                        row0 = y
-                    base = y * w
-                    for x in range(w):
-                        for ci, dec in lscan:
-                            ssss = dec.decode(r)
-                            if ssss == 16:  # H.1.2.2: no appended bits
-                                diff = 32768
-                            elif ssss:
-                                diff = _extend(r.bits(ssss), ssss)
-                            else:
-                                diff = 0
-                            samples = scan_planes[ci]
-                            pred = _lossless_predict(
-                                samples, w, x, y, predictor, prec_r, row0
-                            )
-                            samples[base + x] = (pred + diff) & 0xFFFF
+                if arith:
+                    # SOF11 (T.81 Annex H over the Annex D QM-coder):
+                    # differences are DC-tree coded under the two-
+                    # dimensional (Da, Db) conditioning — the diffs
+                    # coded at the left and upper neighbors, classified
+                    # by the DAC bounds of the scan component's table
+                    # id. Components sharing a table id share ONE
+                    # statistics bank (F.1.4.4.1) but keep their own
+                    # prediction and conditioning state. Restart
+                    # intervals re-init the coder, zero every bank, and
+                    # restart conditioning like a first line (H.1.1).
+                    from financedatabase_spark.operators.jpeg_arith import (
+                        LL_STAT_BINS,
+                        ArithDecoder,
+                        decode_lossless_diff_arith,
+                        ll_classify,
+                    )
+
+                    adec = ArithDecoder(raw, pos + 2 + seglen)
+                    banks = {td: bytearray(LL_STAT_BINS) for _, td in lscan}
+                    bounds = {
+                        td: arith_cond.get(("dc", td), (0, 1)) for _, td in lscan
+                    }
+                    prev_d = {ci: [0] * w for ci, _ in lscan}
+                    cur_d = {ci: [0] * w for ci, _ in lscan}
+                    for y in range(h):
+                        if restart_rows and y and y % restart_rows == 0:
+                            p = adec.marker_start()
+                            if not (
+                                p + 1 < len(raw)
+                                and raw[p] == 0xFF
+                                and raw[p + 1] == 0xD0 + rst
+                            ):
+                                raise ValueError(
+                                    f"JPEG expected restart marker RST{rst} "
+                                    f"at a lossless restart boundary"
+                                )
+                            adec.pos = p + 2
+                            adec.restart()
+                            for bank in banks.values():
+                                bank[:] = bytes(LL_STAT_BINS)
+                            rst = (rst + 1) % 8
+                            row0 = y
+                        base = y * w
+                        for x in range(w):
+                            for ci, td in lscan:
+                                low, up = bounds[td]
+                                da = cur_d[ci][x - 1] if x else 0
+                                db = prev_d[ci][x] if y > row0 else 0
+                                diff = decode_lossless_diff_arith(
+                                    adec,
+                                    banks[td],
+                                    ll_classify(da, low, up),
+                                    ll_classify(db, low, up),
+                                )
+                                cur_d[ci][x] = diff
+                                samples = scan_planes[ci]
+                                pred = _lossless_predict(
+                                    samples, w, x, y, predictor, prec_r, row0
+                                )
+                                samples[base + x] = (pred + diff) & 0xFFFF
+                        for ci, _td in lscan:
+                            prev_d[ci], cur_d[ci] = cur_d[ci], prev_d[ci]
+                else:
+                    r = _BitReader(raw, pos + 2 + seglen)
+                    for y in range(h):
+                        if restart_rows and y and y % restart_rows == 0:
+                            r.restart(rst)
+                            rst = (rst + 1) % 8
+                            row0 = y
+                        base = y * w
+                        for x in range(w):
+                            for ci, td in lscan:
+                                ssss = dcs[td].decode(r)
+                                if ssss == 16:  # H.1.2.2: no appended bits
+                                    diff = 32768
+                                elif ssss:
+                                    diff = _extend(r.bits(ssss), ssss)
+                                else:
+                                    diff = 0
+                                samples = scan_planes[ci]
+                                pred = _lossless_predict(
+                                    samples, w, x, y, predictor, prec_r, row0
+                                )
+                                samples[base + x] = (pred + diff) & 0xFFFF
                 for ci, _dec in lscan:
                     samples = scan_planes[ci]
                     # Reconstruction is modulo 2^16 regardless of
@@ -2389,7 +2563,7 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                         )
                     # output = reduced sample << Pt (H.2.2's inverse)
                     ll_planes[ci] = [v << al for v in samples] if al else samples
-                p = r.pos
+                p = adec.marker_start() if arith else r.pos
                 while p + 1 < len(raw) and not (
                     raw[p] == 0xFF
                     and raw[p + 1] != 0x00

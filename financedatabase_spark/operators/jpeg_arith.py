@@ -81,9 +81,10 @@ QM_TABLE = [
     (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
 ]
 
-#: statistics bank sizes — Annex F Tables F.4 / F.5
+#: statistics bank sizes — Annex F Tables F.4 / F.5 and Annex H Table H.2
 DC_STAT_BINS = 49
 AC_STAT_BINS = 245
+LL_STAT_BINS = 158
 
 
 class ArithDecoder:
@@ -483,6 +484,108 @@ def encode_block_arith(
         k += 1
     if k <= 63:
         enc.encode(acs, 3 * (k - 1), 1)  # EOB
+
+
+# -- lossless process (T.81 Annex H over the Annex D coder) -------------------
+
+
+def ll_classify(diff: int, low: int, up: int) -> int:
+    """Classify a signed prediction difference into the five Annex H
+    conditioning categories — 0 zero/near-zero, 1/2 small +/-, 3/4
+    large +/- — using the same magnitude-category thresholds as the DC
+    model (F.1.4.4.1.2, applied per H.1.2.2 to the differences coded at
+    the left and upper neighbor positions): the top power of two of
+    Sz = |diff| - 1 compared against (1 << L) >> 1 and (1 << U) >> 1
+    from the DAC DC conditioning of the scan's table id."""
+    if diff == 0:
+        return 0
+    sz = (-diff if diff < 0 else diff) - 1
+    m = 1 << (sz.bit_length() - 1) if sz else 0
+    if m < (1 << low) >> 1:
+        return 0
+    sign = 1 if diff < 0 else 0
+    if m > (1 << up) >> 1:
+        return 3 + sign
+    return 1 + sign
+
+
+def decode_lossless_diff_arith(
+    dec: ArithDecoder, bank: bytearray, da_cat: int, db_cat: int,
+) -> int:
+    """Decode one lossless prediction difference (H.2.1 over the DC
+    decision tree of F.2.4.1): the zero/sign/Sz>0 decisions sit in the
+    4-bin group of the (Da, Db) context pair — 25 contexts at
+    4*(5*Db + Da) covering bins 0..99 — and the magnitude-category
+    ladder plus mantissa bins come in two sets (X1..X15 at 100/129,
+    M2..M15 following each at +14, Table H.2), the second set selected
+    when Db is classified large (H.1.2.2.3). Differences are coded
+    modulo 2^16 (H.1.2.1), so Sz tops out at 32767 (top bit 2^14) and
+    the same 2^15 ladder guard as the DC model stays unreachable on
+    well-formed streams.
+
+    Table H.2's row/column assignment of the 25 pair contexts cannot be
+    cross-validated here: no independent lossless-arithmetic JPEG codec
+    exists in common libraries (libjpeg/libjpeg-turbo decode arithmetic
+    DCT and lossless HUFFMAN, never both at once), so conformance of
+    the (Da, Db) -> bin mapping rests on the spec reading documented
+    here — Db-major, categories ordered (0, +S, -S, +L, -L) — while
+    the coder itself is the libjpeg-validated Annex D machine."""
+    base = 4 * (5 * db_cat + da_cat)
+    if not dec.decode(bank, base):
+        return 0
+    sign = dec.decode(bank, base + 1)
+    st = base + 2 + sign
+    m = 0
+    if dec.decode(bank, st):
+        m = 1
+        st = 129 if db_cat >= 3 else 100  # X1 of the chosen ladder
+        while dec.decode(bank, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("JPEG arithmetic lossless magnitude overflow")
+            st += 1
+    v = m
+    st += 14
+    m >>= 1
+    while m:
+        if dec.decode(bank, st):
+            v |= m
+        m >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def encode_lossless_diff_arith(
+    enc: ArithEncoder, bank: bytearray, da_cat: int, db_cat: int, v: int,
+) -> None:
+    """Encoder twin of `decode_lossless_diff_arith` (H.1.2 over the
+    F.1.4.1 DC tree). ``v`` is the mod-2^16 difference mapped into
+    [-32768, 32767]."""
+    base = 4 * (5 * db_cat + da_cat)
+    if v == 0:
+        enc.encode(bank, base, 0)
+        return
+    enc.encode(bank, base, 1)
+    sign = 1 if v < 0 else 0
+    enc.encode(bank, base + 1, sign)
+    st = base + 2 + sign
+    sz = (-v if sign else v) - 1
+    m = 0
+    if sz:
+        enc.encode(bank, st, 1)
+        m = 1
+        st = 129 if db_cat >= 3 else 100
+        v2 = sz
+        while v2 := v2 >> 1:
+            enc.encode(bank, st, 1)
+            m <<= 1
+            st += 1
+    enc.encode(bank, st, 0)
+    st += 14
+    m >>= 1
+    while m:
+        enc.encode(bank, st, 1 if m & sz else 0)
+        m >>= 1
 
 
 # -- progressive stages (T.81 Annex G over the Annex D coder) -----------------

@@ -334,33 +334,154 @@ def synth_wav_adpcm(doc_id: int) -> bytes:
     return _riff_nonpcm(fmt, n, bytes(data))
 
 
-def _decode_ima_adpcm(data: bytes, block_align: int, samples_per_block: int) -> list[int]:
-    """Expand mono IMA ADPCM blocks: each block's 4-byte header seeds
-    (predictor = first output sample, step index), then two nibbles per
-    byte (low first) step the state machine."""
+def synth_wav_adpcm_stereo(doc_id: int) -> bytes:
+    """Deterministic STEREO IMA ADPCM fixture (WAV tag 0x11, ch=2): ONE
+    block opening with two 4-byte channel headers — channel c's initial
+    predictor is (doc_id*7919 + c*104729) % 65536 - 32768 (the first
+    output sample of that channel) and its step index
+    (doc_id + c*37) % 89 — followed by 4-byte data words ALTERNATING
+    channels (the tag-0x11 stereo layout). Channel c's j-th nibble is
+    (doc_id*7 + c*3 + j*13) % 16, low nibble first within each byte.
+    spb = 129 + 16*(doc_id % 8) samples per channel (spb-1 divisible by
+    8, so both channels' nibble streams fill whole words exactly).
+    block_align = 8 + (spb-1); the fmt chunk is the spec tag-17 stereo
+    form with the cbSize=2 samplesPerBlock extension and a fact chunk."""
+    doc_id = int(doc_id)
+    spb = 129 + 16 * (doc_id % 8)
+    rate = 8000
+    data = bytearray()
+    for c in range(2):
+        pred0 = (doc_id * 7919 + c * 104729) % 65536 - 32768
+        idx0 = (doc_id + c * 37) % 89
+        data += struct.pack("<hBB", pred0, idx0, 0)
+    nwords = (spb - 1) // 8  # per channel
+    for wi in range(nwords):
+        for c in range(2):
+            for b in range(4):
+                j0 = wi * 8 + 2 * b
+                lo = (doc_id * 7 + c * 3 + j0 * 13) % 16
+                hi = (doc_id * 7 + c * 3 + (j0 + 1) * 13) % 16
+                data.append(lo | (hi << 4))
+    block_align = 8 + (spb - 1)
+    assert len(data) == block_align
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 2, rate, rate * block_align // spb, block_align,
+        4, 2, spb,
+    )
+    return _riff_nonpcm(fmt, spb, bytes(data))
+
+
+def synth_wav_msadpcm_stereo(doc_id: int) -> bytes:
+    """Deterministic STEREO Microsoft ADPCM fixture (WAV tag 2, ch=2):
+    ONE block whose 14-byte header is FIELD-interleaved — coefficient
+    selectors (doc_id + c) % 7 for channel c (so the two channels run
+    DIFFERENT predictor pairs), iDeltas 16 + (doc_id*31 + c*97) % 4000,
+    seed samples s1 = (doc_id*7919 + c*31) % 65536 - 32768 and
+    s2 = (doc_id*104729 + c*59) % 65536 - 32768 — then nibbles
+    ALTERNATE channels, HIGH = left: global nibble g (channel g%2,
+    per-channel step g//2 + 2) is x when x < 16 else x % 4 with
+    x = (doc_id*11 + g*5) % 64, the bounded-growth distribution the
+    mono fixture uses. spb = 62 + doc_id % 40 samples per channel;
+    block_align = 14 + (spb - 2)."""
+    doc_id = int(doc_id)
+    spb = 62 + doc_id % 40
+    rate = 8000
+    data = bytearray()
+    for c in range(2):
+        data.append((doc_id + c) % 7)
+    for c in range(2):
+        data += struct.pack("<h", 16 + (doc_id * 31 + c * 97) % 4000)
+    for c in range(2):
+        data += struct.pack("<h", (doc_id * 7919 + c * 31) % 65536 - 32768)
+    for c in range(2):
+        data += struct.pack("<h", (doc_id * 104729 + c * 59) % 65536 - 32768)
+
+    def nib(g: int) -> int:
+        x = (doc_id * 11 + g * 5) % 64
+        return x if x < 16 else x % 4
+
+    for i in range(spb - 2):
+        data.append((nib(2 * i) << 4) | nib(2 * i + 1))
+    block_align = 14 + (spb - 2)
+    assert len(data) == block_align
+    ext = struct.pack("<HH", spb, len(MS_COEFS)) + b"".join(
+        struct.pack("<hh", c1, c2) for c1, c2 in MS_COEFS
+    )
+    fmt = struct.pack(
+        "<HHIIHHH", 2, 2, rate, rate * block_align // spb, block_align,
+        4, len(ext),
+    ) + ext
+    return _riff_nonpcm(fmt, spb, bytes(data))
+
+
+def _decode_ima_adpcm(
+    data: bytes, block_align: int, samples_per_block: int, channels: int = 1,
+) -> list[int]:
+    """Expand IMA ADPCM blocks: each block opens with one 4-byte header
+    PER CHANNEL seeding that channel's (predictor = first output sample,
+    step index), then the data runs in 4-byte words — two nibbles per
+    byte, LOW first — that ALTERNATE channels word by word (the WAV
+    tag-0x11 stereo layout: 8 left samples, 8 right samples, ...).
+    Returns frame-interleaved samples (L R L R ... for stereo)."""
     out: list[int] = []
+    hdr = 4 * channels
     for boff in range(0, len(data), block_align):
         block = data[boff:boff + block_align]
-        if len(block) < 4:
-            # a tail too short to even hold the block header cannot be a
-            # final short block (those still carry the 4-byte seed) — the
-            # stream was truncated mid-header; fail loud, don't drop it
+        if len(block) < hdr:
+            # a tail too short to even hold the block headers cannot be a
+            # final short block (those still carry the per-channel seeds)
+            # — the stream was truncated mid-header; fail loud
             raise ValueError(
                 f"IMA ADPCM data truncated: {len(block)}-byte tail at "
-                f"offset {boff} is shorter than the 4-byte block header"
+                f"offset {boff} is shorter than the {hdr}-byte block header"
             )
-        pred, index = struct.unpack_from("<hB", block, 0)
-        if index > 88:
-            raise ValueError(f"IMA ADPCM step index {index} out of range")
-        out.append(pred)
-        emitted = 1
-        for byte in block[4:]:
-            for nib in (byte & 0xF, byte >> 4):
-                if emitted >= samples_per_block:
-                    break
-                pred, index = ima_adpcm_step(pred, index, nib)
-                out.append(pred)
-                emitted += 1
+        preds: list[int] = []
+        idxs: list[int] = []
+        chans: list[list[int]] = []
+        for c in range(channels):
+            pred, index = struct.unpack_from("<hB", block, 4 * c)
+            if index > 88:
+                raise ValueError(f"IMA ADPCM step index {index} out of range")
+            preds.append(pred)
+            idxs.append(index)
+            chans.append([pred])
+        if channels == 1:
+            # mono: one contiguous nibble stream (no word segmentation,
+            # so a final partial word is legal)
+            ch_s = chans[0]
+            for byte in block[hdr:]:
+                for nib in (byte & 0xF, byte >> 4):
+                    if len(ch_s) >= samples_per_block:
+                        break
+                    preds[0], idxs[0] = ima_adpcm_step(preds[0], idxs[0], nib)
+                    ch_s.append(preds[0])
+        else:
+            off = hdr
+            word = 0
+            while off < len(block) and any(
+                len(ch_s) < samples_per_block for ch_s in chans
+            ):
+                c = word % channels
+                chunk = block[off:off + 4]
+                if len(chunk) < 4:
+                    raise ValueError(
+                        f"IMA ADPCM data truncated: {len(chunk)}-byte word at "
+                        f"offset {boff + off} (stereo data runs in 4-byte "
+                        f"per-channel words)"
+                    )
+                ch_s = chans[c]
+                for byte in chunk:
+                    for nib in (byte & 0xF, byte >> 4):
+                        if len(ch_s) >= samples_per_block:
+                            break
+                        preds[c], idxs[c] = ima_adpcm_step(preds[c], idxs[c], nib)
+                        ch_s.append(preds[c])
+                off += 4
+                word += 1
+        n = min(len(ch_s) for ch_s in chans)
+        for t in range(n):
+            for c in range(channels):
+                out.append(chans[c][t])
     return out
 
 
@@ -427,48 +548,69 @@ def synth_wav_msadpcm(doc_id: int) -> bytes:
 
 def _decode_ms_adpcm(
     data: bytes, block_align: int, samples_per_block: int,
-    coefs: list[tuple[int, int]],
+    coefs: list[tuple[int, int]], channels: int = 1,
 ) -> list[int]:
-    """Expand mono Microsoft ADPCM blocks: each block's 7-byte header
-    selects a coefficient pair and seeds (delta, sample1, sample2) —
-    sample2 is emitted first, then sample1 — after which each 4-bit
-    code (HIGH nibble first) steps the second-order predictor:
+    """Expand Microsoft ADPCM blocks: each block's header — 7 bytes per
+    channel, FIELD-interleaved (all coefficient selectors, then all
+    iDeltas, then all sample1s, then all sample2s, the RIFF stereo
+    layout) — seeds each channel's (delta, sample1, sample2); sample2
+    frames are emitted first, then sample1 frames, after which each
+    4-bit code steps that channel's second-order predictor:
     pred = clamp(trunc((s1*c1 + s2*c2)/256) + signed_code*delta),
-    delta = max(16, adapt[code]*delta // 256)."""
+    delta = max(16, adapt[code]*delta // 256). Nibbles run HIGH first
+    and ALTERNATE channels nibble by nibble (stereo: high = left,
+    low = right). Returns frame-interleaved samples."""
     out: list[int] = []
+    hdr = 7 * channels
     for boff in range(0, len(data), block_align):
         block = data[boff:boff + block_align]
-        if len(block) < 7:
-            # the 7-byte header (coef selector, iDelta, two seed samples)
-            # is mandatory in every block including a final short one — a
-            # shorter tail is a truncated stream; fail loud, don't drop it
+        if len(block) < hdr:
+            # the per-channel header (coef selectors, iDeltas, two seed
+            # samples each) is mandatory in every block including a final
+            # short one — a shorter tail is a truncated stream; fail loud
             raise ValueError(
                 f"MS ADPCM data truncated: {len(block)}-byte tail at "
-                f"offset {boff} is shorter than the 7-byte block header"
+                f"offset {boff} is shorter than the {hdr}-byte block header"
             )
-        ci = block[0]
-        if ci >= len(coefs):
-            raise ValueError(
-                f"MS ADPCM block predictor {ci} outside the {len(coefs)}-entry "
-                f"coefficient table"
-            )
-        c1, c2 = coefs[ci]
-        delta, s1, s2 = struct.unpack_from("<hhh", block, 1)
-        if delta <= 0:
-            raise ValueError(f"MS ADPCM block iDelta must be positive, got {delta}")
-        out.append(s2)
-        out.append(s1)
-        emitted = 2
-        for byte in block[7:]:
+        cs: list[tuple[int, int]] = []
+        deltas: list[int] = []
+        s1s: list[int] = []
+        s2s: list[int] = []
+        for c in range(channels):
+            ci = block[c]
+            if ci >= len(coefs):
+                raise ValueError(
+                    f"MS ADPCM block predictor {ci} outside the "
+                    f"{len(coefs)}-entry coefficient table"
+                )
+            cs.append(coefs[ci])
+            (delta,) = struct.unpack_from("<h", block, channels + 2 * c)
+            if delta <= 0:
+                raise ValueError(
+                    f"MS ADPCM block iDelta must be positive, got {delta}"
+                )
+            deltas.append(delta)
+            (s1,) = struct.unpack_from("<h", block, 3 * channels + 2 * c)
+            (s2,) = struct.unpack_from("<h", block, 5 * channels + 2 * c)
+            s1s.append(s1)
+            s2s.append(s2)
+        out.extend(s2s)
+        out.extend(s1s)
+        emitted = 2 * channels
+        nib_i = 0
+        for byte in block[hdr:]:
             for code in (byte >> 4, byte & 0xF):  # HIGH nibble first
-                if emitted >= samples_per_block:
+                if emitted >= samples_per_block * channels:
                     break
-                base = _trunc_div256(s1 * c1 + s2 * c2)
+                c = nib_i % channels
+                nib_i += 1
+                c1, c2 = cs[c]
+                base = _trunc_div256(s1s[c] * c1 + s2s[c] * c2)
                 signed = code - 16 if code >= 8 else code
-                pred = max(-32768, min(32767, base + signed * delta))
+                pred = max(-32768, min(32767, base + signed * deltas[c]))
                 out.append(pred)
-                s2, s1 = s1, pred
-                delta = max(16, (MS_ADAPT[code] * delta) >> 8)
+                s2s[c], s1s[c] = s1s[c], pred
+                deltas[c] = max(16, (MS_ADAPT[code] * deltas[c]) >> 8)
                 emitted += 1
     return out
 
@@ -734,10 +876,11 @@ def _parse_nonpcm_wav(raw: bytes) -> tuple[list, int, int]:
     """RIFF fallback for formats stdlib `wave` rejects: walks the chunk
     stream (skipping fact/LIST/etc.), reads the fmt tag, and decodes
     IEEE-float data (tag 3, 32- or 64-bit), A-law (tag 6) and mu-law
-    (tag 7) — both stateless G.711 byte expansions — plus the two
-    stateful block codecs, mono IMA ADPCM (tag 17) and mono Microsoft
-    ADPCM (tag 2). Returns (samples, n_frames, n_channels). The
-    remaining compressed tags (GSM, mp3-in-WAV) raise
+    (tag 7) — both stateless G.711 byte expansions — plus the stateful
+    block codecs: IMA ADPCM (tag 17, mono + stereo), Microsoft ADPCM
+    (tag 2, mono + stereo) and mono GSM 06.10 (tag 49). Returns
+    (samples, n_frames, n_channels) with samples frame-interleaved.
+    The remaining compressed tags (mp3-in-WAV) raise
     NotImplementedError — the documented codec seam."""
     if raw[:4] != b"RIFF" or len(raw) < 12 or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
@@ -759,18 +902,22 @@ def _parse_nonpcm_wav(raw: bytes) -> tuple[list, int, int]:
         conv = alaw_to_linear if tag == 6 else ulaw_to_linear
         return [conv(b) for b in data], len(data) // max(ch, 1), ch
     if tag == 0x11:  # IMA ADPCM (DVI4)
-        if ch != 1:
-            raise NotImplementedError("only mono IMA ADPCM supported")
+        if ch not in (1, 2):
+            raise NotImplementedError(
+                f"IMA ADPCM decodes mono or stereo, got {ch} channels"
+            )
         if bits != 4:
             raise ValueError(f"IMA ADPCM WAV must be 4 bits/sample, got {bits}")
         if len(fmt) < 20:
             raise ValueError("IMA ADPCM fmt chunk missing samplesPerBlock")
         (spb,) = struct.unpack_from("<H", fmt, 18)
-        samples = _decode_ima_adpcm(data, ba, spb)
-        return samples, len(samples), 1
+        samples = _decode_ima_adpcm(data, ba, spb, ch)
+        return samples, len(samples) // ch, ch
     if tag == 2:  # Microsoft ADPCM
-        if ch != 1:
-            raise NotImplementedError("only mono MS ADPCM supported")
+        if ch not in (1, 2):
+            raise NotImplementedError(
+                f"MS ADPCM decodes mono or stereo, got {ch} channels"
+            )
         if bits != 4:
             raise ValueError(f"MS ADPCM WAV must be 4 bits/sample, got {bits}")
         if len(fmt) < 22:
@@ -782,8 +929,8 @@ def _parse_nonpcm_wav(raw: bytes) -> tuple[list, int, int]:
                 f"got {ncoef} in {len(fmt)} bytes"
             )
         coefs = [struct.unpack_from("<hh", fmt, 22 + 4 * i) for i in range(ncoef)]
-        samples = _decode_ms_adpcm(data, ba, spb, coefs)
-        return samples, len(samples), 1
+        samples = _decode_ms_adpcm(data, ba, spb, coefs, ch)
+        return samples, len(samples) // ch, ch
     if tag == 0x31:  # GSM 06.10 full-rate (WAV49)
         if ch != 1:
             raise NotImplementedError("only mono GSM 06.10 supported")

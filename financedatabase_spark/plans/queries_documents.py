@@ -1330,6 +1330,90 @@ def multimodal_jpeg_lossless_rgb_features(spark: SparkSession, sf_dir: str) -> D
     )
 
 
+@register(
+    "multimodal_jpeg_lossless_arith_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w,
+             doc_id % 3 AS al,
+             1 << (12 - doc_id % 3) AS m,
+             1 << (doc_id % 3) AS scale,
+             CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS np
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w,
+             ((doc_id * 31 + y * 17 + x * 7 + 3 * x * y) % m) * scale AS v
+      FROM d,
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, w - 1)) ux(x)
+    ),
+    hist AS (SELECT doc_id, w, (v * 8) // 4096 AS bin, count(*) AS c
+             FROM px GROUP BY 1, 2, 3),
+    grid AS (SELECT doc_id, w, unnest(generate_series(0, 7)) AS pos FROM d),
+    hfeat AS (
+      SELECT g.doc_id, g.pos, coalesce(h.c, 0)::DOUBLE / (g.w * 16) AS x
+      FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.pos
+    ),
+    mfeat AS (
+      SELECT doc_id, 7 + k AS pos,
+             sum(((doc_id * 31 + k * 97 + y * 17 + x * 7 + 3 * x * y) % m)
+                 * scale)::DOUBLE / (w * 16) AS x
+      FROM d,
+           UNNEST(generate_series(1, 2)) uk(k),
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, w - 1)) ux(x)
+      WHERE np = 3
+      GROUP BY doc_id, k, w
+    )
+    SELECT doc_id, (doc_id % 3)::INT AS al, pos::INT AS pos, x FROM hfeat
+    UNION ALL
+    SELECT doc_id, (doc_id % 3)::INT, pos::INT, x FROM mfeat
+    """,
+)
+def multimodal_jpeg_lossless_arith_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-image features through the ARITHMETIC lossless JPEG path
+    (SOF11 — operators/jpeg.synth_jpeg_lossless_arith: T.81 Annex H
+    predictors over the Annex D QM-coder with the two-dimensional
+    (Da, Db) conditioning of Table H.2). The corpus cycles all seven
+    predictors, point transforms 0-2 at precision 12, grayscale vs
+    interleaved-RGB layouts, 4-row restart intervals (doc%5==0), and a
+    nondefault DAC conditioning (doc%11==0). Decode is lossless — the
+    plane equals the synthesis formula shifted by Al — so the oracle
+    recomputes the luma histogram and chroma means exactly; a decoder
+    with a wrong context mapping, a missed statistics reset at a
+    restart, or a broken point transform cannot match.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.jpeg import synth_jpeg_lossless_arith
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(
+                        lambda i: synth_jpeg_lossless_arith(int(i))
+                    ),
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    jpgs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(jpgs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 3).cast("int").alias("al"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+
+
 def _ima_steps_values() -> str:
     """The 89-entry IMA step table as a VALUES list for the oracle."""
     from financedatabase_spark.operators.multimodal import IMA_STEPS
@@ -1617,6 +1701,198 @@ def multimodal_jpeg_arith_features(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id",
         (F.col("doc_id") % 3 * 8 + 16).cast("long").alias("width"),
         F.posexplode("feature").alias("pos", "x"),
+    )
+
+
+@register(
+    "multimodal_adpcm_stereo_features",
+    oracle=f"""
+    WITH RECURSIVE
+    steps(sidx, step) AS (VALUES {_ima_steps_values()}),
+    d AS (
+      SELECT doc_id, 129 + 16 * (doc_id % 8) AS n FROM documents
+    ),
+    seeds AS (
+      SELECT doc_id, n, c,
+             (doc_id * 7919 + c * 104729) % 65536 - 32768 AS pred0,
+             (doc_id + c * 37) % 89 AS idx0
+      FROM d, UNNEST(generate_series(0, 1)) uc(c)
+    ),
+    dec AS (
+      SELECT doc_id, n, c, 0 AS t, pred0 AS pred, idx0 AS idx FROM seeds
+      UNION ALL
+      SELECT doc_id, n, c, t + 1,
+             greatest(-32768, least(32767,
+               pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)),
+             greatest(0, least(88, idx +
+               CASE nib % 8 WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+                            WHEN 7 THEN 8 ELSE -1 END))
+      FROM (
+        SELECT r.doc_id, r.n, r.c, r.t, r.pred, r.idx,
+               (r.doc_id * 7 + r.c * 3 + r.t * 13) % 16 AS nib,
+               (s.step // 8)
+               + (((r.doc_id * 7 + r.c * 3 + r.t * 13) % 16) % 2) * (s.step // 4)
+               + ((((r.doc_id * 7 + r.c * 3 + r.t * 13) % 16) // 2) % 2)
+                 * (s.step // 2)
+               + ((((r.doc_id * 7 + r.c * 3 + r.t * 13) % 16) // 4) % 2)
+                 * s.step AS diff
+        FROM dec r JOIN steps s ON s.sidx = r.idx
+      )
+      WHERE t + 1 < n
+    ),
+    mixed AS (
+      SELECT l.doc_id, l.n, l.t,
+             CAST(trunc((l.pred + r.pred) / 2.0) AS BIGINT) AS m
+      FROM dec l JOIN dec r ON r.doc_id = l.doc_id AND r.t = l.t AND r.c = 1
+      WHERE l.c = 0
+    )
+    SELECT doc_id, (67 + n)::BIGINT AS n_bytes,
+           ((t * 8) // n)::INT AS win, sum(abs(m))::DOUBLE AS abs_sum
+    FROM mixed GROUP BY doc_id, n, (t * 8) // n
+    """,
+)
+def multimodal_adpcm_stereo_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features through the STEREO IMA ADPCM decoder (WAV tag
+    0x11, ch=2 — operators/multimodal.synth_wav_adpcm_stereo /
+    _decode_ima_adpcm): every doc ships a one-block stereo container
+    whose TWO 4-byte channel headers seed independent (predictor, step
+    index) machines and whose 4-byte data words alternate channels.
+    `wav_decode` mono-mixes the decoded frames with C truncation
+    (int((L+R)/2) toward zero) before windowing, so the oracle runs
+    BOTH channel recursions (channel is a recursion column), joins them
+    by frame, and mirrors the truncating mix — a decoder with swapped
+    word order, shared channel state, or a floor-division mix cannot
+    match. Per-sample recursion, so 50x sweeps SKIP-list this baseline
+    like the other ADPCM oracles.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.multimodal import synth_wav_adpcm_stereo
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(
+                        lambda i: synth_wav_adpcm_stereo(int(i))
+                    ),
+                    "media_type": "audio/wav",
+                }
+            )
+
+    wavs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(wavs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("feature").alias("win", "abs_sum")
+    )
+
+
+@register(
+    "multimodal_msadpcm_stereo_features",
+    oracle=f"""
+    WITH RECURSIVE
+    coefs(cidx, c1, c2) AS (VALUES {_ms_coefs_values()}),
+    d AS (
+      SELECT doc_id, 62 + doc_id % 40 AS n FROM documents
+    ),
+    seeds AS (
+      SELECT doc_id, n, c, (doc_id + c) % 7 AS cidx,
+             16 + (doc_id * 31 + c * 97) % 4000 AS delta0,
+             (doc_id * 7919 + c * 31) % 65536 - 32768 AS s1_0,
+             (doc_id * 104729 + c * 59) % 65536 - 32768 AS s2_0
+      FROM d, UNNEST(generate_series(0, 1)) uc(c)
+    ),
+    dec AS (
+      SELECT doc_id, n, c, cidx, 1 AS t,
+             s1_0 AS out, s1_0 AS s1, s2_0 AS s2, delta0 AS delta
+      FROM seeds
+      UNION ALL
+      SELECT doc_id, n, c, cidx, t + 1,
+             greatest(-32768, least(32767,
+               base + CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END * delta)),
+             greatest(-32768, least(32767,
+               base + CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END * delta)),
+             s1,
+             greatest(16,
+               (CASE nib WHEN 4 THEN 307 WHEN 5 THEN 409 WHEN 6 THEN 512
+                         WHEN 7 THEN 614 WHEN 8 THEN 768 WHEN 9 THEN 614
+                         WHEN 10 THEN 512 WHEN 11 THEN 409 WHEN 12 THEN 307
+                         ELSE 230 END * delta) // 256)
+      FROM (
+        SELECT r.doc_id, r.n, r.c, r.cidx, r.t, r.s1, r.s2, r.delta,
+               CASE WHEN (r.doc_id * 11 + (2 * (r.t - 1) + r.c) * 5) % 64 < 16
+                    THEN (r.doc_id * 11 + (2 * (r.t - 1) + r.c) * 5) % 64
+                    ELSE ((r.doc_id * 11 + (2 * (r.t - 1) + r.c) * 5) % 64) % 4
+               END AS nib,
+               CAST(trunc((r.s1 * cf.c1 + r.s2 * cf.c2) / 256.0) AS BIGINT)
+                 AS base
+        FROM dec r JOIN coefs cf ON cf.cidx = r.cidx
+      )
+      WHERE t + 1 < n
+    ),
+    allsamp AS (
+      SELECT doc_id, n, c, 0 AS t, s2_0 AS out FROM seeds
+      UNION ALL
+      SELECT doc_id, n, c, t, out FROM dec
+    ),
+    mixed AS (
+      SELECT l.doc_id, l.n, l.t,
+             CAST(trunc((l.out + r.out) / 2.0) AS BIGINT) AS m
+      FROM allsamp l JOIN allsamp r
+        ON r.doc_id = l.doc_id AND r.t = l.t AND r.c = 1
+      WHERE l.c = 0
+    )
+    SELECT doc_id, (102 + n)::BIGINT AS n_bytes,
+           ((t * 8) // n)::INT AS win, sum(abs(m))::DOUBLE AS abs_sum
+    FROM mixed GROUP BY doc_id, n, (t * 8) // n
+    """,
+)
+def multimodal_msadpcm_stereo_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features through the STEREO Microsoft ADPCM decoder (WAV
+    tag 2, ch=2 — operators/multimodal.synth_wav_msadpcm_stereo /
+    _decode_ms_adpcm): the 14-byte FIELD-interleaved block header runs
+    each channel on a DIFFERENT coefficient pair ((doc+c) % 7), and the
+    HIGH-first nibbles alternate channels nibble by nibble (high =
+    left). The oracle runs both second-order predictor recursions with
+    the channel as a recursion column — each channel's nibble stream is
+    the even/odd subsequence of the global fixture formula — joins the
+    channels by frame, and mirrors `wav_decode`'s truncate-toward-zero
+    mono mix. A decoder with swapped nibble-to-channel routing, shared
+    delta state, or field-sequential header parsing cannot match.
+    Per-sample recursion, so 50x sweeps SKIP-list this baseline like
+    the other ADPCM oracles.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.multimodal import synth_wav_msadpcm_stereo
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(
+                        lambda i: synth_wav_msadpcm_stereo(int(i))
+                    ),
+                    "media_type": "audio/wav",
+                }
+            )
+
+    wavs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(wavs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("feature").alias("win", "abs_sum")
     )
 
 

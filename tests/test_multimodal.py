@@ -2328,3 +2328,217 @@ def test_curation_refresh_requires_checkpoint(spark, tmp_path):
         run_admission_with_refresh(
             spark, stream, lambda d: d, lambda d: d, str(tmp_path / "work")
         )
+
+
+def test_jpeg_lossless_arith_round_trip_matrix():
+    """SOF11 (lossless, ARITHMETIC coding): encode -> decode must be
+    bit-exact across every Annex H predictor, 8/12/16-bit precision,
+    point transforms, both scan layouts, restart intervals, 1 vs 3
+    planes, and both DAC conditioning bounds — the QM-coder statistics
+    (shared bank per table id), the (Da, Db) context model, and the
+    per-interval resets all round-trip or pixels diverge."""
+    import itertools
+
+    from financedatabase_spark.operators.jpeg import (
+        assemble_jpeg_lossless,
+        jpeg_frame,
+    )
+
+    cases = itertools.product(
+        range(1, 8), (8, 16), (0, 2), (False, True), (0, 4), (1, 3),
+        ((0, 1), (1, 3)),
+    )
+    for pred, prec, al, interleaved, rst, nplanes, cond in cases:
+        w, h = 9, 12
+        prec_r = prec - al
+        planes = [
+            [
+                (31 * p + 17 * y + 7 * x + 13 * x * y) % (1 << prec_r)
+                for y in range(h)
+                for x in range(w)
+            ]
+            for p in range(nplanes)
+        ]
+        jpg = assemble_jpeg_lossless(
+            w, h, planes if nplanes == 3 else planes[0], pred, prec, al,
+            interleaved=interleaved, restart_rows=rst, arith=True, cond=cond,
+        )
+        W, H, got, P = jpeg_frame(jpg)
+        assert (W, H, P) == (w, h, prec)
+        for p in range(nplanes):
+            assert got[p] == [v << al for v in planes[p]], (
+                pred, prec, al, interleaved, rst, nplanes, cond, p,
+            )
+
+
+def test_jpeg_lossless_arith_extreme_diffs():
+    """The mod-2^16 difference edge: 16-bit samples alternating across
+    the full range force coded differences at +-32767/32768, walking
+    the magnitude ladder to X15 in BOTH Table H.2 ladder sets (the
+    second set engages once Db classifies large)."""
+    from financedatabase_spark.operators.jpeg import (
+        assemble_jpeg_lossless,
+        jpeg_frame,
+    )
+
+    w = h = 8
+    vals = [0, 65535, 32768, 1, 65534, 32767, 2, 40000]
+    plane = [vals[(x + y) % 8] for y in range(h) for x in range(w)]
+    for pred in range(1, 8):
+        jpg = assemble_jpeg_lossless(w, h, plane, pred, 16, 0, arith=True)
+        assert jpeg_frame(jpg)[2][0] == plane, pred
+
+
+def test_jpeg_lossless_arith_fixture_matches_formula():
+    """synth_jpeg_lossless_arith decodes to its formula << Al for every
+    variant class in one predictor/layout/restart/conditioning cycle —
+    the invariant the registered oracle relies on."""
+    from financedatabase_spark.operators.jpeg import (
+        jpeg_frame,
+        synth_jpeg_lossless_arith,
+    )
+
+    for doc_id in range(22):
+        w = 16 + (doc_id % 3) * 8
+        al = doc_id % 3
+        m = 1 << (12 - al)
+        nplanes = 3 if doc_id % 2 else 1
+        W, H, planes, prec = jpeg_frame(synth_jpeg_lossless_arith(doc_id))
+        assert (W, H, prec) == (w, 16, 12)
+        assert len(planes) == nplanes
+        for k in range(nplanes):
+            assert planes[k] == [
+                ((doc_id * 31 + k * 97 + y * 17 + x * 7 + 3 * x * y) % m) << al
+                for y in range(16)
+                for x in range(w)
+            ], (doc_id, k)
+
+
+def test_jpeg_lossless_arith_validation():
+    """SOF11 malformed-stream posture: duplicate component ids in one
+    scan, statistics-bank table ids outside 0-3, and corrupt entropy
+    data that lands samples past the declared precision all raise."""
+    from financedatabase_spark.operators.jpeg import (
+        assemble_jpeg_lossless,
+        jpeg_frame,
+        synth_jpeg_lossless_arith,
+    )
+
+    jpg = bytearray(synth_jpeg_lossless_arith(1))  # 3-plane interleaved
+    sos = jpg.find(b"\xff\xda")
+    body = sos + 4
+    assert jpg[body] == 3 and jpg[body + 3] == 2
+    dup = bytes(jpg[:body + 3]) + b"\x01" + bytes(jpg[body + 4:])
+    with pytest.raises(ValueError, match="twice"):
+        jpeg_frame(dup)
+    badtd = bytes(jpg[:body + 2]) + b"\x40" + bytes(jpg[body + 3:])
+    with pytest.raises(ValueError, match="0-3"):
+        jpeg_frame(badtd)
+
+    plain = assemble_jpeg_lossless(
+        16, 16, [(7 * i) % 256 for i in range(256)], 1, 8, arith=True,
+    )
+    sos = plain.find(b"\xff\xda")
+    n_loud = 0
+    for off in range(sos + 20, min(sos + 40, len(plain) - 2)):
+        corrupt = plain[:off] + bytes([plain[off] ^ 0x55]) + plain[off + 1:]
+        try:
+            jpeg_frame(corrupt)
+        except (ValueError, NotImplementedError):
+            n_loud += 1
+    assert n_loud >= 10  # most byte flips must be caught by the guards
+
+
+def test_adpcm_stereo_round_trip():
+    """Stereo IMA ADPCM (WAV tag 0x11, ch=2): the per-channel headers
+    seed independent state machines and the 4-byte data words alternate
+    channels — deinterleaving the decoded frames must reproduce each
+    channel's independent mono walk exactly."""
+    from financedatabase_spark.operators.multimodal import (
+        _parse_nonpcm_wav,
+        ima_adpcm_step,
+        synth_wav_adpcm_stereo,
+    )
+
+    for doc in range(16):
+        samples, n, ch = _parse_nonpcm_wav(synth_wav_adpcm_stereo(doc))
+        spb = 129 + 16 * (doc % 8)
+        assert (n, ch) == (spb, 2)
+        for c in range(2):
+            pred = (doc * 7919 + c * 104729) % 65536 - 32768
+            idx = (doc + c * 37) % 89
+            exp = [pred]
+            for j in range(spb - 1):
+                pred, idx = ima_adpcm_step(pred, idx, (doc * 7 + c * 3 + j * 13) % 16)
+                exp.append(pred)
+            assert samples[c::2] == exp, (doc, c)
+
+
+def test_msadpcm_stereo_round_trip():
+    """Stereo MS ADPCM (WAV tag 2, ch=2): the FIELD-interleaved header
+    runs the channels on different coefficient pairs, and the HIGH-first
+    nibbles alternate channels — each channel's second-order predictor
+    walk must come back exactly from the even/odd nibble subsequences."""
+    from financedatabase_spark.operators.multimodal import (
+        MS_ADAPT,
+        MS_COEFS,
+        _parse_nonpcm_wav,
+        _trunc_div256,
+        synth_wav_msadpcm_stereo,
+    )
+
+    for doc in range(16):
+        samples, n, ch = _parse_nonpcm_wav(synth_wav_msadpcm_stereo(doc))
+        spb = 62 + doc % 40
+        assert (n, ch) == (spb, 2)
+        st = []
+        for c in range(2):
+            st.append({
+                "cf": MS_COEFS[(doc + c) % 7],
+                "d": 16 + (doc * 31 + c * 97) % 4000,
+                "s1": (doc * 7919 + c * 31) % 65536 - 32768,
+                "s2": (doc * 104729 + c * 59) % 65536 - 32768,
+            })
+        exp = [[st[0]["s2"], st[0]["s1"]], [st[1]["s2"], st[1]["s1"]]]
+        for g in range(2 * (spb - 2)):
+            c = g % 2
+            x = (doc * 11 + g * 5) % 64
+            code = x if x < 16 else x % 4
+            s = st[c]
+            base = _trunc_div256(s["s1"] * s["cf"][0] + s["s2"] * s["cf"][1])
+            signed = code - 16 if code >= 8 else code
+            pred = max(-32768, min(32767, base + signed * s["d"]))
+            exp[c].append(pred)
+            s["s2"], s["s1"] = s["s1"], pred
+            s["d"] = max(16, (MS_ADAPT[code] * s["d"]) >> 8)
+        for c in range(2):
+            assert samples[c::2] == exp[c], (doc, c)
+
+
+def test_adpcm_stereo_validation():
+    """Stereo ADPCM malformed-stream posture: a block tail shorter than
+    the per-channel headers, a mid-word truncation, and >2 channels all
+    raise loudly instead of dropping samples."""
+    import struct
+
+    from financedatabase_spark.operators.multimodal import (
+        _decode_ima_adpcm,
+        _decode_ms_adpcm,
+        _parse_nonpcm_wav,
+        MS_COEFS,
+        synth_wav_adpcm_stereo,
+    )
+
+    with pytest.raises(ValueError, match="header"):
+        _decode_ima_adpcm(b"\x00" * 6, 6, 9, 2)  # < 8-byte stereo header
+    hdr = struct.pack("<hBBhBB", 0, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="word"):
+        _decode_ima_adpcm(hdr + b"\x00" * 3, 11, 9, 2)  # 3-byte word tail
+    with pytest.raises(ValueError, match="header"):
+        _decode_ms_adpcm(b"\x00" * 10, 10, 4, MS_COEFS, 2)
+
+    raw = bytearray(synth_wav_adpcm_stereo(3))
+    fmt_off = raw.find(b"fmt ") + 8
+    struct.pack_into("<H", raw, fmt_off + 2, 3)  # nChannels = 3
+    with pytest.raises(NotImplementedError, match="channels"):
+        _parse_nonpcm_wav(bytes(raw))
