@@ -1379,6 +1379,109 @@ MJPEG_FRAME_CAP = 512
 
 #: BITMAPINFOHEADER biCompression fourcc 'MJPG' as the little-endian u32
 #: it is stored as.
+def synth_avi_dib(doc_id: int) -> bytes:
+    """Deterministic AVI fixture for the NON-24-bit DIB formats, cycling
+    doc%3 over 8-bit palettized (raw), 32-bit BI_RGB, and BI_RLE8
+    run-length 8-bit frames. Geometry 16x16, n_frames = 8 + doc%5.
+
+    Palette entry i (8-bit variants) is B,G,R =
+    ((doc*7 + i*3) % 256, (doc*11 + i*5) % 256, (doc*13 + i*7) % 256).
+    Pixel index at (frame f, STORAGE row r, col x) — storage order is
+    the DIB's bottom-up raster; the feature is a per-frame SUM, so
+    orientation is oracle-invisible — is
+    (doc*31 + f*97 + r*13 + x*7) % 256 for the raw 8-bit variant. The
+    32-bit variant's pixel bytes are the 24-bit fixture formula
+    (doc*31 + f*97 + r*13 + x*7 + c*5) % 256 for c in 0..2 with the
+    reserved byte set to 0xAA — a decoder summing it cannot match. The
+    RLE8 variant encodes index (doc*31 + f*97 + r*13 + (x//4)*7) % 256
+    (runs of 4) alternating encoded and absolute mode per block, one
+    end-of-line per row, a final end-of-bitmap — and row r=5 opens with
+    a (dx=4, dy=0) DELTA escape, so its first four pixels decode as
+    index 0 (the zero-fill convention the oracle mirrors)."""
+    doc_id = int(doc_id)
+    n = 8 + doc_id % 5
+    w = h = 16
+    variant = doc_id % 3
+
+    def pal() -> bytes:
+        out = bytearray()
+        for i in range(256):
+            out += bytes((
+                (doc_id * 7 + i * 3) % 256,
+                (doc_id * 11 + i * 5) % 256,
+                (doc_id * 13 + i * 7) % 256,
+                0,
+            ))
+        return bytes(out)
+
+    def frame(f: int) -> bytes:
+        if variant == 0:  # raw 8-bit, stride 16 is already 4-aligned
+            return bytes(
+                (doc_id * 31 + f * 97 + r * 13 + x * 7) % 256
+                for r in range(h)
+                for x in range(w)
+            )
+        if variant == 1:  # 32-bit B,G,R + 0xAA reserved
+            out = bytearray()
+            for r in range(h):
+                for x in range(w):
+                    out += bytes(
+                        (doc_id * 31 + f * 97 + r * 13 + x * 7 + c * 5) % 256
+                        for c in range(3)
+                    )
+                    out.append(0xAA)
+            return bytes(out)
+        out = bytearray()  # BI_RLE8
+        for r in range(h):
+            b0 = 0
+            if r == 5:
+                out += bytes((0, 2, 4, 0))  # delta: skip 4 pixels
+                b0 = 1
+            for b in range(b0, w // 4):
+                v = (doc_id * 31 + f * 97 + r * 13 + b * 7) % 256
+                if b % 2 == 0:
+                    out += bytes((4, v))  # encoded run
+                else:
+                    out += bytes((0, 4, v, v, v, v))  # absolute run (even)
+            out += bytes((0, 0))  # end of line
+        out += bytes((0, 1))  # end of bitmap
+        return bytes(out)
+
+    bitcount = 32 if variant == 1 else 8
+    compression = 1 if variant == 2 else 0
+    palette = b"" if variant == 1 else pal()
+    frames_raw = [frame(f) for f in range(n)]
+    fb = max(len(fr) for fr in frames_raw)
+    avih = struct.pack(
+        "<10I", 40000, fb * 25, 0, 0, n, 0, 1, fb, w, h
+    ) + b"\x00" * 16
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, n, fb, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bitcount, compression, fb, 0, 0,
+        256 if palette else 0, 0,
+    ) + palette
+    strl = (
+        b"LIST" + struct.pack("<I", 4 + 8 + 56 + 8 + len(strf)) + b"strl"
+        + b"strh" + struct.pack("<I", 56) + strh
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    )
+    hdrl = (
+        b"LIST" + struct.pack("<I", 4 + 8 + 56 + len(strl)) + b"hdrl"
+        + b"avih" + struct.pack("<I", 56) + avih + strl
+    )
+    cid = b"00dc" if variant == 2 else b"00db"
+    frames = b"".join(
+        cid + struct.pack("<I", len(fr)) + fr + (b"\x00" if len(fr) & 1 else b"")
+        for fr in frames_raw
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(frames)) + b"movi" + frames
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+
+
 _MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
 
 
@@ -1435,6 +1538,68 @@ def synth_avi_mjpeg(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
 
 
+def _decode_rle8(data: bytes, width: int, height: int) -> bytes:
+    """Decode one BI_RLE8 compressed DIB frame to its w*h palette
+    indices (the public BITMAPINFOHEADER run-length format): byte pairs
+    (N, V) repeat V N times when N > 0; N == 0 escapes to end-of-line
+    (V=0), end-of-bitmap (V=1), a (dx, dy) position delta (V=2 — the
+    skipped pixels are undefined by the format and decode as index 0
+    here, the common renderer convention), or an absolute run of V raw
+    indices padded to a word boundary (V >= 3). Rows run bottom-up like
+    every DIB; runs may not cross a row boundary. Truncated pairs,
+    row/raster overruns, and a missing end-of-bitmap escape all raise —
+    the fail-loud posture of the other codecs."""
+    out = bytearray(width * height)
+    x = y = 0  # y counts rows from the bottom (DIB storage order)
+    i = 0
+    ended = False
+    while i < len(data):
+        if i + 2 > len(data):
+            raise ValueError("RLE8 stream truncated mid-pair")
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:
+            if y >= height or x + n > width:
+                raise ValueError(
+                    f"RLE8 encoded run overruns the {width}x{height} raster "
+                    f"at ({x}, row {y})"
+                )
+            row = y * width
+            out[row + x:row + x + n] = bytes([v]) * n
+            x += n
+        elif v == 0:  # end of line
+            x = 0
+            y += 1
+            if y > height:
+                raise ValueError("RLE8 end-of-line past the last row")
+        elif v == 1:  # end of bitmap
+            ended = True
+            break
+        elif v == 2:  # delta
+            if i + 2 > len(data):
+                raise ValueError("RLE8 delta escape truncated")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > width or y > height:
+                raise ValueError("RLE8 delta moves outside the raster")
+        else:  # absolute mode
+            if i + v > len(data):
+                raise ValueError("RLE8 absolute run truncated")
+            if y >= height or x + v > width:
+                raise ValueError(
+                    f"RLE8 absolute run overruns the {width}x{height} raster "
+                    f"at ({x}, row {y})"
+                )
+            row = y * width
+            out[row + x:row + x + v] = data[i:i + v]
+            x += v
+            i += v + (v & 1)  # absolute runs pad to a word boundary
+    if not ended:
+        raise ValueError("RLE8 stream missing the end-of-bitmap escape")
+    return bytes(out)
+
+
 def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Real video codec for the `decode_features` seam — pure stdlib, no
     ffmpeg. Walks the RIFF chunk tree (hdrl → avih geometry + strf
@@ -1442,13 +1607,16 @@ def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
     emits ``dim`` windowed features: feats[w] = sum of per-frame
     pixel-value sums for frames f with f*dim//n_frames == w.
 
-    Two pixel formats decode: uncompressed 24-bit BI_RGB DIB (per-frame
-    sum of the raw pixel bytes, skipping each row's 4-byte alignment
-    padding) and MJPEG (biCompression 'MJPG': each frame chunk is a
-    complete baseline-or-progressive JPEG — decoded through
-    operators/jpeg.jpeg_planes, per-frame sum over every sample of every
-    decoded plane, with the SOF geometry validated against the container
-    geometry). Anything else (cvid, xvid, h264...) raises
+    Pixel formats that decode: uncompressed BI_RGB DIB at 24-bit
+    (per-frame sum of the raw pixel bytes, skipping each row's 4-byte
+    alignment padding), 32-bit (B,G,R summed, the reserved byte
+    skipped), and 8-bit palettized (indices expanded through the strf
+    RGBQUAD palette); BI_RLE8 run-length compressed 8-bit frames (see
+    `_decode_rle8`); and MJPEG (biCompression 'MJPG': each frame chunk
+    is a complete baseline-or-progressive JPEG — decoded through
+    operators/jpeg.jpeg_planes, per-frame sum over every sample of
+    every decoded plane, with the SOF geometry validated against the
+    container geometry). Anything else (cvid, xvid, h264...) raises
     NotImplementedError naming the fourcc — compressed video beyond
     MJPEG needs ffmpeg. Integer sums keep the output bit-stable across
     engines.
@@ -1472,6 +1640,7 @@ def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
 
     width = height = total_frames = None
     bitcount = compression = None
+    palette: list[int] | None = None
     frame_spans: list[tuple[int, int]] = []
     for cid, off, sz in chunks(12, end):
         if cid != b"LIST":
@@ -1487,6 +1656,23 @@ def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
                         if c3 == b"strf":
                             bmi = struct.unpack_from("<IiiHHI", raw, o3)
                             bitcount, compression = bmi[4], bmi[5]
+                            if s3 >= 40 and bitcount == 8:
+                                (clr_used,) = struct.unpack_from("<I", raw, o3 + 32)
+                                ncolors = clr_used or 256
+                                pal_raw = raw[o3 + 40:o3 + min(s3, 40 + 4 * ncolors)]
+                                if len(pal_raw) < 4 * ncolors:
+                                    raise ValueError(
+                                        f"8-bit DIB strf palette truncated: "
+                                        f"{len(pal_raw)} bytes for {ncolors} "
+                                        f"RGBQUAD entries"
+                                    )
+                                # RGBQUAD is B,G,R,reserved: keep B+G+R
+                                palette = [
+                                    pal_raw[4 * i]
+                                    + pal_raw[4 * i + 1]
+                                    + pal_raw[4 * i + 2]
+                                    for i in range(ncolors)
+                                ]
         elif ltype == b"movi":
             for c2, o2, s2 in chunks(off + 4, off + sz):
                 if c2[2:4] in (b"db", b"dc"):
@@ -1506,18 +1692,49 @@ def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
                 )
             sums.append(sum(sum(p) for p in planes))
     elif compression == 0:
-        if bitcount != 24:
+        if bitcount == 24:
+            stride = (width * 3 + 3) // 4 * 4
+            for o, sz in frame_spans:
+                data = raw[o:o + sz]
+                total = 0
+                for r in range(height):
+                    total += sum(data[r * stride:r * stride + width * 3])
+                sums.append(total)
+        elif bitcount == 32:
+            # BI_RGB 32-bit is B,G,R,reserved per pixel, no row padding
+            # (stride is naturally 4-aligned); the reserved byte is NOT
+            # pixel data and stays out of the sum
+            for o, sz in frame_spans:
+                data = raw[o:o + sz]
+                total = 0
+                for p in range(width * height):
+                    total += data[4 * p] + data[4 * p + 1] + data[4 * p + 2]
+                sums.append(total)
+        elif bitcount == 8:
+            if palette is None:
+                raise ValueError("8-bit DIB frames need a strf palette")
+            stride = (width + 3) // 4 * 4
+            for o, sz in frame_spans:
+                data = raw[o:o + sz]
+                total = 0
+                for r in range(height):
+                    for b in data[r * stride:r * stride + width]:
+                        total += palette[b] if b < len(palette) else 0
+                sums.append(total)
+        else:
             raise NotImplementedError(
-                f"only 24-bit uncompressed DIB frames supported "
-                f"(got bitcount={bitcount})"
+                f"only 8-bit palettized, 24-bit and 32-bit uncompressed DIB "
+                f"frames supported (got bitcount={bitcount})"
             )
-        stride = (width * 3 + 3) // 4 * 4
+    elif compression == 1:  # BI_RLE8
+        if bitcount != 8 or palette is None:
+            raise ValueError(
+                f"BI_RLE8 requires 8-bit palettized frames "
+                f"(got bitcount={bitcount}, palette={'yes' if palette else 'no'})"
+            )
         for o, sz in frame_spans:
-            data = raw[o:o + sz]
-            total = 0
-            for r in range(height):
-                total += sum(data[r * stride:r * stride + width * 3])
-            sums.append(total)
+            idx = _decode_rle8(raw[o:o + sz], width, height)
+            sums.append(sum(palette[b] if b < len(palette) else 0 for b in idx))
     else:
         fourcc = compression.to_bytes(4, "little")
         raise NotImplementedError(

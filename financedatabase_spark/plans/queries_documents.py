@@ -857,6 +857,83 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_dib_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 5 AS n, doc_id % 3 AS variant
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, n, variant, f,
+             (doc_id*31 + f*97 + r*13 + x*7) % 256 AS raw,
+             CASE WHEN r = 5 AND x < 4 THEN 0
+                  ELSE (doc_id*31 + f*97 + r*13 + (x // 4) * 7) % 256
+             END AS ridx
+      FROM d,
+           UNNEST(generate_series(0, n - 1)) uf(f),
+           UNNEST(generate_series(0, 15)) ur(r),
+           UNNEST(generate_series(0, 15)) ux(x)
+    ),
+    s AS (
+      SELECT doc_id, n, variant, f,
+             CASE variant
+               WHEN 0 THEN ((doc_id*7 + raw*3) % 256)
+                           + ((doc_id*11 + raw*5) % 256)
+                           + ((doc_id*13 + raw*7) % 256)
+               WHEN 1 THEN raw + ((raw + 5) % 256) + ((raw + 10) % 256)
+               ELSE ((doc_id*7 + ridx*3) % 256)
+                    + ((doc_id*11 + ridx*5) % 256)
+                    + ((doc_id*13 + ridx*7) % 256)
+             END AS sv
+      FROM px
+    )
+    SELECT doc_id, variant::INT AS variant, ((f * 8) // n)::INT AS win,
+           sum(sv)::DOUBLE AS px_sum
+    FROM s GROUP BY doc_id, variant, n, (f * 8) // n
+    """,
+)
+def multimodal_video_dib_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video features through the NON-24-bit DIB pixel formats of the
+    pure-stdlib AVI codec (operators/multimodal.synth_avi_dib /
+    avi_decode): doc%3 cycles 8-bit PALETTIZED frames (indices expanded
+    through the strf RGBQUAD palette), 32-bit BI_RGB (B,G,R summed, the
+    0xAA reserved byte skipped — summing it cannot match), and BI_RLE8
+    run-length frames mixing encoded runs, absolute-mode runs, per-row
+    end-of-line escapes, and one DELTA escape whose skipped pixels
+    decode as index 0 (see `_decode_rle8`). The oracle recomputes every
+    per-frame palette-expanded pixel sum from the fixture formulas, so
+    wrong palette routing, reserved-byte leakage, or any RLE walk error
+    (run placement, absolute-mode padding, delta zero-fill) mismatches.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.multimodal import synth_avi_dib
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_avi_dib(int(i))),
+                    "media_type": "video/avi",
+                }
+            )
+
+    avis = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(avis, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 3).cast("int").alias("variant"),
+        F.posexplode("feature").alias("win", "px_sum"),
+    )
+
+
+@register(
     "multimodal_image_features",
     oracle="""
     WITH d AS (

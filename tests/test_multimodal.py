@@ -2542,3 +2542,97 @@ def test_adpcm_stereo_validation():
     struct.pack_into("<H", raw, fmt_off + 2, 3)  # nChannels = 3
     with pytest.raises(NotImplementedError, match="channels"):
         _parse_nonpcm_wav(bytes(raw))
+
+
+def test_avi_dib_variants_decode():
+    """The non-24-bit DIB formats: 8-bit palettized, 32-bit BI_RGB
+    (reserved byte skipped), and BI_RLE8 frames all decode to the
+    fixture formula's windowed pixel sums."""
+    from financedatabase_spark.operators.multimodal import (
+        avi_decode,
+        synth_avi_dib,
+    )
+
+    def psum(doc, i):
+        return (
+            (doc * 7 + i * 3) % 256
+            + (doc * 11 + i * 5) % 256
+            + (doc * 13 + i * 7) % 256
+        )
+
+    for doc in range(9):
+        n = 8 + doc % 5
+        v = doc % 3
+        exp = [0.0] * 8
+        for f in range(n):
+            s = 0
+            for r in range(16):
+                for x in range(16):
+                    if v == 0:
+                        s += psum(doc, (doc * 31 + f * 97 + r * 13 + x * 7) % 256)
+                    elif v == 1:
+                        s += sum(
+                            (doc * 31 + f * 97 + r * 13 + x * 7 + c * 5) % 256
+                            for c in range(3)
+                        )
+                    else:
+                        idx = 0 if (r == 5 and x < 4) else (
+                            doc * 31 + f * 97 + r * 13 + (x // 4) * 7
+                        ) % 256
+                        s += psum(doc, idx)
+            exp[f * 8 // n] += s
+        assert avi_decode(synth_avi_dib(doc)) == exp, doc
+
+
+def test_rle8_escapes_and_validation():
+    """_decode_rle8 walks encoded runs, absolute runs (word-padded),
+    end-of-line, delta (zero-filled skip), end-of-bitmap — and raises
+    on truncated pairs, raster overruns, and a missing end escape."""
+    from financedatabase_spark.operators.multimodal import _decode_rle8
+
+    # 4x3: row0 = encoded 4x7; row1 = absolute [1,2,3] (padded) + run 1x9;
+    # row2 = delta (2,0) then run 2x5
+    stream = bytes(
+        (4, 7, 0, 0,
+         0, 3, 1, 2, 3, 0, 1, 9, 0, 0,
+         0, 2, 2, 0, 2, 5, 0, 0,
+         0, 1)
+    )
+    out = _decode_rle8(stream, 4, 3)
+    assert list(out[0:4]) == [7, 7, 7, 7]
+    assert list(out[4:8]) == [1, 2, 3, 9]
+    assert list(out[8:12]) == [0, 0, 5, 5]  # delta skip zero-fills
+
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_rle8(bytes((4,)), 4, 3)
+    with pytest.raises(ValueError, match="overruns"):
+        _decode_rle8(bytes((5, 7, 0, 1)), 4, 3)
+    with pytest.raises(ValueError, match="overruns"):
+        _decode_rle8(bytes((0, 4, 1, 2, 3, 4, 4, 9, 0, 1)), 4, 3)
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        _decode_rle8(bytes((4, 7, 0, 0)), 4, 3)
+    with pytest.raises(ValueError, match="delta"):
+        _decode_rle8(bytes((0, 2, 9, 9, 0, 1)), 4, 3)
+
+
+def test_avi_dib_validation():
+    """Malformed non-24-bit containers stay loud: a truncated palette,
+    RLE8 without a palette, and unsupported bitcounts raise."""
+    import struct
+
+    from financedatabase_spark.operators.multimodal import (
+        avi_decode,
+        synth_avi_dib,
+    )
+
+    raw = bytearray(synth_avi_dib(0))  # 8-bit palettized
+    strf_off = raw.find(b"strf")
+    # biClrUsed = 300 > palette actually present -> truncated palette
+    struct.pack_into("<I", raw, strf_off + 8 + 32, 300)
+    with pytest.raises(ValueError, match="palette truncated"):
+        avi_decode(bytes(raw))
+
+    raw = bytearray(synth_avi_dib(0))
+    struct.pack_into("<H", raw, strf_off + 8 + 14, 4)  # biBitCount = 4
+    with pytest.raises(NotImplementedError, match="bitcount"):
+        avi_decode(bytes(raw))
