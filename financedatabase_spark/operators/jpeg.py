@@ -68,8 +68,20 @@ non-interleaved scan-per-plane and fully INTERLEAVED (MCU = one sample
 per component) — with whole-row RESTART intervals (each interval's
 first line restarts prediction at default + Ra per H.1.1, so intervals
 decode independently; mid-row intervals are refused loudly). The
-lossless-arithmetic process stays the one documented
-NotImplementedError JPEG seam, mirroring the PNG codec's depth gates.
+ARITHMETIC LOSSLESS process (SOF11) decodes through the same QM-coder
+under the Annex H statistical model (25 two-dimensional (Da, Db)
+contexts over the DC decision tree, dual magnitude ladders selected by
+the Db class — Table H.2; see jpeg_arith.decode_lossless_diff_arith
+for the documented row/column reading). HIERARCHICAL sequences (T.81
+Annex J) decode via `_decode_hierarchical`: DHP-declared pyramids of
+frames, EXP reference expansion (the J.1.1.2 interpolation filter in
+`_exp2x`), and all six DIFFERENTIAL processes (SOF5/6/7/13/14/15) by
+translating each frame to its non-differential sibling with the level
+shift / lossless prediction disabled and combining against the
+reference components (DCT differences clamped, lossless differences
+mod 2^16). With that, every SOF process in T.81 decodes; the remaining
+in-module NotImplementedError sites are parameter gates (component
+counts, MCU limits), not missing processes.
 
 Fixture exactness: JPEG is lossy in general, but the fixtures are built
 from coefficient patterns whose IDCT is integral — constant blocks
@@ -682,6 +694,193 @@ def assemble_jpeg_lossless(
             sos = bytes([1, ci + 1, 0x00, predictor, 0, point_transform])
             out += _seg(0xFFDA, sos) + encode_scan([plane])
     return bytes(out + b"\xff\xd9")
+
+
+def assemble_jpeg_hierarchical(
+    w: int, h: int, base, final: tuple[str, object],
+    arith_base: bool = False, arith_final: bool = False,
+) -> bytes:
+    """Assemble a spec-valid two-level HIERARCHICAL JPEG (T.81 Annex J):
+    DHP declaring the full (w, h) grayscale geometry, a half-resolution
+    first frame, an EXP(1,1) reference expansion, and one differential
+    refinement frame at full resolution.
+
+    ``base`` is either an int — a CONSTANT half-res DCT base frame
+    (SOF0, or SOF9 when ``arith_base``; quantizer 8 at DC makes the
+    decoded plane exactly that constant) — or a list of wb*hb samples
+    coded as a LOSSLESS (SOF3, predictor 1) base frame, decoded
+    exactly. ``final`` is ("dct", per-block diff constants) — a
+    DC-only differential DCT frame (SOF5, or SOF13 when
+    ``arith_final``) adding diff[b] to every pixel of full-res block b
+    — or ("lossless", target_plane) — a differential LOSSLESS frame
+    (SOF7, or SOF15 when ``arith_final``) coding target - expanded
+    mod 2^16, so the reconstruction IS the target. The expansion filter
+    is `_exp2x` (the decoder's own J.1.1.2 reading; the DCT-over-
+    lossless-base fixture pins it against an independent oracle).
+    Huffman lossless scans use DC-class table id 1 so they coexist with
+    the Annex K DC table at id 0."""
+    if w % 2 or h % 2:
+        raise ValueError("hierarchical fixture geometry must be even")
+    wb, hb = w // 2, h // 2
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFDE, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xFFDB, bytes([0x00]) + bytes([8] * 64))
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    out += _seg(0xFFC4, bytes([0x01]) + bytes(LL_BITS) + bytes(LL_VALS))
+    out += _seg(0xFFCC, bytes([0x00, 0x10, 0x10, 5]))  # DC0 L0/U1, AC0 Kx5
+
+    def _dct_frame(marker: int, fw: int, fh: int, dcs_: list[int], ar: bool) -> bytes:
+        sof = struct.pack(">BHHB", 8, fh, fw, 1) + bytes([1, 0x11, 0])
+        blocks = [[dc] + [0] * 63 for dc in dcs_]
+        if ar:
+            sos = bytes([1, 1, 0x00, 0, 63, 0])
+            scan = _encode_arith_scan_mcus([[(0, 0, 0, bz)] for bz in blocks], 0, 1)
+        else:
+            sos = bytes([1, 1, 0x00, 0, 63, 0])
+            scan = _encode_scan_mcus([[(0, bz)] for bz in blocks])
+        return _seg(0xFF00 | marker, sof) + _seg(0xFFDA, sos) + scan
+
+    def _ll_put(bw: _BitWriter, diff: int) -> None:
+        if diff > 32768:
+            diff -= 65536
+        if diff == 32768:
+            code, length = _LL_ENC[16]
+            bw.put(code, length)
+            return
+        size, bits = _mag_bits(diff)
+        code, length = _LL_ENC[size]
+        bw.put(code, length)
+        if size:
+            bw.put(bits, size)
+
+    def _ll_frame(
+        marker: int, fw: int, fh: int, diffs: list[int], predictor: int,
+        ar: bool, ref: list[int] | None,
+    ) -> bytes:
+        # diffs: mod-2^16 values to code. predictor 0 = differential
+        # (raw diffs); predictor 1-7 = a normal lossless frame whose
+        # SAMPLES are ``diffs`` (then coded against the predictor).
+        sof = struct.pack(">BHHB", 8, fh, fw, 1) + bytes([1, 0x11, 0])
+        if ar:
+            from financedatabase_spark.operators.jpeg_arith import (
+                LL_STAT_BINS,
+                ArithEncoder,
+                encode_lossless_diff_arith,
+                ll_classify,
+            )
+
+            enc = ArithEncoder()
+            bank = bytearray(LL_STAT_BINS)
+            prev_d = [0] * fw
+            cur_d = [0] * fw
+            for y in range(fh):
+                for x in range(fw):
+                    if predictor:
+                        pred = _lossless_predict(diffs, fw, x, y, predictor, 8, 0)
+                    else:
+                        pred = 0
+                    d = (diffs[y * fw + x] - pred) & 0xFFFF
+                    if d > 32767:
+                        d -= 65536
+                    da = cur_d[x - 1] if x else 0
+                    db = prev_d[x] if y else 0
+                    encode_lossless_diff_arith(
+                        enc, bank, ll_classify(da, 0, 1), ll_classify(db, 0, 1), d,
+                    )
+                    cur_d[x] = d
+                prev_d, cur_d = cur_d, prev_d
+            sos = bytes([1, 1, 0x00, predictor, 0, 0])
+            return _seg(0xFF00 | marker, sof) + _seg(0xFFDA, sos) + enc.finish()
+        bw = _BitWriter()
+        for y in range(fh):
+            for x in range(fw):
+                if predictor:
+                    pred = _lossless_predict(diffs, fw, x, y, predictor, 8, 0)
+                else:
+                    pred = 0
+                _ll_put(bw, (diffs[y * fw + x] - pred) & 0xFFFF)
+        sos = bytes([1, 1, 0x10, predictor, 0, 0])  # DC-class table id 1
+        return _seg(0xFF00 | marker, sof) + _seg(0xFFDA, sos) + bw.flush()
+
+    if isinstance(base, int):
+        nb = ((wb + 7) // 8) * ((hb + 7) // 8)
+        out += _dct_frame(
+            0xC9 if arith_base else 0xC0, wb, hb, [base - 128] * nb, arith_base
+        )
+        dec_base = [base] * (wb * hb)
+    else:
+        if len(base) != wb * hb:
+            raise ValueError(f"lossless base plane must be {wb}x{hb}")
+        out += _ll_frame(0xC3, wb, hb, list(base), 1, False, None)
+        dec_base = list(base)
+    out += _seg(0xFFDF, bytes([0x11]))  # EXP: Eh=1, Ev=1
+    up, uw, uh = _exp2x(dec_base, wb, hb, 1, 1)
+    kind, payload = final
+    if kind == "dct":
+        nb = ((w + 7) // 8) * ((h + 7) // 8)
+        if len(payload) != nb:
+            raise ValueError(f"differential DCT frame needs {nb} block diffs")
+        out += _dct_frame(0xCD if arith_final else 0xC5, w, h, list(payload),
+                          arith_final)
+    elif kind == "lossless":
+        if len(payload) != w * h:
+            raise ValueError(f"lossless target plane must be {w}x{h}")
+        diffs = [(payload[i] - up[i]) & 0xFFFF for i in range(w * h)]
+        out += _ll_frame(0xCF if arith_final else 0xC7, w, h, diffs, 0,
+                         arith_final, up)
+    else:
+        raise ValueError(f"unknown final frame kind {kind!r}")
+    return bytes(out + b"\xff\xd9")
+
+
+def synth_jpeg_hier(doc_id: int) -> bytes:
+    """Deterministic HIERARCHICAL fixture (T.81 Annex J — DHP, a
+    half-resolution first frame, EXP(1,1), one differential refinement
+    frame), cycling doc%4 over the process pairs:
+
+    0: constant DCT base (SOF0) + differential DCT (SOF5, Huffman) —
+       final pixel = base + diff(block), base 60..187, diff -50..50.
+    1: the same pyramid through the QM-coder (SOF9 base + SOF13 diff).
+    2: LOSSLESS base (SOF3, predictor 1) holding the formula
+       30 + (doc*31 + ys*17 + xs*7) % 196 at half resolution, expanded
+       by the J.1.1.2 filter, plus SOF5 block diffs -30..30 — the one
+       variant whose oracle recomputes the EXPANSION INTERPOLATION
+       independently, pinning the filter.
+    3: constant DCT base + differential LOSSLESS refinement (SOF7, or
+       SOF15 arithmetic when doc%8==7) coding target - expanded mod
+       2^16, so the reconstruction equals the target formula
+       (doc*31 + y*17 + x*7) % 256 exactly.
+
+    Geometry w = 16/24/32 by doc%3, h = 16."""
+    doc_id = int(doc_id)
+    v = doc_id % 4
+    w = 16 + (doc_id % 3) * 8
+    h = JPEG_H
+    if v in (0, 1):
+        base_val = 60 + (doc_id * 29) % 128
+        nb = (w // 8) * (h // 8)
+        diffs = [(doc_id * 13 + b * 7) % 101 - 50 for b in range(nb)]
+        return assemble_jpeg_hierarchical(
+            w, h, base_val, ("dct", diffs), arith_base=v == 1, arith_final=v == 1,
+        )
+    if v == 2:
+        wb, hb = w // 2, h // 2
+        base = [
+            30 + (doc_id * 31 + y * 17 + x * 7) % 196
+            for y in range(hb)
+            for x in range(wb)
+        ]
+        nb = (w // 8) * (h // 8)
+        diffs = [(doc_id * 13 + b * 7) % 61 - 30 for b in range(nb)]
+        return assemble_jpeg_hierarchical(w, h, base, ("dct", diffs))
+    target = [
+        (doc_id * 31 + y * 17 + x * 7) % 256 for y in range(h) for x in range(w)
+    ]
+    base_val = 60 + (doc_id * 29) % 128
+    return assemble_jpeg_hierarchical(
+        w, h, base_val, ("lossless", target), arith_final=doc_id % 8 == 7,
+    )
 
 
 def synth_jpeg12(doc_id: int) -> bytes:
@@ -1731,12 +1930,15 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def _idct_block(coef: list[int], prec: int = 8) -> list[int]:
+def _idct_block(coef: list[int], prec: int = 8, shift: bool = True) -> list[int]:
     """Separable 8x8 inverse DCT on raster-order dequantized
     coefficients; returns 64 level-shifted clamped pixels. The level
     shift and clamp are precision-parametric (T.81 A.3.1: shift is
     2^(P-1)): 8-bit frames shift +128 and clamp to 255, 12-bit extended
-    frames shift +2048 and clamp to 4095."""
+    frames shift +2048 and clamp to 4095. ``shift=False`` is the
+    DIFFERENTIAL-frame form (T.81 Annex J hierarchical refinement): no
+    level shift, output clamped to the signed difference range
+    [-2^P, 2^P - 1]."""
     tmp = [[0.0] * 8 for _ in range(8)]
     for v in range(8):
         row = coef[v * 8:(v + 1) * 8]
@@ -1749,7 +1951,8 @@ def _idct_block(coef: list[int], prec: int = 8) -> list[int]:
                     s += _C[u] * row[u] * _COS[u][x]
             tmp[v][x] = s
     out = [0] * 64
-    shift = 1 << (prec - 1)
+    lvl = (1 << (prec - 1)) if shift else 0
+    bot = 0 if shift else -(1 << prec)
     top = (1 << prec) - 1
     for y in range(8):
         for x in range(8):
@@ -1757,14 +1960,14 @@ def _idct_block(coef: list[int], prec: int = 8) -> list[int]:
             for v in range(8):
                 if tmp[v][x]:
                     s += _C[v] * tmp[v][x] * _COS[v][y]
-            p = round(s / 4) + shift
-            out[y * 8 + x] = 0 if p < 0 else (top if p > top else p)
+            p = round(s / 4) + lvl
+            out[y * 8 + x] = bot if p < bot else (top if p > top else p)
     return out
 
 
 def _decode_block(
     r: _BitReader, dec_dc: _HuffDec, dec_ac: _HuffDec, qt: list[int], pred: int,
-    prec: int = 8,
+    prec: int = 8, shift: bool = True,
 ) -> tuple[list[int], int]:
     """Decode one entropy-coded block: DC diff + AC run-lengths, dequant,
     de-zigzag, IDCT. Returns (64 pixels, new DC predictor)."""
@@ -1788,7 +1991,7 @@ def _decode_block(
     coef = [0] * 64
     for zi, ri in enumerate(ZIGZAG):
         coef[ri] = zz[zi]
-    return _idct_block(coef, prec), pred
+    return _idct_block(coef, prec, shift), pred
 
 
 def _ac_first_decode(
@@ -2192,7 +2395,9 @@ def _decode_progressive_scan(
     return p
 
 
-def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
+def jpeg_frame(
+    payload: bytes, differential: bool = False,
+) -> tuple[int, int, list[list[int]], int]:
     """Decode a JPEG to (width, height, planes, sample_precision): one full-resolution row-major plane per component —
     [Y] for grayscale, [Y, Cb, Cr] for 4:2:0 color (chroma upsampled by
     2x2 replication, the standard nearest-neighbor reconstruction).
@@ -2243,12 +2448,17 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
         marker = raw[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0xDE:  # DHP: hand the stream to the Annex J driver
+            if differential:
+                raise ValueError(
+                    "DHP segment inside a hierarchical frame substream"
+                )
+            return _decode_hierarchical(raw)
         if marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"only sequential (SOF0/SOF1/SOF9-arithmetic), progressive "
-                f"(SOF2/SOF10-arithmetic) and lossless (SOF3/SOF11-arithmetic) "
-                f"processes supported, got hierarchical SOF marker "
-                f"0xFF{marker:02X}"
+            raise ValueError(
+                f"differential SOF marker 0xFF{marker:02X} outside a "
+                f"hierarchical sequence (T.81 Annex J requires a preceding "
+                f"DHP segment)"
             )
         if pos + 4 > len(raw):
             raise ValueError("JPEG segment truncated (declared length exceeds stream)")
@@ -2422,7 +2632,16 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                     raise ValueError("JPEG lossless SOS truncated")
                 predictor = body[1 + 2 * ns]
                 al = body[3 + 2 * ns] & 0xF
-                if not 1 <= predictor <= 7:
+                if differential:
+                    # hierarchical differential lossless scan (J.1.1.6):
+                    # the reference frame IS the prediction, so Ss must
+                    # be 0 and every coded value is a raw mod-2^16 diff
+                    if predictor != 0:
+                        raise ValueError(
+                            f"differential lossless scan must carry predictor "
+                            f"selector Ss=0, got {predictor}"
+                        )
+                elif not 1 <= predictor <= 7:
                     raise ValueError(
                         f"lossless predictor selector must be 1-7, got {predictor}"
                     )
@@ -2521,7 +2740,7 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                                 )
                                 cur_d[ci][x] = diff
                                 samples = scan_planes[ci]
-                                pred = _lossless_predict(
+                                pred = 0 if differential else _lossless_predict(
                                     samples, w, x, y, predictor, prec_r, row0
                                 )
                                 samples[base + x] = (pred + diff) & 0xFFFF
@@ -2545,7 +2764,7 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                                 else:
                                     diff = 0
                                 samples = scan_planes[ci]
-                                pred = _lossless_predict(
+                                pred = 0 if differential else _lossless_predict(
                                     samples, w, x, y, predictor, prec_r, row0
                                 )
                                 samples[base + x] = (pred + diff) & 0xFFFF
@@ -2556,6 +2775,15 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                     # stream can land samples >= 2^(prec-Al); fail loudly
                     # here instead of letting downstream histogram
                     # binning overrun (v*dim >> prec).
+                    if differential:
+                        # samples are mod-2^16 DIFFS against the reference
+                        # frame; range-check the COMBINED output instead
+                        # (the hierarchical driver owns that), apply the
+                        # point transform in modular arithmetic
+                        ll_planes[ci] = (
+                            [(v << al) & 0xFFFF for v in samples] if al else samples
+                        )
+                        continue
                     if prec_r < 16 and max(samples, default=0) >> prec_r:
                         raise ValueError(
                             f"lossless JPEG sample exceeds declared precision "
@@ -2710,7 +2938,7 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                     coef = [0] * 64
                     for zi, ri_ in enumerate(ZIGZAG):
                         coef[ri_] = zz[zi] * qt[zi]
-                    return _idct_block(coef, prec)
+                    return _idct_block(coef, prec, not differential)
 
                 if ns == 1:
                     ci, tdta = sscan[0]
@@ -2734,7 +2962,8 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                                 px = _sub_block(0, ci, td, ta, tq)
                             else:
                                 px, pred = _decode_block(
-                                    r, dcs[td], acs[ta], qts[tq], pred, prec
+                                    r, dcs[td], acs[ta], qts[tq], pred, prec,
+                                    not differential,
                                 )
                             py0, px0 = by * 8, bx * 8
                             for y in range(8):
@@ -2767,6 +2996,7 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                                             px, preds[si] = _decode_block(
                                                 r, dcs[td], acs[ta], qts[tq],
                                                 preds[si], prec,
+                                                not differential,
                                             )
                                         py0 = (my * vs + byy) * 8
                                         px0 = (mx * hs + bxx) * 8
@@ -2878,10 +3108,11 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                                     coef = [0] * 64
                                     for zi, ri in enumerate(ZIGZAG):
                                         coef[ri] = zz[zi] * qt[zi]
-                                    px = _idct_block(coef, prec)
+                                    px = _idct_block(coef, prec, not differential)
                                 else:
                                     px, preds[ci] = _decode_block(
-                                        r, dcs[td], acs[ta], qts[tq], preds[ci], prec
+                                        r, dcs[td], acs[ta], qts[tq], preds[ci],
+                                        prec, not differential,
                                     )
                                 plane = planes_raw[ci]
                                 py0 = (my * vs + byy) * 8
@@ -2937,7 +3168,7 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
                 coef = [0] * 64
                 for zi, ri in enumerate(ZIGZAG):
                     coef[ri] = zzblk[zi] * qt[zi]
-                px = _idct_block(coef)
+                px = _idct_block(coef, shift=not differential)
                 py0, px0 = by * 8, bx * 8
                 for y in range(8):
                     row = plane[py0 + y]
@@ -2946,6 +3177,251 @@ def jpeg_frame(payload: bytes) -> tuple[int, int, list[list[int]], int]:
             planes_raw, [(hs, vs) for _, hs, vs, _ in comps], w, h, hmax, vmax
         ), prec
     raise ValueError("JPEG has no scan (missing SOS)")
+
+
+#: hierarchical (Annex J) marker sets: every SOF, the differential six,
+#: and the translation each differential process decodes through — its
+#: non-differential sibling with the level shift / prediction disabled
+#: via jpeg_frame's ``differential`` flag.
+_SOF_ALL = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+_SOF_DIFF = frozenset((0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF))
+_SOF_TRANSLATE = {0xC5: 0xC1, 0xC6: 0xC2, 0xC7: 0xC3,
+                  0xCD: 0xC9, 0xCE: 0xCA, 0xCF: 0xCB}
+_SOF_DIFF_LOSSLESS = frozenset((0xC7, 0xCF))
+_TABLE_MARKERS = frozenset((0xDB, 0xC4, 0xCC, 0xDD, 0xFE)) | frozenset(
+    range(0xE0, 0xF0)
+)
+
+
+def _exp2x(
+    plane: list[int], w: int, h: int, eh: int, ev: int,
+) -> tuple[list[int], int, int]:
+    """T.81 J.1.1.2 reference-component expansion: double the plane
+    horizontally (eh) and/or vertically (ev) — even outputs copy the
+    source sample, odd outputs interpolate the two neighbors with
+    upward rounding, out(2i+1) = (in(i) + in(i+1) + 1) >> 1, and the
+    final odd output replicates the edge. Horizontal runs before
+    vertical when both are set. No independent hierarchical decoder
+    exists in common libraries to cross-validate the rounding, so this
+    reading of the J.1.1.2 filter is documented here and mirrored by
+    the fixture oracles (same caveat as the Table H.2 context map)."""
+    if eh:
+        out: list[int] = []
+        for y in range(h):
+            row = plane[y * w:(y + 1) * w]
+            for x in range(w):
+                out.append(row[x])
+                out.append(
+                    (row[x] + row[x + 1] + 1) >> 1 if x + 1 < w else row[x]
+                )
+        plane, w = out, 2 * w
+    if ev:
+        out = []
+        for y in range(h):
+            row = plane[y * w:(y + 1) * w]
+            out.extend(row)
+            if y + 1 < h:
+                nxt = plane[(y + 1) * w:(y + 2) * w]
+                out.extend([(a + b + 1) >> 1 for a, b in zip(row, nxt)])
+            else:
+                out.extend(row)
+        plane, h = out, 2 * h
+    return plane, w, h
+
+
+def _decode_hierarchical(raw: bytes) -> tuple[int, int, list[list[int]], int]:
+    """T.81 Annex J hierarchical driver: walk the marker stream once at
+    the top level, slice each frame (its SOF through its last scan's
+    entropy data) into a standalone substream — SOI + every table/misc
+    segment seen so far, in order, + the frame with its SOF marker
+    TRANSLATED to the non-differential sibling + EOI — and decode it
+    through `jpeg_frame` (differential frames with the level shift /
+    lossless prediction disabled). Reference components accumulate by
+    component id: the first frame per component stores its plane,
+    differential frames ADD to it — DCT differences clamped into
+    [0, 2^P - 1], lossless differences in mod-2^16 arithmetic with a
+    loud range check — and EXP segments expand every reference by the
+    J.1.1.2 filter before the next frame (expanded planes crop by one
+    row/column when an odd full dimension makes the next frame a
+    sample short). At EOI every DHP component must be coded and sized
+    exactly to the DHP geometry. Differential progressive (SOF6/14)
+    rides the same translation — the progressive machinery accumulates
+    coefficients per frame and the shift-free IDCT runs at the frame's
+    own EOI — so all thirteen SOF processes decode."""
+    pos = 2
+    tables: list[bytes] = []
+    dhp: tuple[int, int, int, list[int]] | None = None  # prec, h, w, cids
+    refs: dict[int, tuple[list[int], int, int]] = {}
+
+    def seg() -> tuple[int, bytes, int]:
+        if pos + 4 > len(raw):
+            raise ValueError("JPEG segment truncated (declared length exceeds stream)")
+        (ln,) = struct.unpack_from(">H", raw, pos + 2)
+        if ln < 2 or pos + 2 + ln > len(raw):
+            raise ValueError("JPEG segment truncated (declared length exceeds stream)")
+        return ln, raw[pos + 4:pos + 2 + ln], pos + 2 + ln
+
+    while pos + 2 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = raw[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln, body, nxt = seg()
+        if marker in _TABLE_MARKERS:
+            tables.append(raw[pos:nxt])
+            pos = nxt
+            continue
+        if marker == 0xDE:  # DHP — same syntax as a SOF header (B.3.2)
+            if dhp is not None:
+                raise ValueError("JPEG hierarchy declares DHP twice")
+            if refs:
+                raise ValueError("JPEG DHP must precede the first frame")
+            if len(body) < 6:
+                raise ValueError("JPEG DHP truncated")
+            dprec, dh, dw, dn = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * dn or dn < 1:
+                raise ValueError("JPEG DHP truncated (component specs short)")
+            dhp = (dprec, dh, dw, [body[6 + 3 * i] for i in range(dn)])
+            pos = nxt
+            continue
+        if marker == 0xDF:  # EXP
+            if len(body) < 1:
+                raise ValueError("JPEG EXP truncated")
+            eh, ev = body[0] >> 4, body[0] & 0xF
+            if eh > 1 or ev > 1 or not (eh or ev):
+                raise ValueError(f"JPEG EXP has invalid Eh={eh} Ev={ev}")
+            if not refs:
+                raise ValueError("JPEG EXP before any reference frame")
+            for cid, (plane, rw, rh) in refs.items():
+                refs[cid] = _exp2x(plane, rw, rh, eh, ev)
+            pos = nxt
+            continue
+        if marker not in _SOF_ALL:
+            raise ValueError(
+                f"unexpected marker 0xFF{marker:02X} in a hierarchical sequence"
+            )
+        if dhp is None:
+            raise ValueError("JPEG hierarchical frame before the DHP segment")
+        if len(body) < 6:
+            raise ValueError("JPEG SOF truncated")
+        f_n = body[5]
+        if len(body) < 6 + 3 * f_n:
+            raise ValueError("JPEG SOF truncated (component specs short)")
+        frame_cids = [body[6 + 3 * i] for i in range(f_n)]
+        diff = marker in _SOF_DIFF
+        prefix = b"".join(tables)
+        # walk the frame's interior: table segments persist to LATER
+        # frames too; SOS entropy data is skipped to the next true marker
+        p = nxt
+        saw_scan = False
+        while p + 2 <= len(raw):
+            if raw[p] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            m2 = raw[p + 1]
+            if m2 in _SOF_ALL or m2 in (0xDF, 0xDE, 0xD9):
+                break
+            if p + 4 > len(raw):
+                raise ValueError(
+                    "JPEG segment truncated (declared length exceeds stream)"
+                )
+            (l2,) = struct.unpack_from(">H", raw, p + 2)
+            if l2 < 2 or p + 2 + l2 > len(raw):
+                raise ValueError(
+                    "JPEG segment truncated (declared length exceeds stream)"
+                )
+            if m2 in _TABLE_MARKERS:
+                tables.append(raw[p:p + 2 + l2])
+                p += 2 + l2
+                continue
+            if m2 != 0xDA:
+                raise ValueError(
+                    f"unexpected marker 0xFF{m2:02X} inside a hierarchical frame"
+                )
+            saw_scan = True
+            p += 2 + l2
+            while p + 1 < len(raw) and not (
+                raw[p] == 0xFF
+                and raw[p + 1] != 0x00
+                and not (0xD0 <= raw[p + 1] <= 0xD7)
+            ):
+                p += 1
+        if not saw_scan:
+            raise ValueError("JPEG hierarchical frame has no scan (missing SOS)")
+        sub = (
+            b"\xff\xd8" + prefix
+            + b"\xff" + bytes([_SOF_TRANSLATE.get(marker, marker)])
+            + raw[pos + 2:p] + b"\xff\xd9"
+        )
+        fw, fh, planes, fprec = jpeg_frame(sub, differential=diff)
+        if fprec != dhp[0]:
+            raise ValueError(
+                f"hierarchical frame precision {fprec} differs from the DHP's "
+                f"{dhp[0]} (unsupported here)"
+            )
+        if len(planes) != len(frame_cids):
+            raise ValueError("hierarchical frame component count mismatch")
+        top = (1 << fprec) - 1
+        for idx, cid in enumerate(frame_cids):
+            plane = planes[idx]
+            if not diff:
+                if cid in refs:
+                    raise ValueError(
+                        f"non-differential hierarchical frame re-codes "
+                        f"component id {cid}"
+                    )
+                refs[cid] = (plane, fw, fh)
+                continue
+            if cid not in refs:
+                raise ValueError(
+                    f"differential frame for component id {cid} with no "
+                    f"reference frame"
+                )
+            rplane, rw, rh = refs[cid]
+            if rw != fw or rh != fh:
+                # an odd full dimension makes the post-EXP reference one
+                # sample larger than the frame (J.1.1.2) — crop; anything
+                # bigger is a malformed pyramid
+                if not (0 <= rw - fw <= 1 and 0 <= rh - fh <= 1):
+                    raise ValueError(
+                        f"differential frame {fw}x{fh} does not match the "
+                        f"{rw}x{rh} reference (post-EXP crop is at most one "
+                        f"row/column)"
+                    )
+                rplane = [
+                    rplane[y * rw + x] for y in range(fh) for x in range(fw)
+                ]
+            if marker in _SOF_DIFF_LOSSLESS:
+                out = [(rv + dv) & 0xFFFF for rv, dv in zip(rplane, plane)]
+                if fprec < 16 and max(out, default=0) >> fprec:
+                    raise ValueError(
+                        f"hierarchical lossless sum exceeds the declared "
+                        f"precision {fprec} (corrupt stream)"
+                    )
+            else:
+                out = [
+                    min(top, max(0, rv + dv)) for rv, dv in zip(rplane, plane)
+                ]
+            refs[cid] = (out, fw, fh)
+        pos = p
+    if dhp is None:
+        raise ValueError("JPEG hierarchy reached EOI without a DHP segment")
+    dprec, dh, dw, dcids = dhp
+    missing = [cid for cid in dcids if cid not in refs]
+    if missing:
+        raise ValueError(
+            f"JPEG hierarchy is missing frames for component id(s) {missing}"
+        )
+    for cid in dcids:
+        _plane, rw, rh = refs[cid]
+        if (rw, rh) != (dw, dh):
+            raise ValueError(
+                f"hierarchical component id {cid} finished at {rw}x{rh}, "
+                f"DHP declares {dw}x{dh}"
+            )
+    return dw, dh, [refs[cid][0] for cid in dcids], dprec
 
 
 def jpeg_planes(payload: bytes) -> tuple[int, int, list[list[int]]]:

@@ -1491,6 +1491,106 @@ def multimodal_jpeg_lossless_arith_features(spark: SparkSession, sf_dir: str) ->
     )
 
 
+@register(
+    "multimodal_jpeg_hier_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w, doc_id % 4 AS v,
+             60 + (doc_id * 29) % 128 AS bval
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, w, v, bval, y, x
+      FROM d,
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, 31)) ux(x)
+      WHERE x < w
+    ),
+    hcols AS (
+      SELECT *,
+        30 + (doc_id*31 + (y//2)*17 + (x//2)*7) % 196 AS b00,
+        30 + (doc_id*31 + (y//2)*17 + (x//2+1)*7) % 196 AS b01,
+        30 + (doc_id*31 + (y//2+1)*17 + (x//2)*7) % 196 AS b10,
+        30 + (doc_id*31 + (y//2+1)*17 + (x//2+1)*7) % 196 AS b11
+      FROM grid
+    ),
+    upv AS (
+      SELECT *,
+        CASE WHEN x % 2 = 0 THEN b00
+             WHEN x // 2 + 1 < w // 2 THEN (b00 + b01 + 1) // 2
+             ELSE b00 END AS uph0,
+        CASE WHEN x % 2 = 0 THEN b10
+             WHEN x // 2 + 1 < w // 2 THEN (b10 + b11 + 1) // 2
+             ELSE b10 END AS uph1
+      FROM hcols
+    ),
+    pix AS (
+      SELECT doc_id, w, v,
+        CASE
+          WHEN v <= 1 THEN
+            bval + (doc_id*13 + ((y//8)*(w//8) + x//8)*7) % 101 - 50
+          WHEN v = 2 THEN
+            (CASE WHEN y % 2 = 0 THEN uph0
+                  WHEN y // 2 + 1 < 8 THEN (uph0 + uph1 + 1) // 2
+                  ELSE uph0 END)
+            + (doc_id*13 + ((y//8)*(w//8) + x//8)*7) % 61 - 30
+          ELSE (doc_id*31 + y*17 + x*7) % 256
+        END AS val
+      FROM upv
+    ),
+    hist AS (
+      SELECT doc_id, w, v, val // 32 AS bin, count(*) AS c
+      FROM pix GROUP BY 1, 2, 3, 4
+    ),
+    bins AS (SELECT doc_id, w, v, unnest(generate_series(0, 7)) AS pos FROM d)
+    SELECT b.doc_id, b.v::INT AS variant, b.pos::INT AS pos,
+           coalesce(h.c, 0)::DOUBLE / (b.w * 16) AS x
+    FROM bins b LEFT JOIN hist h ON h.doc_id = b.doc_id AND h.bin = b.pos
+    """,
+)
+def multimodal_jpeg_hier_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through the HIERARCHICAL JPEG process (T.81
+    Annex J — operators/jpeg.synth_jpeg_hier / _decode_hierarchical):
+    every payload is a DHP-declared two-level pyramid — half-resolution
+    first frame, EXP(1,1) reference expansion, one differential
+    refinement frame — cycling doc%4 over DCT+DCT Huffman (SOF0+SOF5),
+    DCT+DCT arithmetic (SOF9+SOF13), LOSSLESS-base+DCT (SOF3+SOF5 —
+    the variant whose oracle recomputes the J.1.1.2 expansion
+    interpolation independently, pinning the filter), and
+    DCT+differential-LOSSLESS (SOF7, SOF15 when doc%8==7 — the
+    reconstruction equals the target formula exactly). The oracle
+    recomputes the final plane per variant and histograms it; a decoder
+    with a wrong expansion rounding, a level-shifted differential IDCT,
+    or broken mod-2^16 refinement arithmetic cannot match.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.jpeg import synth_jpeg_hier
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_jpeg_hier(int(i))),
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    jpgs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(jpgs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("variant"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+
+
 def _ima_steps_values() -> str:
     """The 89-entry IMA step table as a VALUES list for the oracle."""
     from financedatabase_spark.operators.multimodal import IMA_STEPS

@@ -262,11 +262,16 @@ def test_avi_codec_round_trip():
     wav_like = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
     with _pytest.raises(ValueError, match="RIFF/AVI"):
         avi_decode(wav_like)
-    # compressed (non-BI_RGB) frames are out of contract
+    # BI_RLE8 is implemented now — but only over 8-bit palettized
+    # frames; claiming it at 24-bit is malformed, not a seam
     strf_cmp = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 1, fb, 0, 0, 0, 0)
     cmp_avi = tiny.replace(strf, strf_cmp)
-    with _pytest.raises(NotImplementedError, match="uncompressed"):
+    with _pytest.raises(ValueError, match="BI_RLE8"):
         avi_decode(cmp_avi)
+    # genuinely compressed codecs (BI_RLE4 = 2) stay a loud seam
+    strf_rle4 = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 4, 2, fb, 0, 0, 0, 0)
+    with _pytest.raises(NotImplementedError, match="uncompressed"):
+        avi_decode(tiny.replace(strf, strf_rle4))
 
 
 def test_png_codec_round_trip():
@@ -609,9 +614,10 @@ def test_jpeg_failure_modes():
     with pytest.raises(ValueError, match="predictor selector"):
         jpeg_pixels(sof3_flip)
 
-    # the non-Huffman SOF processes stay stated seams (0xC5 differential)
+    # differential SOFs are SUPPORTED now (hierarchical, Annex J) — but
+    # only inside a DHP-declared sequence; a stray one is malformed
     sof5_flip = bytes(good[:sof_at + 1]) + b"\xc5" + bytes(good[sof_at + 2:])
-    with pytest.raises(NotImplementedError, match="SOF"):
+    with pytest.raises(ValueError, match="DHP"):
         jpeg_pixels(sof5_flip)
 
     # non-interleaved sequential scans are SUPPORTED now — but a 4:2:0
@@ -2636,3 +2642,142 @@ def test_avi_dib_validation():
     struct.pack_into("<H", raw, strf_off + 8 + 14, 4)  # biBitCount = 4
     with pytest.raises(NotImplementedError, match="bitcount"):
         avi_decode(bytes(raw))
+
+
+def test_jpeg_hierarchical_fixture_matches_formula():
+    """Annex J hierarchical decode: all four fixture variants — DCT+DCT
+    Huffman, DCT+DCT arithmetic, lossless-base+DCT (pinning the EXP
+    interpolation), and DCT+lossless refinement — reconstruct their
+    per-variant formulas exactly."""
+    from financedatabase_spark.operators.jpeg import (
+        _exp2x,
+        jpeg_frame,
+        synth_jpeg_hier,
+    )
+
+    for doc in range(24):
+        v = doc % 4
+        w = 16 + (doc % 3) * 8
+        W, H, planes, prec = jpeg_frame(synth_jpeg_hier(doc))
+        assert (W, H, prec) == (w, 16, 8)
+        if v in (0, 1):
+            base_val = 60 + (doc * 29) % 128
+            nbx = w // 8
+            d = [(doc * 13 + b * 7) % 101 - 50 for b in range(nbx * 2)]
+            exp = [
+                base_val + d[(y // 8) * nbx + x // 8]
+                for y in range(16)
+                for x in range(w)
+            ]
+        elif v == 2:
+            wb, hb = w // 2, 8
+            base = [
+                30 + (doc * 31 + y * 17 + x * 7) % 196
+                for y in range(hb)
+                for x in range(wb)
+            ]
+            up, _, _ = _exp2x(base, wb, hb, 1, 1)
+            nbx = w // 8
+            d = [(doc * 13 + b * 7) % 61 - 30 for b in range(nbx * 2)]
+            exp = [
+                up[y * w + x] + d[(y // 8) * nbx + x // 8]
+                for y in range(16)
+                for x in range(w)
+            ]
+        else:
+            exp = [(doc * 31 + y * 17 + x * 7) % 256 for y in range(16) for x in range(w)]
+        assert planes[0] == exp, (doc, v)
+
+
+def test_jpeg_hierarchical_progressive_differential():
+    """SOF6 (differential progressive): a hand-built pyramid — constant
+    DCT base, EXP, then a progressive differential frame carrying only
+    a DC-first scan — must add the per-block diffs without any level
+    shift. This closes the last SOF pair through the same translation
+    path (SOF14 rides the arithmetic machinery the same way)."""
+    import struct
+
+    from financedatabase_spark.operators.jpeg import (
+        AC_BITS,
+        AC_VALS,
+        DC_BITS,
+        DC_VALS,
+        _encode_dc_first_scan,
+        _encode_scan_mcus,
+        _seg,
+        _sos_seg,
+        jpeg_frame,
+    )
+
+    w = h = 16
+    base_val, diffs = 100, [-9, 5, 30, -17]  # 2x2 full-res blocks
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFDE, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xFFDB, bytes([0x00]) + bytes([8] * 64))
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += _seg(0xFFC0, sof)
+    out += _sos_seg([(1, 0, 0)], 0, 63, 0, 0)
+    out += _encode_scan_mcus([[(0, [base_val - 128] + [0] * 63)]])
+    out += _seg(0xFFDF, bytes([0x11]))  # EXP 2x2
+    sof6 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += _seg(0xFFC6, sof6)
+    out += _sos_seg([(1, 0, 0)], 0, 0, 0, 0)  # DC-first progressive scan
+    out += _encode_dc_first_scan([[(0, d)] for d in diffs], 0)  # qt0=8 scales
+    out += b"\xff\xd9"
+    W, H, planes, prec = jpeg_frame(bytes(out))
+    assert (W, H, prec) == (w, h, 8)
+    exp = [
+        base_val + diffs[(y // 8) * 2 + x // 8] for y in range(h) for x in range(w)
+    ]
+    assert planes[0] == exp
+
+
+def test_jpeg_hierarchical_validation():
+    """Annex J malformed-sequence posture: a differential frame before
+    any reference, EXP before any frame, duplicate DHP, a frame before
+    DHP, a non-differential re-code, and a geometry that never reaches
+    the DHP dims all raise."""
+    import struct
+
+    from financedatabase_spark.operators.jpeg import (
+        jpeg_frame,
+        synth_jpeg_hier,
+    )
+
+    good = bytearray(synth_jpeg_hier(0))  # SOF0 base + SOF5 diff
+
+    dhp_at = good.find(b"\xff\xde")
+    sof0_at = good.find(b"\xff\xc0")
+    sof5_at = good.find(b"\xff\xc5")
+    exp_at = good.find(b"\xff\xdf")
+    assert -1 not in (dhp_at, sof0_at, sof5_at, exp_at)
+
+    # differential frame with no reference: strip base frame + EXP
+    no_base = bytes(good[:sof0_at]) + bytes(good[sof5_at:])
+    with pytest.raises(ValueError, match="no[\\s-]*reference"):
+        jpeg_frame(no_base)
+
+    # EXP before any frame
+    exp_seg = bytes(good[exp_at:exp_at + 5])
+    early_exp = bytes(good[:sof0_at]) + exp_seg + bytes(good[sof0_at:])
+    with pytest.raises(ValueError, match="EXP before"):
+        jpeg_frame(early_exp)
+
+    # duplicate DHP
+    dhp_seg = bytes(good[dhp_at:dhp_at + 4 + struct.unpack_from(">H", good, dhp_at + 2)[0] - 2])
+    dup = bytes(good[:sof0_at]) + dhp_seg + bytes(good[sof0_at:])
+    with pytest.raises(ValueError, match="DHP twice"):
+        jpeg_frame(dup)
+
+    # non-differential frame re-coding the component
+    base_span = bytes(good[sof0_at:exp_at])
+    recode = bytes(good[:exp_at]) + base_span + bytes(good[exp_at:])
+    with pytest.raises(ValueError, match="re-codes"):
+        jpeg_frame(recode)
+
+    # geometry never reaches the DHP dims: drop EXP + differential frame
+    stub = bytes(good[:exp_at]) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="DHP declares"):
+        jpeg_frame(stub)
