@@ -1812,13 +1812,18 @@ def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8)
         return pyav_video_decode(raw, dim)
     is_png = raw[:8] == b"\x89PNG\r\n\x1a\n"
     is_jpg = raw[:3] == b"\xff\xd8\xff"
-    if mt.startswith("image/") or (not mt and (is_png or is_jpg)):
+    is_gif = raw[:6] in (b"GIF87a", b"GIF89a")
+    if mt.startswith("image/") or (not mt and (is_png or is_jpg or is_gif)):
         if is_png:
             return png_decode(raw, dim)
         if is_jpg:
             from financedatabase_spark.operators.jpeg import jpeg_decode
 
             return jpeg_decode(raw, dim)
+        if is_gif:
+            from financedatabase_spark.operators.gif import gif_decode
+
+            return gif_decode(raw, dim)
         try:
             return pil_decode(raw, dim)
         except ImportError as exc:

@@ -1591,6 +1591,91 @@ def multimodal_jpeg_hier_features(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "multimodal_gif_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w, doc_id % 4 AS v
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, w, v, y, x,
+             (doc_id*31 + y*17 + x*7) % 256 AS b,
+             (doc_id*5 + (y-4)*3 + (x-4)) % 256 AS o,
+             (x BETWEEN 4 AND 11 AND y BETWEEN 4 AND 11) AS inrect
+      FROM d,
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, 31)) ux(x)
+      WHERE x < w
+    ),
+    idx AS (
+      SELECT doc_id, w, v,
+        CASE v
+          WHEN 0 THEN b
+          WHEN 1 THEN b % 16
+          WHEN 2 THEN CASE WHEN inrect AND o % 5 != 0 THEN o ELSE b END
+          ELSE CASE WHEN inrect THEN o ELSE doc_id % 256 END
+        END AS i
+      FROM grid
+    ),
+    lum AS (
+      SELECT doc_id, w, v,
+             (299 * ((doc_id*7 + i*3) % 256)
+              + 587 * ((doc_id*11 + i*5) % 256)
+              + 114 * ((doc_id*13 + i*7) % 256)) // 1000 AS luma
+      FROM idx
+    ),
+    hist AS (
+      SELECT doc_id, w, v, luma // 32 AS bin, count(*) AS c
+      FROM lum GROUP BY 1, 2, 3, 4
+    ),
+    bins AS (SELECT doc_id, w, v, unnest(generate_series(0, 7)) AS pos FROM d)
+    SELECT b.doc_id, b.v::INT AS variant, b.pos::INT AS pos,
+           coalesce(h.c, 0)::DOUBLE / (b.w * 16) AS x
+    FROM bins b LEFT JOIN hist h ON h.doc_id = b.doc_id AND h.bin = b.pos
+    """,
+)
+def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through the pure-stdlib GIF codec
+    (operators/gif.synth_gif / gif_decode via dispatch_decode): doc%4
+    cycles a GIF87a full-frame 256-color stream, an INTERLACED frame
+    under a 16-color LOCAL color table (4-bit LZW width growth), an
+    animation whose overlay frame leaves TRANSPARENT pixels showing the
+    base, and a DISPOSAL-2 animation whose final canvas is the overlay
+    over the restored background color. The oracle recomputes the final
+    composited canvas per variant from the palette/index formulas and
+    histograms the Rec.601 integer luma — a decoder with a broken LZW
+    width bump, interlace order, transparency skip, or disposal
+    restore cannot match.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.gif import synth_gif
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_gif(int(i))),
+                    "media_type": "image/gif",
+                }
+            )
+
+    gifs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(gifs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("variant"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+
+
 def _ima_steps_values() -> str:
     """The 89-entry IMA step table as a VALUES list for the oracle."""
     from financedatabase_spark.operators.multimodal import IMA_STEPS

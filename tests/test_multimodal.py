@@ -370,12 +370,20 @@ def test_dispatch_decode_image_route():
     jp = synth_jpeg(9)
     assert dispatch_decode(jp, "image/jpeg") == jpeg_decode(jp)
     assert dispatch_decode(jp, None) == jpeg_decode(jp)  # magic sniff
-    # non-PNG/JPEG image bytes without Pillow stay a stated seam
+    # GIF decodes for real now — truncated GIF bytes are malformed, not
+    # a seam; formats beyond PNG/JPEG/GIF still gate on Pillow
+    from financedatabase_spark.operators.gif import gif_decode, synth_gif
+
+    g = synth_gif(5)
+    assert dispatch_decode(g, "image/gif") == gif_decode(g)
+    assert dispatch_decode(g, None) == gif_decode(g)  # magic sniff
+    with pytest.raises(ValueError, match="GIF"):
+        dispatch_decode(b"GIF87a gif-ish", "image/gif")
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError, match="Pillow"):
-            dispatch_decode(b"GIF87a gif-ish", "image/gif")
+            dispatch_decode(b"II*\x00 tiff-ish", "image/tiff")
 
 
 def test_dispatch_decode_video_route():
@@ -2781,3 +2789,92 @@ def test_jpeg_hierarchical_validation():
     stub = bytes(good[:exp_at]) + b"\xff\xd9"
     with pytest.raises(ValueError, match="DHP declares"):
         jpeg_frame(stub)
+
+
+def test_gif_codec_round_trip():
+    """gif_canvas must reproduce the per-variant composited canvas from
+    the palette/index formulas: plain 87a, interlaced under a local
+    16-color table, transparency over a base frame, and disposal-2
+    background restore."""
+    from financedatabase_spark.operators.gif import gif_canvas, synth_gif
+
+    def pal(doc, i):
+        return ((doc * 7 + i * 3) % 256, (doc * 11 + i * 5) % 256,
+                (doc * 13 + i * 7) % 256)
+
+    for doc in range(12):
+        v = doc % 4
+        w = 16 + (doc % 3) * 8
+        W, H, canvas = gif_canvas(synth_gif(doc))
+        assert (W, H) == (w, 16)
+        exp = []
+        for y in range(16):
+            for x in range(w):
+                b = (doc * 31 + y * 17 + x * 7) % 256
+                inrect = 4 <= x < 12 and 4 <= y < 12
+                o = (doc * 5 + (y - 4) * 3 + (x - 4)) % 256 if inrect else 0
+                if v == 0:
+                    exp.append(pal(doc, b))
+                elif v == 1:
+                    exp.append(pal(doc, b % 16))
+                elif v == 2:
+                    exp.append(pal(doc, o) if inrect and o % 5 else pal(doc, b))
+                else:
+                    exp.append(pal(doc, o) if inrect else pal(doc, doc % 256))
+        assert canvas == exp, (doc, v)
+
+
+def test_gif_lzw_round_trip():
+    """LZW encode -> decode is exact across code sizes, including the
+    12-bit table growth + encoder CLEAR reset and the KwKwK case."""
+    import random
+
+    from financedatabase_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    rnd = random.Random(11)
+    for mcs in (2, 4, 8):
+        n = 1 << mcs
+        for _ in range(10):
+            data = [rnd.randrange(n) for _ in range(rnd.randrange(1, 6000))]
+            assert _lzw_decode(_lzw_encode(data, mcs), mcs, len(data)) == data
+        kwk = [1, 1] + [1] * 500  # immediate KwKwK then long runs
+        assert _lzw_decode(_lzw_encode(kwk, mcs), mcs, len(kwk)) == kwk
+
+
+def test_gif_validation():
+    """Malformed GIFs stay loud: bad signature, truncated sub-blocks,
+    LZW codes outside the table, pixel-count mismatch, frame rects
+    outside the canvas, and a missing trailer."""
+    import struct
+
+    from financedatabase_spark.operators.gif import (
+        _lzw_decode,
+        gif_canvas,
+        synth_gif,
+    )
+
+    with pytest.raises(ValueError, match="signature"):
+        gif_canvas(b"NOTAGIF" + b"\x00" * 20)
+
+    good = bytearray(synth_gif(0))
+    with pytest.raises(ValueError, match="trailer"):
+        gif_canvas(bytes(good[:-1]))  # drop the 0x3B
+
+    # frame rect outside canvas: patch the image descriptor's left
+    # (doc 0 is variant 0: 13-byte header + 768-byte GCT, then 0x2C)
+    img_at = 13 + 768
+    assert good[img_at] == 0x2C
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, img_at + 1, 60000)
+    with pytest.raises(ValueError, match="outside"):
+        gif_canvas(bytes(bad))
+
+    # LZW: a code beyond the table must raise, not wrap
+    with pytest.raises(ValueError, match="LZW"):
+        _lzw_decode(bytes([0xFF, 0xFF, 0xFF]), 2, 10)
+
+    # pixel-count mismatch: decode claims more pixels than the rect
+    from financedatabase_spark.operators.gif import _lzw_encode
+    enc = _lzw_encode([1] * 64, 2)
+    with pytest.raises(ValueError, match="pixels"):
+        _lzw_decode(enc, 2, 63)
