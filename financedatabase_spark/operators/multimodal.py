@@ -9,24 +9,28 @@ contract (schema, batch iteration, partition sizing) is real and tested.
 Codecs: audio (RIFF/WAVE) decodes for real via the stdlib `wave` module
 plus a non-PCM RIFF fallback (`wav_decode` — every PCM width
 u8/int16/int24/int32 multi-channel mono-mixed, IEEE float32/64, G.711
-mu-law/A-law expansions bit-identical to audioop, mono IMA and
-MICROSOFT ADPCM block decodes, and GSM 06.10 full-rate RPE-LTP —
-the complete ETSI decode chain in pure integer arithmetic); video
-(RIFF/AVI: uncompressed 24-bit DIB and MJPEG
-frames) decodes for real via a pure-stdlib chunk walker (`avi_decode`),
+mu-law/A-law expansions bit-identical to audioop, IMA and MICROSOFT
+ADPCM block decodes in MONO AND STEREO, and GSM 06.10 full-rate
+RPE-LTP — the complete ETSI decode chain in pure integer arithmetic);
+video (RIFF/AVI: DIB frames at 8-bit palettized / 24-bit / 32-bit,
+BI_RLE8 + BI_RLE4 run-length, and MJPEG)
+decodes for real via a pure-stdlib chunk walker (`avi_decode`),
 with compressed formats (mp4/h264, webm) routed through the optional
 PyAV seam (`pyav_video_decode`); PNG decodes for real via a pure-stdlib
 parser (`png_decode` — chunk walk, zlib inflate, full five-filter
 scanline reconstruction, every color type at depths 1/2/4/8/16, ADAM7);
-JPEG decodes for real via `operators/jpeg.py` (baseline, extended
-sequential incl. 12-bit, progressive, lossless SOF3 at 2-16 bits, and
-ARITHMETIC-coded SOF9 + progressive SOF10 via the T.81 Annex D
-QM-coder in `operators/jpeg_arith.py`, libjpeg-cross-validated), with
-Pillow as
+GIF decodes for real via `operators/gif.py` (LZW, interlace,
+animation/transparency/disposal compositing); JPEG decodes for real
+via `operators/jpeg.py` across ALL THIRTEEN T.81 SOF processes
+(baseline, extended sequential incl. 12-bit, progressive, lossless at
+2-16 bits, hierarchical Annex J pyramids with every differential
+process — Huffman AND arithmetic via the Annex D QM-coder in
+`operators/jpeg_arith.py`, libjpeg-cross-validated where an
+independent implementation exists), with Pillow as
 the optional general-image fallback (`pil_decode`). The remaining
 documented NotImplementedError seams are the genuinely library-bound
-ones: compressed video without PyAV (plus the exotic arithmetic scan
-layouts and mp3-in-WAV) — every modality's container plumbing is
+ones: compressed video without PyAV, mp3-in-WAV, and TIFF/WebP-class
+formats without Pillow — every modality's container plumbing is
 exercised by a real codec, not a fake.
 
 Scale notes: binary payloads make wide rows — `maxPartitionBytes` governs
@@ -1381,8 +1385,8 @@ MJPEG_FRAME_CAP = 512
 #: it is stored as.
 def synth_avi_dib(doc_id: int) -> bytes:
     """Deterministic AVI fixture for the NON-24-bit DIB formats, cycling
-    doc%3 over 8-bit palettized (raw), 32-bit BI_RGB, and BI_RLE8
-    run-length 8-bit frames. Geometry 16x16, n_frames = 8 + doc%5.
+    doc%4 over 8-bit palettized (raw), 32-bit BI_RGB, BI_RLE8, and
+    BI_RLE4 run-length frames. Geometry 16x16, n_frames = 8 + doc%5.
 
     Palette entry i (8-bit variants) is B,G,R =
     ((doc*7 + i*3) % 256, (doc*11 + i*5) % 256, (doc*13 + i*7) % 256).
@@ -1397,11 +1401,15 @@ def synth_avi_dib(doc_id: int) -> bytes:
     (runs of 4) alternating encoded and absolute mode per block, one
     end-of-line per row, a final end-of-bitmap — and row r=5 opens with
     a (dx=4, dy=0) DELTA escape, so its first four pixels decode as
-    index 0 (the zero-fill convention the oracle mirrors)."""
+    index 0 (the zero-fill convention the oracle mirrors). The RLE4
+    variant packs the same run structure at 4 bits — encoded runs
+    alternate the pair byte's nibbles (both set to the value here) and
+    absolute runs pack two indices per byte — over a 16-color palette
+    with index (doc*31 + f*97 + r*13 + (x//4)*7) % 16."""
     doc_id = int(doc_id)
     n = 8 + doc_id % 5
     w = h = 16
-    variant = doc_id % 3
+    variant = doc_id % 4
 
     def pal() -> bytes:
         out = bytearray()
@@ -1431,24 +1439,40 @@ def synth_avi_dib(doc_id: int) -> bytes:
                     )
                     out.append(0xAA)
             return bytes(out)
-        out = bytearray()  # BI_RLE8
+        if variant == 2:  # BI_RLE8
+            out = bytearray()
+            for r in range(h):
+                b0 = 0
+                if r == 5:
+                    out += bytes((0, 2, 4, 0))  # delta: skip 4 pixels
+                    b0 = 1
+                for b in range(b0, w // 4):
+                    v = (doc_id * 31 + f * 97 + r * 13 + b * 7) % 256
+                    if b % 2 == 0:
+                        out += bytes((4, v))  # encoded run
+                    else:
+                        out += bytes((0, 4, v, v, v, v))  # absolute run (even)
+                out += bytes((0, 0))  # end of line
+            out += bytes((0, 1))  # end of bitmap
+            return bytes(out)
+        out = bytearray()  # BI_RLE4: same structure, nibble-packed
         for r in range(h):
             b0 = 0
             if r == 5:
                 out += bytes((0, 2, 4, 0))  # delta: skip 4 pixels
                 b0 = 1
             for b in range(b0, w // 4):
-                v = (doc_id * 31 + f * 97 + r * 13 + b * 7) % 256
+                v = (doc_id * 31 + f * 97 + r * 13 + b * 7) % 16
                 if b % 2 == 0:
-                    out += bytes((4, v))  # encoded run
+                    out += bytes((4, (v << 4) | v))  # encoded run (both nibbles)
                 else:
-                    out += bytes((0, 4, v, v, v, v))  # absolute run (even)
+                    out += bytes((0, 4, (v << 4) | v, (v << 4) | v))  # absolute
             out += bytes((0, 0))  # end of line
         out += bytes((0, 1))  # end of bitmap
         return bytes(out)
 
-    bitcount = 32 if variant == 1 else 8
-    compression = 1 if variant == 2 else 0
+    bitcount = {0: 8, 1: 32, 2: 8, 3: 4}[variant]
+    compression = {0: 0, 1: 0, 2: 1, 3: 2}[variant]
     palette = b"" if variant == 1 else pal()
     frames_raw = [frame(f) for f in range(n)]
     fb = max(len(fr) for fr in frames_raw)
@@ -1462,8 +1486,8 @@ def synth_avi_dib(doc_id: int) -> bytes:
     )
     strf = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, bitcount, compression, fb, 0, 0,
-        256 if palette else 0, 0,
-    ) + palette
+        (16 if variant == 3 else 256) if palette else 0, 0,
+    ) + (palette[:64] if variant == 3 else palette)
     strl = (
         b"LIST" + struct.pack("<I", 4 + 8 + 56 + 8 + len(strf)) + b"strl"
         + b"strh" + struct.pack("<I", 56) + strh
@@ -1473,7 +1497,7 @@ def synth_avi_dib(doc_id: int) -> bytes:
         b"LIST" + struct.pack("<I", 4 + 8 + 56 + len(strl)) + b"hdrl"
         + b"avih" + struct.pack("<I", 56) + avih + strl
     )
-    cid = b"00dc" if variant == 2 else b"00db"
+    cid = b"00dc" if variant >= 2 else b"00db"
     frames = b"".join(
         cid + struct.pack("<I", len(fr)) + fr + (b"\x00" if len(fr) & 1 else b"")
         for fr in frames_raw
@@ -1600,6 +1624,69 @@ def _decode_rle8(data: bytes, width: int, height: int) -> bytes:
     return bytes(out)
 
 
+def _decode_rle4(data: bytes, width: int, height: int) -> bytes:
+    """Decode one BI_RLE4 compressed DIB frame to its w*h palette
+    indices: the 4-bit sibling of `_decode_rle8` — encoded runs repeat
+    the pair byte's two nibbles ALTERNATELY (high first), absolute runs
+    carry V indices packed two per byte (high first) padded to a word
+    boundary, and the escape set (EOL / EOB / delta with zero-fill) is
+    identical. Same fail-loud posture."""
+    out = bytearray(width * height)
+    x = y = 0
+    i = 0
+    ended = False
+    while i < len(data):
+        if i + 2 > len(data):
+            raise ValueError("RLE4 stream truncated mid-pair")
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:
+            if y >= height or x + n > width:
+                raise ValueError(
+                    f"RLE4 encoded run overruns the {width}x{height} raster "
+                    f"at ({x}, row {y})"
+                )
+            row = y * width
+            hi, lo = v >> 4, v & 0xF
+            for k in range(n):
+                out[row + x + k] = hi if k % 2 == 0 else lo
+            x += n
+        elif v == 0:  # end of line
+            x = 0
+            y += 1
+            if y > height:
+                raise ValueError("RLE4 end-of-line past the last row")
+        elif v == 1:  # end of bitmap
+            ended = True
+            break
+        elif v == 2:  # delta
+            if i + 2 > len(data):
+                raise ValueError("RLE4 delta escape truncated")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > width or y > height:
+                raise ValueError("RLE4 delta moves outside the raster")
+        else:  # absolute mode: v indices, two per byte, word-padded
+            nbytes = (v + 1) // 2
+            if i + nbytes > len(data):
+                raise ValueError("RLE4 absolute run truncated")
+            if y >= height or x + v > width:
+                raise ValueError(
+                    f"RLE4 absolute run overruns the {width}x{height} raster "
+                    f"at ({x}, row {y})"
+                )
+            row = y * width
+            for k in range(v):
+                b = data[i + k // 2]
+                out[row + x + k] = (b >> 4) if k % 2 == 0 else (b & 0xF)
+            x += v
+            i += nbytes + (nbytes & 1)  # pad to a word boundary
+    if not ended:
+        raise ValueError("RLE4 stream missing the end-of-bitmap escape")
+    return bytes(out)
+
+
 def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Real video codec for the `decode_features` seam — pure stdlib, no
     ffmpeg. Walks the RIFF chunk tree (hdrl → avih geometry + strf
@@ -1656,13 +1743,13 @@ def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
                         if c3 == b"strf":
                             bmi = struct.unpack_from("<IiiHHI", raw, o3)
                             bitcount, compression = bmi[4], bmi[5]
-                            if s3 >= 40 and bitcount == 8:
+                            if s3 >= 40 and bitcount in (4, 8):
                                 (clr_used,) = struct.unpack_from("<I", raw, o3 + 32)
-                                ncolors = clr_used or 256
+                                ncolors = clr_used or (1 << bitcount)
                                 pal_raw = raw[o3 + 40:o3 + min(s3, 40 + 4 * ncolors)]
                                 if len(pal_raw) < 4 * ncolors:
                                     raise ValueError(
-                                        f"8-bit DIB strf palette truncated: "
+                                        f"palettized DIB strf palette truncated: "
                                         f"{len(pal_raw)} bytes for {ncolors} "
                                         f"RGBQUAD entries"
                                     )
@@ -1734,6 +1821,15 @@ def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
             )
         for o, sz in frame_spans:
             idx = _decode_rle8(raw[o:o + sz], width, height)
+            sums.append(sum(palette[b] if b < len(palette) else 0 for b in idx))
+    elif compression == 2:  # BI_RLE4
+        if bitcount != 4 or palette is None:
+            raise ValueError(
+                f"BI_RLE4 requires 4-bit palettized frames "
+                f"(got bitcount={bitcount}, palette={'yes' if palette else 'no'})"
+            )
+        for o, sz in frame_spans:
+            idx = _decode_rle4(raw[o:o + sz], width, height)
             sums.append(sum(palette[b] if b < len(palette) else 0 for b in idx))
     else:
         fourcc = compression.to_bytes(4, "little")

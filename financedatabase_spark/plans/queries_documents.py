@@ -860,7 +860,7 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_video_dib_features",
     oracle="""
     WITH d AS (
-      SELECT doc_id, 8 + doc_id % 5 AS n, doc_id % 3 AS variant
+      SELECT doc_id, 8 + doc_id % 5 AS n, doc_id % 4 AS variant
       FROM documents
     ),
     px AS (
@@ -868,7 +868,10 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              (doc_id*31 + f*97 + r*13 + x*7) % 256 AS raw,
              CASE WHEN r = 5 AND x < 4 THEN 0
                   ELSE (doc_id*31 + f*97 + r*13 + (x // 4) * 7) % 256
-             END AS ridx
+             END AS ridx,
+             CASE WHEN r = 5 AND x < 4 THEN 0
+                  ELSE (doc_id*31 + f*97 + r*13 + (x // 4) * 7) % 16
+             END AS ridx4
       FROM d,
            UNNEST(generate_series(0, n - 1)) uf(f),
            UNNEST(generate_series(0, 15)) ur(r),
@@ -881,9 +884,12 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                            + ((doc_id*11 + raw*5) % 256)
                            + ((doc_id*13 + raw*7) % 256)
                WHEN 1 THEN raw + ((raw + 5) % 256) + ((raw + 10) % 256)
-               ELSE ((doc_id*7 + ridx*3) % 256)
-                    + ((doc_id*11 + ridx*5) % 256)
-                    + ((doc_id*13 + ridx*7) % 256)
+               WHEN 2 THEN ((doc_id*7 + ridx*3) % 256)
+                           + ((doc_id*11 + ridx*5) % 256)
+                           + ((doc_id*13 + ridx*7) % 256)
+               ELSE ((doc_id*7 + ridx4*3) % 256)
+                    + ((doc_id*11 + ridx4*5) % 256)
+                    + ((doc_id*13 + ridx4*7) % 256)
              END AS sv
       FROM px
     )
@@ -895,12 +901,13 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_video_dib_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video features through the NON-24-bit DIB pixel formats of the
     pure-stdlib AVI codec (operators/multimodal.synth_avi_dib /
-    avi_decode): doc%3 cycles 8-bit PALETTIZED frames (indices expanded
+    avi_decode): doc%4 cycles 8-bit PALETTIZED frames (indices expanded
     through the strf RGBQUAD palette), 32-bit BI_RGB (B,G,R summed, the
-    0xAA reserved byte skipped — summing it cannot match), and BI_RLE8
-    run-length frames mixing encoded runs, absolute-mode runs, per-row
-    end-of-line escapes, and one DELTA escape whose skipped pixels
-    decode as index 0 (see `_decode_rle8`). The oracle recomputes every
+    0xAA reserved byte skipped — summing it cannot match), BI_RLE8, and
+    BI_RLE4 (nibble-packed over a 16-color palette) run-length frames
+    mixing encoded runs, absolute-mode runs, per-row end-of-line
+    escapes, and one DELTA escape whose skipped pixels decode as index
+    0 (see `_decode_rle8`/`_decode_rle4`). The oracle recomputes every
     per-frame palette-expanded pixel sum from the fixture formulas, so
     wrong palette routing, reserved-byte leakage, or any RLE walk error
     (run placement, absolute-mode padding, delta zero-fill) mismatches.
@@ -928,7 +935,7 @@ def multimodal_video_dib_features(spark: SparkSession, sf_dir: str) -> DataFrame
     feats = decode_features(avis, decode_fn=dispatch_decode, pass_media_type=True)
     return feats.select(
         "doc_id",
-        (F.col("doc_id") % 3).cast("int").alias("variant"),
+        (F.col("doc_id") % 4).cast("int").alias("variant"),
         F.posexplode("feature").alias("win", "px_sum"),
     )
 

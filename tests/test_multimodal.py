@@ -2560,8 +2560,8 @@ def test_adpcm_stereo_validation():
 
 def test_avi_dib_variants_decode():
     """The non-24-bit DIB formats: 8-bit palettized, 32-bit BI_RGB
-    (reserved byte skipped), and BI_RLE8 frames all decode to the
-    fixture formula's windowed pixel sums."""
+    (reserved byte skipped), BI_RLE8, and nibble-packed BI_RLE4 frames
+    all decode to the fixture formula's windowed pixel sums."""
     from financedatabase_spark.operators.multimodal import (
         avi_decode,
         synth_avi_dib,
@@ -2574,9 +2574,9 @@ def test_avi_dib_variants_decode():
             + (doc * 13 + i * 7) % 256
         )
 
-    for doc in range(9):
+    for doc in range(12):
         n = 8 + doc % 5
-        v = doc % 3
+        v = doc % 4
         exp = [0.0] * 8
         for f in range(n):
             s = 0
@@ -2590,9 +2590,10 @@ def test_avi_dib_variants_decode():
                             for c in range(3)
                         )
                     else:
+                        m = 256 if v == 2 else 16
                         idx = 0 if (r == 5 and x < 4) else (
                             doc * 31 + f * 97 + r * 13 + (x // 4) * 7
-                        ) % 256
+                        ) % m
                         s += psum(doc, idx)
             exp[f * 8 // n] += s
         assert avi_decode(synth_avi_dib(doc)) == exp, doc
@@ -2878,3 +2879,29 @@ def test_gif_validation():
     enc = _lzw_encode([1] * 64, 2)
     with pytest.raises(ValueError, match="pixels"):
         _lzw_decode(enc, 2, 63)
+
+
+def test_rle4_escapes_and_validation():
+    """_decode_rle4: encoded runs alternate the pair byte's nibbles,
+    absolute runs unpack two indices per byte with word padding, delta
+    zero-fills — and truncation/overrun/missing-end all raise."""
+    from financedatabase_spark.operators.multimodal import _decode_rle4
+
+    # 6x2: row0 = encoded 5 x 0xAB (A,B,A,B,A) + encoded 1 x 0xC0;
+    # row1 = absolute [1,2,3] (2 nibble-packed bytes, already word-even)
+    # + delta (1,0) + encoded 2 x 0x77
+    stream = bytes(
+        (5, 0xAB, 1, 0xC0, 0, 0,
+         0, 3, 0x12, 0x30, 0, 2, 1, 0, 2, 0x77, 0, 0,
+         0, 1)
+    )
+    out = _decode_rle4(stream, 6, 2)
+    assert list(out[0:6]) == [0xA, 0xB, 0xA, 0xB, 0xA, 0xC]
+    assert list(out[6:12]) == [1, 2, 3, 0, 7, 7]  # delta skip zero-fills
+
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_rle4(bytes((5,)), 6, 2)
+    with pytest.raises(ValueError, match="overruns"):
+        _decode_rle4(bytes((7, 0xAB, 0, 1)), 6, 2)
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        _decode_rle4(bytes((2, 0xAB, 0, 0)), 6, 2)

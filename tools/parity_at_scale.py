@@ -59,6 +59,10 @@ SKIP = {
     "multimodal_adpcm_features",
     "multimodal_msadpcm_features",
     "multimodal_gsm_features",
+    # r14: the stereo twins run TWO per-sample recursions per doc — same
+    # recursive-baseline class as their mono parents.
+    "multimodal_adpcm_stereo_features",
+    "multimodal_msadpcm_stereo_features",
 }
 
 _DUCK_SNIPPET = r"""
