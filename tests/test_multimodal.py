@@ -268,10 +268,14 @@ def test_avi_codec_round_trip():
     cmp_avi = tiny.replace(strf, strf_cmp)
     with _pytest.raises(ValueError, match="BI_RLE8"):
         avi_decode(cmp_avi)
-    # genuinely compressed codecs (BI_RLE4 = 2) stay a loud seam
+    # RLE4 is implemented too — 4-bit without a palette is malformed
     strf_rle4 = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 4, 2, fb, 0, 0, 0, 0)
-    with _pytest.raises(NotImplementedError, match="uncompressed"):
+    with _pytest.raises(ValueError, match="palette"):
         avi_decode(tiny.replace(strf, strf_rle4))
+    # genuinely unsupported compressions (BI_BITFIELDS = 3) stay a seam
+    strf_bf = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 3, fb, 0, 0, 0, 0)
+    with _pytest.raises(NotImplementedError, match="uncompressed"):
+        avi_decode(tiny.replace(strf, strf_bf))
 
 
 def test_png_codec_round_trip():
