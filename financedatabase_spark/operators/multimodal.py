@@ -1909,7 +1909,10 @@ def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8)
     is_png = raw[:8] == b"\x89PNG\r\n\x1a\n"
     is_jpg = raw[:3] == b"\xff\xd8\xff"
     is_gif = raw[:6] in (b"GIF87a", b"GIF89a")
-    if mt.startswith("image/") or (not mt and (is_png or is_jpg or is_gif)):
+    is_tif = raw[:4] in (b"II*\x00", b"MM\x00*")
+    if mt.startswith("image/") or (
+        not mt and (is_png or is_jpg or is_gif or is_tif)
+    ):
         if is_png:
             return png_decode(raw, dim)
         if is_jpg:
@@ -1920,6 +1923,10 @@ def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8)
             from financedatabase_spark.operators.gif import gif_decode
 
             return gif_decode(raw, dim)
+        if is_tif:
+            from financedatabase_spark.operators.tiff import tiff_decode
+
+            return tiff_decode(raw, dim)
         try:
             return pil_decode(raw, dim)
         except ImportError as exc:

@@ -1683,6 +1683,96 @@ def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_tiff_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w, doc_id % 4 AS v
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, w, v, (doc_id*31 + y*17 + x*7) % 256 AS g
+      FROM d,
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, 31)) ux(x)
+      WHERE x < w
+    ),
+    rgb AS (
+      SELECT doc_id, w, v,
+        CASE v
+          WHEN 0 THEN g
+          WHEN 1 THEN 255 - g
+          WHEN 2 THEN g
+          ELSE (doc_id*7 + (g % 16) * 11) % 256
+        END AS r,
+        CASE v
+          WHEN 0 THEN g
+          WHEN 1 THEN 255 - g
+          WHEN 2 THEN (g + 5) % 256
+          ELSE (doc_id*7 + (g % 16) * 13) % 256
+        END AS gg,
+        CASE v
+          WHEN 0 THEN g
+          WHEN 1 THEN 255 - g
+          WHEN 2 THEN (g + 10) % 256
+          ELSE (doc_id*7 + (g % 16) * 17) % 256
+        END AS b
+      FROM grid
+    ),
+    lum AS (
+      SELECT doc_id, w, v, (299*r + 587*gg + 114*b) // 1000 AS luma FROM rgb
+    ),
+    hist AS (
+      SELECT doc_id, w, v, luma // 32 AS bin, count(*) AS c
+      FROM lum GROUP BY 1, 2, 3, 4
+    ),
+    bins AS (SELECT doc_id, w, v, unnest(generate_series(0, 7)) AS pos FROM d)
+    SELECT b.doc_id, b.v::INT AS variant, b.pos::INT AS pos,
+           coalesce(h.c, 0)::DOUBLE / (b.w * 16) AS x
+    FROM bins b LEFT JOIN hist h ON h.doc_id = b.doc_id AND h.bin = b.pos
+    """,
+)
+def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through the pure-stdlib baseline TIFF codec
+    (operators/tiff.synth_tiff / tiff_decode via dispatch_decode):
+    doc%4 cycles little-endian uncompressed grayscale, big-endian
+    PACKBITS WhiteIsZero (byte order + polarity inversion + 4-row
+    strips), little-endian LZW RGB with horizontal-differencing
+    PREDICTOR 2 (the TIFF early-change LZW, 8-row strips resetting the
+    coder), and big-endian PALETTE via the 16-bit ColorMap. The oracle
+    recomputes the per-variant RGB from the fixture formulas and
+    histograms the Rec.601 integer luma — a decoder with the GIF-style
+    late width change, a missed predictor accumulation, a strip-state
+    leak, or an un-inverted WhiteIsZero cannot match.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.tiff import synth_tiff
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_tiff(int(i))),
+                    "media_type": "image/tiff",
+                }
+            )
+
+    tifs = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(tifs, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("variant"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+
+
 def _ima_steps_values() -> str:
     """The 89-entry IMA step table as a VALUES list for the oracle."""
     from financedatabase_spark.operators.multimodal import IMA_STEPS

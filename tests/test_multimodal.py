@@ -383,11 +383,16 @@ def test_dispatch_decode_image_route():
     assert dispatch_decode(g, None) == gif_decode(g)  # magic sniff
     with pytest.raises(ValueError, match="GIF"):
         dispatch_decode(b"GIF87a gif-ish", "image/gif")
+    from financedatabase_spark.operators.tiff import synth_tiff, tiff_decode
+
+    t = synth_tiff(7)
+    assert dispatch_decode(t, "image/tiff") == tiff_decode(t)
+    assert dispatch_decode(t, None) == tiff_decode(t)  # magic sniff
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError, match="Pillow"):
-            dispatch_decode(b"II*\x00 tiff-ish", "image/tiff")
+            dispatch_decode(b"RIFF\x00\x00\x00\x00WEBP", "image/webp")
 
 
 def test_dispatch_decode_video_route():
@@ -2909,3 +2914,94 @@ def test_rle4_escapes_and_validation():
         _decode_rle4(bytes((7, 0xAB, 0, 1)), 6, 2)
     with pytest.raises(ValueError, match="end-of-bitmap"):
         _decode_rle4(bytes((2, 0xAB, 0, 0)), 6, 2)
+
+
+def test_tiff_codec_round_trip():
+    """tiff_pixels must reproduce the per-variant RGB from the fixture
+    formulas: LE uncompressed gray, BE PackBits WhiteIsZero (multi-
+    strip), LE LZW RGB with predictor 2, BE palette via ColorMap."""
+    from financedatabase_spark.operators.tiff import synth_tiff, tiff_pixels
+
+    for doc in range(12):
+        v = doc % 4
+        w = 16 + (doc % 3) * 8
+        W, H, px = tiff_pixels(synth_tiff(doc))
+        assert (W, H) == (w, 16)
+        exp = []
+        for y in range(16):
+            for x in range(w):
+                g = (doc * 31 + y * 17 + x * 7) % 256
+                if v == 0:
+                    exp.append((g, g, g))
+                elif v == 1:
+                    exp.append((255 - g, 255 - g, 255 - g))
+                elif v == 2:
+                    exp.append((g, (g + 5) % 256, (g + 10) % 256))
+                else:
+                    i = g % 16
+                    exp.append((
+                        (doc * 7 + i * 11) % 256,
+                        (doc * 7 + i * 13) % 256,
+                        (doc * 7 + i * 17) % 256,
+                    ))
+        assert px == exp, (doc, v)
+
+
+def test_tiff_lzw_early_change():
+    """TIFF LZW differs from GIF's in MSB-first packing and the EARLY
+    width change (encoder at 2^n - 1 entries, decoder one sooner):
+    round-trips must hold across the 9->12-bit ladder and the CLEAR
+    reset, including low-entropy runs that grow long chains."""
+    import random
+
+    from financedatabase_spark.operators.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    rnd = random.Random(13)
+    for _ in range(8):
+        data = bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 6000)))
+        assert _lzw_decode_tiff(_lzw_encode_tiff(data), len(data)) == data
+    low = bytes(rnd.randrange(4) for _ in range(20000))
+    assert _lzw_decode_tiff(_lzw_encode_tiff(low), len(low)) == low
+
+
+def test_tiff_validation():
+    """Malformed/out-of-scope TIFFs stay loud: bad byte-order mark or
+    magic, missing mandatory tags, truncated strips, unsupported
+    compressions and photometrics, strip undercoverage."""
+    import struct
+
+    from financedatabase_spark.operators.tiff import synth_tiff, tiff_pixels
+
+    with pytest.raises(ValueError, match="byte-order"):
+        tiff_pixels(b"XX\x2a\x00" + b"\x00" * 8)
+    with pytest.raises(ValueError, match="magic"):
+        tiff_pixels(b"II\x2b\x00" + b"\x00" * 8)
+
+    good = bytearray(synth_tiff(0))  # LE uncompressed gray
+    # find the Compression entry (tag 259) and claim CCITT (3)
+    (n,) = struct.unpack_from("<H", good, 8)
+    for i in range(n):
+        off = 10 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", good, off)
+        if tag == 259:
+            struct.pack_into("<H", good, off + 8, 3)
+            break
+    with pytest.raises(NotImplementedError, match="compression 3"):
+        tiff_pixels(bytes(good))
+
+    good = bytearray(synth_tiff(0))
+    for i in range(n):
+        off = 10 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", good, off)
+        if tag == 262:  # photometric -> YCbCr (6)
+            struct.pack_into("<H", good, off + 8, 6)
+            break
+    with pytest.raises(NotImplementedError, match="photometric 6"):
+        tiff_pixels(bytes(good))
+
+    # truncated strip data
+    with pytest.raises(ValueError):
+        tiff_pixels(bytes(synth_tiff(0))[:-40])
