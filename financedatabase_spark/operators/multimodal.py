@@ -29,8 +29,10 @@ process — Huffman AND arithmetic via the Annex D QM-coder in
 independent implementation exists), with Pillow as
 the optional general-image fallback (`pil_decode`). The remaining
 documented NotImplementedError seams are the genuinely library-bound
-ones: compressed video without PyAV, mp3-in-WAV, and TIFF/WebP-class
-formats without Pillow — every modality's container plumbing is
+ones: compressed video without PyAV, mp3-in-WAV, and WebP-class
+formats without Pillow (GIF and baseline TIFF decode here in pure
+stdlib — operators/gif.py, operators/tiff.py) — every modality's
+container plumbing is
 exercised by a real codec, not a fake.
 
 Scale notes: binary payloads make wide rows — `maxPartitionBytes` governs
@@ -1910,8 +1912,9 @@ def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8)
     is_jpg = raw[:3] == b"\xff\xd8\xff"
     is_gif = raw[:6] in (b"GIF87a", b"GIF89a")
     is_tif = raw[:4] in (b"II*\x00", b"MM\x00*")
+    is_webp = is_riff and raw[8:12] == b"WEBP"
     if mt.startswith("image/") or (
-        not mt and (is_png or is_jpg or is_gif or is_tif)
+        not mt and (is_png or is_jpg or is_gif or is_tif or is_webp)
     ):
         if is_png:
             return png_decode(raw, dim)
@@ -1927,6 +1930,10 @@ def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8)
             from financedatabase_spark.operators.tiff import tiff_decode
 
             return tiff_decode(raw, dim)
+        if is_riff and raw[8:12] == b"WEBP":
+            from financedatabase_spark.operators.webp import webp_decode
+
+            return webp_decode(raw, dim)
         try:
             return pil_decode(raw, dim)
         except ImportError as exc:

@@ -1,0 +1,784 @@
+"""Pure-stdlib WebP-LOSSLESS (VP8L) codec for the multimodal decode seam.
+
+VP8L (the public "WebP Lossless Bitstream Specification") was the last
+named raster format gating on Pillow. This module implements the
+lossless stream for real, scoped and documented:
+
+- RIFF/WEBP container walk to the VP8L chunk; the 0x2F signature,
+  14-bit dimensions, version gate.
+- DEFLATE-style canonical prefix codes read bit-by-bit from the
+  LSB-first stream: SIMPLE codes (1-2 symbols) and full codes — the
+  19-symbol code-length code in kCodeLengthCodeOrder, RLE symbols
+  16/17/18, the optional max-symbol cap.
+- The five-tree pixel stream (green+length+cache, red, blue, alpha,
+  distance), LZ77 backward references with the 24 length/distance
+  prefix-integer codes and the 120-entry two-dimensional distance map,
+  and the color cache ((0x1e35a7bd * argb) >> (32 - bits), updated on
+  every emitted pixel).
+- Inverse TRANSFORMS, applied in reverse signaling order:
+  SUBTRACT-GREEN and the full 14-mode PREDICTOR transform (block-based
+  modes from a nested entropy-coded subimage, average/select/
+  clamped-gradient predictors exactly per spec, alpha included).
+  COLOR and COLOR-INDEXING transforms and meta-prefix groups raise
+  NotImplementedError — documented gates, not silent wrongness (they
+  never appear in the fixture corpus; real cwebp output may use them).
+- Lossy VP8 chunks raise NotImplementedError (a DCT video codec is out
+  of scope); VP8X extended containers are walked to find a VP8L chunk.
+
+The fixture encoder writes spec-valid streams the long way — real
+canonical prefix codes (fixed-length class codes emitted through a
+4-symbol code-length code), explicit LZ77 row copies, a live color
+cache simulation, the subtract-green transform, and single-mode
+predictor transforms with a nested 1x1 SIMPLE-coded subimage — so the
+decoder's every path is exercised by payloads whose pixels a SQL
+oracle recomputes from integer formulas.
+
+No independent WebP implementation ships in this container (Pillow is
+absent), so like the SOF11/hierarchical JPEG work the encoder/decoder
+pair is validated by construction against the spec text, with the
+component pieces (canonical code assignment, prefix-integer ranges,
+cache hashing) unit-tested directly.
+
+Reference parity: the reference has no media path at all; this extends
+the LLM-pipeline image tier like jpeg.py/gif.py/tiff.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+#: code-length-code symbol order (spec §"Prefix code lengths")
+K_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+#: the 120-entry 2D distance map (spec §"Distance mapping"): (dx, dy)
+#: pairs for plane codes 1..120; dist = dy * xsize + dx, floored at 1.
+K_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (2, 8), (-2, 8), (8, 3), (-8, 3), (5, 7), (-5, 7), (7, 5),
+    (-7, 5), (8, 4), (3, 8), (-3, 8), (8, 5), (-8, 5), (6, 7), (-6, 7),
+)
+
+
+class _LsbReader:
+    """LSB-first bit reader over the VP8L payload."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("VP8L stream truncated")
+            v |= ((self.data[byte] >> (self.pos & 7)) & 1) << i
+            self.pos += 1
+        return v
+
+
+class _LsbWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def tobytes(self) -> bytes:
+        out = bytes(self.out) + (bytes([self.acc]) if self.nbits else b"")
+        return out
+
+
+class _Prefix:
+    """Canonical prefix code: decode bit-by-bit (MSB-first code build,
+    DEFLATE-style), encode via the canonical (code, length) table."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        self.lengths = lengths
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln]
+        if not nz:
+            raise ValueError("prefix code with no symbols")
+        self.single = nz[0][1] if len(nz) == 1 else None
+        # canonical assignment: shorter codes first, ties by symbol
+        self.dec: dict[tuple[int, int], int] = {}
+        self.enc: dict[int, tuple[int, int]] = {}
+        code = 0
+        last_len = 0
+        for ln, sym in sorted(nz):
+            code <<= ln - last_len
+            last_len = ln
+            self.dec[(ln, code)] = sym
+            self.enc[sym] = (code, ln)
+            code += 1
+        if code > (1 << last_len) and len(nz) > 1:
+            raise ValueError("over-subscribed prefix code")
+
+    def decode(self, r: _LsbReader) -> int:
+        if self.single is not None:
+            return self.single  # zero-bit code
+        code = 0
+        ln = 0
+        while True:
+            code = (code << 1) | r.read(1)
+            ln += 1
+            if ln > 15:
+                raise ValueError("VP8L prefix code walk exceeded 15 bits")
+            sym = self.dec.get((ln, code))
+            if sym is not None:
+                return sym
+
+    def encode(self, w: _LsbWriter, sym: int) -> None:
+        if self.single is not None:
+            if sym != self.single:
+                raise ValueError("symbol outside the single-symbol code")
+            return
+        code, ln = self.enc[sym]
+        for i in range(ln - 1, -1, -1):  # MSB of the code first
+            w.write((code >> i) & 1, 1)
+
+
+def _read_prefix_code(r: _LsbReader, alphabet: int) -> _Prefix:
+    """One prefix code: SIMPLE (1-2 symbols) or via the code-length
+    code with 16/17/18 RLE and the optional max-symbol cap."""
+    if r.read(1):  # simple
+        nsym = r.read(1) + 1
+        if r.read(1):  # first symbol is 8 bits
+            sym0 = r.read(8)
+        else:
+            sym0 = r.read(1)
+        if sym0 >= alphabet:
+            raise ValueError("VP8L simple code symbol outside the alphabet")
+        if nsym == 1:
+            return _single(sym0, alphabet)
+        sym1 = r.read(8)
+        if sym1 >= alphabet:
+            raise ValueError("VP8L simple code symbol outside the alphabet")
+        lengths = [0] * alphabet
+        lengths[sym0] = 1
+        lengths[sym1] = 1
+        return _Prefix(lengths)
+    num_cl = 4 + r.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[K_CL_ORDER[i]] = r.read(3)
+    cl = _Prefix(cl_lengths)
+    if r.read(1):  # max-symbol cap present
+        length_nbits = 2 + 2 * r.read(3)
+        max_symbol = 2 + r.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    sym = 0
+    while sym < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        s = cl.decode(r)
+        if s < 16:
+            lengths[sym] = s
+            sym += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + r.read(2)
+            if sym + rep > alphabet:
+                raise ValueError("VP8L code-length repeat overruns the alphabet")
+            for _ in range(rep):
+                lengths[sym] = prev
+                sym += 1
+        elif s == 17:
+            sym += 3 + r.read(3)
+        else:
+            sym += 11 + r.read(7)
+        if sym > alphabet:
+            raise ValueError("VP8L code-length zeros overrun the alphabet")
+    return _Prefix(lengths)
+
+
+def _single(sym: int, alphabet: int) -> _Prefix:
+    p = _Prefix.__new__(_Prefix)
+    p.lengths = [0] * alphabet
+    p.lengths[sym] = 1  # bookkeeping only
+    p.single = sym
+    p.dec = {}
+    p.enc = {sym: (0, 0)}
+    return p
+
+
+def _prefix_int_decode(r: _LsbReader, sym: int) -> int:
+    """Length/distance prefix integers (spec §"LZ77 backward
+    reference"): symbols 0-3 are values 1-4; beyond, extra bits."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + r.read(extra) + 1
+
+
+def _prefix_int_encode(value: int) -> tuple[int, int, int]:
+    """(symbol, extra_bits_value, extra_bits_count) for value >= 1."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    extra = v.bit_length() - 2
+    offset = (2 + ((v >> extra) & 1)) << extra
+    sym = 2 * extra + ((v >> extra) & 1) + 2
+    return sym, value - offset - 1, extra
+
+
+def _cache_key(argb: int, bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _decode_image_stream(
+    r: _LsbReader, w: int, h: int, is_root: bool,
+) -> list[int]:
+    """Decode one VP8L entropy-coded image (ARGB ints). Root images may
+    carry transforms and a color cache; nested images (transform data)
+    may carry a color cache only."""
+    transforms: list[tuple[int, object]] = []
+    if is_root:
+        while r.read(1):
+            ttype = r.read(2)
+            if any(t == ttype for t, _ in transforms):
+                raise ValueError(f"VP8L transform {ttype} declared twice")
+            if ttype == 2:  # subtract-green: no data
+                transforms.append((2, None))
+            elif ttype == 0:  # predictor
+                size_bits = r.read(3) + 2
+                bs = 1 << size_bits
+                tw = (w + bs - 1) >> size_bits
+                th = (h + bs - 1) >> size_bits
+                sub = _decode_image_stream(r, tw, th, False)
+                transforms.append((0, (size_bits, tw, sub)))
+            else:
+                raise NotImplementedError(
+                    f"VP8L transform {ttype} (color/color-indexing) not "
+                    f"supported here"
+                )
+    cache_bits = 0
+    if r.read(1):
+        cache_bits = r.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L color-cache bits {cache_bits} outside 1-11")
+    if is_root and r.read(1):
+        raise NotImplementedError("VP8L meta-prefix groups not supported here")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green = _read_prefix_code(r, 256 + 24 + cache_size)
+    red = _read_prefix_code(r, 256)
+    blue = _read_prefix_code(r, 256)
+    alpha = _read_prefix_code(r, 256)
+    dist = _read_prefix_code(r, 40)
+    cache = [0] * cache_size
+    out: list[int] = []
+    npix = w * h
+    while len(out) < npix:
+        g = green.decode(r)
+        if g < 256:
+            rr = red.decode(r)
+            bb = blue.decode(r)
+            aa = alpha.decode(r)
+            px = (aa << 24) | (rr << 16) | (g << 8) | bb
+            out.append(px)
+            if cache_size:
+                cache[_cache_key(px, cache_bits)] = px
+        elif g < 280:
+            length = _prefix_int_decode(r, g - 256)
+            plane = _prefix_int_decode(r, dist.decode(r))
+            if plane > 120:
+                d = plane - 120
+            else:
+                dx, dy = K_DIST_MAP[plane - 1]
+                d = max(1, dy * w + dx)
+            if d > len(out):
+                raise ValueError("VP8L backward reference before image start")
+            if len(out) + length > npix:
+                raise ValueError("VP8L backward reference overruns the image")
+            for _ in range(length):
+                px = out[-d]
+                out.append(px)
+                if cache_size:
+                    cache[_cache_key(px, cache_bits)] = px
+        else:
+            if not cache_size:
+                raise ValueError("VP8L cache reference without a color cache")
+            idx = g - 280
+            if idx >= cache_size:
+                raise ValueError("VP8L cache index outside the cache")
+            out.append(cache[idx])
+    # inverse transforms, reverse signaling order
+    for ttype, tdata in reversed(transforms):
+        if ttype == 2:
+            for i, px in enumerate(out):
+                g = (px >> 8) & 0xFF
+                rr = ((px >> 16) + g) & 0xFF
+                bb = (px + g) & 0xFF
+                out[i] = (px & 0xFF00FF00) | (rr << 16) | bb
+        else:
+            size_bits, tw, sub = tdata
+            out = _inverse_predictor(out, w, h, size_bits, tw, sub)
+    return out
+
+
+def _avg2(a: int, b: int) -> int:
+    """Per-channel average of two ARGB pixels."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _clamp_add_sub_full(a: int, b: int, c: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        v = ((a >> sh) & 0xFF) + ((b >> sh) & 0xFF) - ((c >> sh) & 0xFF)
+        v = 0 if v < 0 else (255 if v > 255 else v)
+        out |= v << sh
+    return out
+
+
+def _clamp_add_sub_half(ave2: int, c: int) -> int:
+    """Mode 13: per channel clamp(a + (a - c) / 2) where a is the
+    already-averaged Average2(L, T) channel and the division truncates
+    toward zero (C semantics, per the spec's reference code)."""
+    out = 0
+    for sh in (0, 8, 16, 24):
+        a = (ave2 >> sh) & 0xFF
+        cv = (c >> sh) & 0xFF
+        d = a - cv
+        v = a + (d // 2 if d >= 0 else -((-d) // 2))
+        v = 0 if v < 0 else (255 if v > 255 else v)
+        out |= v << sh
+    return out
+
+
+def _select(l: int, t: int, tl: int) -> int:  # noqa: E741
+    """Mode 11: with p = L + T - TL (per channel, unclamped), pick
+    whichever of L/T is closer to p in summed absolute channel
+    distance; ties pick T (|p - L| = |T - TL| and |p - T| = |L - TL|,
+    the spec's Sub3 formulation)."""
+    d = 0
+    for sh in (0, 8, 16, 24):
+        d += abs(((l >> sh) & 0xFF) - ((tl >> sh) & 0xFF)) - abs(
+            ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        )
+    return t if d <= 0 else l
+
+
+def _inverse_predictor(
+    out: list[int], w: int, h: int, size_bits: int, tw: int, sub: list[int],
+) -> list[int]:
+    """Inverse of the VP8L predictor transform: residuals + prediction
+    mod 256 per channel; mode per block from the nested image's green
+    channel; first pixel predicts black (a=255), first row predicts L,
+    first column predicts T (spec §"Predictor transform")."""
+    res = out
+    img = [0] * (w * h)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = img[i - 1]  # L
+            elif x == 0:
+                pred = img[i - w]  # T
+            else:
+                mode = (sub[(y >> size_bits) * tw + (x >> size_bits)] >> 8) & 0xFF
+                L = img[i - 1]
+                T = img[i - w]
+                TL = img[i - w - 1]
+                TR = img[i - w + 1] if x + 1 < w else img[i - w]
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = _avg2(_avg2(L, TR), T)
+                elif mode == 6:
+                    pred = _avg2(L, TL)
+                elif mode == 7:
+                    pred = _avg2(L, T)
+                elif mode == 8:
+                    pred = _avg2(TL, T)
+                elif mode == 9:
+                    pred = _avg2(T, TR)
+                elif mode == 10:
+                    pred = _avg2(_avg2(L, TL), _avg2(T, TR))
+                elif mode == 11:
+                    pred = _select(L, T, TL)
+                elif mode == 12:
+                    pred = _clamp_add_sub_full(L, T, TL)
+                elif mode == 13:
+                    pred = _clamp_add_sub_half(_avg2(L, T), TL)
+                else:
+                    raise ValueError(f"VP8L predictor mode {mode} outside 0-13")
+            r = res[i]
+            img[i] = (
+                (((r >> 24) + (pred >> 24)) & 0xFF) << 24
+                | ((((r >> 16) & 0xFF) + ((pred >> 16) & 0xFF)) & 0xFF) << 16
+                | ((((r >> 8) & 0xFF) + ((pred >> 8) & 0xFF)) & 0xFF) << 8
+                | (((r & 0xFF) + (pred & 0xFF)) & 0xFF)
+            )
+    return img
+
+
+def webp_pixels(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Decode a lossless WebP to (width, height, row-major (r, g, b))."""
+    raw = bytes(payload)
+    if raw[:4] != b"RIFF" or len(raw) < 12 or raw[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP container")
+    pos = 12
+    vp8l = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        (sz,) = struct.unpack_from("<I", raw, pos + 4)
+        body = raw[pos + 8:pos + 8 + sz]
+        if cid == b"VP8L":
+            vp8l = body
+            break
+        if cid == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 WebP needs a video-codec library; only VP8L "
+                "(lossless) decodes here"
+            )
+        pos += 8 + sz + (sz & 1)
+    if vp8l is None:
+        raise ValueError("WEBP container has no VP8L chunk")
+    if not vp8l or vp8l[0] != 0x2F:
+        raise ValueError("VP8L signature byte missing")
+    r = _LsbReader(vp8l[1:])
+    w = r.read(14) + 1
+    h = r.read(14) + 1
+    r.read(1)  # alpha hint
+    version = r.read(3)
+    if version:
+        raise ValueError(f"VP8L version {version} unknown (expected 0)")
+    argb = _decode_image_stream(r, w, h, True)
+    return w, h, [((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF) for p in argb]
+
+
+def webp_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Image codec for the `decode_features` seam: normalized ``dim``-bin
+    Rec.601 integer-luma histogram of the decoded pixels (same output
+    shape as png/jpeg/gif/tiff decode)."""
+    w, h, px = webp_pixels(payload)
+    counts = [0] * dim
+    for r, g, b in px:
+        luma = (299 * r + 587 * g + 114 * b) // 1000
+        counts[(luma * dim) >> 8] += 1
+    n = w * h
+    return [c / n for c in counts]
+
+
+# -- fixture encoder -----------------------------------------------------------
+
+
+def _equal_weight_lengths(symbols: list[int], alphabet: int) -> list[int]:
+    """COMPLETE canonical code lengths (Kraft sum exactly 1) for the
+    used symbols: the equal-weight Huffman profile — with k symbols and
+    b = ceil(log2 k), 2k - 2^b symbols at length b and the rest at
+    b - 1. Shorter codes go to lower symbols (canonical tie order)."""
+    k = len(symbols)
+    if k < 2:
+        raise ValueError("equal-weight code needs >= 2 symbols")
+    b = (k - 1).bit_length()
+    n_long = 2 * k - (1 << b)
+    lengths = [0] * alphabet
+    for i, sym in enumerate(sorted(symbols)):
+        lengths[sym] = b - 1 if i < k - n_long else b
+    return lengths
+
+
+def _write_code(w: _LsbWriter, lengths: list[int], alphabet: int) -> _Prefix:
+    """Emit one prefix code. 1-2 usable symbols below 256 go out as
+    SIMPLE codes; everything else as a full code whose per-symbol
+    lengths are written as LITERAL code-length symbols under a small
+    complete code-length code (no 16/17/18 RLE on the write side —
+    verbose but spec-valid; the decoder handles both)."""
+    used = [s for s, ln in enumerate(lengths) if ln]
+    if 1 <= len(used) <= 2 and all(s < 256 for s in used):
+        w.write(1, 1)  # simple
+        w.write(len(used) - 1, 1)
+        if used[0] < 2 and len(used) == 1:
+            w.write(0, 1)  # 1-bit first symbol
+            w.write(used[0], 1)
+        else:
+            w.write(1, 1)  # 8-bit first symbol
+            w.write(used[0], 8)
+        if len(used) == 2:
+            w.write(used[1], 8)
+        if len(used) == 1:
+            return _single(used[0], alphabet)
+        return _Prefix(lengths)
+    w.write(0, 1)  # full code
+    cl_used = sorted({0} | {ln for ln in lengths if ln})
+    cl_lengths = _equal_weight_lengths(cl_used, 19)
+    # num_code_lengths must cover every used CL symbol in K_CL_ORDER
+    need = max(i for i, s in enumerate(K_CL_ORDER) if cl_lengths[s]) + 1
+    num_cl = max(4, need)
+    w.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        w.write(cl_lengths[K_CL_ORDER[i]], 3)
+    cl = _Prefix(cl_lengths)
+    w.write(0, 1)  # no max-symbol cap: all alphabet lengths follow
+    for ln in lengths:
+        cl.encode(w, ln)
+    return _Prefix(lengths)
+
+
+def assemble_webp(
+    w: int,
+    h: int,
+    pixels: list[int],
+    cache_bits: int = 0,
+    subtract_green: bool = False,
+    predictor_mode: int | None = None,
+    rowcopy: bool = False,
+) -> bytes:
+    """Assemble a spec-valid LOSSLESS WebP (VP8L) whose decode is
+    exactly ``pixels`` (row-major ARGB ints). ``subtract_green`` and
+    ``predictor_mode`` (a single mode 0-13 for the whole image via a
+    32-pixel-block nested subimage) apply forward transforms before
+    entropy coding; ``rowcopy`` tokenizes rows equal to an earlier row
+    (in the transformed domain) as LZ77 copies with direct distance
+    plane codes; ``cache_bits`` > 0 routes repeated colors through the
+    color cache exactly as the decoder will."""
+    if len(pixels) != w * h:
+        raise ValueError(f"need {w * h} pixels, got {len(pixels)}")
+    plane = list(pixels)
+    body = _LsbWriter()
+    body.write(w - 1, 14)
+    body.write(h - 1, 14)
+    body.write(0, 1)  # alpha hint
+    body.write(0, 3)  # version
+    if predictor_mode is not None:
+        if subtract_green:
+            raise ValueError("fixture assembler: one transform at a time")
+        if not 0 <= predictor_mode <= 13:
+            raise ValueError(f"predictor mode {predictor_mode} outside 0-13")
+        body.write(1, 1)  # transform present
+        body.write(0, 2)  # predictor
+        body.write(3, 3)  # size_bits = 5 -> 32-pixel blocks
+        if w > 32 or h > 32:
+            raise ValueError("fixture predictor image assumes one 32x32 block")
+        # nested 1x1 image: no cache, five SIMPLE codes
+        body.write(0, 1)  # no color cache
+        for sym, alphabet in (
+            (predictor_mode << 0, 256 + 24),  # green carries the mode
+            (0, 256), (0, 256), (0, 256), (0, 40),
+        ):
+            lv = [0] * alphabet
+            lv[sym] = 1
+            _write_code(body, lv, alphabet)
+        # forward predictor: residual = pixel - pred (mod 256/channel)
+        res = [0] * (w * h)
+        for y in range(h):
+            for x in range(w):
+                i = y * w + x
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = plane[i - 1]
+                elif x == 0:
+                    pred = plane[i - w]
+                else:
+                    L = plane[i - 1]
+                    T = plane[i - w]
+                    TL = plane[i - w - 1]
+                    TR = plane[i - w + 1] if x + 1 < w else plane[i - w]
+                    pred = {
+                        0: 0xFF000000, 1: L, 2: T, 3: TR, 4: TL,
+                        5: _avg2(_avg2(L, TR), T), 6: _avg2(L, TL),
+                        7: _avg2(L, T), 8: _avg2(TL, T), 9: _avg2(T, TR),
+                        10: _avg2(_avg2(L, TL), _avg2(T, TR)),
+                        11: _select(L, T, TL),
+                        12: _clamp_add_sub_full(L, T, TL),
+                        13: _clamp_add_sub_half(_avg2(L, T), TL),
+                    }[predictor_mode]
+                res[i] = (
+                    (((plane[i] >> 24) - (pred >> 24)) & 0xFF) << 24
+                    | ((((plane[i] >> 16) & 0xFF) - ((pred >> 16) & 0xFF)) & 0xFF) << 16
+                    | ((((plane[i] >> 8) & 0xFF) - ((pred >> 8) & 0xFF)) & 0xFF) << 8
+                    | (((plane[i] & 0xFF) - (pred & 0xFF)) & 0xFF)
+                )
+        plane = res
+    if subtract_green:
+        body.write(1, 1)
+        body.write(2, 2)  # subtract-green, no data
+        plane = [
+            (px & 0xFF00FF00)
+            | ((((px >> 16) - ((px >> 8) & 0xFF)) & 0xFF) << 16)
+            | (((px & 0xFF) - ((px >> 8) & 0xFF)) & 0xFF)
+            for px in plane
+        ]
+    body.write(0, 1)  # no more transforms
+    if cache_bits:
+        body.write(1, 1)
+        body.write(cache_bits, 4)
+    else:
+        body.write(0, 1)
+    body.write(0, 1)  # no meta-prefix
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    # tokenize: LZ77 row copies (dist = k rows back, k=1..3, in the
+    # transformed domain) when rowcopy, else literals; cache hits
+    # become cache symbols. Two passes share this walk.
+    def walk(emit) -> None:
+        cache = [None] * cache_size
+        i = 0
+        npix = w * h
+        while i < npix:
+            y = i // w
+            if rowcopy and i % w == 0 and y > 0:
+                for back in (1, 2, 3):
+                    if y >= back and plane[i:i + w] == plane[i - back * w:i - back * w + w]:
+                        emit(("copy", w, 120 + back * w))
+                        for px in plane[i:i + w]:
+                            if cache_size:
+                                cache[_cache_key(px, cache_bits)] = px
+                        i += w
+                        break
+                else:
+                    back = None
+                if back is not None:
+                    continue
+            px = plane[i]
+            if cache_size and cache[_cache_key(px, cache_bits)] == px:
+                emit(("cache", _cache_key(px, cache_bits)))
+            else:
+                emit(("lit", px))
+                if cache_size:
+                    cache[_cache_key(px, cache_bits)] = px
+            i += 1
+
+    hist: dict[str, set] = {"g": set(), "r": set(), "b": set(), "a": set(), "d": set()}
+
+    def count(tok) -> None:
+        kind = tok[0]
+        if kind == "lit":
+            px = tok[1]
+            hist["g"].add((px >> 8) & 0xFF)
+            hist["r"].add((px >> 16) & 0xFF)
+            hist["b"].add(px & 0xFF)
+            hist["a"].add((px >> 24) & 0xFF)
+        elif kind == "copy":
+            hist["g"].add(256 + _prefix_int_encode(tok[1])[0])
+            hist["d"].add(_prefix_int_encode(tok[2])[0])
+        else:
+            hist["g"].add(280 + tok[1])
+
+    walk(count)
+    for key, alphabet in (("r", 256), ("b", 256), ("a", 256), ("d", 40)):
+        if not hist[key]:
+            hist[key].add(0)  # a code must exist even if never used
+
+    def build(key: str, alphabet: int) -> _Prefix:
+        used = sorted(hist[key])
+        if len(used) == 1:
+            lv = [0] * alphabet
+            lv[used[0]] = 1
+            return _write_code(body, lv, alphabet)
+        return _write_code(body, _equal_weight_lengths(used, alphabet), alphabet)
+
+    green = build("g", 256 + 24 + cache_size)
+    red = build("r", 256)
+    blue = build("b", 256)
+    alpha = build("a", 256)
+    dist = build("d", 40)
+
+    def emit(tok) -> None:
+        kind = tok[0]
+        if kind == "lit":
+            px = tok[1]
+            green.encode(body, (px >> 8) & 0xFF)
+            red.encode(body, (px >> 16) & 0xFF)
+            blue.encode(body, px & 0xFF)
+            alpha.encode(body, (px >> 24) & 0xFF)
+        elif kind == "copy":
+            sym, extra_v, extra_n = _prefix_int_encode(tok[1])
+            green.encode(body, 256 + sym)
+            body.write(extra_v, extra_n)
+            sym, extra_v, extra_n = _prefix_int_encode(tok[2])
+            dist.encode(body, sym)
+            body.write(extra_v, extra_n)
+        else:
+            green.encode(body, 280 + tok[1])
+
+    walk(emit)
+    payload = b"\x2f" + body.tobytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def synth_webp(doc_id: int) -> bytes:
+    """Deterministic VP8L fixture, cycling doc%5; canvas
+    w = 16 + (doc%3)*8, h = 16; base color at (y, x) is
+    r = (doc*31 + y*17 + x*7) % 256, g = (doc*31 + y*17 + x*7 + 5) %
+    256, b = (... + 10) % 256, alpha 255.
+
+    0: literals only, full prefix codes.
+    1: LZ77 row copies — rows repeat with period 2
+       (y -> y % 2 in the formula), rows 2.. coded as distance-2w
+       backward references (direct plane codes > 120).
+    2: COLOR CACHE (6 bits) over a 16-color palette (formula % 16
+       indexes), so repeats decode through cache symbols.
+    3: SUBTRACT-GREEN transform over the base formula.
+    4: PREDICTOR transform, single mode doc%14 for the whole image via
+       the nested one-pixel subimage (SIMPLE-coded)."""
+    doc_id = int(doc_id)
+    v = doc_id % 5
+    w = 16 + (doc_id % 3) * 8
+    h = 16
+
+    def base(y: int, x: int) -> int:
+        t = doc_id * 31 + y * 17 + x * 7
+        return (
+            0xFF000000
+            | ((t % 256) << 16)
+            | (((t + 5) % 256) << 8)
+            | ((t + 10) % 256)
+        )
+
+    if v == 0:
+        px = [base(y, x) for y in range(h) for x in range(w)]
+        return assemble_webp(w, h, px)
+    if v == 1:
+        px = [base(y % 2, x) for y in range(h) for x in range(w)]
+        return assemble_webp(w, h, px, rowcopy=True)
+    if v == 2:
+        pal = [base(i // 4, i % 4) for i in range(16)]
+        px = [
+            pal[(doc_id * 31 + y * 17 + x * 7) % 16]
+            for y in range(h)
+            for x in range(w)
+        ]
+        return assemble_webp(w, h, px, cache_bits=6)
+    if v == 3:
+        px = [base(y, x) for y in range(h) for x in range(w)]
+        return assemble_webp(w, h, px, subtract_green=True)
+    px = [base(y, x) for y in range(h) for x in range(w)]
+    return assemble_webp(w, h, px, predictor_mode=doc_id % 14)

@@ -1773,6 +1773,85 @@ def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_webp_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w, doc_id % 5 AS v
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, w, v, y, x,
+             CASE
+               WHEN v = 1 THEN doc_id*31 + (y % 2)*17 + x*7
+               WHEN v = 2 THEN
+                 doc_id*31
+                 + (((doc_id*31 + y*17 + x*7) % 16) // 4) * 17
+                 + (((doc_id*31 + y*17 + x*7) % 16) % 4) * 7
+               ELSE doc_id*31 + y*17 + x*7
+             END AS t
+      FROM d,
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, 31)) ux(x)
+      WHERE x < w
+    ),
+    lum AS (
+      SELECT doc_id, w, v,
+             (299 * (t % 256) + 587 * ((t + 5) % 256)
+              + 114 * ((t + 10) % 256)) // 1000 AS luma
+      FROM grid
+    ),
+    hist AS (
+      SELECT doc_id, w, v, luma // 32 AS bin, count(*) AS c
+      FROM lum GROUP BY 1, 2, 3, 4
+    ),
+    bins AS (SELECT doc_id, w, v, unnest(generate_series(0, 7)) AS pos FROM d)
+    SELECT b.doc_id, b.v::INT AS variant, b.pos::INT AS pos,
+           coalesce(h.c, 0)::DOUBLE / (b.w * 16) AS x
+    FROM bins b LEFT JOIN hist h ON h.doc_id = b.doc_id AND h.bin = b.pos
+    """,
+)
+def multimodal_webp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through the pure-stdlib VP8L (lossless WebP)
+    codec (operators/webp.synth_webp / webp_decode via
+    dispatch_decode): doc%5 cycles literal-coded full prefix codes,
+    LZ77 row copies with direct distance plane codes, a 6-bit COLOR
+    CACHE over a 16-color palette, the SUBTRACT-GREEN transform, and
+    the PREDICTOR transform at mode doc%14 through a nested
+    SIMPLE-coded subimage — so canonical code reading (code-length
+    codes included), backward references, cache hashing, and both
+    supported inverse transforms all sit on the oracle path. Decode is
+    lossless, so the oracle recomputes each variant's RGB from the
+    fixture formulas and histograms the Rec.601 integer luma.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.webp import synth_webp
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_webp(int(i))),
+                    "media_type": "image/webp",
+                }
+            )
+
+    webps = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(webps, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 5).cast("int").alias("variant"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+
+
 def _ima_steps_values() -> str:
     """The 89-entry IMA step table as a VALUES list for the oracle."""
     from financedatabase_spark.operators.multimodal import IMA_STEPS

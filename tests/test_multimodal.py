@@ -388,11 +388,18 @@ def test_dispatch_decode_image_route():
     t = synth_tiff(7)
     assert dispatch_decode(t, "image/tiff") == tiff_decode(t)
     assert dispatch_decode(t, None) == tiff_decode(t)  # magic sniff
+    from financedatabase_spark.operators.webp import synth_webp, webp_decode
+
+    wp = synth_webp(4)
+    assert dispatch_decode(wp, "image/webp") == webp_decode(wp)
+    assert dispatch_decode(wp, None) == webp_decode(wp)  # magic sniff
+    with pytest.raises(ValueError, match="VP8L"):
+        dispatch_decode(b"RIFF\x00\x00\x00\x00WEBPjunk", "image/webp")
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError, match="Pillow"):
-            dispatch_decode(b"RIFF\x00\x00\x00\x00WEBP", "image/webp")
+            dispatch_decode(b"BM bmp-ish standalone", "image/bmp")
 
 
 def test_dispatch_decode_video_route():
@@ -3005,3 +3012,98 @@ def test_tiff_validation():
     # truncated strip data
     with pytest.raises(ValueError):
         tiff_pixels(bytes(synth_tiff(0))[:-40])
+
+
+def test_webp_codec_round_trip():
+    """VP8L decode must reproduce each fixture variant's formula:
+    literal full prefix codes, LZ77 row copies, color cache,
+    subtract-green, and every predictor mode 0-13."""
+    from financedatabase_spark.operators.webp import synth_webp, webp_pixels
+
+    def base(doc, y, x):
+        t = doc * 31 + y * 17 + x * 7
+        return (t % 256, (t + 5) % 256, (t + 10) % 256)
+
+    for doc in range(30):
+        v = doc % 5
+        w = 16 + (doc % 3) * 8
+        W, H, px = webp_pixels(synth_webp(doc))
+        assert (W, H) == (w, 16)
+        exp = []
+        for y in range(16):
+            for x in range(w):
+                if v == 1:
+                    exp.append(base(doc, y % 2, x))
+                elif v == 2:
+                    i = (doc * 31 + y * 17 + x * 7) % 16
+                    exp.append(base(doc, i // 4, i % 4))
+                else:
+                    exp.append(base(doc, y, x))
+        assert px == exp, (doc, v)
+
+
+def test_webp_predictor_modes_exact():
+    """Every predictor mode round-trips on data hostile to it: random
+    pixels make residuals exercise the clamps, averages, and the
+    select tie-break."""
+    import random
+
+    from financedatabase_spark.operators.webp import assemble_webp, webp_pixels
+
+    rnd = random.Random(5)
+    for mode in range(14):
+        w, h = 9, 7
+        px = [
+            0xFF000000
+            | (rnd.randrange(256) << 16)
+            | (rnd.randrange(256) << 8)
+            | rnd.randrange(256)
+            for _ in range(w * h)
+        ]
+        W, H, got = webp_pixels(assemble_webp(w, h, px, predictor_mode=mode))
+        exp = [((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF) for p in px]
+        assert got == exp, mode
+
+
+def test_webp_validation():
+    """Malformed/out-of-scope WebP stays loud: bad container, missing
+    VP8L chunk, lossy VP8, bad signature/version, truncation, and the
+    color-transform gate."""
+    from financedatabase_spark.operators.webp import (
+        _LsbWriter,
+        synth_webp,
+        webp_pixels,
+    )
+    import struct
+
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        webp_pixels(b"not webp at all")
+    with pytest.raises(ValueError, match="VP8L"):
+        webp_pixels(b"RIFF" + struct.pack("<I", 4) + b"WEBP")
+    lossy = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(NotImplementedError, match="lossy"):
+        webp_pixels(lossy)
+
+    good = bytearray(synth_webp(0))
+    with pytest.raises(ValueError, match="truncated"):
+        webp_pixels(bytes(good[:-8]))
+    sig_at = good.find(b"VP8L") + 8
+    bad = bytearray(good)
+    bad[sig_at] = 0x2E
+    with pytest.raises(ValueError, match="signature"):
+        webp_pixels(bytes(bad))
+
+    # a COLOR transform (type 1) is a stated gate
+    w = _LsbWriter()
+    w.write(15, 14)  # 16x...
+    w.write(15, 14)
+    w.write(0, 1)
+    w.write(0, 3)
+    w.write(1, 1)  # transform present
+    w.write(1, 2)  # color transform
+    payload = b"\x2f" + w.tobytes()
+    stream = (b"RIFF" + struct.pack("<I", 12 + len(payload)) + b"WEBP"
+              + b"VP8L" + struct.pack("<I", len(payload)) + payload)
+    with pytest.raises(NotImplementedError, match="transform"):
+        webp_pixels(stream)

@@ -455,3 +455,32 @@ def test_media_codecs_roundtrip_any_doc_id(doc_id, dim):
         for x in range(w):
             counts[((doc_id * 17 + y * 31 + x * 7) % 256) * dim // 256] += 1
     assert png_decode(synth_png(doc_id), dim=dim) == [c / (w * 16) for c in counts]
+
+
+@given(
+    data=st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=4000),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_round_trip_property(data):
+    """GIF LZW (LSB-first, late width change) is lossless for arbitrary
+    byte sequences — including adversarial low-entropy runs hypothesis
+    shrinks toward."""
+    from financedatabase_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(data, 8), 8, len(data)) == data
+
+
+@given(
+    data=st.binary(min_size=1, max_size=4000),
+)
+@settings(max_examples=60, deadline=None)
+def test_tiff_lzw_round_trip_property(data):
+    """TIFF LZW (MSB-first, EARLY width change) is lossless for
+    arbitrary byte strings — the property that pins the
+    one-entry-early decoder width bump against the encoder's."""
+    from financedatabase_spark.operators.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    assert _lzw_decode_tiff(_lzw_encode_tiff(data), len(data)) == data

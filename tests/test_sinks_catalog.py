@@ -625,6 +625,85 @@ class FakeGcsBlob:
             del c._objs[(self._bucket, self._key)]
 
 
+class FakeAzureClient:
+    """azure-storage-blob-shaped stub with conditional-header semantics:
+    same call surface as the SDK (client.get_blob_client(container,
+    blob) -> bc.upload_blob(body, overwrite=..., etag=...,
+    match_condition=...) returning {"etag": '"..."'},
+    bc.download_blob() with .readall() + .properties.etag,
+    bc.delete_blob(etag=..., match_condition=...)) and exceptions
+    carrying the SDK's integer ``status_code``, so the
+    `AzureObjectStore` translation layer is tested for real."""
+
+    class HttpError(Exception):
+        def __init__(self, status_code, msg=""):
+            super().__init__(msg or str(status_code))
+            self.status_code = status_code
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._objs = {}  # (container, key) -> (body, etag)
+
+    def get_blob_client(self, container, blob):
+        return FakeAzureBlobClient(self, container, blob)
+
+
+class FakeAzureBlobClient:
+    def __init__(self, client, container, key):
+        self._c = client
+        self._k = (container, key)
+
+    def upload_blob(self, body, overwrite=True, etag=None, match_condition=None):
+        import uuid as _uuid
+
+        c = self._c
+        with c._lock:
+            cur = c._objs.get(self._k)
+            if not overwrite and cur is not None:
+                raise c.HttpError(409, "BlobAlreadyExists")
+            if match_condition is not None:
+                if cur is None:
+                    raise c.HttpError(404, "BlobNotFound")
+                if etag is None or etag.strip('"') != cur[1]:
+                    raise c.HttpError(412, "ConditionNotMet")
+            new = _uuid.uuid4().hex
+            c._objs[self._k] = (bytes(body), new)
+            return {"etag": f'"{new}"'}
+
+    def download_blob(self):
+        c = self._c
+        with c._lock:
+            cur = c._objs.get(self._k)
+            if cur is None:
+                raise c.HttpError(404, "BlobNotFound")
+
+            class _Props:
+                etag = f'"{cur[1]}"'
+
+            class _Stream:
+                properties = _Props()
+
+                @staticmethod
+                def readall():
+                    return cur[0]
+
+            return _Stream()
+
+    def delete_blob(self, etag=None, match_condition=None):
+        c = self._c
+        with c._lock:
+            cur = c._objs.get(self._k)
+            if cur is None:
+                raise c.HttpError(404, "BlobNotFound")
+            if match_condition is not None and (
+                etag is None or etag.strip('"') != cur[1]
+            ):
+                raise c.HttpError(412, "ConditionNotMet")
+            del c._objs[self._k]
+
+
 def _lease_factories(tmp_path):
     """Every TableLease implementation behind one conformance suite."""
     from financedatabase_spark.operators.io_sinks import DirectoryLease
@@ -633,6 +712,7 @@ def _lease_factories(tmp_path):
         FileObjectStore,
         InMemoryObjectStore,
     )
+    from financedatabase_spark.sources.objectstore_azure import AzureObjectStore
     from financedatabase_spark.sources.objectstore_gcs import GcsObjectStore
     from financedatabase_spark.sources.objectstore_s3 import S3ObjectStore
 
@@ -642,12 +722,14 @@ def _lease_factories(tmp_path):
     fs = FileObjectStore(str(tmp_path / "conf_store"))
     s3 = S3ObjectStore("bucket", client=FakeS3Client())
     gcs = GcsObjectStore("bucket", client=FakeGcsClient())
+    az = AzureObjectStore("container", client=FakeAzureClient())
     return {
         "directory": lambda: DirectoryLease(str(local)),
         "condput-mem": lambda: ConditionalPutLease(mem, "s3://bucket/tbl"),
         "condput-file": lambda: ConditionalPutLease(fs, "s3://bucket/tbl"),
         "condput-s3": lambda: ConditionalPutLease(s3, "s3://bucket/tbl"),
         "condput-gcs": lambda: ConditionalPutLease(gcs, "gs://bucket/tbl"),
+        "condput-azure": lambda: ConditionalPutLease(az, "az://container/tbl"),
     }
 
 
@@ -1141,3 +1223,43 @@ def test_condput_renew_lost_response_adopts_etag():
     store.delete(holder.key)
     with pytest.raises(ConcurrentWriteError):
         holder.renew(tok3)
+
+
+def test_azure_adapter_error_mapping():
+    """The azure-storage-blob shim's translation layer: quoted-etag
+    normalization, overwrite=False -> create-only (409 mapped),
+    etag+match_condition CAS (412 mapped, 404-on-CAS mapped), 404 ->
+    absent (get None, delete no-op), unknown errors re-raised."""
+    from financedatabase_spark.sources.objectstore import PreconditionFailedError
+    from financedatabase_spark.sources.objectstore_azure import AzureObjectStore
+
+    store = AzureObjectStore("c", client=FakeAzureClient())
+    assert store.get("k") is None
+    store.delete("k")  # absent: no-op
+    e1 = store.put("k", b"v1", if_none_match=True)
+    assert '"' not in e1  # quotes stripped
+    assert store.get("k") == (b"v1", e1)
+    with pytest.raises(PreconditionFailedError):
+        store.put("k", b"v2", if_none_match=True)
+    e2 = store.put("k", b"v2", if_match=e1)
+    with pytest.raises(PreconditionFailedError):
+        store.put("k", b"v3", if_match=e1)  # stale etag
+    with pytest.raises(PreconditionFailedError):
+        store.put("absent", b"v", if_match=e2)  # CAS on an absent blob
+    with pytest.raises(PreconditionFailedError):
+        store.delete("k", if_match=e1)  # stale etag
+    store.delete("k", if_match=e2)
+    assert store.get("k") is None
+
+    # non-conditional failures pass through untouched
+    class Throttled(FakeAzureClient):
+        def get_blob_client(self, container, blob):
+            class _BC:
+                @staticmethod
+                def upload_blob(body, **kw):
+                    raise FakeAzureClient.HttpError(503, "ServerBusy")
+
+            return _BC()
+
+    with pytest.raises(FakeAzureClient.HttpError):
+        AzureObjectStore("c", client=Throttled()).put("k", b"v", if_none_match=True)
