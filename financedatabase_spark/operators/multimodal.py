@@ -1689,6 +1689,218 @@ def _decode_rle4(data: bytes, width: int, height: int) -> bytes:
     return bytes(out)
 
 
+def bmp_pixels(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Decode a STANDALONE BMP file ("BM" + BITMAPFILEHEADER +
+    BITMAPINFOHEADER) to (width, height, row-major top-down (r, g, b))
+    — the same DIB pixel formats the AVI path decodes: 8-bit
+    palettized, 24-bit, 32-bit BI_RGB (reserved byte ignored), and
+    BI_RLE8 / BI_RLE4 through the shared run-length walkers. Rows are
+    stored bottom-up (negative biHeight top-down files are accepted
+    too); truncation, unsupported bitcounts/compressions, and a
+    missing palette raise loudly."""
+    raw = bytes(payload)
+    if raw[:2] != b"BM" or len(raw) < 54:
+        raise ValueError("not a BMP (missing BM file header)")
+    (pix_off,) = struct.unpack_from("<I", raw, 10)
+    hdr_size, w, h_signed, _planes, bitcount, compression = struct.unpack_from(
+        "<IiiHHI", raw, 14
+    )
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"only BITMAPINFOHEADER-class BMPs supported (header {hdr_size})"
+        )
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w <= 0 or h <= 0:
+        raise ValueError(f"BMP has empty {w}x{h_signed} raster")
+    palette: list[tuple[int, int, int]] | None = None
+    if bitcount in (4, 8):
+        (clr_used,) = struct.unpack_from("<I", raw, 14 + 32)
+        ncolors = clr_used or (1 << bitcount)
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * ncolors > len(raw):
+            raise ValueError(
+                f"BMP palette truncated: {ncolors} RGBQUAD entries expected"
+            )
+        palette = [
+            (raw[pal_off + 4 * i + 2], raw[pal_off + 4 * i + 1], raw[pal_off + 4 * i])
+            for i in range(ncolors)
+        ]
+    data = raw[pix_off:]
+    if compression == 0:
+        if bitcount == 24:
+            stride = (w * 3 + 3) // 4 * 4
+            if len(data) < stride * h:
+                raise ValueError("BMP pixel data truncated")
+            rows = [
+                [
+                    (
+                        data[r * stride + 3 * x + 2],
+                        data[r * stride + 3 * x + 1],
+                        data[r * stride + 3 * x],
+                    )
+                    for x in range(w)
+                ]
+                for r in range(h)
+            ]
+        elif bitcount == 32:
+            if len(data) < 4 * w * h:
+                raise ValueError("BMP pixel data truncated")
+            rows = [
+                [
+                    (
+                        data[(r * w + x) * 4 + 2],
+                        data[(r * w + x) * 4 + 1],
+                        data[(r * w + x) * 4],
+                    )
+                    for x in range(w)
+                ]
+                for r in range(h)
+            ]
+        elif bitcount == 8:
+            stride = (w + 3) // 4 * 4
+            if len(data) < stride * h:
+                raise ValueError("BMP pixel data truncated")
+            rows = [
+                [
+                    palette[data[r * stride + x]]
+                    if data[r * stride + x] < len(palette)
+                    else (0, 0, 0)
+                    for x in range(w)
+                ]
+                for r in range(h)
+            ]
+        else:
+            raise NotImplementedError(
+                f"only 8/24/32-bit uncompressed BMPs supported "
+                f"(got bitcount={bitcount})"
+            )
+    elif compression in (1, 2):
+        if compression == 1 and bitcount == 8:
+            idx = _decode_rle8(data, w, h)
+        elif compression == 2 and bitcount == 4:
+            idx = _decode_rle4(data, w, h)
+        else:
+            raise ValueError(
+                f"BMP RLE{8 if compression == 1 else 4} requires "
+                f"{8 if compression == 1 else 4}-bit frames, got {bitcount}"
+            )
+        if palette is None:
+            raise ValueError("run-length BMP needs a palette")
+        rows = [
+            [
+                palette[idx[r * w + x]] if idx[r * w + x] < len(palette)
+                else (0, 0, 0)
+                for x in range(w)
+            ]
+            for r in range(h)
+        ]
+    else:
+        raise NotImplementedError(
+            f"BMP compression {compression} not supported "
+            f"(BI_RGB/BI_RLE8/BI_RLE4 here)"
+        )
+    if not top_down:
+        rows.reverse()  # storage is bottom-up
+    return w, h, [px for row in rows for px in row]
+
+
+def bmp_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Image codec for the `decode_features` seam: normalized ``dim``-bin
+    Rec.601 integer-luma histogram (same shape as the other image
+    codecs)."""
+    w, h, px = bmp_pixels(payload)
+    counts = [0] * dim
+    for r, g, b in px:
+        luma = (299 * r + 587 * g + 114 * b) // 1000
+        counts[(luma * dim) >> 8] += 1
+    return [c / (w * h) for c in counts]
+
+
+def synth_bmp_file(doc_id: int) -> bytes:
+    """Deterministic standalone-BMP fixture, cycling doc%4 over 24-bit
+    (bottom-up), 8-bit palettized TOP-DOWN (negative height), BI_RLE8,
+    and 32-bit. Canvas w = 16 + (doc%3)*8, h = 16; gray driver
+    g(y, x) = (doc*31 + y*17 + x*7) % 256 in DISPLAY coordinates
+    (top-down y); palette entry i is (R, G, B) =
+    ((doc*7 + i*3) % 256, (doc*11 + i*5) % 256, (doc*13 + i*7) % 256);
+    the RLE8 variant uses index (doc*31 + y*17 + (x//4)*7) % 256 in
+    runs of 4 (encoded/absolute alternating, one delta on display row
+    5 zero-filling its first four pixels — matching `synth_avi_dib`'s
+    structure); 24/32-bit pixels are (g, (g+5)%256, (g+10)%256) RGB."""
+    doc_id = int(doc_id)
+    v = doc_id % 4
+    w = 16 + (doc_id % 3) * 8
+    h = 16
+
+    def pal_bytes() -> bytes:
+        out = bytearray()
+        for i in range(256):
+            out += bytes((
+                (doc_id * 13 + i * 7) % 256,   # B
+                (doc_id * 11 + i * 5) % 256,   # G
+                (doc_id * 7 + i * 3) % 256,    # R
+                0,
+            ))
+        return bytes(out)
+
+    def g(y: int, x: int) -> int:
+        return (doc_id * 31 + y * 17 + x * 7) % 256
+
+    palette = b""
+    if v == 0:  # 24-bit bottom-up
+        bitcount, compression, h_field = 24, 0, h
+        stride = (w * 3 + 3) // 4 * 4
+        data = bytearray()
+        for r in range(h - 1, -1, -1):  # bottom-up storage
+            row = bytearray()
+            for x in range(w):
+                gv = g(r, x)
+                row += bytes(((gv + 10) % 256, (gv + 5) % 256, gv))  # B,G,R
+            row += b"\x00" * (stride - len(row))
+            data += row
+    elif v == 1:  # 8-bit palettized TOP-DOWN
+        bitcount, compression, h_field = 8, 0, -h
+        palette = pal_bytes()
+        stride = (w + 3) // 4 * 4
+        data = bytearray()
+        for r in range(h):  # top-down storage = display order
+            row = bytes(g(r, x) for x in range(w))
+            data += row + b"\x00" * (stride - len(row))
+    elif v == 2:  # BI_RLE8, bottom-up
+        bitcount, compression, h_field = 8, 1, h
+        palette = pal_bytes()
+        data = bytearray()
+        for sr in range(h):  # storage rows, bottom-up: display y = h-1-sr
+            y = h - 1 - sr
+            b0 = 0
+            if y == 5:
+                data += bytes((0, 2, 4, 0))
+                b0 = 1
+            for blk in range(b0, w // 4):
+                val = (doc_id * 31 + y * 17 + blk * 7) % 256
+                if blk % 2 == 0:
+                    data += bytes((4, val))
+                else:
+                    data += bytes((0, 4, val, val, val, val))
+            data += bytes((0, 0))
+        data += bytes((0, 1))
+    else:  # 32-bit bottom-up
+        bitcount, compression, h_field = 32, 0, h
+        data = bytearray()
+        for r in range(h - 1, -1, -1):
+            for x in range(w):
+                gv = g(r, x)
+                data += bytes(((gv + 10) % 256, (gv + 5) % 256, gv, 0xAA))
+    pix_off = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h_field, 1, bitcount, compression,
+        len(data), 0, 0, 256 if palette else 0, 0,
+    )
+    file_hdr = b"BM" + struct.pack("<IHHI", pix_off + len(data), 0, 0, pix_off)
+    return file_hdr + info + palette + bytes(data)
+
+
 def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Real video codec for the `decode_features` seam — pure stdlib, no
     ffmpeg. Walks the RIFF chunk tree (hdrl → avih geometry + strf
@@ -1913,8 +2125,9 @@ def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8)
     is_gif = raw[:6] in (b"GIF87a", b"GIF89a")
     is_tif = raw[:4] in (b"II*\x00", b"MM\x00*")
     is_webp = is_riff and raw[8:12] == b"WEBP"
+    is_bmp = raw[:2] == b"BM"
     if mt.startswith("image/") or (
-        not mt and (is_png or is_jpg or is_gif or is_tif or is_webp)
+        not mt and (is_png or is_jpg or is_gif or is_tif or is_webp or is_bmp)
     ):
         if is_png:
             return png_decode(raw, dim)
@@ -1934,6 +2147,8 @@ def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8)
             from financedatabase_spark.operators.webp import webp_decode
 
             return webp_decode(raw, dim)
+        if raw[:2] == b"BM":
+            return bmp_decode(raw, dim)
         try:
             return pil_decode(raw, dim)
         except ImportError as exc:

@@ -1852,6 +1852,91 @@ def multimodal_webp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_bmp_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w, doc_id % 4 AS v
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, w, v, y, x,
+             (doc_id*31 + y*17 + x*7) % 256 AS g,
+             CASE WHEN y = 5 AND x < 4 THEN 0
+                  ELSE (doc_id*31 + y*17 + (x // 4) * 7) % 256
+             END AS ridx
+      FROM d,
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, 31)) ux(x)
+      WHERE x < w
+    ),
+    rgb AS (
+      SELECT doc_id, w, v,
+        CASE WHEN v IN (0, 3) THEN g
+             WHEN v = 1 THEN (doc_id*7 + g*3) % 256
+             ELSE (doc_id*7 + ridx*3) % 256 END AS r,
+        CASE WHEN v IN (0, 3) THEN (g + 5) % 256
+             WHEN v = 1 THEN (doc_id*11 + g*5) % 256
+             ELSE (doc_id*11 + ridx*5) % 256 END AS gg,
+        CASE WHEN v IN (0, 3) THEN (g + 10) % 256
+             WHEN v = 1 THEN (doc_id*13 + g*7) % 256
+             ELSE (doc_id*13 + ridx*7) % 256 END AS b
+      FROM grid
+    ),
+    lum AS (
+      SELECT doc_id, w, v, (299*r + 587*gg + 114*b) // 1000 AS luma FROM rgb
+    ),
+    hist AS (
+      SELECT doc_id, w, v, luma // 32 AS bin, count(*) AS c
+      FROM lum GROUP BY 1, 2, 3, 4
+    ),
+    bins AS (SELECT doc_id, w, v, unnest(generate_series(0, 7)) AS pos FROM d)
+    SELECT b.doc_id, b.v::INT AS variant, b.pos::INT AS pos,
+           coalesce(h.c, 0)::DOUBLE / (b.w * 16) AS x
+    FROM bins b LEFT JOIN hist h ON h.doc_id = b.doc_id AND h.bin = b.pos
+    """,
+)
+def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through the STANDALONE BMP decoder
+    (operators/multimodal.synth_bmp_file / bmp_decode via
+    dispatch_decode — the DIB pixel formats the AVI path shares,
+    wrapped in BITMAPFILEHEADER files): doc%4 cycles 24-bit bottom-up,
+    8-bit palettized TOP-DOWN (negative biHeight), BI_RLE8 with the
+    delta-escape zero-fill, and 32-bit with a nonzero reserved byte.
+    The oracle recomputes the per-variant RGB from the display-
+    coordinate formulas and histograms the Rec.601 integer luma (a
+    histogram is orientation-invariant, so the bottom-up/top-down row
+    order is pinned by the exact-pixel unit test, not here; palette
+    routing, RLE walks, and the reserved-byte skip are oracle-visible).
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.multimodal import synth_bmp_file
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_bmp_file(int(i))),
+                    "media_type": "image/bmp",
+                }
+            )
+
+    bmps = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(bmps, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("variant"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+
+
 def _ima_steps_values() -> str:
     """The 89-entry IMA step table as a VALUES list for the oracle."""
     from financedatabase_spark.operators.multimodal import IMA_STEPS

@@ -395,11 +395,19 @@ def test_dispatch_decode_image_route():
     assert dispatch_decode(wp, None) == webp_decode(wp)  # magic sniff
     with pytest.raises(ValueError, match="VP8L"):
         dispatch_decode(b"RIFF\x00\x00\x00\x00WEBPjunk", "image/webp")
+    from financedatabase_spark.operators.multimodal import (
+        bmp_decode,
+        synth_bmp_file,
+    )
+
+    bm = synth_bmp_file(2)
+    assert dispatch_decode(bm, "image/bmp") == bmp_decode(bm)
+    assert dispatch_decode(bm, None) == bmp_decode(bm)  # magic sniff
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError, match="Pillow"):
-            dispatch_decode(b"BM bmp-ish standalone", "image/bmp")
+            dispatch_decode(b"\x00\x00\x00\x0cjP  jp2-ish", "image/jp2")
 
 
 def test_dispatch_decode_video_route():
@@ -3107,3 +3115,65 @@ def test_webp_validation():
               + b"VP8L" + struct.pack("<I", len(payload)) + payload)
     with pytest.raises(NotImplementedError, match="transform"):
         webp_pixels(stream)
+
+
+def test_bmp_codec_round_trip():
+    """Standalone BMP decode pins the exact pixels (including the
+    bottom-up vs negative-height top-down row order the histogram
+    oracle cannot see): 24-bit, palettized top-down, RLE8 with delta
+    zero-fill, and 32-bit with the reserved byte skipped."""
+    from financedatabase_spark.operators.multimodal import (
+        bmp_pixels,
+        synth_bmp_file,
+    )
+
+    def pal(doc, i):
+        return ((doc * 7 + i * 3) % 256, (doc * 11 + i * 5) % 256,
+                (doc * 13 + i * 7) % 256)
+
+    for doc in range(12):
+        v = doc % 4
+        w = 16 + (doc % 3) * 8
+        W, H, px = bmp_pixels(synth_bmp_file(doc))
+        assert (W, H) == (w, 16)
+        exp = []
+        for y in range(16):
+            for x in range(w):
+                g = (doc * 31 + y * 17 + x * 7) % 256
+                if v in (0, 3):
+                    exp.append((g, (g + 5) % 256, (g + 10) % 256))
+                elif v == 1:
+                    exp.append(pal(doc, g))
+                else:
+                    idx = 0 if (y == 5 and x < 4) else (
+                        doc * 31 + y * 17 + (x // 4) * 7
+                    ) % 256
+                    exp.append(pal(doc, idx))
+        assert px == exp, (doc, v)
+
+
+def test_bmp_validation():
+    """Malformed standalone BMPs stay loud: bad magic, truncated pixel
+    data, unsupported bitcounts, RLE bitcount mismatches, and
+    header-class gates."""
+    import struct
+
+    from financedatabase_spark.operators.multimodal import (
+        bmp_pixels,
+        synth_bmp_file,
+    )
+
+    with pytest.raises(ValueError, match="BM"):
+        bmp_pixels(b"PX not a bmp" + b"\x00" * 60)
+    with pytest.raises(ValueError, match="truncated"):
+        bmp_pixels(bytes(synth_bmp_file(0))[:-40])
+
+    good = bytearray(synth_bmp_file(0))  # 24-bit
+    struct.pack_into("<H", good, 14 + 14, 16)  # biBitCount = 16
+    with pytest.raises(NotImplementedError, match="bitcount"):
+        bmp_pixels(bytes(good))
+
+    good = bytearray(synth_bmp_file(0))
+    struct.pack_into("<I", good, 14 + 16, 1)  # BI_RLE8 on a 24-bit file
+    with pytest.raises(ValueError, match="RLE8"):
+        bmp_pixels(bytes(good))
