@@ -230,6 +230,15 @@ def test_pii_redaction_is_pure_map(spark, sf_dir):
         "multimodal_msadpcm_features",
         "multimodal_gsm_features",
         "multimodal_jpeg_arith_features",
+        "multimodal_jpeg_lossless_arith_features",
+        "multimodal_adpcm_stereo_features",
+        "multimodal_msadpcm_stereo_features",
+        "multimodal_video_dib_features",
+        "multimodal_jpeg_hier_features",
+        "multimodal_gif_features",
+        "multimodal_tiff_features",
+        "multimodal_webp_features",
+        "multimodal_bmp_features",
     ],
 )
 def test_media_pipelines_stay_map_side(spark, sf_dir, name):
