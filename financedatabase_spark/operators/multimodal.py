@@ -1901,6 +1901,155 @@ def synth_bmp_file(doc_id: int) -> bytes:
     return file_hdr + info + palette + bytes(data)
 
 
+def ico_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Windows ICO container codec for the `decode_features` seam: the
+    ICONDIR header, the FIRST directory entry's image — either a
+    complete embedded PNG (routed through `png_decode`) or the classic
+    ICO DIB: a BITMAPINFOHEADER with DOUBLED biHeight covering the XOR
+    color plane (bottom-up, 8-bit palettized or 24/32-bit) plus the
+    1-bit AND mask (stride padded to 4 bytes). Masked-out pixels decode
+    as black (0,0,0) — icons have no background to composite here; the
+    convention is documented and mirrored by the fixture oracle. Emits
+    the usual normalized Rec.601 integer-luma histogram. Truncated
+    directories, bad types, and unsupported DIB layouts raise."""
+    raw = bytes(payload)
+    if len(raw) < 6:
+        raise ValueError("ICO header truncated")
+    reserved, ico_type, count = struct.unpack_from("<HHH", raw, 0)
+    if reserved != 0 or ico_type not in (1, 2) or count == 0:
+        raise ValueError(
+            f"not an ICO/CUR (reserved={reserved}, type={ico_type}, "
+            f"count={count})"
+        )
+    if len(raw) < 6 + 16:
+        raise ValueError("ICO directory truncated")
+    bw, bh = raw[6], raw[7]
+    size, off = struct.unpack_from("<II", raw, 6 + 8)
+    if off + size > len(raw):
+        raise ValueError("ICO image data outside the file")
+    img = raw[off:off + size]
+    if img[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode(img, dim)
+    if len(img) < 40:
+        raise ValueError("ICO DIB header truncated")
+    hdr_size, w, h2, _planes, bitcount, compression = struct.unpack_from(
+        "<IiiHHI", img, 0
+    )
+    if hdr_size != 40 or compression != 0:
+        raise NotImplementedError(
+            f"ICO DIBs decode as plain BITMAPINFOHEADER BI_RGB here "
+            f"(got size={hdr_size}, compression={compression})"
+        )
+    if h2 % 2:
+        raise ValueError("ICO DIB height must be doubled (XOR + AND planes)")
+    h = h2 // 2
+    ew, eh = bw or 256, bh or 256
+    if (w, h) != (ew, eh):
+        raise ValueError(
+            f"ICO DIB geometry {w}x{h} does not match the directory's "
+            f"{ew}x{eh}"
+        )
+    pos = 40
+    palette = None
+    if bitcount == 8:
+        (clr_used,) = struct.unpack_from("<I", img, 32)
+        ncolors = clr_used or 256
+        if pos + 4 * ncolors > len(img):
+            raise ValueError("ICO DIB palette truncated")
+        palette = [
+            (img[pos + 4 * i + 2], img[pos + 4 * i + 1], img[pos + 4 * i])
+            for i in range(ncolors)
+        ]
+        pos += 4 * ncolors
+    elif bitcount not in (24, 32):
+        raise NotImplementedError(
+            f"ICO DIBs decode at 8/24/32 bits here (got {bitcount})"
+        )
+    bpp = bitcount // 8 if bitcount != 8 else 1
+    xor_stride = (w * bpp + 3) // 4 * 4
+    and_stride = ((w + 31) // 32) * 4
+    if pos + xor_stride * h + and_stride * h > len(img):
+        raise ValueError("ICO DIB pixel/mask data truncated")
+    mask_base = pos + xor_stride * h
+    counts = [0] * dim
+    for sy in range(h):  # storage rows, bottom-up; orientation is
+        row = pos + sy * xor_stride  # histogram-invisible anyway
+        mrow = mask_base + sy * and_stride
+        for x in range(w):
+            if (img[mrow + (x >> 3)] >> (7 - (x & 7))) & 1:
+                r = g = b = 0  # AND-masked: transparent -> black
+            elif bitcount == 8:
+                idx = img[row + x]
+                r, g, b = palette[idx] if idx < len(palette) else (0, 0, 0)
+            else:
+                r = img[row + bpp * x + 2]
+                g = img[row + bpp * x + 1]
+                b = img[row + bpp * x]
+            luma = (299 * r + 587 * g + 114 * b) // 1000
+            counts[(luma * dim) >> 8] += 1
+    return [c / (w * h) for c in counts]
+
+
+def synth_ico(doc_id: int) -> bytes:
+    """Deterministic ICO fixture, cycling doc%3: an embedded PNG entry
+    (the full synth_png mix — every PNG layout rides inside the icon),
+    an 8-bit palettized DIB with a NONTRIVIAL AND mask (bit set where
+    (doc + y + x) % 7 == 0, display coordinates — those pixels decode
+    black), and a 32-bit DIB with the mask clear and 0xAA reserved
+    bytes. DIB geometry 16x16 (ICO directory bytes cap at 255);
+    palette/pixel formulas are the synth_bmp_file family's."""
+    doc_id = int(doc_id)
+    v = doc_id % 3
+    if v == 0:
+        png = synth_png(doc_id)
+        entry = struct.pack(
+            "<BBBBHHII", 0, 0, 0, 0, 1, 32, len(png), 22
+        )
+        return struct.pack("<HHH", 0, 1, 1) + entry + png
+    w = h = 16
+
+    def g(y: int, x: int) -> int:
+        return (doc_id * 31 + y * 17 + x * 7) % 256
+
+    def masked(y: int, x: int) -> bool:
+        return v == 1 and (doc_id + y + x) % 7 == 0
+
+    if v == 1:  # 8-bit palettized + AND mask
+        palette = bytearray()
+        for i in range(256):
+            palette += bytes((
+                (doc_id * 13 + i * 7) % 256,
+                (doc_id * 11 + i * 5) % 256,
+                (doc_id * 7 + i * 3) % 256,
+                0,
+            ))
+        xor = bytearray()
+        for sy in range(h - 1, -1, -1):  # bottom-up
+            xor += bytes(g(sy, x) for x in range(w))
+        bitcount, body = 8, bytes(palette) + bytes(xor)
+    else:  # 32-bit BGRX
+        xor = bytearray()
+        for sy in range(h - 1, -1, -1):
+            for x in range(w):
+                gv = g(sy, x)
+                xor += bytes(((gv + 10) % 256, (gv + 5) % 256, gv, 0xAA))
+        bitcount, body = 32, bytes(xor)
+    and_plane = bytearray()
+    for sy in range(h - 1, -1, -1):  # bottom-up mask rows
+        bits = 0
+        for x in range(w):
+            if masked(sy, x):
+                bits |= 1 << (15 - x)
+        and_plane += struct.pack(">H", bits) + b"\x00\x00"  # stride 4
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, 2 * h, 1, bitcount, 0,
+        len(body) + len(and_plane), 0, 0, 256 if bitcount == 8 else 0, 0,
+    )
+    img = info + body + bytes(and_plane)
+    entry = struct.pack("<BBBBHHII", w, h, 0, 0, 1, bitcount, len(img), 22)
+    return struct.pack("<HHH", 0, 1, 1) + entry + img
+
+
 def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Real video codec for the `decode_features` seam — pure stdlib, no
     ffmpeg. Walks the RIFF chunk tree (hdrl → avih geometry + strf
@@ -2126,8 +2275,10 @@ def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8)
     is_tif = raw[:4] in (b"II*\x00", b"MM\x00*")
     is_webp = is_riff and raw[8:12] == b"WEBP"
     is_bmp = raw[:2] == b"BM"
+    is_ico = raw[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
     if mt.startswith("image/") or (
-        not mt and (is_png or is_jpg or is_gif or is_tif or is_webp or is_bmp)
+        not mt
+        and (is_png or is_jpg or is_gif or is_tif or is_webp or is_bmp or is_ico)
     ):
         if is_png:
             return png_decode(raw, dim)
@@ -2149,6 +2300,8 @@ def dispatch_decode(payload: bytes, media_type: str | None = None, dim: int = 8)
             return webp_decode(raw, dim)
         if raw[:2] == b"BM":
             return bmp_decode(raw, dim)
+        if raw[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+            return ico_decode(raw, dim)
         try:
             return pil_decode(raw, dim)
         except ImportError as exc:

@@ -1937,6 +1937,88 @@ def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_ico_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 3 AS v,
+             CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id % 3) * 4 ELSE 16 END AS w
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, v, w, y, x,
+             (doc_id*17 + y*31 + x*7) % 256 AS pluma,
+             (doc_id*31 + y*17 + x*7) % 256 AS g,
+             (v = 1 AND (doc_id + y + x) % 7 = 0) AS hidden
+      FROM d,
+           UNNEST(generate_series(0, 15)) uy(y),
+           UNNEST(generate_series(0, 15)) ux(x)
+      WHERE x < w
+    ),
+    lum AS (
+      SELECT doc_id, v, w,
+        CASE
+          WHEN v = 0 THEN pluma
+          WHEN hidden THEN 0
+          WHEN v = 1 THEN
+            (299 * ((doc_id*7 + g*3) % 256)
+             + 587 * ((doc_id*11 + g*5) % 256)
+             + 114 * ((doc_id*13 + g*7) % 256)) // 1000
+          ELSE (299 * g + 587 * ((g + 5) % 256)
+                + 114 * ((g + 10) % 256)) // 1000
+        END AS luma
+      FROM grid
+    ),
+    hist AS (
+      SELECT doc_id, v, w, luma // 32 AS bin, count(*) AS c
+      FROM lum GROUP BY 1, 2, 3, 4
+    ),
+    bins AS (SELECT doc_id, v, w, unnest(generate_series(0, 7)) AS pos FROM d)
+    SELECT b.doc_id, b.v::INT AS variant, b.pos::INT AS pos,
+           coalesce(h.c, 0)::DOUBLE / (b.w * 16) AS x
+    FROM bins b LEFT JOIN hist h ON h.doc_id = b.doc_id AND h.bin = b.pos
+    """,
+)
+def multimodal_ico_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through the ICO container codec
+    (operators/multimodal.synth_ico / ico_decode via dispatch_decode):
+    doc%3 cycles an EMBEDDED PNG entry (the full synth_png layout mix
+    riding inside the icon directory), an 8-bit palettized classic DIB
+    whose nontrivial AND mask hides (doc+y+x)%7==0 pixels (decoded
+    black — the documented no-background convention), and a 32-bit DIB
+    with 0xAA reserved bytes and a clear mask. The oracle recomputes
+    each variant's luma — PNG luma is the synth_png formula directly —
+    so wrong mask bit order, palette routing, or doubled-height parsing
+    mismatches.
+
+    Scale shape: scan → mapInPandas synth → mapInPandas decode →
+    posexplode; one id-only shuffle (spread_ids) before synth so decode
+    parallelizes — payloads themselves never shuffle."""
+    import pandas as _pd
+
+    from financedatabase_spark.operators.multimodal import synth_ico
+
+    docs = spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_ico(int(i))),
+                    "media_type": "image/x-icon",
+                }
+            )
+
+    icos = docs.mapInPandas(gen, "doc_id long, payload binary, media_type string")
+    feats = decode_features(icos, decode_fn=dispatch_decode, pass_media_type=True)
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 3).cast("int").alias("variant"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+
+
 def _ima_steps_values() -> str:
     """The 89-entry IMA step table as a VALUES list for the oracle."""
     from financedatabase_spark.operators.multimodal import IMA_STEPS

@@ -3177,3 +3177,72 @@ def test_bmp_validation():
     struct.pack_into("<I", good, 14 + 16, 1)  # BI_RLE8 on a 24-bit file
     with pytest.raises(ValueError, match="RLE8"):
         bmp_pixels(bytes(good))
+
+
+def test_ico_codec_round_trip():
+    """ICO: the PNG entry routes through png_decode bit-identically;
+    the classic-DIB entries honor the doubled height, the bottom-up
+    planes, and the AND mask's MSB-first bit order."""
+    from financedatabase_spark.operators.multimodal import (
+        ico_decode,
+        png_decode,
+        synth_ico,
+        synth_png,
+    )
+
+    for doc in range(9):
+        v = doc % 3
+        feats = ico_decode(synth_ico(doc))
+        if v == 0:
+            assert feats == png_decode(synth_png(doc))
+            continue
+        counts = [0] * 8
+        for y in range(16):
+            for x in range(16):
+                if v == 1 and (doc + y + x) % 7 == 0:
+                    r = g = b = 0
+                else:
+                    gv = (doc * 31 + y * 17 + x * 7) % 256
+                    if v == 1:
+                        r, g, b = (
+                            (doc * 7 + gv * 3) % 256,
+                            (doc * 11 + gv * 5) % 256,
+                            (doc * 13 + gv * 7) % 256,
+                        )
+                    else:
+                        r, g, b = gv, (gv + 5) % 256, (gv + 10) % 256
+                counts[((299 * r + 587 * g + 114 * b) // 1000) * 8 >> 8] += 1
+        assert feats == [c / 256 for c in counts], (doc, v)
+
+
+def test_ico_validation():
+    """Malformed ICOs stay loud: bad header, image data outside the
+    file, undoubled DIB height, geometry mismatch, unsupported
+    compression."""
+    import struct
+
+    from financedatabase_spark.operators.multimodal import ico_decode, synth_ico
+
+    with pytest.raises(ValueError, match="ICO"):
+        ico_decode(b"\x01\x00\x01\x00" + b"\x00" * 30)
+
+    good = bytearray(synth_ico(1))  # 8-bit DIB variant
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 6 + 12, 10_000_000)  # offset beyond file
+    with pytest.raises(ValueError, match="outside"):
+        ico_decode(bytes(bad))
+
+    bad = bytearray(good)
+    struct.pack_into("<i", bad, 22 + 8, 17)  # odd biHeight (not doubled)
+    with pytest.raises(ValueError, match="doubled"):
+        ico_decode(bytes(bad))
+
+    bad = bytearray(good)
+    struct.pack_into("<i", bad, 22 + 4, 8)  # width 8 != directory's 16
+    with pytest.raises(ValueError, match="geometry"):
+        ico_decode(bytes(bad))
+
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 22 + 16, 1)  # BI_RLE8 inside an ICO
+    with pytest.raises(NotImplementedError, match="BI_RGB"):
+        ico_decode(bytes(bad))

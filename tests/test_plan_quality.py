@@ -239,6 +239,7 @@ def test_pii_redaction_is_pure_map(spark, sf_dir):
         "multimodal_tiff_features",
         "multimodal_webp_features",
         "multimodal_bmp_features",
+        "multimodal_ico_features",
     ],
 )
 def test_media_pipelines_stay_map_side(spark, sf_dir, name):
