@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -76,18 +77,29 @@ def main() -> None:
                 pass
     # Variance guard: this host shows 2-4x run-to-run variance under
     # contention (BENCH_r03 ran uniformly ~2.3x slower than r02 with zero
-    # execution-relevant code change, DuckDB baseline included). Best-of-3
-    # with INTERLEAVED passes — a contention burst hits one full pass, not
-    # both timings of the same query — reports the query's cost, not the
-    # host's mood.
+    # execution-relevant code change, DuckDB baseline included; the
+    # r13->r14 headline ratio swung 0.74x->1.22x with zero plan changes).
+    # Median-of-N with INTERLEAVED passes — a contention burst hits one
+    # full pass, not every timing of the same query — and the recorded
+    # min/median/max spread lets a reader see when the host's mood, not
+    # the plan, moved the number. The headline total is the sum of
+    # per-query MEDIANS.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    timings = {name: float("inf") for name in names}
+    samples = {name: [] for name in names}
     for _ in range(passes):
         for name in names:
             t0 = time.perf_counter()
             materialize(QUERIES[name](spark, sf_dir))
-            timings[name] = min(timings[name], time.perf_counter() - t0)
-    timings = {n: round(t, 4) for n, t in timings.items()}
+            samples[name].append(time.perf_counter() - t0)
+    timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
+    spread = {
+        n: {
+            "min": round(min(s), 4),
+            "median": round(statistics.median(s), 4),
+            "max": round(max(s), 4),
+        }
+        for n, s in samples.items()
+    }
     total = sum(timings.values())
 
     out = {
@@ -95,6 +107,8 @@ def main() -> None:
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "passes": passes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -122,19 +136,28 @@ def _duckdb_baseline(sf_dir: str, names: list[str]) -> dict:
     oracle_names = [n for n in names if n in ORACLE_SQL]
     for name in oracle_names:
         con.execute(ORACLE_SQL[name]).fetchall()  # warm
-    # same interleaved best-of-N as the engine timings
+    # same interleaved median-of-N as the engine timings
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    timings = {name: float("inf") for name in oracle_names}
+    samples = {name: [] for name in oracle_names}
     for _ in range(passes):
         for name in oracle_names:
             t0 = time.perf_counter()
             con.execute(ORACLE_SQL[name]).fetchall()
-            timings[name] = min(timings[name], time.perf_counter() - t0)
-    timings = {n: round(t, 4) for n, t in timings.items()}
+            samples[name].append(time.perf_counter() - t0)
+    timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
+    spread = {
+        n: {
+            "min": round(min(s), 4),
+            "median": round(statistics.median(s), 4),
+            "max": round(max(s), 4),
+        }
+        for n, s in samples.items()
+    }
     return {
         "engine": "duckdb",
         "total_sec": round(sum(timings.values()), 4),
         "queries": timings,
+        "spread": spread,
     }
 
 

@@ -217,6 +217,11 @@ def gif_canvas(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     covered = False  # at least one frame decoded
     transparent: int | None = None
     disposal = 0
+    # disposal is applied LAZILY, just before the NEXT frame composites:
+    # real renderers never apply the final frame's disposal (it only
+    # defines what a frame after it would composite over), so a
+    # single-frame disposal=2 GIF must NOT decode as a background field
+    pending: tuple[int, int, int, int, int, list | None] | None = None
     ended = False
     while pos < len(raw):
         block = raw[pos]
@@ -266,6 +271,19 @@ def gif_canvas(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         indices = _lzw_decode(data, mcs, iw * ih)
         if ipacked & 0x40:
             indices = _deinterlace(indices, iw, ih)
+        # the PREVIOUS frame's disposal takes effect now, before this
+        # frame composites
+        if pending is not None:
+            pdisp, pleft, ptop, piw, pih, psaved = pending
+            if pdisp == 2:
+                for y in range(pih):
+                    row = (ptop + y) * w + pleft
+                    canvas[row:row + piw] = [bg_rgb] * piw
+            elif pdisp == 3 and psaved is not None:
+                for y in range(pih):
+                    row = (ptop + y) * w + pleft
+                    canvas[row:row + piw] = psaved[y]
+            pending = None
         saved = None
         if disposal == 3:  # restore-previous: snapshot the region
             saved = [
@@ -285,16 +303,10 @@ def gif_canvas(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                     )
                 canvas[row + x] = pal[idx]
         covered = True
-        # disposal applies BETWEEN frames: prepare the canvas the NEXT
-        # frame composites over
-        if disposal == 2:
-            for y in range(ih):
-                row = (top + y) * w + left
-                canvas[row:row + iw] = [bg_rgb] * iw
-        elif disposal == 3 and saved is not None:
-            for y in range(ih):
-                row = (top + y) * w + left
-                canvas[row:row + iw] = saved[y]
+        # queue this frame's disposal; it is applied only if another
+        # frame follows (the final frame's disposal is never applied)
+        if disposal in (2, 3):
+            pending = (disposal, left, top, iw, ih, saved)
         transparent = None
         disposal = 0
     if not ended:
@@ -311,10 +323,11 @@ def gif_decode(payload: bytes, dim: int = 8) -> list[float]:
     weights, bit-stable across engines; same output shape as
     png_decode/jpeg_decode).
 
-    Disposal caveat: the feature is the FINAL canvas, i.e. the last
-    frame's disposal (which only defines what the frame AFTER it would
-    composite over) is applied before reading — the deterministic
-    convention the fixture oracles mirror."""
+    The feature is the FINAL canvas as a renderer shows it: disposal is
+    applied lazily between frames, so the last frame's disposal (which
+    only defines what a frame AFTER it would composite over) is never
+    applied — a single-frame disposal=2 GIF shows the frame, not a
+    background field."""
     w, h, canvas = gif_canvas(payload)
     counts = [0] * dim
     for r, g, b in canvas:

@@ -2142,9 +2142,21 @@ def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
                 )
             sums.append(sum(sum(p) for p in planes))
     elif compression == 0:
+        # fail-loud truncation guard shared by every uncompressed layout:
+        # a short frame chunk must quarantine as ValueError, never
+        # silently under-sum (24/8-bit slice sums) or IndexError (32-bit)
+        def check_span(sz: int, expected: int) -> None:
+            if sz < expected:
+                raise ValueError(
+                    f"uncompressed DIB frame truncated: {sz} bytes for a "
+                    f"{width}x{height} {bitcount}-bit frame needing "
+                    f"{expected}"
+                )
+
         if bitcount == 24:
             stride = (width * 3 + 3) // 4 * 4
             for o, sz in frame_spans:
+                check_span(sz, stride * height)
                 data = raw[o:o + sz]
                 total = 0
                 for r in range(height):
@@ -2155,6 +2167,7 @@ def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
             # (stride is naturally 4-aligned); the reserved byte is NOT
             # pixel data and stays out of the sum
             for o, sz in frame_spans:
+                check_span(sz, 4 * width * height)
                 data = raw[o:o + sz]
                 total = 0
                 for p in range(width * height):
@@ -2165,6 +2178,7 @@ def avi_decode(payload: bytes, dim: int = 8) -> list[float]:
                 raise ValueError("8-bit DIB frames need a strf palette")
             stride = (width + 3) // 4 * 4
             for o, sz in frame_spans:
+                check_span(sz, stride * height)
                 data = raw[o:o + sz]
                 total = 0
                 for r in range(height):

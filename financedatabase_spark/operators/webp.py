@@ -403,7 +403,10 @@ def _inverse_predictor(
                 L = img[i - 1]
                 T = img[i - w]
                 TL = img[i - w - 1]
-                TR = img[i - w + 1] if x + 1 < w else img[i - w]
+                # rightmost column: RFC 9649 §4.4.2 / libwebp define TR
+                # as the leftmost pixel of the CURRENT row (contiguous
+                # memory reads top[x+1] == row[0])
+                TR = img[i - w + 1] if x + 1 < w else img[y * w]
                 if mode == 0:
                     pred = 0xFF000000
                 elif mode == 1:
@@ -607,7 +610,7 @@ def assemble_webp(
                     L = plane[i - 1]
                     T = plane[i - w]
                     TL = plane[i - w - 1]
-                    TR = plane[i - w + 1] if x + 1 < w else plane[i - w]
+                    TR = plane[i - w + 1] if x + 1 < w else plane[y * w]
                     pred = {
                         0: 0xFF000000, 1: L, 2: T, 3: TR, 4: TL,
                         5: _avg2(_avg2(L, TR), T), 6: _avg2(L, TL),

@@ -3246,3 +3246,104 @@ def test_ico_validation():
     struct.pack_into("<I", bad, 22 + 16, 1)  # BI_RLE8 inside an ICO
     with pytest.raises(NotImplementedError, match="BI_RGB"):
         ico_decode(bytes(bad))
+
+
+def test_webp_right_edge_tr_pinned_to_spec():
+    """RFC 9649 §4.4.2: for pixels on the rightmost column the TR pixel
+    is the LEFTMOST pixel of the current row (libwebp's contiguous rows
+    read top[x+1] == row[0]). Pinned against hand-computed residual
+    sums — NOT the fixture encoder — so an encoder/decoder twin bug
+    cannot hide the convention."""
+    from financedatabase_spark.operators.webp import _inverse_predictor
+
+    # 2x2, one 512-px block, predictor mode 3 (= TR) everywhere
+    w, h, size_bits, tw = 2, 2, 9, 1
+    sub = [3 << 8]
+    res = [0x00010203, 0x00000000, 0x00101010, 0x00000000]
+    img = _inverse_predictor(list(res), w, h, size_bits, tw, sub)
+    # (0,0): pred = opaque black -> 0xFF010203
+    # (0,1): first row, pred = L -> same pixel
+    # (1,0): first column, pred = T -> + 0x101010
+    # (1,1): RIGHTMOST column, mode TR: pred = row[0] = img[2] (spec),
+    #        NOT the T pixel img[1] the pre-fix decoder used
+    assert img[0] == 0xFF010203
+    assert img[1] == 0xFF010203
+    assert img[2] == 0xFF111213
+    assert img[3] == 0xFF111213  # wrong TR convention would give 0xFF010203
+
+
+def test_gif_last_frame_disposal_not_applied():
+    """Real renderers never apply the final frame's disposal — it only
+    defines what a frame AFTER it would composite over. A single-frame
+    disposal=2 GIF must decode as the frame, not a background field,
+    and a trailing disposal=3 frame must stay composited."""
+    from financedatabase_spark.operators.gif import assemble_gif, gif_canvas
+
+    pal = [(i, (i * 3) % 256, (i * 7) % 256) for i in range(256)]
+    w = h = 8
+    base = [(y * 16 + x) % 256 for y in range(h) for x in range(w)]
+    exp_base = [pal[i] for i in base]
+
+    # single frame marked restore-background: canvas is the frame
+    raw = assemble_gif(w, h, pal, [{"indices": base, "disposal": 2}], bg=9)
+    assert gif_canvas(raw)[2] == exp_base
+
+    # single frame marked restore-previous: likewise the frame
+    raw = assemble_gif(w, h, pal, [{"indices": base, "disposal": 3}], bg=9)
+    assert gif_canvas(raw)[2] == exp_base
+
+    # two frames: the FIRST frame's disposal=2 still applies between
+    # frames (overlay over background field), the second's disposal=2
+    # does not
+    ov = [(3 + y + x) % 256 for y in range(4) for x in range(4)]
+    raw = assemble_gif(
+        w, h, pal,
+        [
+            {"indices": base, "disposal": 2},
+            {"indices": ov, "left": 2, "top": 2, "iw": 4, "ih": 4,
+             "disposal": 2},
+        ],
+        bg=9,
+    )
+    _, _, canvas = gif_canvas(raw)
+    for y in range(h):
+        for x in range(w):
+            if 2 <= x < 6 and 2 <= y < 6:
+                assert canvas[y * w + x] == pal[(3 + (y - 2) + (x - 2)) % 256]
+            else:
+                assert canvas[y * w + x] == pal[9]
+
+
+def _truncate_last_avi_frame(raw: bytes, cut: int) -> bytes:
+    """Shrink the last 00db frame chunk by `cut` bytes, keeping the
+    RIFF and movi LIST sizes consistent so only the frame is short."""
+    import struct
+
+    out = bytearray(raw[:-cut])
+    frame_at = raw.rfind(b"00db")
+    movi_at = raw.rfind(b"movi") - 8
+    for off in (4, movi_at + 4, frame_at + 4):
+        (sz,) = struct.unpack_from("<I", out, off)
+        struct.pack_into("<I", out, off, sz - cut)
+    return bytes(out)
+
+
+def test_avi_dib_truncated_frame_raises():
+    """A truncated uncompressed DIB frame chunk quarantines with a
+    named ValueError in every layout — 24-bit (was a silent under-sum),
+    32-bit (was a bare IndexError), and 8-bit palettized."""
+    from financedatabase_spark.operators.multimodal import (
+        avi_decode,
+        synth_avi,
+        synth_avi_dib,
+    )
+
+    fixtures = [
+        synth_avi(3),      # 24-bit
+        synth_avi_dib(0),  # 8-bit palettized raw
+        synth_avi_dib(1),  # 32-bit BI_RGB
+    ]
+    for raw in fixtures:
+        avi_decode(raw)  # intact fixture decodes
+        with pytest.raises(ValueError, match="truncated"):
+            avi_decode(_truncate_last_avi_frame(raw, 12))
