@@ -15,13 +15,17 @@ lossless stream for real, scoped and documented:
   prefix-integer codes and the 120-entry two-dimensional distance map,
   and the color cache ((0x1e35a7bd * argb) >> (32 - bits), updated on
   every emitted pixel).
-- Inverse TRANSFORMS, applied in reverse signaling order:
-  SUBTRACT-GREEN and the full 14-mode PREDICTOR transform (block-based
+- ALL FOUR inverse TRANSFORMS, applied in reverse signaling order:
+  SUBTRACT-GREEN; the full 14-mode PREDICTOR transform (block-based
   modes from a nested entropy-coded subimage, average/select/
-  clamped-gradient predictors exactly per spec, alpha included).
-  COLOR and COLOR-INDEXING transforms and meta-prefix groups raise
-  NotImplementedError — documented gates, not silent wrongness (they
-  never appear in the fixture corpus; real cwebp output may use them).
+  clamped-gradient predictors exactly per spec, alpha included); the
+  COLOR transform (per-block ColorTransformElements, signed int8
+  deltas, red restored before the red_to_blue delta); and the
+  COLOR-INDEXING transform (delta-coded palette image, green-channel
+  indices, <= 16 colors bundled into packed bytes that SHRINK the
+  coded image width — the width every later read uses). Any valid
+  VP8L stream now decodes; only meta-prefix groups remain a
+  NotImplementedError gate.
 - Lossy VP8 chunks raise NotImplementedError (a DCT video codec is out
   of scope); VP8X extended containers are walked to find a VP8L chunk.
 
@@ -254,26 +258,47 @@ def _decode_image_stream(
     """Decode one VP8L entropy-coded image (ARGB ints). Root images may
     carry transforms and a color cache; nested images (transform data)
     may carry a color cache only."""
-    transforms: list[tuple[int, object]] = []
+    # each transform records the image width AT ITS READ POINT: a
+    # color-indexing transform with pixel bundling SHRINKS the width
+    # every later read (nested images, the pixel stream, the distance
+    # map) sees — and the inverse pass, walking in reverse, re-expands
+    # it (libwebp's ReadTransforms does the same via VP8LSubSampleSize)
+    transforms: list[tuple[int, object, int]] = []
+    cur_w = w
     if is_root:
         while r.read(1):
             ttype = r.read(2)
-            if any(t == ttype for t, _ in transforms):
+            if any(t == ttype for t, _, _ in transforms):
                 raise ValueError(f"VP8L transform {ttype} declared twice")
             if ttype == 2:  # subtract-green: no data
-                transforms.append((2, None))
-            elif ttype == 0:  # predictor
+                transforms.append((2, None, cur_w))
+            elif ttype in (0, 1):  # predictor / color: same block layout
                 size_bits = r.read(3) + 2
                 bs = 1 << size_bits
-                tw = (w + bs - 1) >> size_bits
+                tw = (cur_w + bs - 1) >> size_bits
                 th = (h + bs - 1) >> size_bits
                 sub = _decode_image_stream(r, tw, th, False)
-                transforms.append((0, (size_bits, tw, sub)))
-            else:
-                raise NotImplementedError(
-                    f"VP8L transform {ttype} (color/color-indexing) not "
-                    f"supported here"
-                )
+                transforms.append((ttype, (size_bits, tw, sub), cur_w))
+            else:  # 3: color indexing
+                n_colors = r.read(8) + 1
+                deltas = _decode_image_stream(r, n_colors, 1, False)
+                # palette entries are stored as per-channel deltas from
+                # the previous entry (spec §"Color Indexing Transform")
+                palette: list[int] = []
+                prev = 0
+                for d in deltas:
+                    prev = _add_pixels(prev, d)
+                    palette.append(prev)
+                if n_colors <= 2:
+                    width_bits = 3
+                elif n_colors <= 4:
+                    width_bits = 2
+                elif n_colors <= 16:
+                    width_bits = 1
+                else:
+                    width_bits = 0
+                transforms.append((3, (palette, width_bits), cur_w))
+                cur_w = (cur_w + (1 << width_bits) - 1) >> width_bits
     cache_bits = 0
     if r.read(1):
         cache_bits = r.read(4)
@@ -289,7 +314,7 @@ def _decode_image_stream(
     dist = _read_prefix_code(r, 40)
     cache = [0] * cache_size
     out: list[int] = []
-    npix = w * h
+    npix = cur_w * h
     while len(out) < npix:
         g = green.decode(r)
         if g < 256:
@@ -307,7 +332,7 @@ def _decode_image_stream(
                 d = plane - 120
             else:
                 dx, dy = K_DIST_MAP[plane - 1]
-                d = max(1, dy * w + dx)
+                d = max(1, dy * cur_w + dx)
             if d > len(out):
                 raise ValueError("VP8L backward reference before image start")
             if len(out) + length > npix:
@@ -324,18 +349,91 @@ def _decode_image_stream(
             if idx >= cache_size:
                 raise ValueError("VP8L cache index outside the cache")
             out.append(cache[idx])
-    # inverse transforms, reverse signaling order
-    for ttype, tdata in reversed(transforms):
+    # inverse transforms, reverse signaling order; t_w is the width the
+    # image has when that transform applies (color-indexing re-expands)
+    for ttype, tdata, t_w in reversed(transforms):
         if ttype == 2:
             for i, px in enumerate(out):
                 g = (px >> 8) & 0xFF
                 rr = ((px >> 16) + g) & 0xFF
                 bb = (px + g) & 0xFF
                 out[i] = (px & 0xFF00FF00) | (rr << 16) | bb
-        else:
+        elif ttype == 0:
             size_bits, tw, sub = tdata
-            out = _inverse_predictor(out, w, h, size_bits, tw, sub)
+            out = _inverse_predictor(out, t_w, h, size_bits, tw, sub)
+        elif ttype == 1:
+            size_bits, tw, sub = tdata
+            out = _inverse_color(out, t_w, h, size_bits, tw, sub)
+        else:
+            palette, width_bits = tdata
+            out = _inverse_color_indexing(out, t_w, h, palette, width_bits)
     return out
+
+
+def _add_pixels(a: int, b: int) -> int:
+    """Per-channel sum mod 256 of two ARGB pixels (spec AddPixels)."""
+    return (
+        (((a >> 24) + (b >> 24)) & 0xFF) << 24
+        | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) & 0xFF) << 16
+        | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) & 0xFF) << 8
+        | (((a & 0xFF) + (b & 0xFF)) & 0xFF)
+    )
+
+
+def _cdelta(t: int, c: int) -> int:
+    """ColorTransformDelta: both args as int8 two's complement, signed
+    product arithmetic-shifted right 5 (spec §"Color Transform";
+    Python's >> on negatives floors, matching C's arithmetic shift)."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _inverse_color(
+    out: list[int], w: int, h: int, size_bits: int, tw: int, sub: list[int],
+) -> list[int]:
+    """Inverse of the VP8L color transform: per block, the
+    ColorTransformElement lives in the nested image's pixel as
+    green_to_red=blue channel, green_to_blue=green, red_to_blue=red.
+    Red is restored first; the red_to_blue delta then uses the
+    RESTORED red (spec §"Color Transform" inverse ordering)."""
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            cte = sub[(y >> size_bits) * tw + (x >> size_bits)]
+            g2r = cte & 0xFF
+            g2b = (cte >> 8) & 0xFF
+            r2b = (cte >> 16) & 0xFF
+            px = out[i]
+            g = (px >> 8) & 0xFF
+            rr = ((px >> 16) & 0xFF) + _cdelta(g2r, g)
+            rr &= 0xFF
+            bb = (px & 0xFF) + _cdelta(g2b, g) + _cdelta(r2b, rr)
+            out[i] = (px & 0xFF00FF00) | (rr << 16) | (bb & 0xFF)
+    return out
+
+
+def _inverse_color_indexing(
+    out: list[int], w: int, h: int, palette: list[int], width_bits: int,
+) -> list[int]:
+    """Inverse of the color-indexing transform: indices live in the
+    GREEN channel; with <= 16 colors several indices are bundled into
+    one packed pixel, smaller x in the lower bits. An index at or past
+    the palette size decodes as 0x00000000 per spec."""
+    packed_w = (w + (1 << width_bits) - 1) >> width_bits
+    bits_per = 8 >> width_bits
+    mask = (1 << bits_per) - 1
+    n = len(palette)
+    img: list[int] = []
+    for y in range(h):
+        row = y * packed_w
+        for x in range(w):
+            g = (out[row + (x >> width_bits)] >> 8) & 0xFF
+            idx = (g >> ((x & ((1 << width_bits) - 1)) * bits_per)) & mask
+            img.append(palette[idx] if idx < n else 0)
+    return img
 
 
 def _avg2(a: int, b: int) -> int:
@@ -551,6 +649,41 @@ def _write_code(w: _LsbWriter, lengths: list[int], alphabet: int) -> _Prefix:
     return _Prefix(lengths)
 
 
+def _sub_pixels(a: int, b: int) -> int:
+    """Per-channel difference mod 256 of two ARGB pixels."""
+    return (
+        (((a >> 24) - (b >> 24)) & 0xFF) << 24
+        | ((((a >> 16) & 0xFF) - ((b >> 16) & 0xFF)) & 0xFF) << 16
+        | ((((a >> 8) & 0xFF) - ((b >> 8) & 0xFF)) & 0xFF) << 8
+        | (((a & 0xFF) - (b & 0xFF)) & 0xFF)
+    )
+
+
+def _write_literal_stream(body: _LsbWriter, pixels: list[int]) -> None:
+    """Emit one nested entropy-coded image as pure literals: no color
+    cache, five prefix codes built from the pixels' channel histograms
+    (used by the palette image of the color-indexing transform)."""
+    body.write(0, 1)  # no color cache
+
+    def code(used: list[int], alphabet: int) -> _Prefix:
+        if len(used) == 1:
+            lv = [0] * alphabet
+            lv[used[0]] = 1
+            return _write_code(body, lv, alphabet)
+        return _write_code(body, _equal_weight_lengths(used, alphabet), alphabet)
+
+    green = code(sorted({(p >> 8) & 0xFF for p in pixels}), 256 + 24)
+    red = code(sorted({(p >> 16) & 0xFF for p in pixels}), 256)
+    blue = code(sorted({p & 0xFF for p in pixels}), 256)
+    alpha = code(sorted({(p >> 24) & 0xFF for p in pixels}), 256)
+    code([0], 40)  # distance code exists but is never used
+    for p in pixels:
+        green.encode(body, (p >> 8) & 0xFF)
+        red.encode(body, (p >> 16) & 0xFF)
+        blue.encode(body, p & 0xFF)
+        alpha.encode(body, (p >> 24) & 0xFF)
+
+
 def assemble_webp(
     w: int,
     h: int,
@@ -559,23 +692,103 @@ def assemble_webp(
     subtract_green: bool = False,
     predictor_mode: int | None = None,
     rowcopy: bool = False,
+    color_cte: tuple[int, int, int] | None = None,
+    palette: list[int] | None = None,
 ) -> bytes:
     """Assemble a spec-valid LOSSLESS WebP (VP8L) whose decode is
-    exactly ``pixels`` (row-major ARGB ints). ``subtract_green`` and
+    exactly ``pixels`` (row-major ARGB ints). ``subtract_green``,
     ``predictor_mode`` (a single mode 0-13 for the whole image via a
-    32-pixel-block nested subimage) apply forward transforms before
-    entropy coding; ``rowcopy`` tokenizes rows equal to an earlier row
-    (in the transformed domain) as LZ77 copies with direct distance
-    plane codes; ``cache_bits`` > 0 routes repeated colors through the
-    color cache exactly as the decoder will."""
+    32-pixel-block nested subimage), ``color_cte`` (a single
+    (green_to_red, green_to_blue, red_to_blue) ColorTransformElement
+    for the whole image), and ``palette`` (the color-indexing
+    transform: every pixel must be a palette entry; <= 16 colors
+    bundles indices into packed green bytes) apply forward transforms
+    before entropy coding; ``rowcopy`` tokenizes rows equal to an
+    earlier row (in the transformed domain) as LZ77 copies with direct
+    distance plane codes; ``cache_bits`` > 0 routes repeated colors
+    through the color cache exactly as the decoder will."""
     if len(pixels) != w * h:
         raise ValueError(f"need {w * h} pixels, got {len(pixels)}")
+    n_tr = (
+        int(subtract_green) + int(predictor_mode is not None)
+        + int(color_cte is not None) + int(palette is not None)
+    )
+    if n_tr > 1:
+        raise ValueError("fixture assembler: one transform at a time")
     plane = list(pixels)
     body = _LsbWriter()
     body.write(w - 1, 14)
     body.write(h - 1, 14)
     body.write(0, 1)  # alpha hint
     body.write(0, 3)  # version
+    if palette is not None:
+        n = len(palette)
+        if not 1 <= n <= 256:
+            raise ValueError(f"palette size {n} outside 1-256")
+        body.write(1, 1)  # transform present
+        body.write(3, 2)  # color indexing
+        body.write(n - 1, 8)
+        # palette image: per-channel deltas from the previous entry
+        deltas = [palette[0]] + [
+            _sub_pixels(palette[i], palette[i - 1]) for i in range(1, n)
+        ]
+        _write_literal_stream(body, deltas)
+        lookup = {}
+        for i, px in enumerate(palette):
+            lookup.setdefault(px, i)
+        try:
+            idxs = [lookup[p] for p in plane]
+        except KeyError as exc:
+            raise ValueError(f"pixel {exc} not in the palette") from None
+        if n <= 2:
+            width_bits = 3
+        elif n <= 4:
+            width_bits = 2
+        elif n <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        ppp = 1 << width_bits  # pixels bundled per packed green byte
+        bits_per = 8 >> width_bits
+        packed_w = (w + ppp - 1) // ppp
+        packed: list[int] = []
+        for y in range(h):
+            for bx in range(packed_w):
+                bundle = 0
+                for k in range(ppp):
+                    x = bx * ppp + k
+                    if x < w:
+                        bundle |= idxs[y * w + x] << (k * bits_per)
+                packed.append(0xFF000000 | (bundle << 8))
+        plane = packed
+        w = packed_w  # the coded stream is the packed image
+    if color_cte is not None:
+        g2r, g2b, r2b = (v & 0xFF for v in color_cte)
+        body.write(1, 1)  # transform present
+        body.write(1, 2)  # color transform
+        body.write(3, 3)  # size_bits = 5 -> 32-pixel blocks
+        if w > 32 or h > 32:
+            raise ValueError("fixture color image assumes one 32x32 block")
+        # nested 1x1 image: the CTE pixel via five SIMPLE codes
+        # (g2r in blue, g2b in green, r2b in red)
+        body.write(0, 1)  # no color cache
+        for sym, alphabet in (
+            (g2b, 256 + 24), (r2b, 256), (g2r, 256), (0xFF, 256), (0, 40),
+        ):
+            lv = [0] * alphabet
+            lv[sym] = 1
+            _write_code(body, lv, alphabet)
+        # forward transform: subtract deltas; red_to_blue uses the
+        # ORIGINAL red (the inverse restores red first, then uses it)
+        res = []
+        for p in plane:
+            g = (p >> 8) & 0xFF
+            rr = (p >> 16) & 0xFF
+            bb = p & 0xFF
+            nr = (rr - _cdelta(g2r, g)) & 0xFF
+            nb = (bb - _cdelta(g2b, g) - _cdelta(r2b, rr)) & 0xFF
+            res.append((p & 0xFF00FF00) | (nr << 16) | nb)
+        plane = res
     if predictor_mode is not None:
         if subtract_green:
             raise ValueError("fixture assembler: one transform at a time")
@@ -738,7 +951,7 @@ def assemble_webp(
 
 
 def synth_webp(doc_id: int) -> bytes:
-    """Deterministic VP8L fixture, cycling doc%5; canvas
+    """Deterministic VP8L fixture, cycling doc%8; canvas
     w = 16 + (doc%3)*8, h = 16; base color at (y, x) is
     r = (doc*31 + y*17 + x*7) % 256, g = (doc*31 + y*17 + x*7 + 5) %
     256, b = (... + 10) % 256, alpha 255.
@@ -751,9 +964,19 @@ def synth_webp(doc_id: int) -> bytes:
        indexes), so repeats decode through cache symbols.
     3: SUBTRACT-GREEN transform over the base formula.
     4: PREDICTOR transform, single mode doc%14 for the whole image via
-       the nested one-pixel subimage (SIMPLE-coded)."""
+       the nested one-pixel subimage (SIMPLE-coded).
+    5: COLOR transform over the base formula, one CTE
+       (doc*37 % 256, doc*59 % 256, doc*83 % 256) for the whole image
+       via the nested one-pixel subimage (lossless, so the decoded
+       pixels stay the base formula).
+    6: COLOR-INDEXING transform, 16 delta-coded palette entries (the
+       variant-2 palette) with 4-bit index bundling — pixel index
+       (doc*31 + y*17 + x*7) % 16.
+    7: COLOR-INDEXING transform, 2 palette entries with 1-bit bundling
+       (8 indices per packed green byte) — pixel index
+       (doc*31 + y*17 + x*7) % 2, palette entry i = base(i, i)."""
     doc_id = int(doc_id)
-    v = doc_id % 5
+    v = doc_id % 8
     w = 16 + (doc_id % 3) * 8
     h = 16
 
@@ -772,16 +995,29 @@ def synth_webp(doc_id: int) -> bytes:
     if v == 1:
         px = [base(y % 2, x) for y in range(h) for x in range(w)]
         return assemble_webp(w, h, px, rowcopy=True)
-    if v == 2:
+    if v in (2, 6):
         pal = [base(i // 4, i % 4) for i in range(16)]
         px = [
             pal[(doc_id * 31 + y * 17 + x * 7) % 16]
             for y in range(h)
             for x in range(w)
         ]
-        return assemble_webp(w, h, px, cache_bits=6)
+        if v == 2:
+            return assemble_webp(w, h, px, cache_bits=6)
+        return assemble_webp(w, h, px, palette=pal)
     if v == 3:
         px = [base(y, x) for y in range(h) for x in range(w)]
         return assemble_webp(w, h, px, subtract_green=True)
+    if v == 7:
+        pal = [base(0, 0), base(1, 1)]
+        px = [
+            pal[(doc_id * 31 + y * 17 + x * 7) % 2]
+            for y in range(h)
+            for x in range(w)
+        ]
+        return assemble_webp(w, h, px, palette=pal)
     px = [base(y, x) for y in range(h) for x in range(w)]
+    if v == 5:
+        cte = (doc_id * 37 % 256, doc_id * 59 % 256, doc_id * 83 % 256)
+        return assemble_webp(w, h, px, color_cte=cte)
     return assemble_webp(w, h, px, predictor_mode=doc_id % 14)

@@ -1777,17 +1777,19 @@ def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_webp_features",
     oracle="""
     WITH d AS (
-      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w, doc_id % 5 AS v
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w, doc_id % 8 AS v
       FROM documents
     ),
     grid AS (
       SELECT doc_id, w, v, y, x,
              CASE
                WHEN v = 1 THEN doc_id*31 + (y % 2)*17 + x*7
-               WHEN v = 2 THEN
+               WHEN v IN (2, 6) THEN
                  doc_id*31
                  + (((doc_id*31 + y*17 + x*7) % 16) // 4) * 17
                  + (((doc_id*31 + y*17 + x*7) % 16) % 4) * 7
+               WHEN v = 7 THEN
+                 doc_id*31 + ((doc_id*31 + y*17 + x*7) % 2) * 24
                ELSE doc_id*31 + y*17 + x*7
              END AS t
       FROM d,
@@ -1814,15 +1816,17 @@ def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_webp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image features through the pure-stdlib VP8L (lossless WebP)
     codec (operators/webp.synth_webp / webp_decode via
-    dispatch_decode): doc%5 cycles literal-coded full prefix codes,
+    dispatch_decode): doc%8 cycles literal-coded full prefix codes,
     LZ77 row copies with direct distance plane codes, a 6-bit COLOR
-    CACHE over a 16-color palette, the SUBTRACT-GREEN transform, and
-    the PREDICTOR transform at mode doc%14 through a nested
-    SIMPLE-coded subimage — so canonical code reading (code-length
-    codes included), backward references, cache hashing, and both
-    supported inverse transforms all sit on the oracle path. Decode is
-    lossless, so the oracle recomputes each variant's RGB from the
-    fixture formulas and histograms the Rec.601 integer luma.
+    CACHE over a 16-color palette, the SUBTRACT-GREEN transform, the
+    PREDICTOR transform at mode doc%14 through a nested SIMPLE-coded
+    subimage, the COLOR transform (one CTE block), and the
+    COLOR-INDEXING transform at both 4-bit (16 colors) and 1-bit
+    (2 colors) index bundling — so canonical code reading (code-length
+    codes included), backward references, cache hashing, and ALL FOUR
+    inverse transforms sit on the oracle path. Decode is lossless, so
+    the oracle recomputes each variant's RGB from the fixture formulas
+    and histograms the Rec.601 integer luma.
 
     Scale shape: scan → mapInPandas synth → mapInPandas decode →
     posexplode; one id-only shuffle (spread_ids) before synth so decode
@@ -1847,7 +1851,7 @@ def multimodal_webp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = decode_features(webps, decode_fn=dispatch_decode, pass_media_type=True)
     return feats.select(
         "doc_id",
-        (F.col("doc_id") % 5).cast("int").alias("variant"),
+        (F.col("doc_id") % 8).cast("int").alias("variant"),
         F.posexplode("feature").alias("pos", "x"),
     )
 

@@ -3025,15 +3025,16 @@ def test_tiff_validation():
 def test_webp_codec_round_trip():
     """VP8L decode must reproduce each fixture variant's formula:
     literal full prefix codes, LZ77 row copies, color cache,
-    subtract-green, and every predictor mode 0-13."""
+    subtract-green, every predictor mode 0-13, the color transform,
+    and color indexing at 4-bit and 1-bit bundling."""
     from financedatabase_spark.operators.webp import synth_webp, webp_pixels
 
     def base(doc, y, x):
         t = doc * 31 + y * 17 + x * 7
         return (t % 256, (t + 5) % 256, (t + 10) % 256)
 
-    for doc in range(30):
-        v = doc % 5
+    for doc in range(48):
+        v = doc % 8
         w = 16 + (doc % 3) * 8
         W, H, px = webp_pixels(synth_webp(doc))
         assert (W, H) == (w, 16)
@@ -3042,9 +3043,12 @@ def test_webp_codec_round_trip():
             for x in range(w):
                 if v == 1:
                     exp.append(base(doc, y % 2, x))
-                elif v == 2:
+                elif v in (2, 6):
                     i = (doc * 31 + y * 17 + x * 7) % 16
                     exp.append(base(doc, i // 4, i % 4))
+                elif v == 7:
+                    i = (doc * 31 + y * 17 + x * 7) % 2
+                    exp.append(base(doc, i, i))
                 else:
                     exp.append(base(doc, y, x))
         assert px == exp, (doc, v)
@@ -3075,8 +3079,9 @@ def test_webp_predictor_modes_exact():
 
 def test_webp_validation():
     """Malformed/out-of-scope WebP stays loud: bad container, missing
-    VP8L chunk, lossy VP8, bad signature/version, truncation, and the
-    color-transform gate."""
+    VP8L chunk, lossy VP8, bad signature/version, and truncation — a
+    color transform now DECODES, so the half-written one here fails
+    as truncation, not as a gate."""
     from financedatabase_spark.operators.webp import (
         _LsbWriter,
         synth_webp,
@@ -3102,7 +3107,7 @@ def test_webp_validation():
     with pytest.raises(ValueError, match="signature"):
         webp_pixels(bytes(bad))
 
-    # a COLOR transform (type 1) is a stated gate
+    # a COLOR transform signaled and then cut off is a truncation error
     w = _LsbWriter()
     w.write(15, 14)  # 16x...
     w.write(15, 14)
@@ -3113,8 +3118,84 @@ def test_webp_validation():
     payload = b"\x2f" + w.tobytes()
     stream = (b"RIFF" + struct.pack("<I", 12 + len(payload)) + b"WEBP"
               + b"VP8L" + struct.pack("<I", len(payload)) + payload)
-    with pytest.raises(NotImplementedError, match="transform"):
+    with pytest.raises(ValueError, match="truncated"):
         webp_pixels(stream)
+
+
+def test_webp_color_transform_round_trip():
+    """The COLOR transform inverts exactly for CTE values across the
+    signed int8 range (negative multipliers exercise the arithmetic
+    shift) on pixels hostile to the deltas."""
+    import random
+
+    from financedatabase_spark.operators.webp import assemble_webp, webp_pixels
+
+    rnd = random.Random(23)
+    w, h = 9, 7
+    px = [
+        0xFF000000
+        | (rnd.randrange(256) << 16)
+        | (rnd.randrange(256) << 8)
+        | rnd.randrange(256)
+        for _ in range(w * h)
+    ]
+    exp = [((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF) for p in px]
+    for cte in [(0, 0, 0), (16, 8, 4), (255, 128, 64), (127, 129, 200)]:
+        W, H, got = webp_pixels(assemble_webp(w, h, px, color_cte=cte))
+        assert (W, H, got) == (w, h, exp), cte
+
+
+def test_webp_color_transform_inverse_pinned():
+    """Inverse color transform pinned to hand-computed spec values:
+    red restores FIRST and the red_to_blue delta uses the RESTORED
+    red; all multiplies are int8 x int8 >> 5 arithmetic."""
+    from financedatabase_spark.operators.webp import _inverse_color
+
+    # one 32x32 block; CTE: g2r=64 (=+64), g2b=224 (=-32), r2b=32 (=+32)
+    cte = 0xFF000000 | (32 << 16) | (224 << 8) | 64
+    # pixel: g=80, coded r=10, coded b=20
+    px = [0xFF000000 | (10 << 16) | (80 << 8) | 20]
+    out = _inverse_color(list(px), 1, 1, 5, 1, [cte])
+    # red  = 10 + (64*80  >> 5) = 10 + 160 -> 170
+    # blue = 20 + (-32*80 >> 5) + (32*int8(170) >> 5)
+    #      = 20 + (-80) + (32*(-86) >> 5) = 20 - 80 - 86 = -146 -> 110
+    assert out[0] == 0xFF000000 | (170 << 16) | (80 << 8) | 110
+
+
+def test_webp_color_indexing_round_trip():
+    """The COLOR-INDEXING transform inverts exactly at every bundling
+    width (1/2/4/8-bit indices), including non-multiple image widths
+    where the last packed byte is partial."""
+    import random
+
+    from financedatabase_spark.operators.webp import assemble_webp, webp_pixels
+
+    rnd = random.Random(31)
+    for n, w in ((2, 13), (4, 9), (16, 7), (17, 10), (250, 24)):
+        pal, seen = [], set()
+        while len(pal) < n:
+            p = 0xFF000000 | rnd.randrange(1 << 24)
+            if p not in seen:
+                seen.add(p)
+                pal.append(p)
+        h = 5
+        px = [pal[rnd.randrange(n)] for _ in range(w * h)]
+        W, H, got = webp_pixels(assemble_webp(w, h, px, palette=pal))
+        exp = [((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF) for p in px]
+        assert (W, H, got) == (w, h, exp), (n, w)
+
+
+def test_webp_color_indexing_out_of_range_index():
+    """An index at or past the palette size decodes as 0x00000000 per
+    spec, not an error (checked through the packed-pixel helper)."""
+    from financedatabase_spark.operators.webp import _inverse_color_indexing
+
+    # 4-bit bundling (width_bits=1), palette of 3: indices 0,1,2 map,
+    # index 7 falls outside -> transparent black
+    palette = [0xFF111111, 0xFF222222, 0xFF333333]
+    packed = [0xFF000000 | (((7 << 4) | 2) << 8)]  # x0 -> 2, x1 -> 7
+    out = _inverse_color_indexing(packed, 2, 1, palette, 1)
+    assert out == [0xFF333333, 0x00000000]
 
 
 def test_bmp_codec_round_trip():
