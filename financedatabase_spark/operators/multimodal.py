@@ -945,12 +945,32 @@ def _parse_nonpcm_wav(raw: bytes) -> tuple[list, int, int]:
         (spb,) = struct.unpack_from("<H", fmt, 18)
         samples = _decode_gsm(data, ba, spb)
         return samples, len(samples), 1
+    if tag == 0x55:  # MPEG Layer III in WAV: optional-dependency seam
+        try:
+            import av  # noqa: F401 — PyAV/ffmpeg, not in this container
+        except ImportError as exc:
+            raise NotImplementedError(
+                "mp3-in-WAV (tag 85) needs an MPEG audio decoder (a "
+                "polyphase filterbank + layer-III Huffman stage is out of "
+                "stdlib scope); pip install av to enable this path"
+            ) from exc
+        samples: list = []
+        nch = max(ch, 1)
+        with av.open(BytesIO(bytes(data)), format="mp3") as container:
+            for frame in container.decode(audio=0):
+                arr = frame.to_ndarray()
+                if arr.ndim == 2:  # planar (channels, n) -> interleave
+                    samples.extend(float(v) for v in arr.T.reshape(-1))
+                else:
+                    samples.extend(float(v) for v in arr)
+        if not samples:
+            raise ValueError("mp3-in-WAV data decoded zero frames")
+        return samples, len(samples) // nch, nch
     if tag != 3:
         raise NotImplementedError(
             f"WAV format tag {tag} not supported (PCM=1 via stdlib wave; "
             f"IEEE float=3, A-law=6, mu-law=7, MS ADPCM=2, IMA ADPCM=17, "
-            f"GSM 06.10=49 here; other compressed tags — mp3-in-WAV=85 — "
-            f"need an audio library)"
+            f"GSM 06.10=49 here; mp3-in-WAV=85 via PyAV when importable)"
         )
     if bits == 32:
         count = len(data) // 4
