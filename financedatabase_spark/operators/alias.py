@@ -45,6 +45,13 @@ def alias_dim(
     return session_memo(spark, ("alias_dim", tuple(changes)), build)
 
 
+#: literal dims at or under this row count fold into expressions instead
+#: of a broadcast join (each BroadcastExchange is a separate job — a
+#: fixed scheduling cost that dominates small-query wall time and buys
+#: nothing: Catalyst codegens the CASE chain into the scan stage)
+LITERAL_FOLD_MAX = 64
+
+
 def canonicalize_symbols(
     df: DataFrame,
     aliases: DataFrame,
@@ -55,8 +62,31 @@ def canonicalize_symbols(
 
     Equivalent to the reference's historical splice (X1 'historical' mode):
     rows of the old symbol before the change date become the current symbol;
-    everything else passes through. Single broadcast left join.
-    """
+    everything else passes through. A SMALL literal alias dim (built by
+    `alias_dim`/`session.values_dim`) folds into a CASE chain codegen'd
+    straight into the scan stage — no BroadcastExchange, no extra job;
+    larger or non-literal dims take the broadcast left join (at 100 TB
+    the alias dim is a few hundred rows — still a broadcast, but a real
+    table deserves a real join)."""
+    rows = getattr(aliases, "_literal_rows", None)
+    if (
+        rows is not None
+        and len(rows) <= LITERAL_FOLD_MAX
+        and aliases.columns == ["current_symbol", "old_symbol", "change_date"]
+    ):
+        relabel = None
+        for cur, old, chg in rows:
+            cond = (F.col(symbol_col) == F.lit(old)) & (
+                F.to_date(F.col(ts_col)) < F.lit(chg)
+            )
+            relabel = (
+                F.when(cond, F.lit(cur))
+                if relabel is None
+                else relabel.when(cond, F.lit(cur))
+            )
+        if relabel is None:  # empty dim: nothing to relabel
+            return df
+        return df.withColumn(symbol_col, relabel.otherwise(F.col(symbol_col)))
     a = F.broadcast(aliases)
     joined = df.join(
         a,

@@ -126,11 +126,31 @@ def apply_corrections(
 ) -> DataFrame:
     """P13 — drop quarantined (symbol, date) rows for this query via a
     broadcast anti-join (reference behavior: patches/p1.py:66-101,
-    symbol-specific and endpoint-specific)."""
+    symbol-specific and endpoint-specific). A SMALL literal quarantine
+    dim folds into a NOT filter codegen'd into the surrounding stage —
+    no BroadcastExchange job (anti-join null semantics preserved: a
+    NULL symbol/date never matches, so the row is KEPT)."""
+    from financedatabase_spark.operators.alias import LITERAL_FOLD_MAX
+
+    d = F.to_date(F.col(date_col) if isinstance(date_col, str) else date_col)
+    rows = getattr(quarantine, "_literal_rows", None)
+    if (
+        rows is not None
+        and len(rows) <= LITERAL_FOLD_MAX
+        and quarantine.columns == ["query_name", "symbol", "bad_date"]
+    ):
+        drop = None
+        for qn, sym, bad in rows:
+            if qn != query_name:
+                continue
+            cond = (F.col(symbol_col) == F.lit(sym)) & (d == F.lit(bad))
+            drop = cond if drop is None else (drop | cond)
+        if drop is None:  # no entries for this query
+            return df
+        return df.filter(~F.coalesce(drop, F.lit(False)))
     q = F.broadcast(
         quarantine.filter(F.col("query_name") == query_name).select("symbol", "bad_date")
     )
-    d = F.to_date(F.col(date_col) if isinstance(date_col, str) else date_col)
     return df.join(
         q,
         (df[symbol_col] == q["symbol"]) & (d == q["bad_date"]),

@@ -111,11 +111,19 @@ def values_dim(spark: SparkSession, rows, columns_sql: str) -> DataFrame:
     cols = [c.split(None, 1) for c in split_top_level(columns_sql)]
     if not rows:
         casts = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
-        return spark.sql(f"SELECT {casts} WHERE FALSE")
+        df = spark.sql(f"SELECT {casts} WHERE FALSE")
+        df._literal_rows = []
+        return df
     vals = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
     names = ", ".join(n for n, _ in cols)
     casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
-    return spark.sql(f"SELECT {casts} FROM (VALUES {vals}) AS t({names})")
+    df = spark.sql(f"SELECT {casts} FROM (VALUES {vals}) AS t({names})")
+    # inline-fold hint: operators that receive a SMALL literal dim can
+    # compile it into CASE/filter expressions instead of a broadcast
+    # join, dropping the BroadcastExchange job entirely (the flagship
+    # pipeline's residual stages are exactly these tiny broadcasts)
+    df._literal_rows = [tuple(r) for r in rows]
+    return df
 
 
 def get_spark(app_name: str = "financedatabase_spark", cpus: int | None = None) -> SparkSession:

@@ -1742,3 +1742,56 @@ def test_ivf_pq_residuals_require_codebooks(spark):
             df.selectExpr("vec_id as corpus_id", "label", "embedding"),
             cen, m=1, dim=2, residuals=True,
         )
+
+
+def test_literal_fold_matches_broadcast_join(spark, monkeypatch):
+    """The literal-fold fast path (tiny VALUES dims compiled to
+    CASE/filter expressions — no BroadcastExchange job) must produce
+    row-identical results to the broadcast-join path it replaces,
+    including the anti-join's null semantics: a NULL symbol/date never
+    matches a quarantine entry, so the row is KEPT by both paths."""
+    import financedatabase_spark.operators.alias as alias_mod
+    from financedatabase_spark.operators.alias import alias_dim, canonicalize_symbols
+    from financedatabase_spark.operators.corrections import (
+        apply_corrections,
+        quarantine_dim,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("view", "2024-01-10", 1.0),
+            ("view", "2024-01-20", 2.0),   # after change date: stays view
+            ("click", "2024-01-22", 3.0),  # quarantined
+            ("click", "2024-01-23", 4.0),
+            (None, "2024-01-22", 5.0),     # NULL symbol: kept, label kept
+            ("view", None, 6.0),           # NULL ts
+        ],
+        "symbol string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    aliases = alias_dim(spark, [("click", "view", "2024-01-15")])
+    quarantine = quarantine_dim(spark, [("q", "click", "2024-01-22")])
+
+    def run():
+        canon = canonicalize_symbols(df, aliases, "symbol", "ts")
+        fixed = apply_corrections(canon, quarantine, "q", symbol_col="symbol")
+        return sorted(
+            fixed.select("symbol", "value").collect(),
+            key=lambda r: r.value,
+        )
+
+    folded = run()
+    plan = canonicalize_symbols(df, aliases)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan  # the fold actually engaged
+
+    monkeypatch.setattr(alias_mod, "LITERAL_FOLD_MAX", -1)
+    joined = run()
+    assert [tuple(r) for r in folded] == [tuple(r) for r in joined]
+    # spot-check the semantics themselves, not just path agreement
+    assert [(r.symbol, r.value) for r in folded] == [
+        ("click", 1.0),  # relabeled (before change date)
+        ("view", 2.0),   # not relabeled (after)
+        # value 3.0 quarantined away
+        ("click", 4.0),
+        (None, 5.0),     # NULL symbol kept by anti-join semantics
+        ("view", 6.0),   # NULL ts kept
+    ]
