@@ -23,9 +23,12 @@ lossless stream for real, scoped and documented:
   deltas, red restored before the red_to_blue delta); and the
   COLOR-INDEXING transform (delta-coded palette image, green-channel
   indices, <= 16 colors bundled into packed bytes that SHRINK the
-  coded image width — the width every later read uses). Any valid
-  VP8L stream now decodes; only meta-prefix groups remain a
-  NotImplementedError gate.
+  coded image width — the width every later read uses).
+- META-PREFIX GROUPS: the nested group-index image ((red << 8) |
+  green), one five-code set per group, selected per token by the
+  block of the pixel where its decoding begins, color cache shared
+  across groups. With that, EVERY feature of the VP8L bitstream
+  decodes — no NotImplementedError remains in the lossless path.
 - Lossy VP8 chunks raise NotImplementedError (a DCT video codec is out
   of scope); VP8X extended containers are walked to find a VP8L chunk.
 
@@ -304,18 +307,42 @@ def _decode_image_stream(
         cache_bits = r.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError(f"VP8L color-cache bits {cache_bits} outside 1-11")
+    # meta-prefix groups (root only): a nested entropy image maps each
+    # 2^meta_bits block to a prefix-code GROUP index ((red << 8) |
+    # green); one set of five codes per group, selected per token by
+    # the position of the pixel where its decoding BEGINS. The color
+    # cache stays shared across groups.
+    meta = None
+    n_groups = 1
     if is_root and r.read(1):
-        raise NotImplementedError("VP8L meta-prefix groups not supported here")
+        meta_bits = r.read(3) + 2
+        mtw = (cur_w + (1 << meta_bits) - 1) >> meta_bits
+        mth = (h + (1 << meta_bits) - 1) >> meta_bits
+        msub = _decode_image_stream(r, mtw, mth, False)
+        n_groups = max(((p >> 8) & 0xFFFF) for p in msub) + 1
+        meta = (meta_bits, mtw, msub)
     cache_size = (1 << cache_bits) if cache_bits else 0
-    green = _read_prefix_code(r, 256 + 24 + cache_size)
-    red = _read_prefix_code(r, 256)
-    blue = _read_prefix_code(r, 256)
-    alpha = _read_prefix_code(r, 256)
-    dist = _read_prefix_code(r, 40)
+    code_groups = [
+        (
+            _read_prefix_code(r, 256 + 24 + cache_size),
+            _read_prefix_code(r, 256),
+            _read_prefix_code(r, 256),
+            _read_prefix_code(r, 256),
+            _read_prefix_code(r, 40),
+        )
+        for _ in range(n_groups)
+    ]
+    green, red, blue, alpha, dist = code_groups[0]
     cache = [0] * cache_size
     out: list[int] = []
     npix = cur_w * h
     while len(out) < npix:
+        if meta is not None:
+            i = len(out)
+            y, x = divmod(i, cur_w)
+            meta_bits, mtw, msub = meta
+            sel = (msub[(y >> meta_bits) * mtw + (x >> meta_bits)] >> 8) & 0xFFFF
+            green, red, blue, alpha, dist = code_groups[sel]
         g = green.decode(r)
         if g < 256:
             rr = red.decode(r)
@@ -694,6 +721,7 @@ def assemble_webp(
     rowcopy: bool = False,
     color_cte: tuple[int, int, int] | None = None,
     palette: list[int] | None = None,
+    meta_bands: int = 1,
 ) -> bytes:
     """Assemble a spec-valid LOSSLESS WebP (VP8L) whose decode is
     exactly ``pixels`` (row-major ARGB ints). ``subtract_green``,
@@ -855,12 +883,40 @@ def assemble_webp(
         body.write(cache_bits, 4)
     else:
         body.write(0, 1)
-    body.write(0, 1)  # no meta-prefix
+    # meta-prefix groups: meta_bands horizontal bands of 4-pixel block
+    # rows, one code group per band; the nested meta image carries the
+    # group index in its green channel
+    meta_bits = 2
+    mtw = (w + 3) >> meta_bits
+    mth = (h + 3) >> meta_bits
+
+    def group_of(i: int) -> int:
+        if meta_bands <= 1:
+            return 0
+        return ((i // w) >> meta_bits) * meta_bands // mth
+
+    if meta_bands > 1:
+        if mth < meta_bands:
+            raise ValueError(
+                f"{meta_bands} meta bands need >= {meta_bands} block rows"
+            )
+        body.write(1, 1)  # meta-prefix present
+        body.write(meta_bits - 2, 3)
+        meta_px = [
+            0xFF000000 | ((by * meta_bands // mth) << 8)
+            for by in range(mth)
+            for _ in range(mtw)
+        ]
+        _write_literal_stream(body, meta_px)
+    else:
+        body.write(0, 1)  # no meta-prefix
     cache_size = (1 << cache_bits) if cache_bits else 0
 
     # tokenize: LZ77 row copies (dist = k rows back, k=1..3, in the
     # transformed domain) when rowcopy, else literals; cache hits
-    # become cache symbols. Two passes share this walk.
+    # become cache symbols. Two passes share this walk; each token is
+    # emitted with the pixel index where its decoding begins (= the
+    # decoder's group-selection point).
     def walk(emit) -> None:
         cache = [None] * cache_size
         i = 0
@@ -870,7 +926,7 @@ def assemble_webp(
             if rowcopy and i % w == 0 and y > 0:
                 for back in (1, 2, 3):
                     if y >= back and plane[i:i + w] == plane[i - back * w:i - back * w + w]:
-                        emit(("copy", w, 120 + back * w))
+                        emit(i, ("copy", w, 120 + back * w))
                         for px in plane[i:i + w]:
                             if cache_size:
                                 cache[_cache_key(px, cache_bits)] = px
@@ -882,16 +938,21 @@ def assemble_webp(
                     continue
             px = plane[i]
             if cache_size and cache[_cache_key(px, cache_bits)] == px:
-                emit(("cache", _cache_key(px, cache_bits)))
+                emit(i, ("cache", _cache_key(px, cache_bits)))
             else:
-                emit(("lit", px))
+                emit(i, ("lit", px))
                 if cache_size:
                     cache[_cache_key(px, cache_bits)] = px
             i += 1
 
-    hist: dict[str, set] = {"g": set(), "r": set(), "b": set(), "a": set(), "d": set()}
+    n_groups = max(1, meta_bands)
+    hists: list[dict[str, set]] = [
+        {"g": set(), "r": set(), "b": set(), "a": set(), "d": set()}
+        for _ in range(n_groups)
+    ]
 
-    def count(tok) -> None:
+    def count(i: int, tok) -> None:
+        hist = hists[group_of(i)]
         kind = tok[0]
         if kind == "lit":
             px = tok[1]
@@ -906,11 +967,14 @@ def assemble_webp(
             hist["g"].add(280 + tok[1])
 
     walk(count)
-    for key, alphabet in (("r", 256), ("b", 256), ("a", 256), ("d", 40)):
-        if not hist[key]:
-            hist[key].add(0)  # a code must exist even if never used
+    for hist in hists:
+        # a code must exist even if never used ("g" always has tokens:
+        # every band contains at least one pixel)
+        for key in ("r", "b", "a", "d"):
+            if not hist[key]:
+                hist[key].add(0)
 
-    def build(key: str, alphabet: int) -> _Prefix:
+    def build(hist, key: str, alphabet: int) -> _Prefix:
         used = sorted(hist[key])
         if len(used) == 1:
             lv = [0] * alphabet
@@ -918,13 +982,19 @@ def assemble_webp(
             return _write_code(body, lv, alphabet)
         return _write_code(body, _equal_weight_lengths(used, alphabet), alphabet)
 
-    green = build("g", 256 + 24 + cache_size)
-    red = build("r", 256)
-    blue = build("b", 256)
-    alpha = build("a", 256)
-    dist = build("d", 40)
+    code_groups = [
+        (
+            build(hist, "g", 256 + 24 + cache_size),
+            build(hist, "r", 256),
+            build(hist, "b", 256),
+            build(hist, "a", 256),
+            build(hist, "d", 40),
+        )
+        for hist in hists
+    ]
 
-    def emit(tok) -> None:
+    def emit(i: int, tok) -> None:
+        green, red, blue, alpha, dist = code_groups[group_of(i)]
         kind = tok[0]
         if kind == "lit":
             px = tok[1]
@@ -951,7 +1021,7 @@ def assemble_webp(
 
 
 def synth_webp(doc_id: int) -> bytes:
-    """Deterministic VP8L fixture, cycling doc%8; canvas
+    """Deterministic VP8L fixture, cycling doc%9; canvas
     w = 16 + (doc%3)*8, h = 16; base color at (y, x) is
     r = (doc*31 + y*17 + x*7) % 256, g = (doc*31 + y*17 + x*7 + 5) %
     256, b = (... + 10) % 256, alpha 255.
@@ -974,9 +1044,12 @@ def synth_webp(doc_id: int) -> bytes:
        (doc*31 + y*17 + x*7) % 16.
     7: COLOR-INDEXING transform, 2 palette entries with 1-bit bundling
        (8 indices per packed green byte) — pixel index
-       (doc*31 + y*17 + x*7) % 2, palette entry i = base(i, i)."""
+       (doc*31 + y*17 + x*7) % 2, palette entry i = base(i, i).
+    8: META-PREFIX GROUPS — two horizontal band groups over the base
+       formula, each band with its own five prefix codes selected
+       through the nested group-index image."""
     doc_id = int(doc_id)
-    v = doc_id % 8
+    v = doc_id % 9
     w = 16 + (doc_id % 3) * 8
     h = 16
 
@@ -1020,4 +1093,6 @@ def synth_webp(doc_id: int) -> bytes:
     if v == 5:
         cte = (doc_id * 37 % 256, doc_id * 59 % 256, doc_id * 83 % 256)
         return assemble_webp(w, h, px, color_cte=cte)
+    if v == 8:
+        return assemble_webp(w, h, px, meta_bands=2)
     return assemble_webp(w, h, px, predictor_mode=doc_id % 14)

@@ -1777,7 +1777,7 @@ def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_webp_features",
     oracle="""
     WITH d AS (
-      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w, doc_id % 8 AS v
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w, doc_id % 9 AS v
       FROM documents
     ),
     grid AS (
@@ -1816,15 +1816,17 @@ def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_webp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image features through the pure-stdlib VP8L (lossless WebP)
     codec (operators/webp.synth_webp / webp_decode via
-    dispatch_decode): doc%8 cycles literal-coded full prefix codes,
+    dispatch_decode): doc%9 cycles literal-coded full prefix codes,
     LZ77 row copies with direct distance plane codes, a 6-bit COLOR
     CACHE over a 16-color palette, the SUBTRACT-GREEN transform, the
     PREDICTOR transform at mode doc%14 through a nested SIMPLE-coded
-    subimage, the COLOR transform (one CTE block), and the
-    COLOR-INDEXING transform at both 4-bit (16 colors) and 1-bit
-    (2 colors) index bundling — so canonical code reading (code-length
-    codes included), backward references, cache hashing, and ALL FOUR
-    inverse transforms sit on the oracle path. Decode is lossless, so
+    subimage, the COLOR transform (one CTE block), the COLOR-INDEXING
+    transform at both 4-bit (16 colors) and 1-bit (2 colors) index
+    bundling, and META-PREFIX GROUPS (two band groups through the
+    nested group-index image) — so canonical code reading (code-length
+    codes included), backward references, cache hashing, ALL FOUR
+    inverse transforms, and per-block code-group selection sit on the
+    oracle path: the complete VP8L bitstream. Decode is lossless, so
     the oracle recomputes each variant's RGB from the fixture formulas
     and histograms the Rec.601 integer luma.
 
@@ -1851,7 +1853,7 @@ def multimodal_webp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = decode_features(webps, decode_fn=dispatch_decode, pass_media_type=True)
     return feats.select(
         "doc_id",
-        (F.col("doc_id") % 8).cast("int").alias("variant"),
+        (F.col("doc_id") % 9).cast("int").alias("variant"),
         F.posexplode("feature").alias("pos", "x"),
     )
 

@@ -3031,15 +3031,16 @@ def test_webp_codec_round_trip():
     """VP8L decode must reproduce each fixture variant's formula:
     literal full prefix codes, LZ77 row copies, color cache,
     subtract-green, every predictor mode 0-13, the color transform,
-    and color indexing at 4-bit and 1-bit bundling."""
+    color indexing at 4-bit and 1-bit bundling, and meta-prefix
+    groups."""
     from financedatabase_spark.operators.webp import synth_webp, webp_pixels
 
     def base(doc, y, x):
         t = doc * 31 + y * 17 + x * 7
         return (t % 256, (t + 5) % 256, (t + 10) % 256)
 
-    for doc in range(48):
-        v = doc % 8
+    for doc in range(54):
+        v = doc % 9
         w = 16 + (doc % 3) * 8
         W, H, px = webp_pixels(synth_webp(doc))
         assert (W, H) == (w, 16)
@@ -3457,15 +3458,15 @@ def test_image_codec_truncation_fuzz(codec):
     from financedatabase_spark.operators.tiff import synth_tiff, tiff_decode
     from financedatabase_spark.operators.webp import synth_webp, webp_pixels
 
-    synth, decode = {
-        "gif": (synth_gif, gif_canvas),
-        "tiff": (synth_tiff, tiff_decode),
-        "webp": (synth_webp, webp_pixels),
-        "bmp": (synth_bmp_file, bmp_decode),
-        "ico": (synth_ico, ico_decode),
+    synth, decode, n_variants = {
+        "gif": (synth_gif, gif_canvas, 4),
+        "tiff": (synth_tiff, tiff_decode, 4),
+        "webp": (synth_webp, webp_pixels, 9),  # every VP8L variant
+        "bmp": (synth_bmp_file, bmp_decode, 4),
+        "ico": (synth_ico, ico_decode, 4),
     }[codec]
 
-    for doc in range(4):
+    for doc in range(n_variants):
         raw = synth(doc)
         full = decode(raw)
         for cut in range(len(raw)):
