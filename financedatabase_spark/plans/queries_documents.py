@@ -4768,6 +4768,15 @@ def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("ok_symbols")
         & F.col("ok_alpha")
     ).select("doc_id", "text", "lang")
+    # Stage-boundary materialization (r15): s2 feeds FOUR subtrees — the
+    # CCNet vocab train (a bounded collect at build time), the LM scoring
+    # pass, ccnet_tertiles' lang join, and the s3 survivor join. Unchecked,
+    # Catalyst plans each reference separately and the blocklist+Gopher
+    # text subtree (regex normalize + split over every doc) executes 4x
+    # per run; checkpointing runs it once. Same production rationale as
+    # the s3 checkpoint below — at 100 TB this is 3 fewer full corpus
+    # scans, at sf0.1 it was measured as ~15% of the query's wall time.
+    s2 = s2.localCheckpoint()
 
     keep3 = (
         ccnet_tertiles(s2)

@@ -157,6 +157,18 @@ def get_spark(app_name: str = "financedatabase_spark", cpus: int | None = None) 
         # driver testdata stores events.ts as TIMESTAMP(NANOS); read as long
         # and convert in the source layer (readers.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # r15: let the planner pick shuffled-hash over sort-merge when the
+        # build side fits (guide §3.1/§9) — drops the per-partition sorts
+        # on the composite pipelines' doc-id equi-joins (measured -6..-10%
+        # on curation/minhash/simhash at sf0.1, plan: SortMergeJoin →
+        # ShuffledHashJoin). Scale-safe: the AQE threshold bounds the
+        # build-side partition that may be hash-built (OOM guard), and
+        # both knobs are env-overridable for cluster tuning.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_THRESHOLD", "64m"),
+        )
         .config("spark.ui.enabled", "false")
         # managed tables (bucketed joins, env catalogs) land outside the repo
         .config(
