@@ -46,8 +46,21 @@ def _capped_band_pairs(
     output name; each side's payload rides along so verification needs no
     further join. One shuffle on (band, key), reused by the self-join."""
     w = Window.partitionBy("band", "key")
-    sized = banded.withColumn("_n", F.count("*").over(w)).withColumn(
-        "_rep", F.min("doc_id").over(w)
+    # Materialize the sized band table ONCE (r15). Four consumers read it
+    # (small-bucket self-join a/b, big-bucket reps/others), and their
+    # per-branch filters (_n vs cap, doc_id vs _rep) get pushed BELOW the
+    # band-key exchange, so Catalyst's ReuseExchange never fires: the
+    # full signature pipeline (normalize + shingle + md5 per gram) and
+    # its shuffle executed FOUR times per run (plan: 4 parquet scans,
+    # 4 Exchanges on (band, key)). The checkpoint runs the pipeline and
+    # the shuffle once; the branches probe the cached result. At 100 TB
+    # this is the standard move of materializing the LSH band index
+    # before pairing — 3 fewer corpus scans + 3 fewer corpus shuffles,
+    # traded for one cached copy of the band table.
+    sized = (
+        banded.withColumn("_n", F.count("*").over(w))
+        .withColumn("_rep", F.min("doc_id").over(w))
+        .localCheckpoint()
     )
     small = sized.filter(F.col("_n") <= bucket_cap)
     a, b = small.alias("a"), small.alias("b")

@@ -50,12 +50,44 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_n(a: Column, b: Column, n: int) -> Column:
+    """`dot` with a STATICALLY KNOWN length ``n``: the identical IEEE
+    summation (acc starts at 0.0, adds a[i]*b[i] in index order — the
+    exact left-fold `dot` performs), but unrolled into a flat expression
+    chain. The fold's lambda is evaluated interpreted per element
+    (HigherOrderFunction bodies don't codegen); the unrolled chain is
+    plain arithmetic inside WholeStageCodegen — measured 2-4x on the PQ
+    hot paths (r15). ``F.get`` (0-based, null out-of-bounds) keeps the
+    fold's null semantics for short arrays; callers must pass the true
+    fixed length (PQ subspace width, declared embedding dim)."""
+    acc: Column = F.lit(0.0)
+    for i in range(n):
+        acc = acc + F.get(a, i) * F.get(b, i)
+    return acc
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
+def l2_norm_n(a: Column, n: int) -> Column:
+    """`l2_norm` with a statically known length (see `dot_n`): same
+    summation order (0.0 + a0*a0 + a1*a1 + ...), codegen-friendly."""
+    acc: Column = F.lit(0.0)
+    for i in range(n):
+        acc = acc + F.get(a, i) * F.get(a, i)
+    return F.sqrt(acc)
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_n(a: Column, b: Column, n: int) -> Column:
+    """`cosine` with a statically known length (see `dot_n`): identical
+    doubles — dot / (norm_a * norm_b) with each term summed in the same
+    order as the fold form."""
+    return dot_n(a, b, n) / (l2_norm_n(a, n) * l2_norm_n(b, n))
 
 
 def cosine_topk(
@@ -737,12 +769,17 @@ def kmeans_refine(
 # --- IVF-PQ: product quantization with asymmetric-distance scoring ----------
 
 
-def _sq_l2_units(a: Column, b: Column) -> Column:
+def _sq_l2_units(a: Column, b: Column, n: int | None = None) -> Column:
     """Squared L2 distance in exact 1e-6 integer units, via the
     dot-product identity ||a-b||² = <a,a> + <b,b> - 2<a,b> — three
     sequential-fold dots in a fixed combination order, so DuckDB
-    reproduces the double bit-for-bit before the single quantization."""
-    d2 = dot(a, a) + dot(b, b) - F.lit(2.0) * dot(a, b)
+    reproduces the double bit-for-bit before the single quantization.
+    ``n`` (the statically known subspace width) switches the dots to the
+    unrolled codegen form — same doubles, see `dot_n`."""
+    if n is not None:
+        d2 = dot_n(a, a, n) + dot_n(b, b, n) - F.lit(2.0) * dot_n(a, b, n)
+    else:
+        d2 = dot(a, a) + dot(b, b) - F.lit(2.0) * dot(a, b)
     return F.floor(d2 * F.lit(1e6) + F.lit(0.5)).cast("long")
 
 
@@ -802,7 +839,7 @@ def pq_encode(
             F.struct(
                 F.col("cid"),
                 F.col("cvec_sub"),
-                dot(F.col("cvec_sub"), F.col("cvec_sub")).alias("bb"),
+                dot_n(F.col("cvec_sub"), F.col("cvec_sub"), d).alias("bb"),
             ).alias("_ent"),
         )
         .groupBy("sub")
@@ -821,7 +858,7 @@ def pq_encode(
                 lambda s: F.slice(F.col("_pv"), s * d + 1, d),
             ),
         )
-        .withColumn("_aas", F.transform(F.col("_slices"), lambda sl: dot(sl, sl)))
+        .withColumn("_aas", F.transform(F.col("_slices"), lambda sl: dot_n(sl, sl, d)))
     )
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -834,7 +871,11 @@ def pq_encode(
                             F.element_at(F.col("_aas"), s + 1)
                             + e.getField("bb")
                             - F.lit(2.0)
-                            * dot(F.element_at(F.col("_slices"), s + 1), e.getField("cvec_sub"))
+                            * dot_n(
+                                F.element_at(F.col("_slices"), s + 1),
+                                e.getField("cvec_sub"),
+                                d,
+                            )
                         )
                         * F.lit(1e6)
                         + F.lit(0.5)
@@ -1024,6 +1065,7 @@ def ivf_pq_topk(
                     _sq_l2_units(
                         F.slice(F.col("_rv"), s * d + 1, d),
                         e.getField("cvec_sub"),
+                        d,
                     ).alias("_d"),
                 ),
             )
@@ -1040,12 +1082,14 @@ def ivf_pq_topk(
     cand = codes.join(
         F.broadcast(ptbl), F.col(cell_col) == F.col("_cell")
     )
-    units = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc
-        + F.element_at(F.element_at("tbl", s + 1), F.element_at("codes", s + 1)),
-    )
+    # unrolled over the statically known m (see dot_n): integer adds in
+    # the same left-fold order, but codegen'd instead of an interpreted
+    # per-subspace lambda — this fold runs once per (candidate, probe)
+    units: Column = F.lit(0).cast("long")
+    for s in range(m):
+        units = units + F.element_at(
+            F.element_at("tbl", s + 1), F.element_at("codes", s + 1)
+        )
     scored = cand.select(
         query_id, corpus_id, (units.cast("double") / F.lit(1e6)).alias("approx_dist")
     )
@@ -1071,7 +1115,7 @@ def ivf_pq_topk(
     exact = fetched.join(F.broadcast(qv), query_id).select(
         query_id,
         corpus_id,
-        F.round(cosine(F.col("_qv2"), F.col("_cv")), 6).alias("score"),
+        F.round(cosine_n(F.col("_qv2"), F.col("_cv"), dim), 6).alias("score"),
     )
     wf = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()
@@ -1210,6 +1254,7 @@ def semdedup(
     vec_col: str = "embedding",
     round_digits: int = 6,
     max_cluster_size: int = 50_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): semantic-duplicate
@@ -1237,8 +1282,17 @@ def semdedup(
     per-cluster self-join would silently go quadratic, so the operator
     checks the largest cluster (one scalar agg over the already-
     materialized assignment) and raises ValueError naming the cluster —
-    the remedy is re-clustering with more centroids, not a bigger cap."""
+    the remedy is re-clustering with more centroids, not a bigger cap.
+    ``dim`` (optional, the corpus's known embedding width) switches the
+    cosine folds to the unrolled codegen form — same doubles, see
+    `dot_n`; leave None when the width is not statically known."""
     from financedatabase_spark.operators.dedup_docs import grouped_components
+
+    if dim is not None:
+        _dot = lambda a, b: dot_n(a, b, dim)  # noqa: E731
+        _l2 = lambda a: l2_norm_n(a, dim)  # noqa: E731
+    else:
+        _dot, _l2 = dot, l2_norm
 
     # nearest-centroid assignment IN-ROW against one packed broadcast
     # centroid row: per vector, argmin of (-sim, cell) over the array —
@@ -1254,12 +1308,12 @@ def semdedup(
         F.struct(
             F.col("cell").alias("_cl"),
             F.col("cvec"),
-            l2_norm(F.col("cvec")).alias("_cn"),
+            _l2(F.col("cvec")).alias("_cn"),
         ).alias("_c0")
     ).groupBy().agg(F.collect_list("_c0").alias("_cens"))
     assign = (
         v.crossJoin(F.broadcast(cen_packed))
-        .withColumn("_en", l2_norm(F.col("_e")))
+        .withColumn("_en", _l2(F.col("_e")))
         .withColumn(
             "_best",
             F.array_min(
@@ -1267,7 +1321,7 @@ def semdedup(
                     F.col("_cens"),
                     lambda c: F.struct(
                         (-F.round(
-                            dot(F.col("_e"), c.getField("cvec"))
+                            _dot(F.col("_e"), c.getField("cvec"))
                             / (F.col("_en") * c.getField("_cn")),
                             round_digits,
                         )).alias("_negsim"),
@@ -1320,7 +1374,7 @@ def semdedup(
         a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_i") < F.col("_j")))
         .filter(
             F.round(
-                dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")),
+                _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")),
                 round_digits,
             )
             >= F.lit(tau)
