@@ -56,6 +56,46 @@ def dedup_keep_first(df: DataFrame, key_cols: list[str], order_cols: list[str]) 
     return _ranked(df, key_cols, order_cols, asc=True)
 
 
+def dedup_keep_first_and_last(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+    tag_col: str = "keep",
+) -> DataFrame:
+    """P8 + P9 in ONE pass (r15): both the keep-last and the keep-first
+    row per key, tagged 'last' / 'first' in ``tag_col``.
+
+    The separate `dedup_keep_last` ∪ `dedup_keep_first` formulation
+    scans and shuffles the table TWICE (each branch is its own window —
+    WindowGroupLimit prunes each shuffle to ~1 row per group per map
+    task, but the scans and exchanges still both happen). Here one
+    groupBy computes `max_by` AND `min_by` of the payload over the same
+    ordering struct — partial (map-side) aggregation collapses each
+    group to one row per task, the SAME reduction WindowGroupLimit
+    performed — then the two tagged rows explode out of the tiny
+    aggregated result. One scan, one exchange, identical rows: with a
+    unique ordering struct (callers append a tie-breaker id, as the
+    row_number formulation already required for determinism) max_by ≡
+    the rn=1 row of the DESC window and min_by ≡ ASC."""
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    pay = F.struct(*[F.col(c) for c in payload_cols])
+    agg = df.groupBy(*key_cols).agg(
+        F.max_by(pay, ordk).alias("_last"), F.min_by(pay, ordk).alias("_first")
+    )
+    legs = F.explode(
+        F.array(
+            F.struct(F.lit("last").alias(tag_col), F.col("_last").alias("_p")),
+            F.struct(F.lit("first").alias(tag_col), F.col("_first").alias("_p")),
+        )
+    )
+    return agg.select(legs.alias("_leg"), *key_cols).select(
+        F.col(f"_leg.{tag_col}").alias(tag_col),
+        *key_cols,
+        *[F.col(f"_leg._p.{c}").alias(c) for c in payload_cols],
+    )
+
+
 def latest_state(df: DataFrame, key_cols: list[str], ts_col: str = "ts") -> DataFrame:
     """R1 batch analog — latest row per key (snapshot view).
 

@@ -425,12 +425,55 @@ def _ivf_topk_fold(
 
 
 def cell_centroids(
-    df: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
+    df: DataFrame, cell_col: str = "label", vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Element-wise per-cell centroid — the coarse quantizer's codebook,
-    built in-engine: posexplode to (cell, pos, x), exact integer-unit means
-    (cross-engine deterministic), re-assemble position-sorted vectors.
-    Output: (cell, cvec). One shuffle on (cell, pos), one on cell."""
+    built in-engine with exact integer-unit means (cross-engine
+    deterministic). Output: (cell, cvec).
+
+    ``dim=None`` (width not statically known): posexplode to
+    (cell, pos, x), mean per (cell, pos), re-assemble position-sorted
+    vectors — one shuffle on (cell, pos) carrying a row PER ELEMENT (a
+    dim× row amplification of the corpus), one on cell.
+
+    ``dim=k`` (r15, the corpus's uniform vector width): per-position
+    long-sum/count aggregates in ONE wide groupBy — partial (map-side)
+    aggregation compresses each scan task to n_cells rows of 2·dim
+    longs, so the single shuffle moves O(cells × dim) bytes per task
+    REGARDLESS of corpus size (guide §2.3 "aggregate before you
+    shuffle"), vs the explode path shuffling every element of every
+    vector. Bit-identical to the explode path for width-``dim``
+    corpora: the per-element unit expression is the same, long sums are
+    associative/commutative, and the final double division keeps the
+    same operand order ((sum/1e6)/count)."""
+    if dim is not None:
+        # SQL-string expressions, not per-position Column DSL: 2·dim
+        # nested Column builds cost a Py4J roundtrip apiece (measured
+        # 1.27 s plan-BUILD at dim=64 vs 0.15 s for the parsed form —
+        # same analyzed tree; the same lesson as the minhash/simhash
+        # signature exprs). `cast(get(v,i) as double)` ≡ element i of
+        # `_vec` (element-wise double cast).
+        q = f"`{vec_col}`"
+        sums = [
+            f"sum(cast(floor(cast(get({q}, {i}) as double) * 1e6 + 0.5D)"
+            f" as bigint)) AS _s{i}"
+            for i in range(dim)
+        ]
+        # count of vectors holding position i (size > i), matching the
+        # explode path's count(*) per (cell, pos) — null ELEMENTS still
+        # count (posexplode emits their row), only short vectors don't
+        cnts = [
+            f"count(CASE WHEN size({q}) > {i} THEN 1 END) AS _n{i}"
+            for i in range(dim)
+        ]
+        agg = df.groupBy(F.col(cell_col).alias("cell")).agg(
+            *[F.expr(e) for e in sums + cnts]
+        )
+        cvec = "array(" + ", ".join(
+            f"cast(_s{i} as double) / 1e6 / _n{i}" for i in range(dim)
+        ) + ")"
+        return agg.selectExpr("cell", f"{cvec} AS cvec")
     flat = _spread(df).select(
         F.col(cell_col).alias("cell"), F.posexplode(_vec(vec_col)).alias("pos", "x")
     )
@@ -766,6 +809,127 @@ def kmeans_refine(
     )
 
 
+# --- literal packing for tiny broadcast codebooks ---------------------------
+#
+# The packed-codebook frames (one row holding the whole codebook as an
+# array/map) used to be built as groupBy().agg(collect_list) + broadcast
+# crossJoin. Each such frame cost one single-partition Exchange plus one
+# BroadcastExchange job PER RUN — pure scheduling overhead for a frame
+# of a few hundred values. r15: the codebook rows are collected once
+# (bounded: the SAME cells × dim payload the broadcast shipped) and
+# inlined as ONE literal SQL expression; Catalyst constant-folds it to a
+# single Literal, the downstream lambdas are untouched, and the
+# crossJoin + both exchanges disappear from the plan. Exactness: values
+# round-trip driver-side as Python floats (IEEE doubles) rendered with
+# repr() — the shortest string that reparses to the same double — and
+# every DERIVED number (entry self-dots, centroid norms) is rendered as
+# a constant-foldable arithmetic EXPRESSION in the original fold order,
+# so it is still the JVM computing each double, never Python.
+
+#: key dtypes renderable as typed SQL literals (fallback: broadcast path)
+_LIT_KEY_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+
+
+def _dlit(x) -> str:
+    """Exact SQL double literal for a collected float."""
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def _darr(xs) -> str:
+    if xs is None:
+        return "CAST(NULL AS ARRAY<DOUBLE>)"
+    return "array(" + ", ".join(_dlit(x) for x in xs) + ")"
+
+
+def _klit(v, sql_type: str) -> str:
+    """Typed SQL literal for a collected key (cell / cid) value."""
+    if v is None:
+        return f"CAST(NULL AS {sql_type})"
+    if sql_type == "string":
+        s = str(v)
+        if "'" in s or "\\" in s:
+            return f"CAST(X'{s.encode('utf-8').hex()}' AS STRING)"
+        return f"'{s}'"
+    return f"CAST({v} AS {sql_type})"
+
+
+def _selfdot_sql(xs) -> str:
+    """<v,v> as a constant-foldable sum in `dot`'s exact fold order
+    (a NULL array folds to NULL, like the Column form's null-in)."""
+    if xs is None:
+        return "CAST(NULL AS DOUBLE)"
+    acc = "0.0D"
+    for x in xs:
+        lit = _dlit(x)
+        acc += f" + {lit} * {lit}"
+    return f"({acc})"
+
+
+def _cens_lit(
+    centroids: DataFrame, cell_field: str = "cell", with_norm: bool = False
+) -> str | None:
+    """The packed-centroid array as one literal SQL expression:
+    array(named_struct('<cell_field>', …, 'cvec', array(…)[, '_cn',
+    sqrt(…)])) sorted by cell (every consumer is order-insensitive —
+    array_min / array_sort downstream), or None when the cell dtype is
+    not literal-renderable (caller falls back to the broadcast-packed
+    frame). ``with_norm`` adds the centroid L2 norm as a constant-
+    foldable sqrt(sum-of-squares) expression in `l2_norm`'s exact fold
+    order."""
+    ctype = dict(centroids.dtypes).get("cell")
+    if ctype not in _LIT_KEY_TYPES:
+        return None
+    rows = centroids.select("cell", "cvec").collect()
+    if not rows:
+        return None
+    parts = []
+    for r in sorted(rows, key=lambda r: (r["cell"] is None, r["cell"])):
+        fields = f"'{cell_field}', {_klit(r['cell'], ctype)}, 'cvec', {_darr(r['cvec'])}"
+        if with_norm:
+            fields += f", '_cn', sqrt({_selfdot_sql(r['cvec'])})"
+        parts.append(f"named_struct({fields})")
+    return "array(" + ", ".join(parts) + ")"
+
+
+def _cb_map_lit(codebooks: DataFrame, rows: list | None = None) -> str | None:
+    """The packed-codebook map as one literal SQL expression:
+    map(sub, array(named_struct('cid', …, 'cvec_sub', array(…))) sorted
+    by cid) — the same shape as the broadcast-packed
+    map<sub → array_sort(collect_list(struct(cid, cvec_sub)))> (cid
+    leads the struct and is unique per sub, so sort-by-cid is the
+    identical order). None when key dtypes are not literal-renderable.
+    ``rows``: pre-collected (sub, cid, cvec_sub) rows, so one caller's
+    collect feeds several literal builders (one job, not one per)."""
+    dts = dict(codebooks.dtypes)
+    if dts.get("sub") not in _LIT_KEY_TYPES or dts.get("cid") not in _LIT_KEY_TYPES:
+        return None
+    if rows is None:
+        rows = codebooks.select("sub", "cid", "cvec_sub").collect()
+    if not rows:
+        return None
+    by_sub: dict = {}
+    for r in rows:
+        by_sub.setdefault(r["sub"], []).append(r)
+    parts = []
+    for sub in sorted(by_sub):
+        ents = ", ".join(
+            f"named_struct('cid', {_klit(r['cid'], dts['cid'])},"
+            f" 'cvec_sub', {_darr(r['cvec_sub'])})"
+            for r in sorted(by_sub[sub], key=lambda r: r["cid"])
+        )
+        parts.append(f"{_klit(sub, dts['sub'])}, array({ents})")
+    return "map(" + ", ".join(parts) + ")"
+
+
 # --- IVF-PQ: product quantization with asymmetric-distance scoring ----------
 
 
@@ -813,6 +977,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = ("label",),
+    codebook_rows: list | None = None,
 ) -> DataFrame:
     """PQ-encode every vector: per subspace, the id of the nearest
     codebook entry by squared L2 (integer-unit, ties cid asc). Output
@@ -833,23 +998,60 @@ def pq_encode(
     # hoisted to one evaluation per (row, subspace) below. The combined
     # (aa + bb) - 2.0*ab reproduces _sq_l2_units' exact float op order,
     # so the integer-unit distances (and the oracle) stay bit-identical.
-    packed = (
-        codebooks.select(
-            "sub",
-            F.struct(
-                F.col("cid"),
-                F.col("cvec_sub"),
-                dot_n(F.col("cvec_sub"), F.col("cvec_sub"), d).alias("bb"),
-            ).alias("_ent"),
+    # The packed map is a collected LITERAL when the key types allow it
+    # (see "literal packing" above): no crossJoin, no broadcast job, no
+    # single-partition agg exchange; bb folds constant at optimize time
+    # in dot's exact order. Entry order inside each subspace matches the
+    # old array_sort(collect_list(struct(cid, ...))) — cid leads the
+    # struct, and cids are unique per sub, so sort-by-cid is identical.
+    dts = dict(codebooks.dtypes)
+    cb_lit = None
+    if dts.get("sub") in _LIT_KEY_TYPES and dts.get("cid") in _LIT_KEY_TYPES:
+        rows = (
+            codebook_rows
+            if codebook_rows is not None
+            else codebooks.select("sub", "cid", "cvec_sub").collect()
         )
-        .groupBy("sub")
-        .agg(F.array_sort(F.collect_list("_ent")).alias("_ents"))
-        .groupBy()
-        .agg(F.map_from_entries(F.collect_list(F.struct("sub", "_ents"))).alias("_cb"))
-    )
+        by_sub: dict = {}
+        for r in rows:
+            by_sub.setdefault(r["sub"], []).append(r)
+        # width-d entries only: dot_n nulls out a short entry via its
+        # out-of-bounds get()s, which a partial literal sum would not
+        if rows and all(
+            r["cvec_sub"] is None or len(r["cvec_sub"]) == d for r in rows
+        ):
+            parts = []
+            for sub in sorted(by_sub):
+                ents = ", ".join(
+                    "named_struct('cid', {c}, 'cvec_sub', {a}, 'bb', {b})".format(
+                        c=_klit(r["cid"], dts["cid"]),
+                        a=_darr(r["cvec_sub"]),
+                        b=_selfdot_sql(r["cvec_sub"]),
+                    )
+                    for r in sorted(by_sub[sub], key=lambda r: r["cid"])
+                )
+                parts.append(f"{_klit(sub, dts['sub'])}, array({ents})")
+            cb_lit = "map(" + ", ".join(parts) + ")"
+    if cb_lit is not None:
+        staged = _spread(df).withColumn("_cb", F.expr(cb_lit))
+    else:
+        packed = (
+            codebooks.select(
+                "sub",
+                F.struct(
+                    F.col("cid"),
+                    F.col("cvec_sub"),
+                    dot_n(F.col("cvec_sub"), F.col("cvec_sub"), d).alias("bb"),
+                ).alias("_ent"),
+            )
+            .groupBy("sub")
+            .agg(F.array_sort(F.collect_list("_ent")).alias("_ents"))
+            .groupBy()
+            .agg(F.map_from_entries(F.collect_list(F.struct("sub", "_ents"))).alias("_cb"))
+        )
+        staged = _spread(df).crossJoin(F.broadcast(packed))
     enc = (
-        _spread(df)
-        .crossJoin(F.broadcast(packed))
+        staged
         .withColumn("_pv", _vec(vec_col))
         .withColumn(
             "_slices",
@@ -901,9 +1103,45 @@ def residual_vectors(
     map-side zip_with subtraction.
 
     A row whose cell has no centroid is a centroid/assignment mismatch
-    (stale codebook, truncated centroid frame): the left join keeps the
+    (stale codebook, truncated centroid frame): the lookup keeps the
     row and ``raise_error`` fails the job loudly instead of silently
-    shrinking the residual-mode corpus."""
+    shrinking the residual-mode corpus.
+
+    r15: with a literal-renderable cell dtype the (tiny) centroid frame
+    is collected once and the row's centroid comes from an in-row
+    LITERAL map lookup — no BroadcastExchange, no join in the plan, the
+    corpus stays a pure projection (see "literal packing" below). The
+    missing-cell error fires on `NOT map_contains_key` (plus a null
+    cell), exactly the rows the left join left unmatched. Fallback:
+    the broadcast left join."""
+    ctype = dict(centroids.dtypes).get("cell")
+    if ctype in _LIT_KEY_TYPES:
+        rows = centroids.select("cell", "cvec").collect()
+        if rows:
+            m_lit = "map(" + ", ".join(
+                f"{_klit(r['cell'], ctype)}, {_darr(r['cvec'])}"
+                for r in sorted(rows, key=lambda r: (r["cell"] is None, r["cell"]))
+            ) + ")"
+            cmap = F.expr(m_lit)
+            return df.withColumn(
+                vec_col,
+                F.when(
+                    F.col(cell_col).isNull() | ~F.map_contains_key(cmap, F.col(cell_col)),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("residual_vectors: no centroid for cell "),
+                            F.col(cell_col).cast("string"),
+                            F.lit(" — centroid frame does not cover the assignment"),
+                        )
+                    ),
+                ).otherwise(
+                    F.zip_with(
+                        _vec(vec_col),
+                        F.element_at(cmap, F.col(cell_col)),
+                        lambda a, b: a - b,
+                    )
+                ),
+            )
     cen = centroids.select(
         F.col("cell").alias("_rc_cell"), F.col("cvec").alias("_rc_cvec")
     )
@@ -990,8 +1228,15 @@ def ivf_pq_topk(
         enc_corpus = residual_vectors(corpus, centroids, cell_col, vec_col)
     else:
         enc_corpus = corpus
+    # one collect of the tiny codebook serves both literal builders
+    # (the encode map and the ADC map) — one job instead of two
+    _cb_dts = dict(cbs.dtypes)
+    cb_rows = None
+    if _cb_dts.get("sub") in _LIT_KEY_TYPES and _cb_dts.get("cid") in _LIT_KEY_TYPES:
+        cb_rows = cbs.select("sub", "cid", "cvec_sub").collect()
     codes = pq_encode(
-        enc_corpus, cbs, m, dim, id_col=corpus_id, vec_col=vec_col, keep_cols=(cell_col,)
+        enc_corpus, cbs, m, dim, id_col=corpus_id, vec_col=vec_col,
+        keep_cols=(cell_col,), codebook_rows=cb_rows,
     )
 
     q = queries.select(F.col(query_id), _vec(vec_col).alias("_qv"))
@@ -1000,11 +1245,16 @@ def ivf_pq_topk(
     # centroid row — per query, sort (−sim, cell) and slice n_probe.
     # This replaces the r10 crossJoin + row_number window: no shuffle of
     # the query set, and the tie-break (sim desc, cell asc) is identical.
-    cen_packed = centroids.select(
-        F.struct(F.col("cell"), F.col("cvec")).alias("_e")
-    ).groupBy().agg(F.collect_list("_e").alias("_cens"))
+    cen_lit = _cens_lit(centroids)
+    if cen_lit is not None:
+        q_packed = q.withColumn("_cens", F.expr(cen_lit))
+    else:
+        cen_packed = centroids.select(
+            F.struct(F.col("cell"), F.col("cvec")).alias("_e")
+        ).groupBy().agg(F.collect_list("_e").alias("_cens"))
+        q_packed = q.crossJoin(F.broadcast(cen_packed))
     probes = (
-        q.crossJoin(F.broadcast(cen_packed))
+        q_packed
         .select(
             query_id,
             "_qv",
@@ -1036,12 +1286,14 @@ def ivf_pq_topk(
     # per cell — still tiny (queries × n_probe × m × k_sub). Built
     # IN-ROW against the packed broadcast codebook (no explode, no
     # groupBy — the r10 shape shuffled the exploded query set twice).
-    cb_packed = (
-        cbs.groupBy("sub")
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "cvec_sub"))).alias("_ents"))
-        .groupBy()
-        .agg(F.map_from_entries(F.collect_list(F.struct("sub", "_ents"))).alias("_cbm"))
-    )
+    cbm_lit = _cb_map_lit(cbs, rows=cb_rows)
+    if cbm_lit is None:
+        cb_packed = (
+            cbs.groupBy("sub")
+            .agg(F.array_sort(F.collect_list(F.struct("cid", "cvec_sub"))).alias("_ents"))
+            .groupBy()
+            .agg(F.map_from_entries(F.collect_list(F.struct("sub", "_ents"))).alias("_cbm"))
+        )
     if residuals:
         qbase = probes.select(
             query_id,
@@ -1071,9 +1323,14 @@ def ivf_pq_topk(
             )
         ),
     )
-    qtab = qbase.crossJoin(F.broadcast(cb_packed)).select(
-        *tab_keys, tbl_expr.alias("tbl")
-    )
+    if cbm_lit is not None:
+        qtab = qbase.withColumn("_cbm", F.expr(cbm_lit)).select(
+            *tab_keys, tbl_expr.alias("tbl")
+        )
+    else:
+        qtab = qbase.crossJoin(F.broadcast(cb_packed)).select(
+            *tab_keys, tbl_expr.alias("tbl")
+        )
 
     if residuals:
         ptbl = qtab  # already keyed (query, cell)
@@ -1115,7 +1372,7 @@ def ivf_pq_topk(
     exact = fetched.join(F.broadcast(qv), query_id).select(
         query_id,
         corpus_id,
-        F.round(cosine_n(F.col("_qv2"), F.col("_cv"), dim), 6).alias("score"),
+        F.round(cosine(F.col("_qv2"), F.col("_cv")), 6).alias("score"),
     )
     wf = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()
@@ -1304,15 +1561,20 @@ def semdedup(
     # divide by the product of the SAME two norms cosine() would use, so
     # every double is bit-identical to the windowed formulation
     v = _spread(emb).select(F.col(id_col), _vec(vec_col).alias("_e"))
-    cen_packed = centroids.select(
-        F.struct(
-            F.col("cell").alias("_cl"),
-            F.col("cvec"),
-            _l2(F.col("cvec")).alias("_cn"),
-        ).alias("_c0")
-    ).groupBy().agg(F.collect_list("_c0").alias("_cens"))
+    cen_lit = _cens_lit(centroids, cell_field="_cl", with_norm=True)
+    if cen_lit is not None:
+        v_packed = v.withColumn("_cens", F.expr(cen_lit))
+    else:
+        cen_packed = centroids.select(
+            F.struct(
+                F.col("cell").alias("_cl"),
+                F.col("cvec"),
+                _l2(F.col("cvec")).alias("_cn"),
+            ).alias("_c0")
+        ).groupBy().agg(F.collect_list("_c0").alias("_cens"))
+        v_packed = v.crossJoin(F.broadcast(cen_packed))
     assign = (
-        v.crossJoin(F.broadcast(cen_packed))
+        v_packed
         .withColumn("_en", _l2(F.col("_e")))
         .withColumn(
             "_best",

@@ -2836,7 +2836,7 @@ def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financedatabase_spark.session import session_memo
 
     def build() -> DataFrame:
-        cen = sim.cell_centroids(load_table(spark, sf_dir, "embeddings")).cache()
+        cen = sim.cell_centroids(load_table(spark, sf_dir, "embeddings"), dim=64).cache()
         cen.count()  # materialize now: searches pay a broadcast, not a rebuild
         return cen
 
@@ -4249,7 +4249,7 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     failed at 10x: identical copies chain the groups into longer
     diameters)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = sim.cell_centroids(emb)
+    centroids = sim.cell_centroids(emb, dim=64)
     return sim.semdedup(emb, centroids, tau=0.4)
 
 
@@ -4797,7 +4797,7 @@ def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_s = emb.join(
         s3.select(F.col("doc_id").alias("_k5")), F.col("vec_id") == F.col("_k5")
     ).drop("_k5")
-    sd = sim.semdedup(emb_s, sim.cell_centroids(emb_s), tau=0.4)
+    sd = sim.semdedup(emb_s, sim.cell_centroids(emb_s, dim=64), tau=0.4)
     keep5 = sd.filter("keep").select(F.col("vec_id").alias("_kid"))
 
     final = (
@@ -4949,7 +4949,7 @@ def ivf_pq_residual_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeated aggregation lineage so each broadcast job starts from the
     # 64-row result, not the corpus scan — at scale these are exactly
     # the artifacts an index build persists anyway
-    cen = sim.cell_centroids(emb).localCheckpoint()
+    cen = sim.cell_centroids(emb, dim=64).localCheckpoint()
     anchors = sim.residual_vectors(emb.filter(F.col("vec_id") < 8), cen)
     cbs = sim.pq_codebooks(
         anchors.select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")),

@@ -11,7 +11,6 @@ from pyspark.sql import functions as F
 
 from financedatabase_spark.operators.dedup import (
     dedup_full_row,
-    dedup_keep_first,
     dedup_keep_last,
 )
 from financedatabase_spark.operators.joins import asof_join, bar_fill_join, enrich_left_join, union_splice
@@ -193,16 +192,19 @@ def dedup_keep_first_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned window; the union is shuffle-free. (Consolidated from the
     r1 dedup_keep_last / dedup_keep_first registrations to fit the
     driver's 50-query check budget.)"""
+    from financedatabase_spark.operators.dedup import dedup_keep_first_and_last
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "value", "event_id"
     )
-    last = dedup_keep_last(ev, ["user_id", "event_type"], ["ts", "event_id"]).drop(
-        "event_id"
-    ).select(F.lit("last").alias("keep"), "*")
-    first = dedup_keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"]).drop(
-        "event_id"
-    ).select(F.lit("first").alias("keep"), "*")
-    return last.unionByName(first)
+    # r15: one pass for both legs (max_by + min_by over the same
+    # ordering struct) — the union-of-two-windows shape scanned and
+    # shuffled events twice; this is 1 scan + 1 map-side-combined
+    # exchange (plan: 2 scans / 2 exch → 1 / 1), identical rows
+    # (event_id makes the ordering unique, so rn=1 ≡ max_by/min_by)
+    return dedup_keep_first_and_last(
+        ev, ["user_id", "event_type"], ["ts", "event_id"], ["ts", "value"]
+    )
 
 
 @register(

@@ -1452,6 +1452,98 @@ def test_semdedup_keeper_semantics(spark):
     assert sorted(i for i in out if out[i].keep) == [3, 10, 12]
 
 
+def test_cell_centroids_wide_agg_matches_explode(spark):
+    """r15: `cell_centroids(dim=k)` (wide per-position long-sum
+    aggregates, one map-side-combined shuffle) must be BIT-identical to
+    the default posexplode path on a fixed-width corpus — integer-unit
+    sums are associative and the double division keeps the same operand
+    order."""
+    from financedatabase_spark.operators.similarity import cell_centroids
+
+    rows = [
+        (i, i % 3, [((i * 7 + j) % 11) / 7.0 + (0.1 if j % 2 else -0.3) for j in range(6)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    a = {r["cell"]: list(r["cvec"]) for r in cell_centroids(df).collect()}
+    b = {r["cell"]: list(r["cvec"]) for r in cell_centroids(df, dim=6).collect()}
+    assert a.keys() == b.keys()
+    for c in a:
+        assert a[c] == b[c], f"cell {c}: {a[c]} != {b[c]}"  # exact doubles
+
+
+def test_semdedup_literal_pack_matches_broadcast(spark):
+    """r15: the literal-packed centroid array (int-typed cells) must
+    produce the same verdicts as the broadcast-packed fallback, which a
+    string-typed cell column still exercises."""
+    from financedatabase_spark.operators.similarity import cell_centroids, semdedup
+
+    def vec(*xs):
+        return list(xs) + [0.0] * (8 - len(xs))
+
+    rows = [
+        (1, 0, vec(1.0, 0.02)),
+        (2, 0, vec(1.0, 0.02)),
+        (3, 0, vec(1.0, 0.30)),
+        (10, 1, vec(0.02, 1.0)),
+        (11, 1, vec(0.02, 1.0)),
+        (12, 1, vec(-1.0, 1.0)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    cen = cell_centroids(df)
+    lit = {
+        tuple(r)
+        for r in semdedup(df, cen, tau=0.95)
+        .select("vec_id", "cluster", "cosine_to_centroid", "group_rep", "keep")
+        .collect()
+    }
+    # a double-typed cell column is outside _LIT_KEY_TYPES, forcing the
+    # broadcast-packed fallback branch
+    df_s = df.withColumn("label", F.col("label").cast("double"))
+    cen_s = cell_centroids(df_s)
+    fb = {
+        (r["vec_id"], int(r["cluster"]), r["cosine_to_centroid"], r["group_rep"], r["keep"])
+        for r in semdedup(df_s, cen_s, tau=0.95)
+        .select("vec_id", "cluster", "cosine_to_centroid", "group_rep", "keep")
+        .collect()
+    }
+    assert lit == fb
+
+
+def test_ivf_pq_literal_pack_matches_broadcast(spark):
+    """r15: ivf_pq_topk with literal-packed centroid/codebook frames
+    (int cells) equals the broadcast-packed fallback (double cells are
+    outside _LIT_KEY_TYPES, so both packed frames take the old path)."""
+    from financedatabase_spark.operators.similarity import ivf_pq_topk
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, i % 4, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    from financedatabase_spark.operators.similarity import cell_centroids
+
+    cen = cell_centroids(df)
+    q = df.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = df.select(F.col("vec_id").alias("corpus_id"), "label", "embedding")
+    lit = {
+        tuple(r)
+        for r in ivf_pq_topk(q, c, cen, m=4, dim=8, k=3, n_probe=2).collect()
+    }
+    df_s = df.withColumn("label", F.col("label").cast("double"))
+    cen_s = cell_centroids(df_s)
+    c_s = df_s.select(F.col("vec_id").alias("corpus_id"), "label", "embedding")
+    fb = {
+        (r["query_id"], r["corpus_id"], r["approx_dist"], r["rank"])
+        for r in ivf_pq_topk(q, c_s, cen_s, m=4, dim=8, k=3, n_probe=2).collect()
+    }
+    assert lit == fb
+
+
 def test_scd2_build_hand_computed(spark):
     """SCD2 semantics on a crafted change log: runs collapse, intervals
     chain (valid_to = next valid_from), versions count runs, exactly one
