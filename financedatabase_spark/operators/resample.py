@@ -202,24 +202,48 @@ def _fill_bucket_gaps(
 ) -> DataFrame:
     """Grid scaffold + ffill + fillna(0) (reference: utils.py:387-399).
 
-    Per key: `sequence(min_bucket, max_bucket, interval)` exploded into a
-    complete grid (distributed — no collect), left-joined with the real
-    buckets; 'ffill' columns forward-fill over the time order; every
-    aggregated column then takes ``fill_value`` for remaining nulls,
-    matching pandas' trailing ``fillna(0)``.
+    Per key every bucket in [min_bucket, max_bucket] is emitted; empty
+    buckets take nulls, then 'ffill' columns forward-fill over the time
+    order and every aggregated column takes ``fill_value`` for remaining
+    nulls, matching pandas' trailing ``fillna(0)``.
+
+    r15 shape (guide §2.4): the gap rows are derived from the AGGREGATE
+    itself — a `lag` window over the tiny bar table assigns each bar the
+    grid slots ``(prev_bucket, bucket]`` (the first bar per key emits just
+    itself), exploded in-row; a slot equal to the bar's own bucket carries
+    the bar's values, earlier slots are nulls. The union over bars covers
+    [min, max] exactly once, so the output is identical to the previous
+    grid-scaffold + left-join formulation — but with ONE scan of the input
+    instead of two (the old `sequence(min, max)` grid re-planned the whole
+    upstream aggregation because the join's null-key filter broke subtree
+    reuse) and no join at all: plan 2 scans + 2 exchanges + broadcast join
+    → 1 scan + the agg exchange + one bar-table-sized window exchange.
     """
     secs = interval_seconds(interval)
-    grid = (
-        bucketed.groupBy(*key_cols)
-        .agg(F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi"))
-        .select(
-            *key_cols,
-            F.explode(
-                F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {secs} SECONDS"))
-            ).alias(ts_col),
-        )
+    step = F.expr(f"INTERVAL {secs} SECONDS")
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    lagged = bucketed.withColumn("_fg_prev", F.lag(ts_col).over(w))
+    slots = F.sequence(
+        F.coalesce(F.col("_fg_prev") + step, F.col(ts_col)), F.col(ts_col), step
     )
-    joined = grid.join(bucketed, [*key_cols, ts_col], "left")
+    exploded = lagged.select(
+        *key_cols,
+        F.col(ts_col).alias("_fg_bar"),
+        *agg_spec.keys(),
+        F.explode(slots).alias("_fg_slot"),
+    )
+    is_bar = F.col("_fg_slot") == F.col("_fg_bar")
+    # The grid-scaffold formulation LEFT-JOINED on the key columns, and a
+    # NULL key never matches a join key (the DuckDB oracle shares this
+    # semantic): a NULL-key group kept its grid rows but NONE of its bar
+    # values. Reproduce that exactly by masking values for NULL keys.
+    for k in key_cols:
+        is_bar = is_bar & F.col(k).isNotNull()
+    joined = exploded.select(
+        *key_cols,
+        F.col("_fg_slot").alias(ts_col),
+        *[F.when(is_bar, F.col(c)).alias(c) for c in agg_spec],
+    )
 
     ffill_cols = [c for c, how in agg_spec.items() if how == "ffill"]
     if ffill_cols:

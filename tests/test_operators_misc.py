@@ -1887,3 +1887,69 @@ def test_literal_fold_matches_broadcast_join(spark, monkeypatch):
         (None, 5.0),     # NULL symbol kept by anti-join semantics
         ("view", 6.0),   # NULL ts kept
     ]
+
+
+def test_fill_bucket_gaps_single_pass_matches_grid_join(spark):
+    """r15: the lag-window gap fill must reproduce the old grid-scaffold +
+    left-join formulation exactly — multiple keys, a NULL key group, an
+    ffill column, and interior gaps — while planning no join at all."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from financedatabase_spark.operators.resample import resample
+
+    B = dt.datetime(2024, 3, 4, 10, 0)
+    rows = [
+        # key "a": buckets 10:00, 10:15 with a 5-minute grid -> 2 interior gaps
+        (1, "a", B, 10.0, 7.5),
+        (2, "a", B + dt.timedelta(minutes=15), 11.0, 8.5),
+        # key "b": single bucket (first-bar path, no gap)
+        (3, "b", B + dt.timedelta(minutes=5), 20.0, 9.5),
+        # NULL key: its own group, one gap
+        (4, None, B, 30.0, 1.5),
+        (5, None, B + dt.timedelta(minutes=10), 31.0, 2.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, sym string, ts timestamp, close double, mark double"
+    )
+    out = resample(
+        df, "5m", ts_col="ts", key_cols=["sym"], order_cols=["event_id"],
+        fill_gaps=True, origin_minutes=None,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # the scaffold join is gone
+
+    # old formulation, inlined: sequence(min, max) grid left-joined back
+    bars = resample(
+        df, "5m", ts_col="ts", key_cols=["sym"], order_cols=["event_id"],
+        fill_gaps=False, origin_minutes=None,
+    )
+    grid = (
+        bars.groupBy("sym")
+        .agg(F.min("ts").alias("_lo"), F.max("ts").alias("_hi"))
+        .select(
+            "sym",
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 300 SECONDS"))
+            ).alias("ts"),
+        )
+    )
+    joined = grid.join(bars, ["sym", "ts"], "left")
+    w = (
+        Window.partitionBy("sym").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = joined.select(
+        "sym", "ts",
+        F.col("close"),
+        F.last("mark", ignorenulls=True).over(w).alias("mark"),
+    ).na.fill(0.0, subset=["close", "mark"])
+
+    key = lambda r: (r.sym or "", r.ts)
+    got = sorted(out.select("sym", "ts", "close", "mark").collect(), key=key)
+    want = sorted(ref.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # and the shape is right: contiguous 5m grid per key, gaps zero-closed
+    a = [r for r in got if r.sym == "a"]
+    assert len(a) == 4 and a[1].close == 0.0 and a[2].close == 0.0
+    assert a[1].mark == 7.5  # ffill carried through the gap
