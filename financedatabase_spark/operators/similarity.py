@@ -875,7 +875,10 @@ def _selfdot_sql(xs) -> str:
 
 
 def _cens_lit(
-    centroids: DataFrame, cell_field: str = "cell", with_norm: bool = False
+    centroids: DataFrame,
+    cell_field: str = "cell",
+    with_norm: bool = False,
+    rows: list | None = None,
 ) -> str | None:
     """The packed-centroid array as one literal SQL expression:
     array(named_struct('<cell_field>', …, 'cvec', array(…)[, '_cn',
@@ -884,11 +887,13 @@ def _cens_lit(
     not literal-renderable (caller falls back to the broadcast-packed
     frame). ``with_norm`` adds the centroid L2 norm as a constant-
     foldable sqrt(sum-of-squares) expression in `l2_norm`'s exact fold
-    order."""
+    order. ``rows``: pre-collected (cell, cvec) rows, so one caller's
+    collect feeds several literal builders (one job, not one per)."""
     ctype = dict(centroids.dtypes).get("cell")
     if ctype not in _LIT_KEY_TYPES:
         return None
-    rows = centroids.select("cell", "cvec").collect()
+    if rows is None:
+        rows = centroids.select("cell", "cvec").collect()
     if not rows:
         return None
     parts = []
@@ -1095,6 +1100,7 @@ def residual_vectors(
     centroids: DataFrame,
     cell_col: str = "label",
     vec_col: str = "embedding",
+    centroid_rows: list | None = None,
 ) -> DataFrame:
     """Replace ``vec_col`` with the residual against the row's cell
     centroid (x - centroid(cell)) — the vectors FAISS IVF-PQ actually
@@ -1113,10 +1119,16 @@ def residual_vectors(
     corpus stays a pure projection (see "literal packing" below). The
     missing-cell error fires on `NOT map_contains_key` (plus a null
     cell), exactly the rows the left join left unmatched. Fallback:
-    the broadcast left join."""
+    the broadcast left join. ``centroid_rows``: pre-collected
+    (cell, cvec) rows shared across callers (one collect job, not one
+    per literal builder)."""
     ctype = dict(centroids.dtypes).get("cell")
     if ctype in _LIT_KEY_TYPES:
-        rows = centroids.select("cell", "cvec").collect()
+        rows = (
+            centroid_rows
+            if centroid_rows is not None
+            else centroids.select("cell", "cvec").collect()
+        )
         if rows:
             m_lit = "map(" + ", ".join(
                 f"{_klit(r['cell'], ctype)}, {_darr(r['cvec'])}"
@@ -1180,6 +1192,7 @@ def ivf_pq_topk(
     codebooks: DataFrame | None = None,
     residuals: bool = False,
     rerank: int | None = None,
+    centroid_rows: list | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate nearest neighbors — the standard 100 TB ANN
     layout (Jégou et al. 2011): the corpus is stored as m-subspace PQ
@@ -1219,13 +1232,21 @@ def ivf_pq_topk(
     # oracle-parity); pass pq_train_subspace(...) output for FAISS-grade
     # recall (resolves structure WITHIN coarse cells)
     cbs = codebooks if codebooks is not None else pq_codebooks(centroids, m, dim)
+    # one collect of the tiny centroid frame serves every literal builder
+    # below (the residual map and the packed probe array) — one job, not
+    # one per builder (callers may pass pre-collected rows to share
+    # further, e.g. with their own residual_vectors call)
+    if centroid_rows is None and dict(centroids.dtypes).get("cell") in _LIT_KEY_TYPES:
+        centroid_rows = centroids.select("cell", "cvec").collect()
     if residuals:
         # FAISS IVFPQ proper: quantize x - centroid(cell). Raw-vector PQ
         # collapses inside well-separated cells (every member shares the
         # cell's code); residual codes resolve the within-cell geometry
         # that top-k actually ranks on. Codebooks must be trained on
         # residual_vectors(...) output.
-        enc_corpus = residual_vectors(corpus, centroids, cell_col, vec_col)
+        enc_corpus = residual_vectors(
+            corpus, centroids, cell_col, vec_col, centroid_rows=centroid_rows
+        )
     else:
         enc_corpus = corpus
     # one collect of the tiny codebook serves both literal builders
@@ -1245,7 +1266,7 @@ def ivf_pq_topk(
     # centroid row — per query, sort (−sim, cell) and slice n_probe.
     # This replaces the r10 crossJoin + row_number window: no shuffle of
     # the query set, and the tie-break (sim desc, cell asc) is identical.
-    cen_lit = _cens_lit(centroids)
+    cen_lit = _cens_lit(centroids, rows=centroid_rows)
     if cen_lit is not None:
         q_packed = q.withColumn("_cens", F.expr(cen_lit))
     else:

@@ -4812,6 +4812,16 @@ def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_tok = final.select(
         "lang", "doc_id", tx.bpe_token_count("cleaned_text").alias("tok")
     )
+    # Stage-boundary materialization (r15): token_shard_packing's
+    # hierarchical prefix sum has TWO consumers of its range exchange
+    # (the per-slice prefix map and the slice-totals branch). For this
+    # composite the exchange is NOT runtime-reused (measured: the whole
+    # substring-dedup + SemDeDup subtree executed twice in the final
+    # job; a fresh-session A/B put materialize at 2.0 s unbarriered vs
+    # 1.05 s ckpt + 0.7 s pack). with_tok is one (lang, id, tok) row per
+    # surviving doc — the cheapest possible barrier, and at 100 TB it
+    # halves the number of full-pipeline executions.
+    with_tok = with_tok.localCheckpoint()
     return smp.token_shard_packing(
         with_tok, "tok", budget=4096, order_col="doc_id", key_cols=["lang"]
     )
@@ -4950,17 +4960,27 @@ def ivf_pq_residual_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-row result, not the corpus scan — at scale these are exactly
     # the artifacts an index build persists anyway
     cen = sim.cell_centroids(emb, dim=64).localCheckpoint()
-    anchors = sim.residual_vectors(emb.filter(F.col("vec_id") < 8), cen)
+    # one collect of the 8-row centroid table feeds EVERY literal builder
+    # (anchor residual map, corpus residual map, packed probe array) —
+    # one driver job instead of three (r15; the literal-pack rewrite left
+    # each builder collecting its own copy of the same checkpoint)
+    cen_rows = cen.select("cell", "cvec").collect()
+    anchors = sim.residual_vectors(
+        emb.filter(F.col("vec_id") < 8), cen, centroid_rows=cen_rows
+    )
+    # no checkpoint on the codebooks: their ONLY consumer is the one-time
+    # 64-row collect inside ivf_pq_topk (the literal pack), so an eager
+    # materialization job here bought nothing (r15; saved one Spark job)
     cbs = sim.pq_codebooks(
         anchors.select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")),
         m=8,
         dim=64,
-    ).localCheckpoint()
+    )
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.select(F.col("vec_id").alias("corpus_id"), "label", "embedding")
     return sim.ivf_pq_topk(
         queries, corpus, cen, m=8, dim=64, k=5, n_probe=2,
-        codebooks=cbs, residuals=True, rerank=20,
+        codebooks=cbs, residuals=True, rerank=20, centroid_rows=cen_rows,
     )
