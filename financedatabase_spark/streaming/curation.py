@@ -160,32 +160,45 @@ def run_admission_with_refresh(
         .trigger(availableNow=True)
         .option("checkpointLocation", checkpoint)
     )
-    q = writer.start()
-    finished = q.awaitTermination(timeout_sec)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            f"admission drain exceeded {timeout_sec}s "
-            f"({state['batches']} batches processed so far) — refusing to "
-            f"publish a snapshot of a truncated drain"
-        )
-    q.stop()
-    if state["batches"] == 0:
-        # Empty drain: no micro-batch landed, so no refit ran and no
-        # pointer was (re)written. If a prior drain published a
-        # snapshot, that snapshot is still current — return it with
-        # batches=0 so the caller sees nothing new arrived. On a
-        # FIRST-EVER drain there is nothing to publish: raise a named
-        # error instead of the bare FileNotFoundError / opaque Spark
-        # read failure this path used to hit.
-        if not os.path.exists(pointer):
-            raise ValueError(
-                "admission drain processed no micro-batches and no prior "
-                "snapshot exists — the source directory is empty; nothing "
-                "to publish"
+    # The per-batch front writes and refits are micro-batch-sized jobs:
+    # at the session default (cores) shuffle-partition count they pay
+    # dozens of near-empty tasks per aggregation per batch. Scope the
+    # drain to the bounded-replay partition count (same knob as the
+    # memory-sink drains; env-parameterised, results are partition-
+    # invariant — exact aggregates and a deterministic top-k vocab).
+    parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        q = writer.start()
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"admission drain exceeded {timeout_sec}s "
+                f"({state['batches']} batches processed so far) — refusing to "
+                f"publish a snapshot of a truncated drain"
             )
-    elif state["batches"] % refresh_every != 0:
-        _refit()
+        q.stop()
+        if state["batches"] == 0:
+            # Empty drain: no micro-batch landed, so no refit ran and no
+            # pointer was (re)written. If a prior drain published a
+            # snapshot, that snapshot is still current — return it with
+            # batches=0 so the caller sees nothing new arrived. On a
+            # FIRST-EVER drain there is nothing to publish: raise a named
+            # error instead of the bare FileNotFoundError / opaque Spark
+            # read failure this path used to hit.
+            if not os.path.exists(pointer):
+                raise ValueError(
+                    "admission drain processed no micro-batches and no prior "
+                    "snapshot exists — the source directory is empty; nothing "
+                    "to publish"
+                )
+        elif state["batches"] % refresh_every != 0:
+            # trailing refit stays inside the scoped drain configuration
+            _refit()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     with open(pointer) as fh:
         current = fh.read().strip()
     return {
