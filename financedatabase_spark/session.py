@@ -164,7 +164,10 @@ def get_spark(app_name: str = "financedatabase_spark", cpus: int | None = None) 
         # ShuffledHashJoin). Scale-safe: the AQE threshold bounds the
         # build-side partition that may be hash-built (OOM guard), and
         # both knobs are env-overridable for cluster tuning.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_THRESHOLD", "64m"),
