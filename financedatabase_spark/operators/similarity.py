@@ -66,6 +66,39 @@ def dot_n(a: Column, b: Column, n: int) -> Column:
     return acc
 
 
+def _dot_n_sql(a: str, b: str, n: int) -> str:
+    """`dot_n` as SQL TEXT over SQL-expression operands: the identical
+    unrolled left-fold (0.0D + get(a,0)*get(b,0) + …), rendered as one
+    string for `F.expr`/`selectExpr`. Why text: each Column-API operator
+    is a Py4J round-trip, and the PQ builders instantiate `dot_n` inside
+    nested lambdas — `ivf_pq_topk`'s plan BUILD alone was ~4200 gateway
+    calls ≈ 1.8 s of driver wall time per query (r15 profile; guide §5,
+    the driver is doing data-free work). Parsed once, the expression
+    tree is the same Add/Multiply/Get chain (`0.0D` is a double literal,
+    `get` the 0-based null-OOB element access), so every double is
+    bit-identical to the Column form — pinned by
+    tests/test_properties.py::test_pq_sql_text_builders_match_column_dsl."""
+    terms = " + ".join(f"get({a}, {i}) * get({b}, {i})" for i in range(n))
+    return f"(0.0D + {terms})" if n else "0.0D"
+
+
+def _fold_dot_sql(a: str, b: str) -> str:
+    """`dot` (the sequential left-fold over dynamic length) as SQL text —
+    same aggregate/zip_with shape, same 0.0D seed, same lambda body."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _fold_l2_sql(a: str) -> str:
+    """`l2_norm` as SQL text (sqrt over the same transform/aggregate fold)."""
+    return f"sqrt(aggregate(transform({a}, x -> x * x), 0.0D, (acc, x) -> acc + x))"
+
+
+def _fold_cosine_sql(a: str, b: str) -> str:
+    """`cosine` as SQL text: dot / (l2(a) * l2(b)), each piece the exact
+    fold form above — same operand order, same doubles."""
+    return f"({_fold_dot_sql(a, b)} / ({_fold_l2_sql(a)} * {_fold_l2_sql(b)}))"
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
@@ -1055,42 +1088,27 @@ def pq_encode(
             .agg(F.map_from_entries(F.collect_list(F.struct("sub", "_ents"))).alias("_cb"))
         )
         staged = _spread(df).crossJoin(F.broadcast(packed))
+    # The whole per-row encode is rendered as SQL TEXT and parsed once —
+    # the nested-lambda Column form cost hundreds of Py4J round-trips of
+    # plan-BUILD per query (r15 profile; see _dot_n_sql). Expression
+    # trees after parsing are identical to the Column form (0.0D/2.0D/
+    # 1E6/0.5D are double literals, named_struct fields in the same
+    # order, CAST AS BIGINT = .cast("long")), so codes are bit-identical
+    # — pinned by test_pq_sql_text_builders_match_column_dsl.
     enc = (
         staged
         .withColumn("_pv", _vec(vec_col))
         .withColumn(
             "_slices",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.slice(F.col("_pv"), s * d + 1, d),
-            ),
+            F.expr(f"transform(sequence(0, {m - 1}), s -> slice(_pv, s * {d} + 1, {d}))"),
         )
-        .withColumn("_aas", F.transform(F.col("_slices"), lambda sl: dot_n(sl, sl, d)))
+        .withColumn("_aas", F.expr(f"transform(_slices, sl -> {_dot_n_sql('sl', 'sl', d)})"))
     )
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                F.element_at(F.col("_cb"), s),
-                lambda e: F.struct(
-                    F.floor(
-                        (
-                            F.element_at(F.col("_aas"), s + 1)
-                            + e.getField("bb")
-                            - F.lit(2.0)
-                            * dot_n(
-                                F.element_at(F.col("_slices"), s + 1),
-                                e.getField("cvec_sub"),
-                                d,
-                            )
-                        )
-                        * F.lit(1e6)
-                        + F.lit(0.5)
-                    ).cast("long").alias("_d"),
-                    e.getField("cid").alias("cid"),
-                ),
-            )
-        ).getField("cid"),
+    codes = F.expr(
+        f"transform(sequence(0, {m - 1}), s -> array_min(transform(element_at(_cb, s), "
+        f"e -> named_struct('_d', CAST(floor((element_at(_aas, s + 1) + e.bb - 2.0D * "
+        f"{_dot_n_sql('element_at(_slices, s + 1)', 'e.cvec_sub', d)}) * 1E6 + 0.5D) AS BIGINT), "
+        f"'cid', e.cid))).cid)"
     )
     return enc.select(F.col(id_col), *keep_cols, codes.alias("codes"))
 
@@ -1274,28 +1292,19 @@ def ivf_pq_topk(
             F.struct(F.col("cell"), F.col("cvec")).alias("_e")
         ).groupBy().agg(F.collect_list("_e").alias("_cens"))
         q_packed = q.crossJoin(F.broadcast(cen_packed))
+    # SQL text, parsed once (see _dot_n_sql): identical expression tree
+    # to the Column form — struct field order (_negsim, _cell, _cvec),
+    # the fold-form cosine, -round(..., 6) — so probe selection and its
+    # tie-break are bit-identical.
     probes = (
         q_packed
         .select(
             query_id,
             "_qv",
-            F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.transform(
-                            F.col("_cens"),
-                            lambda e: F.struct(
-                                (-F.round(
-                                    cosine(F.col("_qv"), e.getField("cvec")), 6
-                                )).alias("_negsim"),
-                                e.getField("cell").alias("_cell"),
-                                e.getField("cvec").alias("_cvec"),
-                            ),
-                        )
-                    ),
-                    1,
-                    n_probe,
-                )
+            F.expr(
+                f"explode(slice(array_sort(transform(_cens, e -> named_struct("
+                f"'_negsim', -round({_fold_cosine_sql('_qv', 'e.cvec')}, 6), "
+                f"'_cell', e.cell, '_cvec', e.cvec))), 1, {n_probe}))"
             ).alias("_p"),
         )
         .select(query_id, "_qv", F.col("_p._cell").alias("_cell"), F.col("_p._cvec").alias("_cvec"))
@@ -1328,21 +1337,17 @@ def ivf_pq_topk(
     # array ordered by sub (outer), map keyed by cid (inner): the hot
     # per-candidate fold does one O(1) array index + one map lookup per
     # subspace instead of two map lookups
-    tbl_expr = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.map_from_entries(
-            F.transform(
-                F.element_at(F.col("_cbm"), s),
-                lambda e: F.struct(
-                    e.getField("cid").alias("cid"),
-                    _sq_l2_units(
-                        F.slice(F.col("_rv"), s * d + 1, d),
-                        e.getField("cvec_sub"),
-                        d,
-                    ).alias("_d"),
-                ),
-            )
-        ),
+    # SQL text, parsed once (see _dot_n_sql): _sq_l2_units' exact float
+    # op order ((aa + bb - 2.0D*ab) * 1E6 + 0.5D, floor, BIGINT) with
+    # the slice spelled out per dot, the same duplication the Column
+    # tree carried.
+    _sl = f"slice(_rv, s * {d} + 1, {d})"
+    tbl_expr = F.expr(
+        f"transform(sequence(0, {m - 1}), s -> map_from_entries("
+        f"transform(element_at(_cbm, s), e -> named_struct('cid', e.cid, "
+        f"'_d', CAST(floor(({_dot_n_sql(_sl, _sl, d)} + "
+        f"{_dot_n_sql('e.cvec_sub', 'e.cvec_sub', d)} - 2.0D * "
+        f"{_dot_n_sql(_sl, 'e.cvec_sub', d)}) * 1E6 + 0.5D) AS BIGINT)))))"
     )
     if cbm_lit is not None:
         qtab = qbase.withColumn("_cbm", F.expr(cbm_lit)).select(
@@ -1362,14 +1367,16 @@ def ivf_pq_topk(
     )
     # unrolled over the statically known m (see dot_n): integer adds in
     # the same left-fold order, but codegen'd instead of an interpreted
-    # per-subspace lambda — this fold runs once per (candidate, probe)
-    units: Column = F.lit(0).cast("long")
-    for s in range(m):
-        units = units + F.element_at(
-            F.element_at("tbl", s + 1), F.element_at("codes", s + 1)
-        )
+    # per-subspace lambda — this fold runs once per (candidate, probe);
+    # SQL text, parsed once (CAST(0 AS BIGINT) = lit(0).cast("long"))
+    units_sql = "CAST(0 AS BIGINT)" + "".join(
+        f" + element_at(element_at(tbl, {s + 1}), element_at(codes, {s + 1}))"
+        for s in range(m)
+    )
     scored = cand.select(
-        query_id, corpus_id, (units.cast("double") / F.lit(1e6)).alias("approx_dist")
+        query_id,
+        corpus_id,
+        F.expr(f"CAST(({units_sql}) AS DOUBLE) / 1E6").alias("approx_dist"),
     )
     wr = Window.partitionBy(query_id).orderBy(
         F.col("approx_dist").asc(), F.col(corpus_id).asc()
@@ -1393,7 +1400,7 @@ def ivf_pq_topk(
     exact = fetched.join(F.broadcast(qv), query_id).select(
         query_id,
         corpus_id,
-        F.round(cosine(F.col("_qv2"), F.col("_cv")), 6).alias("score"),
+        F.expr(f"round({_fold_cosine_sql('_qv2', '_cv')}, 6)").alias("score"),
     )
     wf = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()
@@ -1569,8 +1576,13 @@ def semdedup(
     if dim is not None:
         _dot = lambda a, b: dot_n(a, b, dim)  # noqa: E731
         _l2 = lambda a: l2_norm_n(a, dim)  # noqa: E731
+        # SQL-text twins (see _dot_n_sql): l2_norm_n(a, n) builds the
+        # same 0.0D + a_i*a_i chain dot_n(a, a, n) does, under one sqrt
+        _dot_txt = lambda a, b: _dot_n_sql(a, b, dim)  # noqa: E731
+        _l2_txt = lambda a: f"sqrt({_dot_n_sql(a, a, dim)})"  # noqa: E731
     else:
         _dot, _l2 = dot, l2_norm
+        _dot_txt, _l2_txt = _fold_dot_sql, _fold_l2_sql
 
     # nearest-centroid assignment IN-ROW against one packed broadcast
     # centroid row: per vector, argmin of (-sim, cell) over the array —
@@ -1594,23 +1606,17 @@ def semdedup(
             ).alias("_c0")
         ).groupBy().agg(F.collect_list("_c0").alias("_cens"))
         v_packed = v.crossJoin(F.broadcast(cen_packed))
+    # SQL text, parsed once (see _dot_n_sql): the dim=64 unrolled dot
+    # inside this lambda alone was ~256 Py4J round-trips of plan build
     assign = (
         v_packed
-        .withColumn("_en", _l2(F.col("_e")))
+        .withColumn("_en", F.expr(_l2_txt("_e")))
         .withColumn(
             "_best",
-            F.array_min(
-                F.transform(
-                    F.col("_cens"),
-                    lambda c: F.struct(
-                        (-F.round(
-                            _dot(F.col("_e"), c.getField("cvec"))
-                            / (F.col("_en") * c.getField("_cn")),
-                            round_digits,
-                        )).alias("_negsim"),
-                        c.getField("_cl").alias("_cl"),
-                    ),
-                )
+            F.expr(
+                f"array_min(transform(_cens, c -> named_struct("
+                f"'_negsim', -round({_dot_txt('_e', 'c.cvec')} / (_en * c._cn), {round_digits}), "
+                f"'_cl', c._cl)))"
             ),
         )
         .select(
@@ -1656,10 +1662,7 @@ def semdedup(
     edges = (
         a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_i") < F.col("_j")))
         .filter(
-            F.round(
-                _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")),
-                round_digits,
-            )
+            F.expr(f"round({_dot_txt('_ea', '_eb')} / (_na * _nb), {round_digits})")
             >= F.lit(tau)
         )
         .select("_ca", "_i", "_j")

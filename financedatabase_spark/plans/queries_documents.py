@@ -4953,13 +4953,14 @@ def ivf_pq_residual_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the (queries x 20) candidate list into a map-side probe
     of the raw corpus — nothing rescans per query."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # the centroid and codebook frames are tiny (n_cells / m*k rows) but
-    # feed MANY broadcast subtrees (anchor residuals, corpus residuals,
-    # probe selection, ADC tables): localCheckpoint truncates the
-    # repeated aggregation lineage so each broadcast job starts from the
-    # 64-row result, not the corpus scan — at scale these are exactly
-    # the artifacts an index build persists anyway
-    cen = sim.cell_centroids(emb, dim=64).localCheckpoint()
+    # the centroid frame is tiny (n_cells rows) and — with the r15
+    # literal-pack paths — is never executed as a FRAME at all: every
+    # consumer reads the pre-collected rows below and touches the frame
+    # only for its dtypes. The former localCheckpoint here was a whole
+    # extra Spark job per run (materialize, then collect from the
+    # cache); collecting straight off the lazy aggregate runs the same
+    # wide agg exactly once (r15)
+    cen = sim.cell_centroids(emb, dim=64)
     # one collect of the 8-row centroid table feeds EVERY literal builder
     # (anchor residual map, corpus residual map, packed probe array) —
     # one driver job instead of three (r15; the literal-pack rewrite left

@@ -1953,3 +1953,90 @@ def test_fill_bucket_gaps_single_pass_matches_grid_join(spark):
     a = [r for r in got if r.sym == "a"]
     assert len(a) == 4 and a[1].close == 0.0 and a[2].close == 0.0
     assert a[1].mark == 7.5  # ffill carried through the gap
+
+
+def test_pq_sql_text_builders_match_column_dsl(spark):
+    """r15: the SQL-TEXT expression builders (parsed once — see
+    similarity._dot_n_sql; the Column-DSL nested lambdas cost ~4200
+    Py4J round-trips of plan build per ivf_pq query) must be
+    BIT-identical to the forms they replaced. Two pins:
+
+    1. the text fold helpers vs the live Column helpers on real data
+       (same 0.0D seed, same left-fold order);
+    2. `pq_encode` codes vs an independent pure-Python IEEE reference
+       that replays the exact op order ((aa + bb - 2.0*ab)*1e6 + 0.5,
+       floor) — Python floats are the same IEEE doubles, so any drift
+       in literal typing (decimal vs double) or fold order fails exact
+       equality."""
+    import math
+    import random
+
+    from financedatabase_spark.operators import similarity as sim
+
+    rnd = random.Random(11)
+    rows = [(i, i % 4, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+
+    # 1. fold helpers: text == Column, exact doubles
+    two = df.select(F.col("embedding").alias("a"), F.reverse("embedding").alias("b"))
+    dsl = two.select(
+        sim.dot(F.col("a"), F.col("b")).alias("d"),
+        sim.cosine(F.col("a"), F.col("b")).alias("c"),
+        sim.dot_n(F.col("a"), F.col("b"), 8).alias("dn"),
+    ).collect()
+    txt = two.selectExpr(
+        f"{sim._fold_dot_sql('a', 'b')} AS d",
+        f"{sim._fold_cosine_sql('a', 'b')} AS c",
+        f"{sim._dot_n_sql('a', 'b', 8)} AS dn",
+    ).collect()
+    assert [tuple(r) for r in dsl] == [tuple(r) for r in txt]
+
+    # 2. pq_encode codes vs the pure-Python replay
+    m, d = 4, 2
+    cen = sim.cell_centroids(df)
+    cen_rows = cen.select("cell", "cvec").collect()
+    anchors = sim.residual_vectors(
+        df.filter(F.col("vec_id") < 4), cen, centroid_rows=cen_rows
+    )
+    cbs = sim.pq_codebooks(
+        anchors.select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")),
+        m=m, dim=8,
+    )
+    cb_rows = cbs.select("sub", "cid", "cvec_sub").collect()
+    enc = sim.residual_vectors(
+        df.select(F.col("vec_id").alias("corpus_id"), "label", "embedding"),
+        cen, centroid_rows=cen_rows,
+    )
+    got = {
+        r["corpus_id"]: list(r["codes"])
+        for r in sim.pq_encode(
+            enc, cbs, m, 8, id_col="corpus_id", codebook_rows=cb_rows
+        ).collect()
+    }
+
+    by_sub = {}
+    for e in cb_rows:
+        by_sub.setdefault(e["sub"], []).append(e)
+    want = {}
+    for r in enc.collect():
+        v = list(r["embedding"])
+        codes = []
+        for s in range(m):
+            sl = v[s * d:(s + 1) * d]
+            aa = 0.0
+            for x in sl:
+                aa = aa + x * x
+            best = None
+            for e in sorted(by_sub[s], key=lambda e: e["cid"]):
+                bb = 0.0
+                for x in e["cvec_sub"]:
+                    bb = bb + x * x
+                ab = 0.0
+                for x, y in zip(sl, e["cvec_sub"]):
+                    ab = ab + x * y
+                key = (math.floor((aa + bb - 2.0 * ab) * 1e6 + 0.5), e["cid"])
+                if best is None or key < best:
+                    best = key
+            codes.append(best[1])
+        want[r["corpus_id"]] = codes
+    assert got == want
