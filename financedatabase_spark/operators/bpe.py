@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from financedatabase_spark.operators.text import normalized_text
-from financedatabase_spark.session import values_dim
+from financedatabase_spark.session import barrier, release_barrier, values_dim
 
 #: End-of-word marker (classic BPE: lets merges learn word-final units
 #: like "ing</w>" distinct from word-internal "ing").
@@ -101,8 +101,8 @@ def bpe_train(
     wf = (
         word_freq_table(df, text_col)
         .select("w", "freq", _char_seq(F.col("w")).alias("seq"))
-        .localCheckpoint()  # corpus scanned once; rounds run on the vocab
     )
+    wf = barrier(wf)  # corpus scanned once; rounds run on the vocab
     rules: list[tuple] = []
     for r in range(1, merges + 1):
         top = (
@@ -275,8 +275,9 @@ def bpe_train_batched(
     wf = (
         word_freq_table(df, text_col)
         .select("w", "freq", _char_seq(F.col("w")).alias("seq"))
-        .localCheckpoint()
     )
+    wf = barrier(wf)
+    _prev_wf = wf
     rules: list[tuple] = []
     rounds_since_ckpt = 0
     n_rounds = 0
@@ -303,7 +304,9 @@ def bpe_train_batched(
         wf = wf.select("w", "freq", F.trim(col).alias("seq"))
         rounds_since_ckpt += 1
         if rounds_since_ckpt >= checkpoint_every:
-            wf = wf.localCheckpoint()
+            wf = barrier(wf)
+            release_barrier(_prev_wf)  # superseded by the new eager ckpt
+            _prev_wf = wf
             rounds_since_ckpt = 0
     if stats is not None:
         stats["rounds"] = n_rounds

@@ -44,57 +44,58 @@ def _capped_band_pairs(
     """Candidate pairs from a (doc_id, band, key, *payload) table with the
     hot-bucket star bound. ``payload`` maps source column -> (suffixless)
     output name; each side's payload rides along so verification needs no
-    further join. One shuffle on (band, key), reused by the self-join."""
+    further join.
+
+    The band table is materialized ONCE (r15: the signature pipeline —
+    normalize + shingle + hash per gram — otherwise re-planned and re-ran
+    per consumer: 4 parquet scans, 9 Exchanges). r16 refinements:
+
+    - The table is repartitioned on (band, key) to a SIZE-DERIVED count
+      before the checkpoint and the checkpoint records that partitioning
+      (`session.barrier(preserve_partitioning=True)`); the r15 form came
+      back as ``UnknownPartitioning(0)`` over shuffle.partitions near-empty
+      blocks, so AQE could not coalesce and every consumer re-shuffled an
+      already-partitioned table (the 8-core bench beating 32 cores on
+      minhash was this oversharding made visible). The window reuses the
+      repartition's exchange, and the pair self-join below reads both
+      sides co-partitioned AND co-sorted — zero additional exchanges.
+    - Both star cases collapse into ONE self-join: for an oversized
+      bucket the star pairs (rep, other) are exactly the a<b pairs whose
+      LEFT side is the representative (rep = min doc_id of the bucket),
+      so `a.doc_id < b.doc_id AND (a._n <= cap OR a.doc_id = a._rep)`
+      yields all-pairs for small buckets and the star for big ones — the
+      r15 union of two joins probed the checkpoint four times, this
+      probes it twice.
+
+    Output may contain the same (doc1, doc2) from several bands; callers
+    dedup AFTER scoring, so the dedup exchange moves (id, id, score)
+    rows instead of payload arrays (guide §2.3/§8: shuffle decisions,
+    not payloads — scores are pure per-pair functions of the per-doc
+    payloads, so score-then-dedup equals dedup-then-score row for row).
+    """
+    from financedatabase_spark.session import barrier, scaled_partitions
+
     w = Window.partitionBy("band", "key")
-    # Materialize the sized band table ONCE (r15). Four consumers read it
-    # (small-bucket self-join a/b, big-bucket reps/others), and their
-    # per-branch filters (_n vs cap, doc_id vs _rep) get pushed BELOW the
-    # band-key exchange, so Catalyst's ReuseExchange never fires: the
-    # full signature pipeline (normalize + shingle + md5 per gram) and
-    # its shuffle executed FOUR times per run (plan: 4 parquet scans,
-    # 4 Exchanges on (band, key)). The checkpoint runs the pipeline and
-    # the shuffle once; the branches probe the cached result. At 100 TB
-    # this is the standard move of materializing the LSH band index
-    # before pairing — 3 fewer corpus scans + 3 fewer corpus shuffles,
-    # traded for one cached copy of the band table.
-    sized = (
-        banded.withColumn("_n", F.count("*").over(w))
-        .withColumn("_rep", F.min("doc_id").over(w))
-        .localCheckpoint()
+    n_parts = scaled_partitions(banded)
+    sized = barrier(
+        banded.repartition(n_parts, "band", "key")
+        .withColumn("_n", F.count("*").over(w))
+        .withColumn("_rep", F.min("doc_id").over(w)),
+        preserve_partitioning=True,
     )
-    small = sized.filter(F.col("_n") <= bucket_cap)
-    a, b = small.alias("a"), small.alias("b")
-    small_pairs = a.join(
+    a, b = sized.alias("a"), sized.alias("b")
+    return a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.key") == F.col("b.key"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & ((F.col("a._n") <= bucket_cap) | (F.col("a.doc_id") == F.col("a._rep"))),
     ).select(
         F.col("a.doc_id").alias("doc1"),
         F.col("b.doc_id").alias("doc2"),
         *[F.col(f"a.{src}").alias(f"{dst}1") for src, dst in payload.items()],
         *[F.col(f"b.{src}").alias(f"{dst}2") for src, dst in payload.items()],
     )
-    big = sized.filter(F.col("_n") > bucket_cap)
-    reps = big.filter(F.col("doc_id") == F.col("_rep")).select(
-        "band",
-        "key",
-        F.col("doc_id").alias("doc1"),
-        *[F.col(src).alias(f"{dst}1") for src, dst in payload.items()],
-    )
-    others = big.filter(F.col("doc_id") != F.col("_rep")).select(
-        "band",
-        "key",
-        F.col("doc_id").alias("doc2"),
-        *[F.col(src).alias(f"{dst}2") for src, dst in payload.items()],
-    )
-    big_pairs = others.join(reps, ["band", "key"]).select(
-        "doc1",
-        "doc2",
-        *[F.col(f"{dst}1") for dst in payload.values()],
-        *[F.col(f"{dst}2") for dst in payload.values()],
-    )
-    return small_pairs.unionByName(big_pairs).dropDuplicates(["doc1", "doc2"])
 
 HEX = "0123456789abcdef"
 
@@ -343,11 +344,19 @@ def minhash_lsh_dedup(
     banded = sigs.selectExpr("doc_id", "sh", f"inline(array({band_structs}))")
     pairs = _capped_band_pairs(banded, {"sh": "sh"}, bucket_cap)
     inter = F.size(F.array_intersect("sh1", "sh2"))
-    return pairs.select(
-        "doc1",
-        "doc2",
-        (inter / (F.size("sh1") + F.size("sh2") - inter)).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    # score BEFORE the pair-dedup: jaccard is a pure function of the two
+    # per-doc shingle sets, so every multi-band copy of a pair scores
+    # identically and the dedup exchange moves (id, id, double) rows
+    # instead of two shingle arrays per row
+    return (
+        pairs.select(
+            "doc1",
+            "doc2",
+            (inter / (F.size("sh1") + F.size("sh2") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["doc1", "doc2"])
+    )
 
 
 def _hex_nibble(h: F.Column, pos: int) -> F.Column:
@@ -444,11 +453,18 @@ def simhash_near_dups(
     )
     bands = sigs.selectExpr("doc_id", "simhash", f"inline(array({band_structs}))")
     cands = _capped_band_pairs(bands, {"simhash": "sh"}, bucket_cap)
-    return cands.select(
-        "doc1",
-        "doc2",
-        F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("long").alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
+    # hamming is a pure per-pair function of the two signatures: score,
+    # filter, THEN dedup the multi-band copies (same rows as the r15
+    # dedup-first form, smaller dedup exchange)
+    return (
+        cands.select(
+            "doc1",
+            "doc2",
+            F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc1", "doc2"])
+    )
 
 
 #: Shared CC iteration bound: the operator's convergence loop and the
@@ -477,17 +493,17 @@ def connected_components(
     needed = graph diameter; the star-capped LSH pairs keep duplicate
     clusters star-shaped, so this converges in 2-3 rounds.
     """
+    from financedatabase_spark.session import barrier, release_barrier
+
     e = pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
-    edges = (
+    edges = barrier(
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = barrier(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     prev = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iterations):
@@ -497,14 +513,18 @@ def connected_components(
             .agg(F.min("label").alias("nbr_min"))
             .withColumnRenamed("src", "node")
         )
-        labels = (
+        stale = labels
+        labels = barrier(
             labels.join(nbr, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
             )
-            .localCheckpoint()
         )
+        # the new round's eager checkpoint has materialized; the previous
+        # round's blocks are garbage by construction — release them NOW
+        # instead of accumulating one copy per round for the session
+        release_barrier(stale)
         cur = labels.agg(F.sum("label")).collect()[0][0]
         if cur == prev:
             break

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from financedatabase_spark.operators.text import normalized_text
-from financedatabase_spark.session import values_dim
+from financedatabase_spark.session import barrier, values_dim
 
 
 def unigram_lm_scores(
@@ -296,7 +296,7 @@ def bigram_lm_scores(
     # the V count below and the score join, and without the checkpoint
     # Spark re-plans the full corpus tokenize+shuffle for each reference
     # (the same stats-as-literals rationale as the unigram vocab)
-    ctx_counts = pairs.groupBy("w1").agg(F.count("*").alias("_c1")).localCheckpoint()
+    ctx_counts = barrier(pairs.groupBy("w1").agg(F.count("*").alias("_c1")))
     v = ctx_counts.count()  # distinct contexts: bounded by vocabulary size
 
     if rows:
@@ -414,9 +414,9 @@ def pmi_collocations(
     toks = (
         staged.select(F.explode_outer("_w").alias("t")).filter(F.col("t") != "")
     )
-    uni = toks.groupBy("t").agg(F.count("*").alias("_c")).localCheckpoint()
+    uni = barrier(toks.groupBy("t").agg(F.count("*").alias("_c")))
     n = uni.select(F.sum("_c")).first()[0] or 0
-    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint()
+    bi = barrier(pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
     b = bi.select(F.sum("c12")).first()[0] or 0
     scored = (
         bi.filter(F.col("c12") >= min_count)

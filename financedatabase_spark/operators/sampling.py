@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from financedatabase_spark.session import barrier
+
 #: hex digits of the md5 prefix used as the selection bucket: 8 digits
 #: = 32 bits, granularity 2^-32 — fraction resolution far below any
 #: practical sampling spec.
@@ -400,10 +402,9 @@ def dsir_importance_weights(
     )
     # one corpus pass: (doc, bucket) counts, materialized once because
     # the global histograms AND the score join both read it
-    per_doc = (
+    per_doc = barrier(
         feats.groupBy(id_col, "_is_target", "bucket")
         .agg(F.count("*").alias("_nf"))
-        .localCheckpoint()
     )
     # global histograms are BOUNDED (≤ n_buckets rows): fold to driver
     # literals so the score plan joins a LocalRelation, not the subtree

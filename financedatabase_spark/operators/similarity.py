@@ -77,7 +77,7 @@ def _dot_n_sql(a: str, b: str, n: int) -> str:
     tree is the same Add/Multiply/Get chain (`0.0D` is a double literal,
     `get` the 0-based null-OOB element access), so every double is
     bit-identical to the Column form — pinned by
-    tests/test_properties.py::test_pq_sql_text_builders_match_column_dsl."""
+    tests/test_operators_misc.py::test_pq_sql_text_builders_match_column_dsl."""
     terms = " + ".join(f"get({a}, {i}) * get({b}, {i})" for i in range(n))
     return f"(0.0D + {terms})" if n else "0.0D"
 
@@ -1450,8 +1450,10 @@ def pq_train_subspace(
             ).alias("_sv"),
         )
         .select("_id", F.col("_sv.sub").alias("sub"), F.col("_sv.v").alias("v"))
-        .localCheckpoint()  # scanned k_sub + 2*iters times
     )
+    from financedatabase_spark.session import barrier, release_barrier
+
+    subs = barrier(subs)  # scanned k_sub + 2*iters times
     spark = df.sparkSession
 
     def _seed_dim(seeds: list[tuple[int, int, list[float]]]) -> DataFrame:
@@ -1486,6 +1488,7 @@ def pq_train_subspace(
         seeds.extend((int(r["sub"]), j, list(r["cv"])) for r in far)
 
     cb = _seed_dim(seeds)
+    _prev_cb = None
     for _ in range(iters):
         assign = (
             subs.join(F.broadcast(cb), "sub")
@@ -1514,8 +1517,10 @@ def pq_train_subspace(
                 "cid",
                 F.transform(F.col("_pm"), lambda s: s.getField("mv")).alias("cvec_sub"),
             )
-            .localCheckpoint()
         )
+        cb = barrier(cb)
+        release_barrier(_prev_cb)  # superseded by the new eager ckpt
+        _prev_cb = cb
     return cb
 
 
@@ -1631,7 +1636,18 @@ def semdedup(
             # higher-order-function work
             "_en",
         )
-        .localCheckpoint()  # feeds the pair join twice + the final output
+    )
+    from financedatabase_spark.session import barrier, scaled_partitions
+
+    # materialized ONCE (feeds the pair join twice + the final output),
+    # partitioned on cluster to a size-derived count and with the
+    # partitioning RECORDED in the checkpoint (r16): the pair self-join
+    # reads both sides co-partitioned and the per-cluster union-find's
+    # groupBy reuses the same distribution — the r15 form came back
+    # UnknownPartitioning(0) and re-shuffled per consumer
+    assign = barrier(
+        assign.repartition(scaled_partitions(assign), "cluster"),
+        preserve_partitioning=True,
     )
     if max_cluster_size is not None:
         top = (

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from financedatabase_spark.session import barrier, release_barrier
+
 
 def _sorted_vals(order_col: str, value_col: str):
     arr = F.array_sort(F.collect_list(F.struct(F.col(order_col), F.col(value_col))))
@@ -137,8 +139,8 @@ def _chunk_frames(
         df.withColumn("_chunk", chunk_expr if not isinstance(chunk_expr, str) else F.col(chunk_expr))
         .groupBy(*key_cols, "_chunk")
         .agg(*agg)
-        .localCheckpoint()
     )
+    chunks = barrier(chunks)
     epochs = [r[0] for r in chunks.select("_chunk").distinct().orderBy("_chunk").collect()]
     return chunks, epochs
 
@@ -184,6 +186,7 @@ def ewma_last_chunked(
     )
     cont = _fold_expr(a, "_vals", "ewma_value")
     levels: DataFrame | None = None
+    _prev_lv = None
     for i, ep in enumerate(epochs):
         cur = chunks.filter(F.col("_chunk").eqNullSafe(F.lit(ep))).drop("_chunk")
         if levels is None:
@@ -205,7 +208,12 @@ def ewma_last_chunked(
                 )
             )
         if (i + 1) % checkpoint_every == 0 and i + 1 < len(epochs):
-            levels = levels.localCheckpoint()
+            levels = barrier(levels)
+            # the previous checkpoint fed this one (eager); its blocks
+            # are garbage now — release instead of pinning one copy per
+            # checkpoint interval for the session lifetime
+            release_barrier(_prev_lv)
+            _prev_lv = levels
     return levels
 
 
@@ -268,8 +276,12 @@ def ewma_series_chunked(
                 .alias("ewma_value"),
             )
         if (i + 1) % checkpoint_every == 0:
-            levels = levels.localCheckpoint()
-            incoming[-1] = incoming[-1].localCheckpoint()
+            # NO supersede: the incoming frames of the rounds between
+            # checkpoints stay lazy until the post-loop union, and their
+            # lineage can read the previous level checkpoint — an eager
+            # release would break them. Build-scope release only.
+            levels = barrier(levels)
+            incoming[-1] = barrier(incoming[-1])
     level_in = incoming[0]
     for frame in incoming[1:]:
         level_in = level_in.unionByName(frame)
@@ -491,8 +503,8 @@ def _chunked_tick_frames(
         df.withColumn("_chunk", chunk_expr if not isinstance(chunk_expr, str) else F.col(chunk_expr))
         .groupBy(*key_cols, "_chunk")
         .agg(rows_arr.alias("_rows"), F.count("*").cast("long").alias("_n"))
-        .localCheckpoint()
     )
+    chunks = barrier(chunks)
     # Prefix-sum the per-chunk counts with a window directly over the
     # chunk-summary frame (one row per (key, chunk)): no equality join
     # back, so null epochs keep their offsets (ASC NULLS FIRST = the
@@ -552,8 +564,15 @@ def _chunked_state_walk(
             folded.select(*key_cols, F.explode(F.col("_fs.ends")).alias("_e"))
         )
         if (i + 1) % checkpoint_every == 0:
-            states = states.localCheckpoint()
-            ends_frames[-1] = ends_frames[-1].localCheckpoint()
+            # NO supersede here: the ends frames of the rounds BETWEEN
+            # checkpoints stay lazy and their lineage reads the previous
+            # state checkpoint until the final union materializes — an
+            # eager release breaks them (CHECKPOINT_RDD_BLOCK_ID_NOT_
+            # FOUND). The barriers register with the build scope instead:
+            # blocks live to the end of the build, released when the same
+            # query is next built.
+            states = barrier(states)
+            ends_frames[-1] = barrier(ends_frames[-1])  # consumed post-loop
     ends = ends_frames[0]
     for frame in ends_frames[1:]:
         ends = ends.unionByName(frame)

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from financedatabase_spark.session import barrier
+
 #: Marker stopwords per language for the n-gram/stopword language heuristic.
 LANG_MARKERS: dict[str, str] = {
     "en": r"\b(the|and|of|to|in|is|for|with)\b",
@@ -419,7 +421,7 @@ def winnow_overlap_pairs(
     # The barrier keeps the inferred filter on the materialized array.
     # Postings also feed 3 plan branches, so materializing once pays
     # regardless.
-    fps = staged.localCheckpoint().select(
+    fps = barrier(staged).select(
         F.col(id_col), F.explode(F.col("_wfps")).alias("fp")
     )
     rare = fps.groupBy("fp").agg(F.count("*").alias("_df")).filter(

@@ -4340,7 +4340,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams, or days."""
     from financedatabase_spark.operators.sketch import cms_build, cms_estimate, token_counts
 
-    counts = token_counts(load_table(spark, sf_dir, "documents")).localCheckpoint()
+    from financedatabase_spark.session import barrier
+
+    counts = barrier(token_counts(load_table(spark, sf_dir, "documents")))
     sketch = cms_build(counts, depth=4, width=1024)
     cand = counts.orderBy(F.col("c").desc(), "token").limit(50)
     est = cms_estimate(sketch, cand, depth=4, width=1024)
@@ -4465,9 +4467,11 @@ def bloom_decontamination_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
     from financedatabase_spark.operators.sketch import bloom_build, bloom_might_contain
     from financedatabase_spark.operators.text import doc_hash
 
-    d = load_table(spark, sf_dir, "documents").select(
+    from financedatabase_spark.session import barrier
+
+    d = barrier(load_table(spark, sf_dir, "documents").select(
         "doc_id", doc_hash("text").alias("h")
-    ).localCheckpoint()
+    ))
     bench = d.filter(F.col("doc_id") % 97 == 0).select("h")
     bloom = bloom_build(bench, "h")
     probed = bloom_might_contain(d, bloom, "h")
@@ -4776,7 +4780,9 @@ def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per run; checkpointing runs it once. Same production rationale as
     # the s3 checkpoint below — at 100 TB this is 3 fewer full corpus
     # scans, at sf0.1 it was measured as ~15% of the query's wall time.
-    s2 = s2.localCheckpoint()
+    from financedatabase_spark.session import barrier
+
+    s2 = barrier(s2)
 
     keep3 = (
         ccnet_tertiles(s2)
@@ -4787,7 +4793,7 @@ def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream consumers (substring dedup, the embeddings join, the final
     # lang join); checkpointing here is the production move — pay the
     # blocklist+Gopher+CCNet subtree once, not per consumer.
-    s3 = s2.join(keep3, F.col("doc_id") == F.col("_k3")).drop("_k3").localCheckpoint()
+    s3 = barrier(s2.join(keep3, F.col("doc_id") == F.col("_k3")).drop("_k3"))
 
     cleaned = dd.exact_substring_dedup(
         s3.select("doc_id", "text"), k=8, min_count=2
@@ -4821,7 +4827,7 @@ def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.05 s ckpt + 0.7 s pack). with_tok is one (lang, id, tok) row per
     # surviving doc — the cheapest possible barrier, and at 100 TB it
     # halves the number of full-pipeline executions.
-    with_tok = with_tok.localCheckpoint()
+    with_tok = barrier(with_tok)
     return smp.token_shard_packing(
         with_tok, "tok", budget=4096, order_col="doc_id", key_cols=["lang"]
     )

@@ -18,10 +18,25 @@ ORACLE_SQL: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: add a query (and its oracle) to the registry."""
+    """Decorator: add a query (and its oracle) to the registry.
+
+    Each registered build runs inside a `session.build_scope`: operators
+    that materialize intermediates (`session.barrier`) register their
+    checkpoint handles there, and REBUILDING the same query releases the
+    previous build's blocks up front — deterministic checkpoint lifecycle
+    instead of waiting on three garbage collectors (see session.py)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        import functools
+
+        from financedatabase_spark.session import build_scope
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            with build_scope(spark, name):
+                return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE_SQL[name] = oracle
         return fn

@@ -12,7 +12,9 @@ timestamps round-trip unchanged (SURVEY.md §7.4 risk 3).
 
 from __future__ import annotations
 
+import math
 import os
+import threading
 from typing import Callable, Hashable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +25,230 @@ def _is_active(spark: SparkSession) -> bool:
         return spark.sparkContext._jsc is not None
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint (stage-barrier) lifecycle.
+#
+# Several operators materialize a bounded intermediate once so that multiple
+# consumers share one execution (LSH band table, curation stage survivors,
+# iterative-loop states). `DataFrame.localCheckpoint()` stores the rows as
+# executor-local blocks whose release normally waits on THREE collectors in
+# sequence: the Python wrapper must be garbage-collected, py4j must detach
+# the JVM binding, and the JVM must collect the RDD object before Spark's
+# ContextCleaner finally drops the blocks. Under PySpark's ClientServer
+# gateway the py4j detach step never runs automatically (no auto_gc), so in
+# a long-lived session every checkpoint block is pinned for the LIFETIME of
+# the process — measured r15 as a monotone per-pass slowdown of the
+# checkpoint-heavy benchmark queries. The helpers below make the release
+# explicit and deterministic instead:
+#
+# - `barrier(df)` checkpoints eagerly and records the checkpoint RDD's JVM
+#   handle (a) on the returned frame and (b) in the ACTIVE BUILD SCOPE (see
+#   `build_scope`) opened by the query registry around every registered
+#   query build. Rebuilding the same registered query unpersists the
+#   previous build's blocks up front — steady state is one live copy per
+#   query name, no matter how many times a bench/driver loop re-runs it.
+# - `release_barrier(df)` unpersists one barrier's blocks immediately; it
+#   is for iterative operators that rebind a loop-carried frame (connected
+#   components, Lloyd rounds, BPE merges): once the next round's eager
+#   checkpoint has materialized, the previous round's blocks are garbage
+#   by construction.
+#
+# Contract: a registered query's materialized intermediates stay valid
+# until the SAME query name is built again on the same session (re-running
+# a stale, previously-built frame after a rebuild may fail on the released
+# checkpoint). Sequential rebuilds are exactly the bench/driver protocol;
+# scopes are thread-local, so concurrent builds of different queries from
+# different threads (guide §2.6) do not interact.
+# ---------------------------------------------------------------------------
+
+_BUILD_CTX = threading.local()
+
+
+def _barrier_registry(spark: SparkSession) -> dict:
+    return spark.__dict__.setdefault("_fdspark_barrier_handles", {})
+
+
+def release_build_checkpoints(spark: SparkSession, name: str) -> int:
+    """Unpersist every checkpoint registered by the previous build of
+    registered query ``name``. Returns the number of handles released."""
+    handles = _barrier_registry(spark).pop(name, [])
+    n = 0
+    for h in handles:
+        try:
+            h.unpersist(False)
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+class build_scope:
+    """Context manager the query registry wraps around each registered
+    query build: releases the previous build's checkpoints on entry and
+    collects the new build's handles for the next release."""
+
+    def __init__(self, spark: SparkSession, name: str):
+        self.spark, self.name = spark, name
+
+    def __enter__(self):
+        release_build_checkpoints(self.spark, self.name)
+        stack = getattr(_BUILD_CTX, "stack", None)
+        if stack is None:
+            stack = _BUILD_CTX.stack = []
+        self.handles: list = []
+        stack.append((self.spark, self.handles))
+        return self
+
+    def __exit__(self, *exc):
+        _BUILD_CTX.stack.pop()
+        if _is_active(self.spark):
+            # merge (not overwrite): a query building the same name twice
+            # in one scope, or a nested build, must not orphan handles
+            _barrier_registry(self.spark).setdefault(self.name, []).extend(
+                self.handles
+            )
+        return False
+
+
+def _ckpt_rdd(df: DataFrame):
+    """The checkpointed JVM RDD behind a localCheckpoint()'d frame."""
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() != "LogicalRDD":
+        return None
+    return plan.rdd()
+
+
+def scaled_partitions(
+    df: DataFrame, target_bytes: int | None = None, at_least: int = 1
+) -> int:
+    """Partition count for a materialized intermediate, derived from
+    Catalyst's size estimate so it scales with the INPUT rather than a
+    core-count constant (guide §2.2). Same decision rule as AQE's
+    partition coalescing (which cannot see checkpoint scans): size-based
+    ceil(bytes / advisory partition size), but parallelism-first for
+    small inputs — never fewer than defaultParallelism partitions unless
+    that would drop partitions below the coalescer's minimum size. At
+    corpus scale the size term dominates (bytes/64MB >> cores); locally
+    it keeps the downstream consumers parallel instead of collapsing a
+    few-MB intermediate onto one core. Unknown stats fall back to
+    defaultParallelism."""
+    spark = df.sparkSession
+    if target_bytes is None:
+        raw = spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+        )
+        target_bytes = _parse_bytes(raw)
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = -1
+    par = spark.sparkContext.defaultParallelism
+    if size >= 2**62:
+        size = -1  # defaultSizeInBytes leaf = unknown
+    # Catalyst join/filter estimates run away by orders of magnitude when
+    # a join sits above an unknown-stats leaf (a checkpoint scan): the
+    # multiplied guess asked for 65k+ partitions on a 500-row frame. Cross
+    # -check against the REAL bytes of the frame's input files (compressed
+    # parquet; x32 allows decompression + row expansion) and refuse to
+    # trust an estimate that exceeds what the inputs could produce. With
+    # neither a file-backed bound nor a sane estimate, partition count =
+    # cluster parallelism — exactly what shuffle.partitions would give.
+    fb = _local_input_bytes(df)
+    if fb:
+        size = min(size, fb * 32) if size > 0 else fb * 32
+    elif size > target_bytes * par * 64:
+        return max(at_least, par)
+    if size <= 0:
+        return max(at_least, par)
+    min_bytes = _parse_bytes(
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1MB")
+    )
+    parallel_floor = min(par, math.ceil(size / min_bytes))
+    return max(at_least, math.ceil(size / target_bytes), parallel_floor)
+
+
+def _local_input_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes of the frame's input files, when every input is
+    a local file we can stat (the bench/test layout); 0 = unknown."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    total = 0
+    for p in files:
+        if p.startswith("file:"):
+            local = "/" + p[5:].lstrip("/")
+        elif p.startswith("/"):
+            local = p
+        else:
+            return 0
+        try:
+            total += os.path.getsize(local)
+        except OSError:
+            return 0
+    return total
+
+
+def _parse_bytes(s: str) -> int:
+    s = s.strip().lower()
+    for suffix, mult in (
+        ("tb", 2**40), ("gb", 2**30), ("mb", 2**20), ("kb", 2**10),
+        ("t", 2**40), ("g", 2**30), ("m", 2**20), ("k", 2**10), ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
+
+
+def barrier(df: DataFrame, preserve_partitioning: bool = False) -> DataFrame:
+    """Materialize ``df`` once (eager localCheckpoint) with an explicit
+    release handle (see module note above).
+
+    ``preserve_partitioning=True`` additionally records the physical
+    plan's hash partitioning (and sort order) in the checkpoint scan:
+    under AQE the LogicalRDD otherwise comes back as
+    ``UnknownPartitioning(0)``, so every downstream consumer re-shuffles
+    what is already partitioned (r15 verdict: the minhash band table's
+    8-core run beat 32 cores because of exactly this). AQE is disabled
+    only for the checkpoint's own job — the caller has already fixed the
+    partition count (`scaled_partitions`), which is the one decision AQE
+    would have made."""
+    spark = df.sparkSession
+    if preserve_partitioning:
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            out = df.localCheckpoint()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+    else:
+        out = df.localCheckpoint()
+    try:
+        handle = _ckpt_rdd(out)
+    except Exception:
+        handle = None
+    if handle is not None:
+        out._fdspark_ckpt_rdd = handle
+        stack = getattr(_BUILD_CTX, "stack", None)
+        if stack:
+            scope_spark, handles = stack[-1]
+            if scope_spark is spark:
+                handles.append(handle)
+    return out
+
+
+def release_barrier(df: DataFrame) -> None:
+    """Immediately unpersist one barrier's blocks — ONLY for loop-carried
+    frames that the caller has just superseded (nothing can reference a
+    released checkpoint again; localCheckpoint lineage is truncated)."""
+    handle = getattr(df, "_fdspark_ckpt_rdd", None)
+    if handle is not None:
+        try:
+            handle.unpersist(False)
+        except Exception:
+            pass
 
 
 def session_memo(

@@ -85,6 +85,7 @@ def _recall(rows, exact) -> float:
     return hits / (len(exact) * K)
 
 
+@pytest.mark.heavy
 def test_ivf_topk_recall_at_scale(ann_fixture):
     from financedatabase_spark.operators import similarity as sim
 
@@ -94,6 +95,7 @@ def test_ivf_topk_recall_at_scale(ann_fixture):
     assert r >= 0.9, f"ivf_topk recall@{K} = {r:.4f} (need >= 0.9)"
 
 
+@pytest.mark.heavy
 def test_ivf_multiprobe_recall_at_scale(ann_fixture):
     from financedatabase_spark.operators import similarity as sim
 
@@ -104,6 +106,7 @@ def test_ivf_multiprobe_recall_at_scale(ann_fixture):
     assert r >= 0.9, f"ivf_multiprobe recall@{K} = {r:.4f} (need >= 0.9)"
 
 
+@pytest.mark.heavy
 def test_ivf_pq_recall_at_scale(ann_fixture):
     from financedatabase_spark.operators import similarity as sim
 

@@ -176,6 +176,7 @@ def test_bpe_batched_matches_canonical_random_corpus(spark):
     assert {r.w: r.seq.split("  ") for r in vocab_df.collect()} == ref_seqs
 
 
+@pytest.mark.heavy
 def test_bpe_batched_large_merge_space(spark):
     """The regime the batched trainer exists for: a high-entropy corpus
     whose merge space exceeds 1024. Gates — merges=1024 completes, the

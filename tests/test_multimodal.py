@@ -358,6 +358,7 @@ def test_png_codec_round_trip():
         png_decode(short)
 
 
+@pytest.mark.heavy
 def test_dispatch_decode_image_route():
     from financedatabase_spark.operators.multimodal import (
         dispatch_decode,
@@ -3436,6 +3437,7 @@ def test_avi_dib_truncated_frame_raises():
             avi_decode(_truncate_last_avi_frame(raw, 12))
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize(
     "codec",
     ["gif", "tiff", "webp", "bmp", "ico"],
